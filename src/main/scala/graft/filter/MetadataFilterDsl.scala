@@ -1,0 +1,229 @@
+package graft.filter
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's metadata-filter mini-language, compiled to a Catalyst
+  * `Column` predicate instead of a post-search row filter.
+  *
+  * Grammar (per `MetadataFilter::parse`, ref `src/index/filter.rs:52-316`):
+  *   - ` OR ` splits first (lower precedence, no parentheses);
+  *   - ` AND ` or top-level commas (bracket-aware) split conjuncts;
+  *   - single conditions: `f?` (exists), `f in [a,b]`, `f not_in [a,b]`,
+  *     `f~v` (contains), `f^v` (starts-with), `f$v` (ends-with),
+  *     `f!=v`, `f>=v`, `f<=v`, `f>v`, `f<v`, `f=v`, `f:v`;
+  *   - glob values rewrite: `f:*v*` → contains, `f:v*` → starts-with,
+  *     `f:*v` → ends-with;
+  *   - values parse as Long → Double → Bool → String;
+  *   - dotted fields (`a.b.c`) descend into struct columns.
+  *
+  * Semantics parity (ref `:319-418`): `!=` and `not_in` are TRUE when the
+  * field is missing/null; all other operators are FALSE on missing. In
+  * the JSON world "missing" means the key is absent; on a typed table the
+  * closest analog is NULL, so NULL drives the missing-field branches.
+  * Because the output is a plain `Column`, Catalyst pushes these
+  * predicates into the scan — the reference instead post-filters after
+  * ANN search with a 5x over-fetch (`src/index/searcher.rs:129-133`).
+  */
+object MetadataFilterDsl {
+
+  sealed trait Value
+  final case class VNum(v: Double) extends Value
+  final case class VBool(v: Boolean) extends Value
+  final case class VStr(v: String) extends Value
+
+  sealed trait Node
+  final case class Cond(field: String, op: String, value: Value, list: Seq[Value] = Nil) extends Node
+  final case class And(children: Seq[Node]) extends Node
+  final case class Or(children: Seq[Node]) extends Node
+
+  /** Literal coercion order of `parse_value` (ref filter.rs:420-439). */
+  def parseValue(s: String): Value = {
+    val t = s
+    t.toLongOption.map(v => VNum(v.toDouble))
+      .orElse(t.toDoubleOption.map(VNum))
+      .getOrElse(t match {
+        case "true"  => VBool(true)
+        case "false" => VBool(false)
+        case other   => VStr(other)
+      })
+  }
+
+  /** Split on top-level commas only (commas inside [...] stay). */
+  private def splitCommas(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '[' => depth += 1; cur += '['
+      case ']' => depth -= 1; cur += ']'
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.result()
+  }
+
+  def parse(input: String): Option[Node] = {
+    val s = input.trim
+    if (s.contains(" OR ")) {
+      val children = s.split(" OR ").toSeq.flatMap(p => parse(p.trim))
+      return children match {
+        case Seq()  => None
+        case Seq(c) => Some(c)
+        case cs     => Some(Or(cs))
+      }
+    }
+    val hasAnd = s.contains(" AND ")
+    val commaParts = splitCommas(s)
+    if (hasAnd || commaParts.length > 1) {
+      val raw = if (hasAnd) s.split(" AND ").toSeq else commaParts
+      val children = raw.flatMap(p => parseSingle(p.trim))
+      return children match {
+        case Seq()  => None
+        case Seq(c) => Some(c)
+        case cs     => Some(And(cs))
+      }
+    }
+    parseSingle(s)
+  }
+
+  private def parseList(rest: String): Option[Seq[Value]] = {
+    val end = rest.indexOf(']')
+    if (end < 0) None
+    else Some(rest.take(end).split(',').toSeq.map(v => parseValue(v.trim)))
+  }
+
+  def parseSingle(input: String): Option[Node] = {
+    val s = input.trim
+    if (s.endsWith("?"))
+      return Some(Cond(s.dropRight(1), "exists", VStr("")))
+    val inIdx = s.indexOf(" in [")
+    if (inIdx >= 0)
+      return parseList(s.substring(inIdx + 5)).map(vs =>
+        Cond(s.take(inIdx).trim, "in", VStr(""), vs))
+    val notInIdx = s.indexOf(" not_in [")
+    if (notInIdx >= 0)
+      return parseList(s.substring(notInIdx + 9)).map(vs =>
+        Cond(s.take(notInIdx).trim, "not_in", VStr(""), vs))
+
+    def binary(sep: String, op: String, str: Boolean): Option[Node] = {
+      val i = s.indexOf(sep)
+      if (i < 0) None
+      else {
+        val (f, v) = (s.take(i), s.substring(i + sep.length))
+        Some(Cond(f, op, if (str) VStr(v) else parseValue(v)))
+      }
+    }
+    if (s.contains('~')) return binary("~", "contains", str = true)
+    if (s.contains('^') && !s.contains(">=")) return binary("^", "starts_with", str = true)
+    if (s.contains('$')) return binary("$", "ends_with", str = true)
+    if (s.contains("!=")) return binary("!=", "ne", str = false)
+    if (s.contains(">=")) return binary(">=", "gte", str = false)
+    if (s.contains("<=")) return binary("<=", "lte", str = false)
+    if (s.contains('>')) return binary(">", "gt", str = false)
+    if (s.contains('<')) return binary("<", "lt", str = false)
+
+    val eqIdx = if (s.contains('=')) s.indexOf('=') else s.indexOf(':')
+    if (eqIdx < 0) return None
+    val field = s.take(eqIdx)
+    val v = s.substring(eqIdx + 1)
+    // Glob-value rewrite (ref filter.rs:289-309)
+    if (v.contains('*')) {
+      if (v.startsWith("*") && v.endsWith("*") && v.length > 2)
+        return Some(Cond(field, "contains", VStr(v.substring(1, v.length - 1))))
+      if (v.startsWith("*"))
+        return Some(Cond(field, "ends_with", VStr(v.drop(1))))
+      if (v.endsWith("*"))
+        return Some(Cond(field, "starts_with", VStr(v.dropRight(1))))
+    }
+    Some(Cond(field, "eq", parseValue(v)))
+  }
+
+  /** Resolve a dotted field path against the DataFrame schema; None when
+    * any path segment does not exist (→ missing-field semantics). */
+  private def resolve(df: DataFrame, path: String): Option[(Column, DataType)] = {
+    val parts = path.split('.')
+    val top = df.schema.fields.find(_.name == parts.head)
+    top.flatMap { f =>
+      parts.tail.foldLeft(Option((col(f.name), f.dataType))) {
+        case (Some((c, StructType(fields))), seg) =>
+          fields.find(_.name == seg).map(sf => (c.getField(seg), sf.dataType))
+        case _ => None
+      }
+    }
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+  private def litOf(v: Value): Column = v match {
+    case VNum(d)  => lit(d)
+    case VBool(b) => lit(b)
+    case VStr(s)  => lit(s)
+  }
+
+  /** Typed equality per `values_equal` (ref filter.rs:390-400): numbers
+    * compare as doubles; cross-type comparisons are false. */
+  private def eqCol(c: Column, dt: DataType, v: Value): Column = (dt, v) match {
+    case (t, VNum(d)) if isNumeric(t) => c.cast("double") === lit(d)
+    case (BooleanType, VBool(b))      => c === lit(b)
+    case (StringType, VStr(s))        => c === lit(s)
+    case _                            => lit(false)
+  }
+
+  /** Ordering per `compare_values` (ref filter.rs:402-418): numeric when
+    * both sides are numbers, else string comparison, else no match. */
+  private def cmpCols(c: Column, dt: DataType, v: Value): Option[(Column, Column)] = (dt, v) match {
+    case (t, VNum(d)) if isNumeric(t) => Some((c.cast("double"), lit(d)))
+    case (StringType, VStr(s))        => Some((c, lit(s)))
+    case _                            => None
+  }
+
+  /** Compile to a predicate over `df`'s schema. Missing columns compile
+    * to the constant the reference evaluates for absent fields. */
+  def compile(node: Node, df: DataFrame): Column = node match {
+    case And(cs) => cs.map(compile(_, df)).reduce(_ && _)
+    case Or(cs)  => cs.map(compile(_, df)).reduce(_ || _)
+    case Cond(field, op, value, list) =>
+      resolve(df, field) match {
+        case None =>
+          // Absent field: ne/not_in are vacuously true (ref :335,:347-353)
+          if (op == "ne" || op == "not_in") lit(true) else lit(false)
+        case Some((c, dt)) =>
+          val missing = c.isNull
+          op match {
+            case "exists" => c.isNotNull
+            case "eq"     => !missing && eqCol(c, dt, value)
+            case "ne"     => missing || !eqCol(c, dt, value)
+            case "in"     => !missing && list.map(v => eqCol(c, dt, v)).reduceOption(_ || _).getOrElse(lit(false))
+            case "not_in" => missing || !list.map(v => eqCol(c, dt, v)).reduceOption(_ || _).getOrElse(lit(false))
+            case "contains" =>
+              if (dt != StringType) lit(false)
+              else !missing && c.contains(value.asInstanceOf[VStr].v)
+            case "starts_with" =>
+              if (dt != StringType) lit(false)
+              else !missing && c.startsWith(value.asInstanceOf[VStr].v)
+            case "ends_with" =>
+              if (dt != StringType) lit(false)
+              else !missing && c.endsWith(value.asInstanceOf[VStr].v)
+            case cmp =>
+              cmpCols(c, dt, value) match {
+                case None => lit(false)
+                case Some((a, b)) =>
+                  val p = cmp match {
+                    case "gt"  => a > b
+                    case "gte" => a >= b
+                    case "lt"  => a < b
+                    case "lte" => a <= b
+                  }
+                  !missing && p
+              }
+          }
+      }
+  }
+
+  /** Parse + compile; None when the filter string is unparseable. */
+  def toColumn(filterStr: String, df: DataFrame): Option[Column] =
+    parse(filterStr).map(compile(_, df))
+}

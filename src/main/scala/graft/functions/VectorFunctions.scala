@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>`.
+  *
+  * Re-expresses the reference's vector math (dot product
+  * `src/index/recompute.rs:137-139`, L2 normalize
+  * `src/embedding/candle.rs:218-225`) as Catalyst higher-order-function
+  * expressions — codegen-friendly, no UDF, no driver-side loops.
+  *
+  * All arithmetic is done in Double with a per-row *sequential* fold
+  * (`aggregate` evaluates left-to-right), so scores are deterministic and
+  * reproducible against a DuckDB oracle computing the same double math.
+  */
+object VectorFunctions {
+  /** Cast a vector column to ARRAY<DOUBLE> for stable arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Inner product of two vector columns, computed in Double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2-normalized copy of the vector (zero vectors pass through unchanged,
+    * matching the reference's epsilon guard in candle.rs:218-225). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(asDouble(a), x => when(n > 1e-12, x / n).otherwise(x))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact and pruned top-k similarity search over an embeddings table
+  * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT`).
+  *
+  * Re-expresses the reference's search surface — exact brute-force kNN
+  * (`src/index/recompute.rs:52-123`, its own ground truth), ANN top-k
+  * (`src/backend/hnsw.rs:79-93`) and filtered search
+  * (`src/index/searcher.rs:123-210`) — as DataFrame plans:
+  *
+  *   - Exact: broadcast the (single-row) query vector, score every row,
+  *     `TakeOrderedAndProject` does the distributed top-k merge. No
+  *     shuffle of the big side; scales linearly with executors.
+  *   - Filtered: the predicate lands *before* scoring, so Catalyst pushes
+  *     it into the Parquet scan — the reference instead post-filters with
+  *     a 5x over-fetch (`src/index/searcher.rs:129-133`).
+  *   - IVF (the 100 TB path): cluster embeddings (here: the `label`
+  *     column; `IndexBuild` assigns real KMeans centroids), rank cluster
+  *     centroids against the query, scan only the top-`nprobe` clusters.
+  *     On a partitioned table (`PARTITION BY centroid_id`) the cluster
+  *     filter becomes partition pruning: the scan reads nprobe/k of the
+  *     data instead of all of it.
+  *
+  * Scores are rounded to 6 decimals *before* ordering so the selected
+  * top-k set is deterministic across engines (ties broken by `vec_id`).
+  */
+object Knn {
+
+  /** One-row DataFrame holding the query vector of `vecId`, ready to
+    * broadcast into a scoring join. */
+  def queryVector(emb: DataFrame, vecId: Long): DataFrame =
+    emb.filter(col("vec_id") === vecId)
+      .select(asDouble(col("embedding")).as("qv"))
+
+  private def scored(emb: DataFrame, query: DataFrame, score: (Column, Column) => Column): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .select(col("vec_id"), round(score(col("embedding"), col("qv")), 6).as("score"))
+
+  /** Exact top-k by inner product (the reference's metric,
+    * `src/backend/hnsw.rs:45`). */
+  def exactTopK(emb: DataFrame, query: DataFrame, k: Int): DataFrame =
+    scored(emb, query, dot).orderBy(desc("score"), col("vec_id")).limit(k)
+
+  /** Exact top-k by cosine similarity. */
+  def cosineTopK(emb: DataFrame, query: DataFrame, k: Int): DataFrame =
+    scored(emb, query, cosine).orderBy(desc("score"), col("vec_id")).limit(k)
+
+  /** Exact top-k with a pre-scoring predicate (pushed to the scan). */
+  def filteredTopK(emb: DataFrame, query: DataFrame, pred: Column, k: Int): DataFrame =
+    exactTopK(emb.filter(pred), query, k)
+
+  /** IVF-pruned top-k: rank cluster centroids (mean vector per
+    * `clusterCol`), keep the best `nprobe`, search only those clusters.
+    *
+    * The centroid ranking is computed position-wise (explode → avg per
+    * (cluster, pos) → dot with the query element) so the oracle SQL can
+    * reproduce it without array aggregation.
+    */
+  def ivfTopK(emb: DataFrame, query: DataFrame, clusterCol: String,
+              nprobe: Int, k: Int): DataFrame = {
+    val byPos = emb
+      .select(col(clusterCol).as("cluster"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+    val centroidScores = byPos
+      .join(broadcast(query), expr("true"))
+      .groupBy(col("cluster"))
+      .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6).as("cscore"))
+    val probed = centroidScores
+      .orderBy(desc("cscore"), col("cluster"))
+      .limit(nprobe)
+      .select(col("cluster"))
+    // At 100 TB the table is partitioned by cluster id: this semi join on
+    // nprobe values prunes to nprobe partitions before any vector math.
+    val pruned = emb.join(broadcast(probed), col(clusterCol) === col("cluster"), "left_semi")
+    exactTopK(pruned, query, k)
+  }
+}
