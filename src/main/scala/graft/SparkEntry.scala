@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filter.MetadataFilterDsl
-import graft.operators.{BM25, Knn}
+import graft.operators.{BM25, Dedup, Expansion, Knn}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB SQL in `oracleSql` (the
@@ -119,6 +119,107 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // ----- query expansion (SURVEY §2.5, A5/A6) -----
+    "query_expansion" -> ((s, dir) => {
+      Expansion.forQuery(Tables.documents(s, dir), "doc_id", "text",
+        "table scan", topK = 5, maxTerms = 10)
+    }),
+
+    // ----- dedup operators (training-data pipeline) -----
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp").limit(200)
+    }),
+
+    "dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minJ = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numHashes = 8, bandSize = 2, minJ = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id").limit(100)
+    }),
+
+    "dedup_embed" -> ((s, dir) => {
+      Dedup.embeddingTopPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", topN = 20)
+    }),
+
+    // ----- text analysis (training-data pipeline) -----
+    "text_metrics" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        wordCount(col("text")).as("n_words"),
+        approxBpeTokenCount(col("text")).as("n_tokens_est"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id").limit(200)
+    }),
+
+    "text_lang_fp" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id").limit(200)
+    }),
+
+    // ----- events: windowed agg / JSON props / sessionization -----
+    "events_window" -> ((s, dir) => {
+      Tables.eventsWithTs(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("hour", "event_type")
+    }),
+
+    "events_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(get_json_object(col("props"), "$.k").cast("int") > 80)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("event_type")
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.eventsWithTs(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ----- chunking (SURVEY §2.2, T1) -----
+    "chunk_fixed" -> ((s, dir) => {
+      val size = 128
+      val step = 96
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), floor((length(col("text")) - 1) / step).cast("int")),
+            i => col("text").substr(i * step + 1, lit(size))))
+          .as(Seq("chunk_index", "chunk_text")))
+        .orderBy("doc_id", "chunk_index")
+    }),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
@@ -159,6 +260,39 @@ private object OracleSql {
 
   private val discPrice =
     "l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  private val stopList = sqlList(graft.functions.TextFunctions.stopwords)
+  private val kwList = sqlList(graft.functions.TextFunctions.codeKeywords)
+
+  /** Shared shingle/size/jaccard CTEs over `documents` (3-gram, set
+    * semantics) used by the jaccard and minhash oracles. */
+  private val shingleCtes =
+    """tk AS (
+      |  SELECT doc_id AS id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     t -> length(t) > 1) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT id,
+      |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      |  FROM tk),
+      |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b USING (s)
+      |  WHERE a.id < b.id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT id_a, id_b,
+      |         round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |  FROM pairs
+      |  JOIN sz sa ON id_a = sa.id
+      |  JOIN sz sb ON id_b = sb.id)""".stripMargin
+
 
   val all: Map[String, String] = Map(
     "q1_agg" ->
@@ -277,5 +411,179 @@ private object OracleSql {
         |       AND n_chars IS NOT NULL AND n_chars::DOUBLE > 300.0)
         |   OR (source IS NOT NULL AND source LIKE 'src1%')
         |ORDER BY doc_id""".stripMargin,
+
+    "query_expansion" ->
+      s"""WITH ${bm25ScoreCte("('table', 1.0), ('scan', 1.0)")},
+         |top5 AS (SELECT id, round(score, 6) AS score FROM s
+         |         ORDER BY score DESC, id LIMIT 5),
+         |ex AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |           t -> length(t) >= 4
+         |                AND t NOT IN $stopList
+         |                AND NOT regexp_matches(t, '^[0-9]+$$')
+         |                AND NOT (regexp_matches(t, '[0-9]') AND regexp_matches(t, '[a-z]'))
+         |                AND t NOT IN $kwList
+         |                AND t NOT IN ('table', 'scan'))) AS term
+         |  FROM documents WHERE doc_id IN (SELECT id FROM top5))
+         |SELECT term, count(*) AS freq FROM ex
+         |GROUP BY term
+         |ORDER BY freq DESC, term
+         |LIMIT 10""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |       count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fp
+        |LIMIT 200""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $shingleCtes
+         |SELECT id_a, id_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |sig AS (
+         |  SELECT id, seed,
+         |         min(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS minh
+         |  FROM sh CROSS JOIN range(0, 8) r(seed)
+         |  GROUP BY id, seed),
+         |bands AS (
+         |  SELECT id, seed // 2 AS band, min(minh) AS b_lo, max(minh) AS b_hi
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b USING (band, b_lo, b_hi)
+         |  WHERE a.id < b.id)
+         |SELECT jac.id_a, jac.id_b, jac.jaccard
+         |FROM jac JOIN cand USING (id_a, id_b)
+         |WHERE jaccard >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            t -> length(t) > 1)) AS term
+        |  FROM documents),
+        |th AS (
+        |  SELECT id, term, count(*) AS f,
+        |         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+        |  FROM toks GROUP BY id, term),
+        |bits AS (
+        |  SELECT id, i, sum(f * (((h >> i) & 1) * 2 - 1)) AS s
+        |  FROM th CROSS JOIN range(0, 60) r(i)
+        |  GROUP BY 1, 2)
+        |SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |FROM bits
+        |GROUP BY id
+        |ORDER BY id
+        |LIMIT 100""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_inner_product(a.v, b.v) /
+        |             (sqrt(list_inner_product(a.v, a.v)) *
+        |              sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+
+    "text_metrics" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 0) AS words0,
+        |         greatest(length(text), 1)::DOUBLE AS len
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_words,
+        |         coalesce(list_sum(list_transform(words0,
+        |             w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+        |           + length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_tokens_est,
+        |         (length(lower(text)) - length(regexp_replace(lower(text), '[a-z]', '', 'g'))) / len AS alpha,
+        |         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / len AS digits,
+        |         (length(text) - length(regexp_replace(text, '[\s]', '', 'g'))) / len AS spaces,
+        |         greatest(len(toks), 1)::DOUBLE AS ntok,
+        |         len(list_filter(toks, t -> t IN %STOP%))::DOUBLE AS stophits,
+        |         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE AS toklen
+        |  FROM base)
+        |SELECT doc_id, n_words, n_tokens_est,
+        |       round(least(1.0,
+        |         alpha * 0.4 + (1.0 - digits) * 0.1 + (stophits / ntok) * 0.2 +
+        |         (CASE WHEN toklen / ntok >= 3 AND toklen / ntok <= 10 THEN 1.0 ELSE 0.5 END) * 0.15 +
+        |         (CASE WHEN spaces >= 0.05 AND spaces <= 0.4 THEN 1.0 ELSE 0.5 END) * 0.15), 6) AS quality
+        |FROM m
+        |ORDER BY doc_id
+        |LIMIT 200""".stripMargin.replace("%STOP%", stopList),
+
+    "text_lang_fp" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','von'))) AS h_de,
+        |         len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','was','for','on','with'))) AS h_en,
+        |         len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del','las','un'))) AS h_es,
+        |         len(list_filter(toks, t -> t IN ('le','la','les','et','est','des','un','une','du','dans'))) AS h_fr,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM base)
+        |SELECT doc_id,
+        |       CASE WHEN greatest(h_de, h_en, h_es, h_fr) > 0 AND h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |            WHEN greatest(h_de, h_en, h_es, h_fr) > 0 AND h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |            WHEN greatest(h_de, h_en, h_es, h_fr) > 0 AND h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |            WHEN greatest(h_de, h_en, h_es, h_fr) > 0 AND h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+        |            ELSE 'und' END AS lang_pred,
+        |       fp
+        |FROM h
+        |ORDER BY doc_id
+        |LIMIT 200""".stripMargin,
+
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM events
+        |WHERE json_extract(props, '$.k')::INT > 80
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |       sum(CASE WHEN prev_ts IS NULL
+        |                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM x
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "chunk_fixed" ->
+      """SELECT doc_id, i AS chunk_index, substr(text, i * 96 + 1, 128) AS chunk_text
+        |FROM documents
+        |CROSS JOIN LATERAL (
+        |  SELECT unnest(generate_series(0, CAST(floor((length(text) - 1) / 96.0) AS BIGINT))) AS i) g
+        |WHERE length(text) >= 1
+        |ORDER BY doc_id, chunk_index""".stripMargin,
   )
 }

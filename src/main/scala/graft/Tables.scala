@@ -20,6 +20,17 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** `events` with its TIMESTAMP(NANOS) column usable: Spark's Parquet
+    * reader rejects nanosecond timestamps, so read them as raw longs
+    * (`nanosAsLong`) and truncate to microseconds — exactly DuckDB's
+    * behavior when it reads the same file. `ts DIV 1000` keeps the
+    * arithmetic integral (a double division would drift by 1us). */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content fingerprint), n-gram Jaccard, MinHash+LSH banding,
+  * SimHash, and embedding-cosine near-dup — all as shuffle-conscious
+  * DataFrame plans (no driver-side pairwise loops).
+  *
+  * Scale design: pairwise similarity is never computed all-vs-all.
+  * Jaccard goes through a shingle inverted-index join (optionally
+  * frequency-capped: a shingle appearing in more than `maxShingleDf`
+  * docs is boilerplate and is dropped before the join — the standard
+  * guard against quadratic hot-key blowup). MinHash reduces each doc to
+  * a constant-size signature, and candidate generation joins on banded
+  * signature keys, so the shuffle is O(docs × bands), not O(docs²).
+  * Embedding near-dup joins within blocks (label / IVF centroid id) —
+  * on a table partitioned by block id this is a co-partitioned join.
+  *
+  * All hashes derive from md5 (deterministic, engine-portable); Jaccard
+  * and cosine are small-integer/Double arithmetic rounded to 6 decimals,
+  * so every operator here is DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by the whitespace/case-insensitive
+    * content fingerprint. `n_dups > 1` marks a group to collapse;
+    * `keep_id` is the canonical survivor (min id). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(fingerprint(col(textCol)).as("fp"), col(idCol).as("id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dups"), min("id").as("keep_id"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("sh"))
+
+  /** Shingle-set sizes per doc. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(count(lit(1)).as("sz"))
+
+  /** Pairs with n-gram Jaccard >= minJ, via inverted-index self-join.
+    * `maxShingleDf` drops shingles shared by more than that many docs
+    * before pairing (0 = keep all). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val joinable =
+      if (maxShingleDf <= 0) sh
+      else {
+        val dfs = sh.groupBy("sh").agg(count(lit(1)).as("shdf"))
+          .filter(col("shdf") <= maxShingleDf).select("sh")
+        sh.join(dfs, "sh")
+      }
+    val a = joinable.select(col("sh"), col("id").as("id_a"))
+    val b = joinable.select(col("sh"), col("id").as("id_b"))
+    val inter = a.join(b, "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val sz = shingleSizes(sh)
+    inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** MinHash signatures: for seed s in [0, numHashes), the minimum
+    * md5-derived 60-bit hash of `s:shingle` over the doc's shingle set.
+    * One row per (id, seed). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val seeds = docs.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
+    sh.crossJoin(broadcast(seeds))
+      .groupBy("id", "seed")
+      .agg(min(md5Hash64(concat(col("seed"), lit(":"), col("sh")))).as("minh"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * Band key = (band index, min/max of the band's hashes) — order-free
+    * and engine-portable. */
+  def minhashCandidates(sigs: DataFrame, bandSize: Int): DataFrame = {
+    val bands = sigs
+      .groupBy(col("id"), floor(col("seed") / bandSize).as("band"))
+      .agg(min("minh").as("b_lo"), max("minh").as("b_hi"))
+    val l = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_b"))
+    l.join(r, Seq("band", "b_lo", "b_hi"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup detection: banded candidates verified with the
+    * true n-gram Jaccard (>= minJ). The verify join touches only
+    * candidate pairs, not the full corpus cross product. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
+    val cands = minhashCandidates(
+      minhashSignatures(docs, idCol, textCol, n, numHashes), bandSize)
+    jaccardPairs(docs, idCol, textCol, n, minJ)
+      .join(cands, Seq("id_a", "id_b"))
+  }
+
+  /** SimHash over the token multiset: 60-bit fingerprint where bit i is
+    * set when the tf-weighted sum of (bit i of md5-hash(token)) * 2 - 1
+    * is positive. Near-dups = small Hamming distance. Expressed with a
+    * 60-row bit explode + integer ops (no UDF; reproducible in SQL). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val th = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("h", md5Hash64(col("term")))
+    val bitRange = docs.sparkSession.range(bits).select(col("id").cast("int").as("i"))
+    th.crossJoin(broadcast(bitRange))
+      .groupBy("id", "i")
+      .agg(sum(expr("f * ((shiftright(h, i) & 1) * 2 - 1)")).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Hamming distance between two simhash columns (popcount of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate
+    * generation blocks on 4 x 15-bit simhash segments (a pair within
+    * Hamming distance 3 of a 60-bit hash must agree on at least one of
+    * 4 segments), so the join is banded, not quadratic. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val segs = docs.sparkSession.range(4).select(col("id").cast("int").as("seg"))
+    val banded = sig.crossJoin(broadcast(segs))
+      .withColumn("segval", expr("shiftright(simhash, seg * 15) & 32767"))
+    val l = banded.select(col("seg"), col("segval"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("seg"), col("segval"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("seg", "segval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Top-N most-similar embedding pairs within a blocking column (label
+    * or IVF centroid id): the scale-safe cosine near-dup report. */
+  def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, topN: Int): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      VectorFunctions.asDouble(col(vecCol)).as("v_a"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      VectorFunctions.asDouble(col(vecCol)).as("v_b"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("v_a"), col("v_b")) /
+          (VectorFunctions.l2Norm(col("v_a")) * VectorFunctions.l2Norm(col("v_b"))), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+}
