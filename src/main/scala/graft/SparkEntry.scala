@@ -207,6 +207,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ----- index lifecycle: build + end-to-end search (SURVEY §3) -----
+    // No SQL oracle (the deterministic hash embedder has no DuckDB
+    // equivalent) → driver records the weaker rows-only check.
+    "build_index" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${math.abs(dir.hashCode)}"
+      val docs = Tables.documents(s, dir)
+        .select(col("text"),
+          concat(col("source"), lit("/"), col("doc_id")).as("source"))
+      val meta = graft.pipeline.Index.build(docs, out,
+        new graft.embedding.HashEmbedder(64), strategy = "simple")
+      import s.implicits._
+      Seq((meta.passageCount, meta.dimensions.toLong, meta.embeddingModel))
+        .toDF("passage_count", "dimensions", "model")
+    }),
+
+    "index_search" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_search_${math.abs(dir.hashCode)}"
+      val docs = Tables.documents(s, dir)
+        .select(col("text"),
+          concat(col("source"), lit("/"), col("doc_id")).as("source"))
+      val provider = new graft.embedding.HashEmbedder(64)
+      graft.pipeline.Index.build(docs, out, provider, strategy = "simple")
+      graft.pipeline.Index.search(s, out, "spark hash join", provider,
+        topK = 5, filterStr = Some("source^src"), hybrid = true)
+    }),
+
     // ----- chunking (SURVEY §2.2, T1) -----
     "chunk_fixed" -> ((s, dir) => {
       val size = 128

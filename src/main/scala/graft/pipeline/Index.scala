@@ -1,0 +1,270 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embedding.{EmbeddingProvider, ModelRegistry}
+import graft.filter.MetadataFilterDsl
+import graft.functions.VectorFunctions
+import graft.model.{Chunk, IndexMeta}
+import graft.operators.{BM25, SmartChunker}
+
+/** Index lifecycle: the reference's build / update / prune / search CLI
+  * surface (SURVEY §3) as one distributed batch pipeline over Parquet.
+  *
+  * An index is a directory of tables (replacing JSONL + mmap + ids.txt +
+  * meta of SURVEY §1):
+  *
+  *   <dir>/passages/      id, text, metadata struct     (partition-friendly)
+  *   <dir>/embeddings/    id, embedding ARRAY<FLOAT>
+  *   <dir>/bm25_tf/       id, term, tf                  (precomputed — the
+  *   <dir>/bm25_dl/       id, dl                         reference rebuilds
+  *   <dir>/bm25_df/       term, df                       these per query,
+  *   <dir>/bm25_g/        num_docs, avgdl                searcher.rs:150)
+  *   <dir>/meta.json      IndexMeta sidecar
+  *
+  * Scale posture: every stage is a DataFrame transform — chunking is a
+  * typed flatMap, embedding is mapPartitions with provider batching,
+  * statistics are shuffled aggregations. Nothing is collected to the
+  * driver; `update` is an append plus a stats rebuild (the stats
+  * aggregation is a single shuffle over the tokenized corpus).
+  */
+object Index {
+
+  /** Chunk a documents frame into passages (typed flatMap — T1-T3). */
+  def chunkDocs(docs: DataFrame, textCol: String, sourceCol: String,
+                strategy: String = "auto", chunkSize: Int = 256,
+                chunkOverlap: Int = 128): Dataset[Chunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunker = new SmartChunker(strategy, chunkSize, chunkOverlap)
+    docs.select(col(textCol).as("text"), col(sourceCol).cast("string").as("source"))
+      .as[(String, String)]
+      .flatMap { case (text, source) => chunker.chunk(text, source) }
+  }
+
+  /** Embed chunk text with provider batching inside mapPartitions (T4);
+    * the document prompt template (T5) is applied per the model registry. */
+  def embedChunks(chunks: Dataset[Chunk], provider: EmbeddingProvider): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val template = ModelRegistry.getModelConfig(provider.modelName).documentPrefix
+    val bs = provider.batchSize
+    chunks.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        val vecs = provider.embedWithTemplate(batch.map(_.text), template)
+        batch.iterator.zip(vecs.iterator).map { case (c, v) => (c.id, v) }
+      }
+    }.toDF("id", "embedding")
+  }
+
+  /** Build an index directory from a documents frame. Returns the meta. */
+  def build(docs: DataFrame, dir: String, provider: EmbeddingProvider,
+            strategy: String = "auto", textCol: String = "text",
+            sourceCol: String = "source"): IndexMeta = {
+    val spark = docs.sparkSession
+    val chunks = chunkDocs(docs, textCol, sourceCol, strategy).persist()
+    chunks.write.mode(SaveMode.Overwrite).parquet(s"$dir/passages")
+    embedChunks(chunks, provider)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings")
+    val n = chunks.count()
+    chunks.unpersist()
+    buildBm25Stats(spark, dir)
+    val cfg = ModelRegistry.getModelConfig(provider.modelName)
+    val meta = IndexMeta(version = 1, backendName = "spark-exact",
+      embeddingModel = provider.modelName, embeddingMode = "provider",
+      dimensions = provider.dimensions, passageCount = n,
+      isRecompute = false, isPruned = false,
+      queryPromptTemplate = cfg.queryPrefix, buildPromptTemplate = cfg.documentPrefix)
+    writeMeta(dir, meta)
+    meta
+  }
+
+  /** Recompute and persist the BM25 statistics tables from passages. */
+  def buildBm25Stats(spark: SparkSession, dir: String): Unit = {
+    val passages = spark.read.parquet(s"$dir/passages")
+    val tf = BM25.termFrequencies(passages, "id", "text")
+    tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_tf")
+    val tf2 = spark.read.parquet(s"$dir/bm25_tf")
+    BM25.docLengths(tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_dl")
+    BM25.docFrequencies(tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_df")
+    BM25.corpusStats(passages, tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_g")
+  }
+
+  /** Incremental append (T7, ref `src/cli/update.rs`): chunk + embed the
+    * new documents, append to both tables, rebuild statistics (global df
+    * and avgdl shift with every append — a delta merge would be wrong),
+    * refresh meta. */
+  def update(newDocs: DataFrame, dir: String, provider: EmbeddingProvider,
+             strategy: String = "auto", textCol: String = "text",
+             sourceCol: String = "source"): IndexMeta = {
+    val spark = newDocs.sparkSession
+    val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy)
+    chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages")
+    embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings")
+    buildBm25Stats(spark, dir)
+    val meta0 = readMeta(dir)
+    val n = spark.read.parquet(s"$dir/passages").count()
+    val meta = meta0.copy(passageCount = n)
+    writeMeta(dir, meta)
+    meta
+  }
+
+  /** Prune (T8, ref `src/cli/prune.rs`): drop the embeddings table; the
+    * index answers queries by re-embedding on read (recompute mode). */
+  def prune(dir: String): IndexMeta = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    val emb = new java.io.File(s"$dir/embeddings")
+    if (emb.exists()) rm(emb)
+    val meta = readMeta(dir).copy(isPruned = true)
+    writeMeta(dir, meta)
+    meta
+  }
+
+  /** Embeddings for search: the stored table, or — pruned index —
+    * recomputed on the fly from passages (J3 recompute path), optionally
+    * pre-filtered first exactly like `recompute.rs:68-73`. */
+  private def embeddingsFor(spark: SparkSession, dir: String,
+                            provider: EmbeddingProvider,
+                            passages: DataFrame): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(s"$dir/embeddings").exists())
+      spark.read.parquet(s"$dir/embeddings")
+    else {
+      val template = readMeta(dir).buildPromptTemplate
+      val bs = provider.batchSize
+      passages.select("id", "text").as[(String, String)].mapPartitions { it =>
+        it.grouped(bs).flatMap { batch =>
+          val vecs = provider.embedWithTemplate(batch.map(_._2), template)
+          batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }.toDF("id", "embedding")
+    }
+  }
+
+  /** Search the index: exact top-k inner product over (optionally
+    * filtered) passages, with optional BM25 hybrid fusion — the complete
+    * read path of SURVEY §3.1 as one logical plan. The metadata filter
+    * lands *before* scoring (no 5x over-fetch needed). */
+  def search(spark: SparkSession, dir: String, query: String,
+             provider: EmbeddingProvider, topK: Int = 5,
+             filterStr: Option[String] = None, hybrid: Boolean = false,
+             alpha: Double = 0.7): DataFrame = {
+    val meta = readMeta(dir)
+    val passages0 = spark.read.parquet(s"$dir/passages")
+    // Filter fields address the metadata object (as in the reference's
+    // JSON filters), so compile against a flattened view.
+    val flat = passages0.select(col("id"), col("text"), col("metadata.*"))
+    val passages = filterStr.flatMap(f => MetadataFilterDsl.toColumn(f, flat)) match {
+      case None => passages0
+      case Some(pred) =>
+        passages0.join(flat.filter(pred).select("id"), Seq("id"), "left_semi")
+    }
+
+    val qv = provider.embedWithTemplate(Seq(query), meta.queryPromptTemplate).head
+    val qdf = spark.range(1).select(
+      typedLit(qv.map(_.toDouble).toSeq).as("qv"))
+
+    val emb = embeddingsFor(spark, dir, provider, passages)
+      .join(passages.select("id"), Seq("id"), "left_semi")
+    val scored = emb.crossJoin(broadcast(qdf))
+      .select(col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("vscore"))
+
+    val ranked =
+      if (!hybrid) scored.orderBy(desc("vscore"), col("id"))
+        .limit(topK).withColumnRenamed("vscore", "score")
+      else {
+        val fetchK = topK * 5
+        val vec = scored.orderBy(desc("vscore"), col("id")).limit(fetchK)
+        val tf = spark.read.parquet(s"$dir/bm25_tf")
+        val bmScores = bm25ScoresFromStats(spark, dir, tf, query)
+        val bmAll = passages.select(col("id"))
+          .join(bmScores, Seq("id"), "left")
+          .select(col("id"), round(coalesce(col("score"), lit(0.0)), 6).as("bscore"))
+        val bmTop = bmAll.filter(col("bscore") > 0)
+          .orderBy(desc("bscore"), col("id")).limit(fetchK).select("id")
+        val cand = vec.join(bmTop, Seq("id"), "full_outer")
+          .select(col("id"), coalesce(col("vscore"), lit(0.0)).as("vscore"))
+        val vstats = cand.agg(min("vscore").as("vmin"), max("vscore").as("vmax"))
+        val bstats = bmAll.agg(min("bscore").as("bmin"), max("bscore").as("bmax"))
+        cand.join(bmAll, Seq("id"), "left")
+          .crossJoin(broadcast(vstats)).crossJoin(broadcast(bstats))
+          .select(col("id"), round(
+            lit(alpha) * (col("vscore") - col("vmin")) /
+              greatest(col("vmax") - col("vmin"), lit(1e-6)) +
+            lit(1.0 - alpha) * (coalesce(col("bscore"), lit(0.0)) - col("bmin")) /
+              greatest(col("bmax") - col("bmin"), lit(1e-6)), 6).as("score"))
+          .orderBy(desc("score"), col("id")).limit(topK)
+      }
+
+    // J4: resolve ids back to passages (broadcast — k rows)
+    broadcast(ranked).join(passages0, Seq("id"))
+      .select(col("id"), col("score"), col("text"), col("metadata.source").as("source"))
+      .orderBy(desc("score"), col("id"))
+  }
+
+  /** BM25 scores for a query using the persisted statistics tables
+    * (A2 without the per-query corpus rebuild). */
+  private def bm25ScoresFromStats(spark: SparkSession, dir: String,
+                                  tf: DataFrame, query: String): DataFrame = {
+    import spark.implicits._
+    val terms = graft.functions.TextFunctions.tokenizeString(query)
+      .groupBy(identity).view.mapValues(_.size).toSeq.toDF("term", "qn")
+    val dl = spark.read.parquet(s"$dir/bm25_dl")
+    val dfq = spark.read.parquet(s"$dir/bm25_df")
+    val g = spark.read.parquet(s"$dir/bm25_g")
+    val perTerm = tf.join(broadcast(terms), "term").join(dfq, "term")
+      .join(dl, "id").crossJoin(broadcast(g))
+    val idf = log((col("num_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = lit(1.0) - BM25.B + lit(BM25.B) * (col("dl").cast("double") / col("avgdl"))
+    val s = col("qn") * idf * (col("tf") * (BM25.K1 + 1.0)) / (col("tf") + lit(BM25.K1) * norm)
+    perTerm.groupBy("id").agg(sum(s).as("score"))
+  }
+
+  // ----- registry utilities (S12-S14) -----
+
+  def writeMeta(dir: String, meta: IndexMeta): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/meta.json"), meta.toJson)
+    ()
+  }
+
+  def readMeta(dir: String): IndexMeta =
+    IndexMeta.fromJson(Files.readString(Paths.get(s"$dir/meta.json")))
+
+  /** List index directories under a warehouse root (S12). */
+  def listIndexes(warehouse: String): Seq[(String, IndexMeta)] = {
+    val root = new java.io.File(warehouse)
+    if (!root.isDirectory) Seq.empty
+    else root.listFiles().toSeq
+      .filter(f => f.isDirectory && new java.io.File(f, "meta.json").exists())
+      .map(f => f.getName -> readMeta(f.getPath))
+      .sortBy(_._1)
+  }
+
+  /** Resolve an index name against a warehouse root (S13). */
+  def locate(warehouse: String, name: String): Option[String] = {
+    val p = new java.io.File(warehouse, name)
+    if (p.isDirectory && new java.io.File(p, "meta.json").exists()) Some(p.getPath)
+    else None
+  }
+
+  /** Drop an index directory (S14). */
+  def remove(warehouse: String, name: String): Boolean =
+    locate(warehouse, name) match {
+      case None => false
+      case Some(dir) =>
+        def rm(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rm)
+          p.delete(); ()
+        }
+        rm(new java.io.File(dir))
+        true
+    }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CodeChunker, SimpleChunker, SmartChunker}
+
+class SimpleChunkerSpec extends AnyFunSuite {
+
+  test("short text is a single unmodified chunk") {
+    val c = new SimpleChunker(256, 128)
+    val out = c.chunk("hello world", "a.txt")
+    assert(out.map(_.text) == Seq("hello world"))
+    assert(out.head.metadata.chunk_index.contains(0))
+    assert(out.head.metadata.chunk_type == "simple")
+    assert(out.head.id == "a.txt#0")
+  }
+
+  test("word-boundary split with overlap (golden)") {
+    // sizeChars=8, overlapChars=4 over "aaa bbb ccc ddd"
+    val c = new SimpleChunker(2, 1)
+    val out = c.chunk("aaa bbb ccc ddd", "t")
+    assert(out.map(_.text) == Seq("aaa bbb", "bbb", "ccc ddd"))
+    assert(out.map(_.metadata.chunk_index.get) == Seq(0, 1, 2))
+  }
+
+  test("text with no whitespace still terminates and covers content") {
+    val c = new SimpleChunker(2, 1)
+    val text = "x" * 100
+    val out = c.chunk(text, "t")
+    assert(out.nonEmpty)
+    assert(out.forall(_.text.nonEmpty))
+    assert(out.head.text == "x" * 8)
+  }
+
+  test("all-whitespace long text terminates") {
+    val c = new SimpleChunker(2, 1)
+    val out = c.chunk(" " * 100, "t")
+    assert(out.isEmpty) // every window trims to empty
+  }
+
+  test("property: terminates, chunks non-empty, bounded, deterministic") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefgh0123 \n\t  éß中"
+    val c = new SimpleChunker(4, 2) // 16-char windows, 8-char overlap
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(400)
+      val text = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val out = c.chunk(text, "s")
+      if (text.length > 16) {
+        assert(out.forall(_.text.nonEmpty), s"empty chunk for ${text.take(40)}…")
+        assert(out.forall(_.text.length <= 16))
+      }
+      assert(out == c.chunk(text, "s"))
+      // every non-whitespace character appears in some chunk
+      val chars = out.flatMap(_.text).toSet
+      assert(text.filterNot(_.isWhitespace).toSet.subsetOf(chars),
+        s"lost characters in ${text.take(60)}…")
+    }
+  }
+}
+
+class CodeChunkerSpec extends AnyFunSuite {
+
+  test("detects rust functions (ref ast.rs:426-441)") {
+    val code =
+      """fn hello_world() {
+        |    println!("Hello");
+        |}
+        |
+        |pub async fn async_func() -> Result<()> {
+        |    Ok(())
+        |}""".stripMargin
+    val out = new CodeChunker(256, 128).chunk(code, "test.rs")
+    val fns = out.filter(_.metadata.block_type.contains("function"))
+    assert(fns.map(_.metadata.name.get).toSet == Set("hello_world", "async_func"))
+    assert(fns.forall(_.metadata.language.contains("rust")))
+    assert(fns.head.text.contains("fn hello_world"))
+  }
+
+  test("detects python classes and methods by indentation (ref ast.rs:443-465)") {
+    val code =
+      """class MyClass:
+        |    def method_one(self):
+        |        pass
+        |
+        |    def method_two(self):
+        |        return 42
+        |
+        |def standalone():
+        |    pass""".stripMargin
+    val out = new CodeChunker(256, 128).chunk(code, "test.py")
+    val names = out.flatMap(_.metadata.name)
+    assert(names.contains("MyClass"))
+    assert(names.contains("standalone"))
+  }
+
+  test("oversized block splits into parts and terminates") {
+    val body = (1 to 200).map(i => s"    let line_$i = compute($i);").mkString("\n")
+    val code = s"fn big() {\n$body\n}"
+    val out = new CodeChunker(64, 32).chunk(code, "big.rs") // 256-char pieces
+    assert(out.length > 1)
+    assert(out.forall(_.metadata.chunk_type == "ast"))
+    val parts = out.flatMap(_.metadata.part)
+    assert(parts == parts.sorted)
+  }
+
+  test("gap between blocks becomes a context chunk") {
+    val code =
+      """fn first() {
+        |    a();
+        |}
+        |// an explanatory comment block between functions
+        |// that is long enough to matter here
+        |fn second() {
+        |    b();
+        |}""".stripMargin
+    val out = new CodeChunker(256, 128).chunk(code, "gap.rs")
+    assert(out.exists(_.metadata.chunk_type == "context"))
+    // ordered by start line
+    val starts = out.flatMap(_.metadata.start_line)
+    assert(starts == starts.sorted)
+  }
+
+  test("unknown extension falls back to simple chunking") {
+    val out = new CodeChunker(256, 128).chunk("just prose text", "notes.txt")
+    assert(out.head.metadata.chunk_type == "simple")
+  }
+
+  test("smart chunker auto-dispatch (ref mod.rs:83-117)") {
+    val sc = new SmartChunker("auto", 256, 128)
+    assert(sc.shouldUseAst("x.rs"))
+    assert(sc.shouldUseAst("x.py"))
+    assert(!sc.shouldUseAst("x.md"))
+    assert(sc.chunk("fn a() {}\n", "m.rs").head.metadata.chunk_type == "ast")
+    assert(sc.chunk("plain", "m.md").head.metadata.chunk_type == "simple")
+  }
+}

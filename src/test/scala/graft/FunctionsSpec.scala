@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.embedding.{HashEmbedder, ModelRegistry}
+import graft.functions.{TextFunctions, VectorFunctions}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+
+  test("dot product") {
+    val r = df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].collect()
+    assert(r(0) == 32.0 && r(1) == 0.0)
+  }
+
+  test("l2 norm and cosine") {
+    val n = df.select(VectorFunctions.l2Norm(col("a"))).as[Double].collect()
+    assert(math.abs(n(0) - math.sqrt(14.0)) < 1e-12)
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(c(0) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(c(1) == 0.0)
+  }
+
+  test("l2 normalize produces unit vectors; zero vector unchanged") {
+    val z = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
+    val out = z.select(
+      VectorFunctions.l2Norm(VectorFunctions.l2Normalize(col("a"))),
+      VectorFunctions.l2Norm(VectorFunctions.l2Normalize(col("b"))))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(out._1 - 1.0) < 1e-12)
+    assert(out._2 == 0.0)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: guarded below n tokens") {
+    val df = Seq("aa bb cc dd", "aa bb", "").toDF("t")
+    val sh = df.select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("aa bb cc", "bb cc dd"))
+    assert(sh(1) == Seq.empty)
+    assert(sh(2) == Seq.empty)
+  }
+
+  test("language id picks the profile with most stopword hits") {
+    val df = Seq("the cat and the dog of the house",
+      "el perro y la casa de los gatos",
+      "zzz qqq").toDF("t")
+    val out = df.select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(out(0) == "en" && out(1) == "es" && out(2) == "und")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("Hello   World", "hello world")).toDF("a", "b")
+    val r = df.select(TextFunctions.fingerprint(col("a")) ===
+      TextFunctions.fingerprint(col("b"))).as[Boolean].collect()
+    assert(r.head)
+  }
+
+  test("quality score in [0,1], prose beats garbage") {
+    val df = Seq("The quick brown fox jumps over the lazy dog in the yard.",
+      "@@@###$$$ 12345 .... ////").toDF("t")
+    val q = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+}
+
+class EmbedderSpec extends SparkSpec {
+
+  test("hash embedder: deterministic, unit norm, fixed dims") {
+    val e = new HashEmbedder(64)
+    val v1 = e.embedOne("hello world")
+    val v2 = e.embedOne("hello world")
+    val v3 = e.embedOne("other text")
+    assert(v1.toSeq == v2.toSeq)
+    assert(v1.toSeq != v3.toSeq)
+    assert(v1.length == 64)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
+  test("model registry parity (ref models.rs:127-158)") {
+    val nomic = ModelRegistry.getModelConfig("nomic-embed-text")
+    assert(nomic.documentPrefix == "search_document: ")
+    assert(nomic.queryPrefix == "search_query: ")
+    // version tags are stripped
+    assert(ModelRegistry.getModelConfig("nomic-embed-text:latest") == nomic)
+    assert(ModelRegistry.getModelConfig("mxbai-embed-large").dimensions == 1024)
+    assert(ModelRegistry.getModelConfig("e5-small-v2").dimensions == 384)
+    val unknown = ModelRegistry.getModelConfig("mystery-model")
+    assert(unknown.documentPrefix.isEmpty && unknown.queryPrefix.isEmpty)
+    assert(unknown.dimensions == 768)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "a completely different sentence about spark engines and shuffle plans here"),
+    (3L, "THE  QUICK brown fox jumps over the lazy dog near the river bank today"))
+    .toDF("doc_id", "text")
+
+  test("exact groups collapse case/whitespace variants") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSeq
+    val big = g.filter(_._2 > 1)
+    assert(big.length == 1)
+    assert(big.head._2 == 3 && big.head._3 == 0L)
+  }
+
+  test("jaccard: identical docs score 1.0") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p.contains((0L, 1L, 1.0)))
+    assert(p.contains((0L, 3L, 1.0))) // tokenizer lowercases
+    assert(!p.exists(t => t._1 == 2L || t._2 == 2L))
+  }
+
+  test("minhash candidates find identical docs; verified jaccard filters") {
+    val d = Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(d.contains((0L, 1L, 1.0)))
+  }
+
+  test("simhash: identical token multisets → identical hash") {
+    val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(1L) && h(0L) == h(3L))
+    assert(h(0L) != h(2L))
+    assert(Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap == h)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.embedding.HashEmbedder
+import graft.pipeline.Index
+
+/** End-to-end lifecycle: build → search (plain / filtered / hybrid) →
+  * update → prune (recompute search) → registry ops. The deterministic
+  * hash embedder stands in for remote providers, so exact scores are
+  * reproducible — the integration test the reference cannot write
+  * (SURVEY §5: it has no offline embedding provider). */
+class IndexPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = Files.createTempDirectory("graft-wh").toString
+  private lazy val dir = s"$warehouse/idx1"
+  private val provider = new HashEmbedder(32)
+
+  private lazy val docs = Seq(
+    ("vector databases store embeddings for retrieval augmented generation", "intro.md"),
+    ("spark shuffles data between executors during wide transformations", "spark.md"),
+    ("the hnsw graph index walks neighbors greedily for approximate search", "ann.md"),
+    ("parquet files store columns with predicate pushdown and pruning", "parquet.md"))
+    .toDF("text", "source")
+
+  private lazy val built = Index.build(docs, dir, provider, strategy = "simple")
+
+  test("build writes all tables and meta") {
+    assert(built.passageCount == 4)
+    assert(built.dimensions == 32)
+    assert(spark.read.parquet(s"$dir/passages").count() == 4)
+    assert(spark.read.parquet(s"$dir/embeddings").count() == 4)
+    assert(spark.read.parquet(s"$dir/bm25_df").count() > 0)
+    assert(Index.readMeta(dir).embeddingModel == "hash-embedder-32")
+  }
+
+  test("search returns k results with text resolved") {
+    built
+    val r = Index.search(spark, dir, "vector retrieval", provider, topK = 2)
+      .select("id", "text").as[(String, String)].collect()
+    assert(r.length == 2)
+    assert(r.forall(_._2.nonEmpty))
+  }
+
+  test("search is deterministic") {
+    built
+    val a = Index.search(spark, dir, "spark shuffle", provider, topK = 3)
+      .select("id", "score").as[(String, Double)].collect().toSeq
+    val b = Index.search(spark, dir, "spark shuffle", provider, topK = 3)
+      .select("id", "score").as[(String, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("filtered search applies the DSL before ranking") {
+    built
+    val r = Index.search(spark, dir, "anything", provider, topK = 10,
+      filterStr = Some("source$.md,source^spark"))
+      .select("source").as[String].collect()
+    assert(r.toSeq == Seq("spark.md"))
+  }
+
+  test("hybrid search fuses bm25 (exact keyword match ranks first)") {
+    built
+    val r = Index.search(spark, dir, "hnsw neighbors", provider, topK = 2, hybrid = true)
+      .select("source").as[String].collect()
+    assert(r.head == "ann.md")
+  }
+
+  test("update appends and refreshes stats") {
+    built
+    val more = Seq(("new document about broadcast joins in spark", "joins.md"))
+      .toDF("text", "source")
+    val meta = Index.update(more, dir, provider, strategy = "simple")
+    assert(meta.passageCount == 5)
+    assert(spark.read.parquet(s"$dir/embeddings").count() == 5)
+  }
+
+  test("prune drops embeddings; search falls back to recompute") {
+    built
+    Index.update(Seq(("x y", "z.md")).toDF("text", "source"), dir, provider,
+      strategy = "simple") // ensure stable state even if run order varies
+    val meta = Index.prune(dir)
+    assert(meta.isPruned)
+    assert(!new java.io.File(s"$dir/embeddings").exists())
+    val r = Index.search(spark, dir, "vector retrieval", provider, topK = 2)
+      .select("id").as[String].collect()
+    assert(r.length == 2)
+  }
+
+  test("registry: list, locate, remove") {
+    built
+    val listed = Index.listIndexes(warehouse).map(_._1)
+    assert(listed.contains("idx1"))
+    assert(Index.locate(warehouse, "idx1").isDefined)
+    assert(Index.locate(warehouse, "nope").isEmpty)
+    Index.build(docs, s"$warehouse/tmpidx", provider, strategy = "simple")
+    assert(Index.remove(warehouse, "tmpidx"))
+    assert(Index.locate(warehouse, "tmpidx").isEmpty)
+  }
+}
