@@ -61,7 +61,13 @@ object BM25 {
   def scores(docs: DataFrame, idCol: String, textCol: String, query: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The tf aggregation feeds four downstream consumers (df, dl, global
+    // stats, per-term scores); persist it so the tokenize+shuffle runs
+    // once per query instead of four times. The Index pipeline goes
+    // further and persists these as tables (bm25_tf/dl/df/g) — this cache
+    // is the ad-hoc-query analog.
     val tf = termFrequencies(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qterms = TextFunctions.tokenizeString(query)
       .groupBy(identity).view.mapValues(_.size).toSeq
       .toDF("term", "qn")
@@ -103,9 +109,11 @@ object BM25 {
                  k: Int, alpha: Double = 0.7, fetchK: Int = 50): DataFrame = {
     val vec = Knn.exactTopK(emb, queryVec, fetchK)
       .select(col("vec_id").as("id"), col("score").as("vscore"))
+    // bmAll feeds three consumers (top-k, fusion join, min/max stats)
     val bmAll = docs.select(col("doc_id").as("id"))
       .join(scores(docs, "doc_id", "text", query), Seq("id"), "left")
       .select(col("id"), round(coalesce(col("score"), lit(0.0)), 6).as("bscore"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bmTop = bmAll.filter(col("bscore") > 0)
       .orderBy(desc("bscore"), col("id")).limit(fetchK)
       .select(col("id"))

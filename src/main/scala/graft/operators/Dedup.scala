@@ -35,9 +35,22 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_dups"), min("id").as("keep_id"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("sh"))
+  /** Distinct (id, shingle) pairs — the inverted-index input.
+    *
+    * The token array is materialized behind a projection boundary before
+    * the shingle lambda touches it: inlining `tokens(text)` into the
+    * transform would re-evaluate the regex split once per `element_at`
+    * reference (measured 4-5x slower at sf0.1). CollapseProject keeps the
+    * boundary because the alias is non-cheap and multiply-referenced. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toksDf = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val count = size(col("toks")) - (n - 1)
+    val sh = when(count >= 1,
+      transform(sequence(lit(1), greatest(count, lit(1))),
+        i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*))
+    ).otherwise(array().cast("array<string>"))
+    toksDf.select(col("id"), explode(array_distinct(sh)).as("sh"))
+  }
 
   /** Shingle-set sizes per doc. */
   private def shingleSizes(sh: DataFrame): DataFrame =
@@ -48,7 +61,9 @@ object Dedup {
     * before pairing (0 = keep all). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
+    // Persisted: the shingle plan feeds both join sides plus the sizes agg.
     val sh = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joinable =
       if (maxShingleDf <= 0) sh
       else {
@@ -99,14 +114,31 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup detection: banded candidates verified with the
-    * true n-gram Jaccard (>= minJ). The verify join touches only
-    * candidate pairs, not the full corpus cross product. */
+    * true n-gram Jaccard (>= minJ). Verification joins the shingle table
+    * against the (small) candidate pair set only — never the all-pairs
+    * inverted-index blowup — so the cost is O(candidates x shingles per
+    * doc), independent of corpus-wide shingle collisions. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
-    val cands = minhashCandidates(
-      minhashSignatures(docs, idCol, textCol, n, numHashes), bandSize)
-    jaccardPairs(docs, idCol, textCol, n, minJ)
-      .join(cands, Seq("id_a", "id_b"))
+    val sh = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = docs.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
+    val sigs = sh.crossJoin(broadcast(seeds))
+      .groupBy("id", "seed")
+      .agg(min(md5Hash64(concat(col("seed"), lit(":"), col("sh")))).as("minh"))
+    val cands = minhashCandidates(sigs, bandSize)
+    val inter = cands
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val sz = shingleSizes(sh)
+    inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
   }
 
   /** SimHash over the token multiset: 60-bit fingerprint where bit i is
