@@ -174,6 +174,16 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // ----- multimodal: binary columns with byte-level stats -----
+    "multimodal_stats" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Multimodal.sizeBytes(col("text").cast("binary")).as("size_bytes"),
+        Multimodal.contentDigest(col("text").cast("binary")).as("digest"))
+        .orderBy("doc_id").limit(200)
+    }),
+
     // ----- events: windowed agg / JSON props / sessionization -----
     "events_window" -> ((s, dir) => {
       Tables.eventsWithTs(s, dir)
@@ -572,6 +582,12 @@ private object OracleSql {
         |            ELSE 'und' END AS lang_pred,
         |       fp
         |FROM h
+        |ORDER BY doc_id
+        |LIMIT 200""".stripMargin,
+
+    "multimodal_stats" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS size_bytes, md5(text) AS digest
+        |FROM documents
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
 

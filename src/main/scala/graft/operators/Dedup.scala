@@ -180,6 +180,26 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Embedding near-dup pairs via random-hyperplane LSH bucketing:
+    * vectors sharing a `bits`-bit sign signature are candidates, then
+    * exact cosine verifies. The bucket join replaces the all-pairs
+    * product — the LSH analog of [[embeddingTopPairs]]'s explicit
+    * blocking column when no cluster assignment exists yet. */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, bits: Int, minCosine: Double): DataFrame = {
+    val keyed = emb.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"),
+      Knn.signLshKey(col(vecCol), dims, bits).as("bucket"))
+    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("v_a"), col("v_b")) /
+          (VectorFunctions.l2Norm(col("v_a")) * VectorFunctions.l2Norm(col("v_b"))), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Top-N most-similar embedding pairs within a blocking column (label
     * or IVF centroid id): the scale-safe cosine near-dup report. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,

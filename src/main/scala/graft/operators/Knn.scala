@@ -80,4 +80,41 @@ object Knn {
     val pruned = emb.join(broadcast(probed), col(clusterCol) === col("cluster"), "left_semi")
     exactTopK(pruned, query, k)
   }
+
+  /** Real IVF build: KMeans over the embedding column assigns a
+    * `centroid_id` — at scale this becomes the table's partition column
+    * (`.write.partitionBy("centroid_id")`), so `ivfTopK`'s cluster
+    * filter prunes partitions instead of scanning 100 TB. Seeded →
+    * deterministic. */
+  def ivfAssign(emb: DataFrame, vecCol: String, numClusters: Int,
+                seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__v", array_to_vector(asDouble(col(vecCol))))
+    val model = new KMeans()
+      .setK(numClusters).setSeed(seed).setFeaturesCol("__v").setPredictionCol("centroid_id")
+      .fit(withVec)
+    model.transform(withVec).drop("__v")
+  }
+
+  /** Random-hyperplane (sign) LSH bucket key for an embedding column:
+    * `bits` pseudo-random hyperplanes derived from a seeded hash, sign
+    * bit per plane. Same-bucket vectors are near-duplicate candidates;
+    * the hyperplanes are deterministic so bucketing is reproducible
+    * across runs and engines. */
+  def signLshKey(vecCol: Column, dims: Int, bits: Int, seed: Long = 42L): Column = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val planes: Seq[Seq[Double]] = (0 until bits).map(b =>
+      (0 until dims).map(d => mix(seed + b * 1000003L + d).toDouble / Long.MaxValue))
+    val v = asDouble(vecCol)
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = (0 until dims).map(d => element_at(v, d + 1) * p(d)).reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

@@ -1,0 +1,96 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.embedding.EmbeddingProvider
+import graft.pipeline.Index
+
+/** Thin HTTP front end over the query layer — the reference's `serve`
+  * surface (`src/cli/serve.rs:90-96,222-311`) re-expressed as a handler
+  * holding one long-lived SparkSession:
+  *
+  *   POST /search   {"query": "...", "top_k": 5, "filter": "...",
+  *                   "hybrid": true, "alpha": 0.7}
+  *   GET  /health   {"status":"ok"}
+  *   GET  /info     index meta JSON
+  *   GET  /indexes  names under the warehouse root
+  *
+  * Uses the JDK's built-in HttpServer — no extra dependencies; the data
+  * plane stays entirely in Spark (cached tables + per-request plans).
+  */
+final class SearchServer(spark: SparkSession, warehouse: String, indexName: String,
+                         provider: EmbeddingProvider, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val indexDir = Index.locate(warehouse, indexName)
+    .getOrElse(throw new IllegalArgumentException(s"no index '$indexName' in $warehouse"))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  // minimal JSON field pulls for the flat request object
+  private def jsonStr(body: String, k: String): Option[String] =
+    ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(body).map(_.group(1).replace("\\\"", "\""))
+  private def jsonNum(body: String, k: String): Option[Double] =
+    ("\"" + k + "\"\\s*:\\s*(-?[0-9.]+)").r.findFirstMatchIn(body).map(_.group(1).toDouble)
+  private def jsonBool(body: String, k: String): Option[Boolean] =
+    ("\"" + k + "\"\\s*:\\s*(true|false)").r.findFirstMatchIn(body).map(_.group(1) == "true")
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  server.createContext("/health", (ex: HttpExchange) =>
+    respond(ex, 200, """{"status":"ok"}"""))
+
+  server.createContext("/info", (ex: HttpExchange) =>
+    respond(ex, 200, Index.readMeta(indexDir).toJson))
+
+  server.createContext("/indexes", (ex: HttpExchange) =>
+    respond(ex, 200, Index.listIndexes(warehouse)
+      .map { case (n, m) => s"""{"name":${q(n)},"passage_count":${m.passageCount}}""" }
+      .mkString("[", ",", "]")))
+
+  server.createContext("/search", (ex: HttpExchange) => {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      jsonStr(body, "query") match {
+        case None => respond(ex, 400, """{"error":"missing query"}""")
+        case Some(query) =>
+          try {
+            val t0 = System.nanoTime()
+            val rows = Index.search(spark, indexDir, query, provider,
+              topK = jsonNum(body, "top_k").map(_.toInt).getOrElse(5),
+              filterStr = jsonStr(body, "filter"),
+              hybrid = jsonBool(body, "hybrid").getOrElse(false),
+              alpha = jsonNum(body, "alpha").getOrElse(0.7)).collect()
+            val tookMs = (System.nanoTime() - t0) / 1e6
+            val results = rows.map { r =>
+              s"""{"id":${q(r.getString(0))},"score":${r.getDouble(1)},""" +
+                s""""text":${q(r.getString(2))},"source":${q(r.getString(3))}}"""
+            }.mkString("[", ",", "]")
+            respond(ex, 200, s"""{"results":$results,"took_ms":$tookMs}""")
+          } catch {
+            case e: Exception => respond(ex, 500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+          }
+      }
+    }
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Knn}
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+
+  test("exact top-k: self-match first, k rows, deterministic") {
+    val top = Knn.exactTopK(emb, Knn.queryVector(emb, 0L), 5)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.head._1 == 0L) // normalized vectors: self inner product = 1
+    assert(top.head._2 == 1.0)
+    assert(top.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("ivf with all clusters probed equals exact search") {
+    val q = Knn.queryVector(emb, 7L)
+    val exact = Knn.exactTopK(emb, q, 10).as[(Long, Double)].collect().toSeq
+    val ivf = Knn.ivfTopK(emb, q, "label", nprobe = 10, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("kmeans ivf assignment: deterministic, k clusters, prunable") {
+    val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 8)
+    val clusters = assigned.select("centroid_id").distinct().as[Int].collect().toSet
+    assert(clusters.size <= 8 && clusters.forall(c => c >= 0 && c < 8))
+    val again = Knn.ivfAssign(emb, "embedding", numClusters = 8)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    val first = assigned.select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(first == again)
+    // pruned search through the kmeans clusters still returns k rows
+    val r = Knn.ivfTopK(assigned, Knn.queryVector(emb, 0L), "centroid_id",
+      nprobe = 2, k = 5).as[(Long, Double)].collect()
+    assert(r.length == 5)
+  }
+
+  test("sign-LSH: identical vectors collide; pairs verified by cosine") {
+    val dup = emb.limit(3).union(emb.limit(3)) // every vector duplicated
+      .withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"), col("embedding"))
+    val pairs = Dedup.embeddingLshPairs(dup, "rid", "embedding",
+      dims = 64, bits = 12, minCosine = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 3) // the three duplicate pairs
+    assert(pairs.forall(_._3 == 1.0))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (0L, "image", "fake-png-bytes-aaaa".getBytes("UTF-8")),
+    (1L, "audio", "fake-wav-bytes-bbbbbb".getBytes("UTF-8")),
+    (2L, "video", "fake-mp4-bytes-cccccccc".getBytes("UTF-8")))
+    .toDF("media_id", "media_type", "content")
+
+  test("decode stub: deterministic, batched, 16-dim features") {
+    val a = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    val b = Multimodal.decodeStub(media).orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 3)
+    val feat = a.head.getAs[scala.collection.Seq[Float]]("feature")
+    assert(feat.length == 16)
+    assert(math.abs(feat.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    assert(a(2).getAs[Int]("n_frames") >= 1)  // video gets frames
+  }
+
+  test("byte stats are pure column expressions") {
+    val out = media.select(
+      Multimodal.sizeBytes(col("content")).as("sz"),
+      Multimodal.contentDigest(col("content")).as("d"))
+      .as[(Int, String)].collect()
+    assert(out(0)._1 == 19)
+    assert(out.map(_._2).distinct.length == 3)
+  }
+
+  test("resize preserves aspect ratio and never upscales") {
+    val df = Seq((1024, 512), (100, 50)).toDF("w", "h")
+    val (nw, nh) = Multimodal.resizeMeta(col("w"), col("h"), 256)
+    val r = df.select(nw.as("nw"), nh.as("nh")).as[(Int, Int)].collect()
+    assert(r(0) == ((256, 128)))
+    assert(r(1) == ((100, 50)))
+  }
+
+  test("frame sampling indices") {
+    val df = Seq(10, 1, 0).toDF("n")
+    val r = df.select(Multimodal.frameSampleIndices(col("n"), 4).as("idx"))
+      .as[Seq[Int]].collect()
+    assert(r(0) == Seq(0, 4, 8))
+    assert(r(1) == Seq(0))
+    assert(r(2) == Seq.empty)
+  }
+}

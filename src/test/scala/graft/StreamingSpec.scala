@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.embedding.HashEmbedder
+import graft.pipeline.Index
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-stream micro-batches append to the index (T7 as a stream)") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val src = s"$root/incoming"
+    val idx = s"$root/idx"
+    val provider = new HashEmbedder(16)
+
+    // Seed index with an initial batch
+    Index.build(Seq(("first doc about spark", "a.md")).toDF("text", "source"),
+      idx, provider, strategy = "simple")
+
+    // Two files "arrive" in the stream directory
+    Seq(("second doc about shuffles", "b.md")).toDF("text", "source")
+      .write.parquet(s"$src/f1")
+    Seq(("third doc about parquet", "c.md"), ("fourth about joins", "d.md"))
+      .toDF("text", "source").write.parquet(s"$src/f2")
+
+    val schema = spark.read.parquet(s"$src/f1").schema
+    Streaming.runAvailableNow(Streaming.indexIngest(
+      spark, s"$src/*", idx, schema, provider, s"$root/ckpt"))
+
+    assert(spark.read.parquet(s"$idx/passages").count() == 4)
+    assert(spark.read.parquet(s"$idx/embeddings").count() == 4)
+    assert(Index.readMeta(idx).passageCount == 4)
+    // stats were refreshed: new terms are searchable
+    val hit = Index.search(spark, idx, "parquet", provider, topK = 1, hybrid = true)
+      .select("source").as[String].collect()
+    assert(hit.head == "c.md")
+  }
+
+  test("watermarked windowed aggregation over an event stream") {
+    val root = Files.createTempDirectory("graft-events").toString
+    Seq(
+      ("2024-01-01 00:01:00", "click", 1.0),
+      ("2024-01-01 00:02:00", "click", 2.0),
+      ("2024-01-01 00:07:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+      .write.parquet(s"$root/ev/f1")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/ev/f1").schema)
+      .parquet(s"$root/ev/*")
+    val agg = Streaming.windowedEventCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("winout")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("winout")
+      .select(date_format(col("wstart"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("00:00", "click", 2L), ("00:05", "view", 1L)))
+  }
+}
