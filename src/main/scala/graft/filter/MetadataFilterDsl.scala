@@ -157,6 +157,28 @@ object MetadataFilterDsl {
 
   private def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
 
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Whole-number literal representable as Long. */
+  private def asWholeLong(d: Double): Option[Long] =
+    if (d == math.rint(d) && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
+      Some(d.toLong)
+    else None
+
+  /** Numeric comparison operands. Integral column + whole-number literal
+    * compares in Long (same result as the reference's f64 compare for
+    * the int64 range, and — unlike a lossy long→double cast, which
+    * Catalyst refuses to unwrap — eligible for Parquet filter pushdown).
+    * Anything else compares in Double per the reference. */
+  private def numOperands(c: Column, dt: DataType, d: Double): (Column, Column) =
+    if (isIntegral(dt)) asWholeLong(d) match {
+      case Some(l) => (c, lit(l))
+      case None    => (c.cast("double"), lit(d))
+    } else (c.cast("double"), lit(d))
+
   private def litOf(v: Value): Column = v match {
     case VNum(d)  => lit(d)
     case VBool(b) => lit(b)
@@ -166,16 +188,18 @@ object MetadataFilterDsl {
   /** Typed equality per `values_equal` (ref filter.rs:390-400): numbers
     * compare as doubles; cross-type comparisons are false. */
   private def eqCol(c: Column, dt: DataType, v: Value): Column = (dt, v) match {
-    case (t, VNum(d)) if isNumeric(t) => c.cast("double") === lit(d)
-    case (BooleanType, VBool(b))      => c === lit(b)
-    case (StringType, VStr(s))        => c === lit(s)
-    case _                            => lit(false)
+    case (t, VNum(d)) if isNumeric(t) =>
+      val (a, b) = numOperands(c, t, d)
+      a === b
+    case (BooleanType, VBool(b)) => c === lit(b)
+    case (StringType, VStr(s))   => c === lit(s)
+    case _                       => lit(false)
   }
 
   /** Ordering per `compare_values` (ref filter.rs:402-418): numeric when
     * both sides are numbers, else string comparison, else no match. */
   private def cmpCols(c: Column, dt: DataType, v: Value): Option[(Column, Column)] = (dt, v) match {
-    case (t, VNum(d)) if isNumeric(t) => Some((c.cast("double"), lit(d)))
+    case (t, VNum(d)) if isNumeric(t) => Some(numOperands(c, t, d))
     case (StringType, VStr(s))        => Some((c, lit(s)))
     case _                            => None
   }

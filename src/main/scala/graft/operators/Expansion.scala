@@ -51,4 +51,37 @@ object Expansion {
   /** `should_expand` (query.rs:168-171): short queries only. */
   def shouldExpand(query: String): Boolean =
     query.split("\\s+").count(_.nonEmpty) <= 3
+
+  /** Code-symbol detection regexes across six language families
+    * (ref query.rs:12-31); group 1 captures the symbol name. */
+  val symbolPatterns: Seq[String] = Seq(
+    """(?:pub\s+)?(?:async\s+)?fn\s+(\w+)""",
+    """(?:pub\s+)?struct\s+(\w+)""",
+    """(?:pub\s+)?enum\s+(\w+)""",
+    """(?:pub\s+)?trait\s+(\w+)""",
+    """(?:async\s+)?def\s+(\w+)""",
+    """class\s+(\w+)""",
+    """(?:async\s+)?function\s+(\w+)""",
+    """(?:const|let|var)\s+(\w+)\s*=\s*(?:async\s+)?\(""",
+    """func\s+(?:\([^)]+\)\s+)?(\w+)""",
+    """type\s+(\w+)\s+(?:struct|interface)""",
+    """(?:public|private|protected)?\s*(?:static\s+)?(?:class|interface)\s+(\w+)""")
+
+  /** Code-symbol extraction ranking (A6, `extract_code_symbols`,
+    * query.rs:34-56): capture across all patterns, drop short/test_/_
+    * names, rank by frequency (ties: symbol asc, where the reference is
+    * HashMap-order nondeterministic). */
+  def codeSymbols(passages: DataFrame, textCol: String, maxSymbols: Int): DataFrame = {
+    val captured = symbolPatterns
+      .map(p => regexp_extract_all(col(textCol), lit(p), lit(1)))
+      .reduce(concat(_, _))
+    passages
+      .select(explode(captured).as("symbol"))
+      .filter(length(col("symbol")) >= 3)
+      .filter(!col("symbol").startsWith("test_") && !col("symbol").startsWith("_"))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("symbol"))
+      .limit(maxSymbols)
+  }
 }

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-tree ingestion (SURVEY §2.1, S1-S3): walk directories into a
+  * `(text, source)` DataFrame ready for the chunk→embed pipeline.
+  *
+  * The reference walks with the `ignore` crate honoring .gitignore, an
+  * extension allow/deny list, a size cap (1 MB default, 10 KB for
+  * `.json`), hidden-file exclusion and a max-file count
+  * (`src/cli/build.rs:414-554`). Spark-side the same policy becomes a
+  * `binaryFile` scan plus Column predicates — the predicates (size,
+  * path) push into the file-index listing, so excluded files are never
+  * read. PDF extraction (S3, a cargo feature in the reference) is a
+  * pluggable `ContentDecoder`; the default decoder handles UTF-8 text
+  * and skips undecodable bytes, matching `load_file_content`'s
+  * skip-unreadable behavior.
+  */
+object FileIngest {
+
+  /** The reference's default extension allow-list (build.rs:429-440). */
+  val defaultExtensions: Seq[String] = Seq(
+    "txt", "md", "py", "js", "ts", "tsx", "jsx", "rs", "go", "java",
+    "c", "cpp", "cc", "h", "hpp", "json", "yaml", "yml", "toml",
+    "rb", "php", "swift", "kt", "scala", "cs")
+
+  /** Stricter size cap for data-ish formats (build.rs:443-444). */
+  val strictSizeExtensions: Map[String, Long] = Map("json" -> 10L * 1024)
+
+  trait ContentDecoder extends Serializable {
+    /** Decode raw file bytes to text; None = skip the file. */
+    def decode(path: String, bytes: Array[Byte]): Option[String]
+  }
+
+  /** UTF-8 decoder; undecodable files are skipped (S2). A PDF decoder
+    * (S3) plugs in here — pdfbox is not shipped in this build, so PDF
+    * support stays a decoder away rather than a code change. */
+  object Utf8Decoder extends ContentDecoder {
+    override def decode(path: String, bytes: Array[Byte]): Option[String] = {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      try Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      catch { case _: java.nio.charset.CharacterCodingException => None }
+    }
+  }
+
+  private def ext(path: Column): Column =
+    lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
+
+  /** Scan a directory tree into `(text, source)` rows. */
+  def readDocuments(spark: SparkSession, root: String,
+                    extensions: Seq[String] = defaultExtensions,
+                    excludeExtensions: Seq[String] = Nil,
+                    includeHidden: Boolean = false,
+                    maxFileSizeKb: Long = 1024,
+                    maxFiles: Option[Int] = None,
+                    decoder: ContentDecoder = Utf8Decoder): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("length"), col("content"))
+
+    val e = ext(col("path"))
+    val strict = strictSizeExtensions.foldLeft(lit(maxFileSizeKb * 1024)) {
+      case (acc, (x, cap)) => when(e === x, least(acc, lit(cap))).otherwise(acc)
+    }
+    val hiddenOk =
+      if (includeHidden) lit(true)
+      else !col("path").rlike("/\\.[^/]+(/|$)")
+
+    val filtered = raw
+      .filter(e.isin(extensions.map(_.toLowerCase): _*))
+      .filter(if (excludeExtensions.isEmpty) lit(true)
+              else !e.isin(excludeExtensions.map(_.toLowerCase): _*))
+      .filter(col("length") <= strict)
+      .filter(hiddenOk)
+    val capped = maxFiles match {
+      case Some(n) => filtered.orderBy("path").limit(n) // deterministic cap
+      case None    => filtered
+    }
+    capped.select(col("path").as("source"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => decoder.decode(p, bytes).map(t => (t, p)) }
+      .toDF("text", "source")
+  }
+}

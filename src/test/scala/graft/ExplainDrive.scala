@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit harness: prints formatted physical plans for the queries
+  * whose shape matters at scale (run via Test/runMain). */
+object ExplainDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q3_join", "knn_filtered", "knn_ivf", "filter_dsl", "bm25_topk")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

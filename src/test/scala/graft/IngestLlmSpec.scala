@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.embedding.HashEmbedder
+import graft.llm.{LlmProvider, Rag, ReactAgent, SimulatedLlm}
+import graft.operators.Expansion
+import graft.pipeline.Index
+import graft.sources.FileIngest
+
+class FileIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("walks a tree with extension/size/hidden policy (ref build.rs:414-554)") {
+    val root = Files.createTempDirectory("graft-ingest")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+      ()
+    }
+    write("a/readme.md", "hello markdown")
+    write("a/code.rs", "fn main() {}")
+    write("a/huge.json", "x" * 20000)            // over the 10KB json cap
+    write("a/small.json", """{"k":1}""")
+    write("a/binary.exe", "skip me")             // extension not allowed
+    write(".hidden/secret.md", "hidden file")    // hidden dir
+    val bad = root.resolve("a/bad.md")
+    Files.write(bad, Array[Byte](0xC3.toByte, 0x28)) // invalid UTF-8
+
+    val docs = FileIngest.readDocuments(spark, root.toString)
+      .select("source").as[String].collect().map(p => Paths.get(p).getFileName.toString).toSet
+    assert(docs == Set("readme.md", "code.rs", "small.json"))
+  }
+
+  test("maxFiles caps deterministically") {
+    val root = Files.createTempDirectory("graft-cap")
+    (1 to 5).foreach(i => Files.writeString(root.resolve(s"f$i.txt"), s"doc $i"))
+    val docs = FileIngest.readDocuments(spark, root.toString, maxFiles = Some(2))
+    assert(docs.count() == 2)
+  }
+}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idx = {
+    val dir = Files.createTempDirectory("graft-rag").toString + "/idx"
+    Index.build(Seq(
+      ("spark shuffles data between executors", "spark.md"),
+      ("vector indexes answer similarity queries", "vec.md")).toDF("text", "source"),
+      dir, new HashEmbedder(16), strategy = "simple")
+    dir
+  }
+
+  test("ask assembles numbered context and generates (ref ask.rs:157-198)") {
+    val out = Rag.ask(spark, idx, "how does spark shuffle", new HashEmbedder(16),
+      new SimulatedLlm("test-model"), topK = 2)
+    assert(out.contains("how does spark shuffle"))
+    assert(out.contains("test-model"))
+    assert(out.contains("context"))
+  }
+
+  test("react agent executes search then finish (ref react.rs:88-171)") {
+    // Scripted LLM: first turn searches, second finishes using the observation
+    val scripted = new LlmProvider {
+      override val modelName = "scripted"
+      private var turn = 0
+      override def generate(prompt: String): String = {
+        turn += 1
+        if (turn == 1) "Thought: need info\nAction: search(\"spark shuffle\")"
+        else {
+          assert(prompt.contains("Observation:"))
+          "Thought: enough\nAction: finish(\"shuffles move data between executors\")"
+        }
+      }
+    }
+    val agent = new ReactAgent(spark, idx, new HashEmbedder(16), scripted)
+    assert(agent.run("what is a shuffle") == "shuffles move data between executors")
+  }
+
+  test("react caps at maxSteps with a non-tool-using llm") {
+    val agent = new ReactAgent(spark, idx, new HashEmbedder(16),
+      new SimulatedLlm(), maxSteps = 2)
+    assert(agent.run("anything").startsWith("Maximum steps reached"))
+  }
+}
+
+class CodeSymbolsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extracts and ranks symbols across languages (ref query.rs:34-56)") {
+    val df = Seq(
+      "pub fn search_index(q: &str) {} pub struct IndexSearcher {}",
+      "def search_index(q): pass\nclass Retriever: pass",
+      "func NewRetriever() {} type Config struct {}").toDF("text")
+    val out = Expansion.codeSymbols(df, "text", 10)
+      .as[(String, Long)].collect()
+    val m = out.toMap
+    assert(m("search_index") == 2) // rust fn + python def
+    // "class X" is double-counted by the python and java patterns — the
+    // reference does the same (query.rs:20,31 both match)
+    assert(m("Retriever") == 2)
+    assert(m.contains("IndexSearcher"))
+    assert(m.contains("NewRetriever") && m.contains("Config"))
+    assert(out.head._2 == 2) // a max-frequency symbol ranks first
+  }
+
+  test("filters test_ and underscore names") {
+    val df = Seq("fn test_foo() {} fn _private() {} fn ok_name() {}").toDF("text")
+    val out = Expansion.codeSymbols(df, "text", 10).as[(String, Long)].collect().map(_._1)
+    assert(out.toSet == Set("ok_name"))
+  }
+}
