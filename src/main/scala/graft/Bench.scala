@@ -31,6 +31,10 @@ object Bench {
     Tables.eventsWithTs(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Intra-query persist() calls (tf, shingle tables) are scoped to
+      // one query; drop them so later queries aren't taxed by cache
+      // eviction/GC of their predecessors' blocks.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -484,8 +484,9 @@ private object OracleSql {
       s"""WITH $shingleCtes,
          |sig AS (
          |  SELECT id, seed,
-         |         min(CAST(('0x' || substr(md5(seed || ':' || s), 1, 15)) AS BIGINT)) AS minh
-         |  FROM sh CROSS JOIN range(0, 8) r(seed)
+         |         min(((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647) AS minh
+         |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)
+         |  CROSS JOIN range(0, 8) r(seed)
          |  GROUP BY id, seed),
          |bands AS (
          |  SELECT id, seed // 2 AS band, min(minh) AS b_lo, max(minh) AS b_hi

@@ -18,16 +18,19 @@ object VectorFunctions {
   /** Cast a vector column to ARRAY<DOUBLE> for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Inner product of two vector columns, computed in Double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Inner product of two vector columns, computed in Double via the
+    * codegen'd [[graft.functions.expressions.DotProduct]] expression
+    * (same left-to-right summation as the `aggregate(zip_with(...))`
+    * formulation, so results are bit-identical — just inside
+    * whole-stage codegen instead of interpreted lambdas). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.DotProduct(
+      GraftColumnBridge.expression(asDouble(a)), GraftColumnBridge.expression(asDouble(b))))
+  }
 
   /** Euclidean (L2) norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column =

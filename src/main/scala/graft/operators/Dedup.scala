@@ -86,16 +86,27 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
-  /** MinHash signatures: for seed s in [0, numHashes), the minimum
-    * md5-derived 60-bit hash of `s:shingle` over the doc's shingle set.
-    * One row per (id, seed). */
+  /** Universal-hash family over the shingle's md5-derived base hash:
+    * seed s maps h to ((h mod P) * (2s+1) + s + 1) mod P with the
+    * Mersenne prime P = 2^31 - 1. One md5 per shingle (instead of one
+    * per shingle x seed), pure integer ops for the family — portable to
+    * the SQL oracle and ~3x cheaper than hashing per seed. */
+  private val minhashExpr =
+    "((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647"
+
+  /** MinHash signatures: minimum seeded hash over the doc's shingle
+    * set. One row per (id, seed). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val seeds = docs.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
-    sh.crossJoin(broadcast(seeds))
+                        n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(
+      shingleTable(docs, idCol, textCol, n), numHashes)
+
+  private def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = sh.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
+    sh.withColumn("h", md5Hash64(col("sh")))
+      .crossJoin(broadcast(seeds))
       .groupBy("id", "seed")
-      .agg(min(md5Hash64(concat(col("seed"), lit(":"), col("sh")))).as("minh"))
+      .agg(min(expr(minhashExpr)).as("minh"))
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature.
@@ -122,11 +133,7 @@ object Dedup {
                    n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = docs.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
-    val sigs = sh.crossJoin(broadcast(seeds))
-      .groupBy("id", "seed")
-      .agg(min(md5Hash64(concat(col("seed"), lit(":"), col("sh")))).as("minh"))
-    val cands = minhashCandidates(sigs, bandSize)
+    val cands = minhashCandidates(minhashSignaturesFromShingles(sh, numHashes), bandSize)
     val inter = cands
       .join(sh.withColumnRenamed("id", "id_a"), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
