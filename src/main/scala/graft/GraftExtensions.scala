@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.DotProduct
+
+/** SparkSessionExtensions wiring: registers graft's custom Catalyst
+  * expressions as SQL functions, so the engine's capabilities are
+  * reachable from `spark.sql(...)` as well as the Column API:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT dot_product(a, b) FROM vecs")
+  *
+  * `GraftExtensions.install(spark)` registers on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dotProductDescriptor)
+    ()
+  }
+}
+
+object GraftExtensions {
+  private def build(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    DotProduct(Cast(args.head, ArrayType(DoubleType)),
+      Cast(args(1), ArrayType(DoubleType)))
+  }
+
+  private[graft] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      build)
+
+  /** Register on an already-built session. */
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_product"), dotProductDescriptor._2, build _)
+    ()
+  }
+}

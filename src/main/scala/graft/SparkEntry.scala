@@ -61,6 +61,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q_rollup" -> ((s, dir) => {
+      // Hierarchical totals: (flag, status), (flag), (grand). At scale
+      // this is one pass with partial aggregation per grouping set.
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     "q_topn_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
@@ -354,6 +364,13 @@ private object OracleSql {
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_topn_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** BM25 tokenizer (ref `src/index/bm25.rs:127-132`): lowercase alnum
-    * runs, tokens of length > 1 only. */
+    * runs, tokens of length > 1 only. `[a-z0-9]{2,}` expresses the
+    * length filter inside the (codegen'd) regex pass — identical output
+    * to `filter(split(...), len > 1)`, which would evaluate its lambda
+    * interpreted per token. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 1)
+    regexp_extract_all(lower(text), lit("[a-z0-9]{2,}"), lit(0))
 
   /** Same tokenizer as a plain Scala function, for driver-side query
     * strings (the query is a scalar, not a column). */

@@ -1,0 +1,28 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product is callable from SQL after install") {
+    GraftExtensions.install(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs_ext")
+    val r = spark.sql("SELECT dot_product(a, b) AS d FROM vecs_ext")
+      .as[Double].collect()
+    assert(r.head == 11.0)
+    // float arrays cast transparently
+    Seq((Seq(1.0f, 2.0f), Seq(0.5f, 0.5f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs_ext_f")
+    assert(spark.sql("SELECT dot_product(a, b) AS d FROM vecs_ext_f")
+      .as[Double].collect().head == 1.5)
+  }
+
+  test("wrong arity fails at analysis") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("2 arguments") ||
+      e.getMessage.toLowerCase.contains("dot_product"))
+  }
+}
