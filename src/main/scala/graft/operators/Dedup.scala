@@ -109,6 +109,20 @@ object Dedup {
       .agg(min(expr(minhashExpr)).as("minh"))
   }
 
+  /** Wide-form signatures: one row per doc, one `m<s>` column per seed.
+    * All seed hashes are computed per shingle row and min-aggregated in
+    * a single groupBy — no seed cross join, so the shuffle carries
+    * |shingles| rows instead of |shingles| x numHashes. This is the
+    * formulation that matters at corpus scale; the long form above is
+    * the API-compatible view (same values, `minhashExpr` family). */
+  private def minhashSignaturesWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val withH = sh.withColumn("h", md5Hash64(col("sh")))
+    val aggs = (0 until numHashes).map { s =>
+      min(expr(s"((h % 2147483647) * (2 * $s + 1) + $s + 1) % 2147483647")).as(s"m$s")
+    }
+    withH.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH candidate pairs: docs sharing any band of the signature.
     * Band key = (band index, min/max of the band's hashes) — order-free
     * and engine-portable. */
@@ -133,7 +147,23 @@ object Dedup {
                    n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(minhashSignaturesFromShingles(sh, numHashes), bandSize)
+    // Wide signatures -> banded (lo,hi) keys stacked via posexplode:
+    // the band table is |docs| x bands rows, tiny next to the corpus.
+    val numBands = numHashes / bandSize
+    val wide = minhashSignaturesWide(sh, numHashes)
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(s => col(s"m$s"))
+      struct(least(cols: _*).as("b_lo"), greatest(cols: _*).as("b_hi"))
+    }
+    val bands = wide.select(col("id"),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "bs")))
+      .select(col("id"), col("band"), col("bs.b_lo"), col("bs.b_hi"))
+    val l = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("band", "b_lo", "b_hi"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
     val inter = cands
       .join(sh.withColumnRenamed("id", "id_a"), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))

@@ -227,6 +227,51 @@ object Index {
     perTerm.groupBy("id").agg(sum(s).as("score"))
   }
 
+  /** Build the IVF layout for an index: KMeans-assign a `centroid_id`
+    * to every embedding, rewrite the embeddings table *partitioned by*
+    * `centroid_id`, and persist the centroid table. This is the on-disk
+    * contract that makes ANN search sub-linear at scale: a query plans
+    * against nprobe partitions of the table instead of all of it. */
+  def buildIvf(spark: SparkSession, dir: String, numClusters: Int,
+               seed: Long = 42L): Unit = {
+    val emb = spark.read.parquet(s"$dir/embeddings")
+    val assigned = graft.operators.Knn.ivfAssign(emb, "embedding", numClusters, seed)
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("centroid_id").parquet(s"$dir/embeddings_ivf")
+    spark.read.parquet(s"$dir/embeddings_ivf")
+      .select(col("centroid_id"),
+        posexplode(VectorFunctions.asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy("centroid_id", "pos")
+      .agg(avg("v").as("cv"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+  }
+
+  /** IVF search against the partitioned layout: rank stored centroids,
+    * collect the nprobe winning cluster ids (a handful of ints — the
+    * one legitimate driver-side scalar in the plan), and filter the
+    * partitioned table with those literals so the Parquet source prunes
+    * to nprobe partitions before any vector math. */
+  def searchIvf(spark: SparkSession, dir: String, queryVec: Array[Float],
+                nprobe: Int, k: Int): DataFrame = {
+    val qdf = spark.range(1).select(
+      typedLit(queryVec.map(_.toDouble).toSeq).as("qv"))
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .join(broadcast(qdf), expr("true"))
+      .groupBy("centroid_id")
+      .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6).as("cscore"))
+      .orderBy(desc("cscore"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+      .collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(s"$dir/embeddings_ivf")
+      .filter(col("centroid_id").isin(probed.map(Integer.valueOf).toSeq: _*))
+    pruned.crossJoin(broadcast(qdf))
+      .select(col("id"),
+        round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
   // ----- registry utilities (S12-S14) -----
 
   def writeMeta(dir: String, meta: IndexMeta): Unit = {
