@@ -36,7 +36,12 @@ object Bench {
       // eviction/GC of their predecessors' blocks.
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // Keep the one-line-JSON stdout contract; failures go loud on
+          // stderr rather than silently shrinking the total.
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

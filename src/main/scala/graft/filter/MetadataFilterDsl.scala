@@ -25,6 +25,13 @@ import org.apache.spark.sql.types._
   * Because the output is a plain `Column`, Catalyst pushes these
   * predicates into the scan — the reference instead post-filters after
   * ANN search with a 5x over-fetch (`src/index/searcher.rs:129-133`).
+  *
+  * Grammar quirks kept bug-for-bug from the reference: when a string
+  * mixes ` AND ` with commas, only the ` AND ` split happens and the
+  * comma-joined part is handed to the single-condition parser whole
+  * (ref :95-99 maps AND-parts through parse_single, never re-splitting
+  * commas); and an unparseable string yields None, which callers treat
+  * as "no filter" — the same fail-open the reference's search path has.
   */
 object MetadataFilterDsl {
 

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null handling: a null array yields null; elements are assumed
   * non-null (embedding vectors), matching `containsNull=false` data.
+  * Mismatched dimensions throw (DuckDB's list_inner_product does too;
+  * a silent partial product would produce plausible wrong rankings).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,7 +38,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw DotProduct.dimMismatch(n, y.numElements())
+    }
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -51,8 +56,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val cls = classOf[DotProduct].getName
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw $cls.dimMismatch($n, $b.numElements());
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $a.getDouble($i) * $b.getDouble($i);
@@ -64,4 +73,14 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Dimension mismatch is a configuration bug (wrong embedder for the
+    * index); fail fast like DuckDB's list_inner_product rather than
+    * silently truncating to the shorter vector. Called from generated
+    * code, hence public + Java-friendly. */
+  def dimMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"dot_product: vector dimensions differ ($a vs $b)")
 }

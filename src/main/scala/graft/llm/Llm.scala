@@ -24,7 +24,8 @@ final class SimulatedLlm(val modelName: String = "simulated") extends LlmProvide
   override def generate(prompt: String): String = {
     val question =
       if (prompt.contains("Question:"))
-        prompt.split("Question:", 2)(1).linesIterator.next().trim
+        prompt.split("Question:", 2)(1).linesIterator.nextOption()
+          .map(_.trim).filter(_.nonEmpty).getOrElse("your question")
       else "your question"
     val hasContext = prompt.contains("Context:") || prompt.contains("context")
     if (hasContext)

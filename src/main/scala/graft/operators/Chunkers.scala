@@ -212,19 +212,25 @@ final class CodeChunker(maxChunkSize: Int = 256, chunkOverlap: Int = 128) extend
     val out = ArrayBuffer.empty[Chunk]
     var cur = 0
     var n = 0
-    for (b <- blocks) {
-      if (b.startLine > cur) {
-        val gap = lines.slice(cur, b.startLine).mkString("\n")
-        val trimmed = gap.trim
-        // Non-trivial gaps only; oversized gaps are skipped (imports etc.)
-        if (trimmed.nonEmpty && trimmed.length > 20 && gap.length <= charLimit) {
-          out += Chunk(s"$source#ctx$n", gap, ChunkMeta(source, None, "context",
-            None, None, None, Some(cur + 1), Some(b.startLine), None))
-          n += 1
-        }
+    def emit(from: Int, until: Int): Unit = {
+      val gap = lines.slice(from, until).mkString("\n")
+      val trimmed = gap.trim
+      // Non-trivial gaps only; oversized gaps are skipped (imports etc.)
+      if (trimmed.nonEmpty && trimmed.length > 20 && gap.length <= charLimit) {
+        out += Chunk(s"$source#ctx$n", gap, ChunkMeta(source, None, "context",
+          None, None, None, Some(from + 1), Some(until), None))
+        n += 1
       }
+    }
+    for (b <- blocks) {
+      if (b.startLine > cur) emit(cur, b.startLine)
       cur = b.endLine
     }
+    // Trailing content after the last block. The reference drops it
+    // (`fill_gaps` iterates blocks only, ast.rs:317-362) — module-level
+    // code after the final function would never be indexed; emitted here
+    // as a deliberate improvement.
+    if (cur < lines.length) emit(cur, lines.length)
     out.toSeq
   }
 }

@@ -56,27 +56,18 @@ object Dedup {
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy("id").agg(count(lit(1)).as("sz"))
 
-  /** Pairs with n-gram Jaccard >= minJ, via inverted-index self-join.
-    * `maxShingleDf` drops shingles shared by more than that many docs
-    * before pairing (0 = keep all). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
-    // Persisted: the shingle plan feeds both join sides plus the sizes agg.
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val joinable =
-      if (maxShingleDf <= 0) sh
-      else {
-        val dfs = sh.groupBy("sh").agg(count(lit(1)).as("shdf"))
-          .filter(col("shdf") <= maxShingleDf).select("sh")
-        sh.join(dfs, "sh")
-      }
-    val a = joinable.select(col("sh"), col("id").as("id_a"))
-    val b = joinable.select(col("sh"), col("id").as("id_b"))
-    val inter = a.join(b, "sh")
-      .filter(col("id_a") < col("id_b"))
+  /** Intersection counts for a given candidate pair set via two joins
+    * against the shingle table — cost scales with |candidates|, never
+    * with corpus-wide shingle collisions. */
+  private def pairIntersections(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+
+  /** Attach |A|,|B| set sizes and compute thresholded Jaccard. */
+  private def verifyJaccard(inter: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
     val sz = shingleSizes(sh)
     inter
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -84,6 +75,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJ)
+  }
+
+  /** Pairs with n-gram Jaccard >= minJ, via inverted-index self-join.
+    * `maxShingleDf` drops shingles shared by more than that many docs
+    * (0 = keep all); when active, intersections *and* set sizes both
+    * come from the capped set, so the reported value is the consistent
+    * Jaccard over retained shingles (mixing capped intersections with
+    * full-set sizes would systematically underestimate). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
+    // Persisted: the shingle plan feeds both join sides plus the sizes agg.
+    val sh0 = shingleTable(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (maxShingleDf <= 0) sh0
+      else {
+        val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("shdf"))
+          .filter(col("shdf") <= maxShingleDf).select("sh")
+        sh0.join(dfs, "sh")
+      }
+    val a = sh.select(col("sh"), col("id").as("id_a"))
+    val b = sh.select(col("sh"), col("id").as("id_b"))
+    val inter = a.join(b, "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    verifyJaccard(inter, sh, minJ)
   }
 
   /** Universal-hash family over the shingle's md5-derived base hash:
@@ -130,12 +148,7 @@ object Dedup {
     val bands = sigs
       .groupBy(col("id"), floor(col("seed") / bandSize).as("band"))
       .agg(min("minh").as("b_lo"), max("minh").as("b_hi"))
-    val l = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_a"))
-    val r = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_b"))
-    l.join(r, Seq("band", "b_lo", "b_hi"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    selfJoinPairs(bands, Seq("band", "b_lo", "b_hi"))
   }
 
   /** MinHash-LSH near-dup detection: banded candidates verified with the
@@ -158,24 +171,18 @@ object Dedup {
     val bands = wide.select(col("id"),
       posexplode(array(bandStructs: _*)).as(Seq("band", "bs")))
       .select(col("id"), col("band"), col("bs.b_lo"), col("bs.b_hi"))
-    val l = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_a"))
-    val r = bands.select(col("band"), col("b_lo"), col("b_hi"), col("id").as("id_b"))
-    val cands = l.join(r, Seq("band", "b_lo", "b_hi"))
+    val cands = selfJoinPairs(bands, Seq("band", "b_lo", "b_hi"))
+    verifyJaccard(pairIntersections(cands, sh), sh, minJ)
+  }
+
+  /** Distinct (id_a < id_b) pairs sharing any value of the key columns. */
+  private def selfJoinPairs(keyed: DataFrame, keys: Seq[String]): DataFrame = {
+    val l = keyed.select((keys.map(col) :+ col("id").as("id_a")): _*)
+    val r = keyed.select((keys.map(col) :+ col("id").as("id_b")): _*)
+    l.join(r, keys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val inter = cands
-      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    val sz = shingleSizes(sh)
-    inter
-      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJ)
   }
 
   /** SimHash over the token multiset: 60-bit fingerprint where bit i is

@@ -101,9 +101,13 @@ object Index {
              strategy: String = "auto", textCol: String = "text",
              sourceCol: String = "source"): IndexMeta = {
     val spark = newDocs.sparkSession
-    val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy)
+    // Persisted for the same reason as build(): both table writes consume
+    // the chunk flatMap, and a re-executed non-deterministic source could
+    // otherwise diverge between passages and embeddings.
+    val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy).persist()
     chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages")
     embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings")
+    chunks.unpersist()
     buildBm25Stats(spark, dir)
     val meta0 = readMeta(dir)
     val n = spark.read.parquet(s"$dir/passages").count()

@@ -121,6 +121,19 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(starts == starts.sorted)
   }
 
+  test("trailing content after the last block becomes a context chunk") {
+    val code =
+      """fn only() {
+        |    a();
+        |}
+        |// module-level trailer that the reference silently drops
+        |static CONFIG: u32 = 42;""".stripMargin
+    val out = new CodeChunker(256, 128).chunk(code, "tail.rs")
+    val ctx = out.filter(_.metadata.chunk_type == "context")
+    assert(ctx.nonEmpty)
+    assert(ctx.last.text.contains("CONFIG"))
+  }
+
   test("unknown extension falls back to simple chunking") {
     val out = new CodeChunker(256, 128).chunk("just prose text", "notes.txt")
     assert(out.head.metadata.chunk_type == "simple")

@@ -25,6 +25,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(c(1) == 0.0)
   }
 
+  test("dot product throws on dimension mismatch (no silent truncation)") {
+    val bad = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dimensions differ")))
+  }
+
   test("l2 normalize produces unit vectors; zero vector unchanged") {
     val z = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
     val out = z.select(
