@@ -61,6 +61,32 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q_semi_anti" -> ((s, dir) => {
+      // EXISTS/NOT EXISTS as semi/anti joins: customers with vs without
+      // open orders. Anti/semi never materialize the probe side's
+      // payload — at scale this is the shape for "seen before" checks.
+      val cust = Tables.customer(s, dir)
+      val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select("o_custkey")
+      val withOpen = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+        .select(col("c_mktsegment"), lit("with_open").as("kind"))
+      val without = cust.join(open, cust("c_custkey") === open("o_custkey"), "left_anti")
+        .select(col("c_mktsegment"), lit("without_open").as("kind"))
+      withOpen.union(without)
+        .groupBy("c_mktsegment", "kind")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "kind")
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       // Hierarchical totals: (flag, status), (flag), (grand). At scale
       // this is one pass with partial aggregation per grouping set.
@@ -364,6 +390,28 @@ private object OracleSql {
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |tagged AS (
+        |  SELECT c_mktsegment, 'with_open' AS kind FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM open)
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'without_open' AS kind FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM open))
+        |SELECT c_mktsegment, kind, count(*) AS n
+        |FROM tagged
+        |GROUP BY c_mktsegment, kind
+        |ORDER BY c_mktsegment, kind""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
