@@ -131,6 +131,21 @@ object SparkEntry {
       Knn.ivfTopK(emb, Knn.queryVector(emb, 0L), "label", nprobe = 4, k = 10)
     }),
 
+    "knn_quantized" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      // Search over int8-quantized vectors: 4x smaller storage, ranked
+      // by dequantized inner product. Scale is materialized behind a
+      // projection boundary before the per-element lambdas touch it.
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), dequantizeInt8(col("q")).as("dq"))
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv"))
+      emb.crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(dot(col("dq"), col("qv")), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+    }),
+
     // ----- BM25 / hybrid (SURVEY §2.5, A1-A4, J5) -----
     "bm25_stats" -> ((s, dir) => {
       val tf = BM25.termFrequencies(Tables.documents(s, dir), "doc_id", "text")
@@ -237,6 +252,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("event_type")
+    }),
+
+    "events_session_native" -> ((s, dir) => {
+      // Spark's native session_window operator; semantics checked
+      // against the portable lag+cumsum SQL (no exact-1800s gaps exist
+      // in the data, where the open/closed boundary would differ).
+      Tables.eventsWithTs(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+        .orderBy("user_id")
     }),
 
     "events_sessionize" -> ((s, dir) => {
@@ -672,6 +699,35 @@ private object OracleSql {
         |WHERE json_extract(props, '$.k')::INT > 80
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "knn_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |       FROM e),
+        |dq AS (SELECT vec_id,
+        |              CASE WHEN scale > 0
+        |                   THEN list_transform(v, x -> round(x / scale)::INT * scale)
+        |                   ELSE list_transform(v, x -> 0.0) END AS dqv
+        |       FROM sc),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT d.vec_id, round(list_inner_product(d.dqv, q.qv), 6) AS score
+        |FROM dq d, q
+        |ORDER BY score DESC, d.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "events_session_native" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |       sum(CASE WHEN prev_ts IS NULL
+        |                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM x
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

@@ -35,6 +35,24 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("dimensions differ")))
   }
 
+  test("int8 quantization round-trips within scale/2 per element") {
+    val v = Seq(Seq(0.9f, -0.43f, 0.002f, 0.31f)).toDF("v")
+    val out = v.select(
+      VectorFunctions.dequantizeInt8(VectorFunctions.quantizeInt8(col("v"))).as("dq"),
+      VectorFunctions.quantizeInt8(col("v")).getField("scale").as("s"))
+      .as[(Seq[Double], Double)].collect().head
+    val scale = out._2
+    assert(math.abs(scale - 0.9 / 127.0) < 1e-9)
+    Seq(0.9, -0.43, 0.002, 0.31).zip(out._1).foreach { case (orig, dq) =>
+      assert(math.abs(orig - dq) <= scale / 2 + 1e-12)
+    }
+    // zero vector: scale 0, all-zero codes, no NaNs
+    val z = Seq(Seq(0.0f, 0.0f)).toDF("v")
+      .select(VectorFunctions.dequantizeInt8(VectorFunctions.quantizeInt8(col("v"))))
+      .as[Seq[Double]].collect().head
+    assert(z == Seq(0.0, 0.0))
+  }
+
   test("l2 normalize produces unit vectors; zero vector unchanged") {
     val z = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
     val out = z.select(
