@@ -81,6 +81,23 @@ object Knn {
     exactTopK(pruned, query, k)
   }
 
+  /** Batched multi-query search: top-k per query in ONE distributed
+    * plan (score join -> window rank within query), instead of the
+    * reference's one-query-at-a-time loop. This is the shape for bulk
+    * retrieval jobs (building training pairs, re-ranking corpora): with
+    * Q queries the scan of the big side is shared, and the only shuffle
+    * is the rank partition on query id. */
+  def batchTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scoredAll = emb.join(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    scoredAll.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "score")
+  }
+
   /** Real IVF build: KMeans over the embedding column assigns a
     * `centroid_id` — at scale this becomes the table's partition column
     * (`.write.partitionBy("centroid_id")`), so `ivfTopK`'s cluster
