@@ -140,6 +140,17 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "knn_batch_agg" -> ((s, dir) => {
+      // Same semantics as knn_batch via the bounded top-k Aggregator
+      // (map-side partial aggregation) — both share one oracle.
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+      Knn.batchTopKAgg(emb, queries, k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     "knn_quantized" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
       // Search over int8-quantized vectors: 4x smaller storage, ranked
@@ -710,6 +721,23 @@ private object OracleSql {
         |ORDER BY event_type""".stripMargin,
 
     "knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vec_id, score
+        |FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "knn_batch_agg" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 3),
         |scored AS (

@@ -41,6 +41,20 @@ class KnnSpec extends SparkSpec {
     assert(r.length == 5)
   }
 
+  test("aggregator batch top-k equals window batch top-k; partial agg in plan") {
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val win = Knn.batchTopK(emb, queries, 7)
+      .orderBy("qid", "rank").collect().toSeq
+    val aggDf = Knn.batchTopKAgg(emb, queries, 7)
+    val agg = aggDf.orderBy("qid", "rank").collect().toSeq
+    assert(agg == win)
+    // two-phase aggregation: a partial_ aggregate runs before the shuffle
+    val plan = aggDf.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"expected map-side partial agg in:\n$plan")
+  }
+
   test("sign-LSH: identical vectors collide; pairs verified by cosine") {
     val dup = emb.limit(3).union(emb.limit(3)) // every vector duplicated
       .withColumn("rid", monotonically_increasing_id())
