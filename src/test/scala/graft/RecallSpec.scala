@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+/** Recall of the approximate search paths against the exact-kNN oracle
+  * (the reference's own ground truth is exact recompute search,
+  * recompute.rs:96-110). Quantifies the nprobe trade: more probed
+  * clusters → more data scanned → higher recall. */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+  private val k = 10
+  private val queryIds = Seq(3L, 57L, 123L, 250L, 401L)
+
+  private def topIds(df: DataFrame): Set[Long] =
+    df.select("vec_id").as[Long].collect().toSet
+
+  private def recallAt(nprobe: Int): Double = {
+    val scores = queryIds.map { q =>
+      val exact = topIds(Knn.exactTopK(emb, Knn.queryVector(emb, q), k))
+      val approx = topIds(Knn.ivfTopK(emb, Knn.queryVector(emb, q), "label", nprobe, k))
+      (exact intersect approx).size.toDouble / k
+    }
+    scores.sum / scores.size
+  }
+
+  test("ivf recall@10 grows with nprobe and reaches 1.0 at full probe") {
+    val r2 = recallAt(2)
+    val r5 = recallAt(5)
+    val r10 = recallAt(10)
+    info(f"recall@10: nprobe=2 -> $r2%.2f, nprobe=5 -> $r5%.2f, nprobe=10 -> $r10%.2f")
+    assert(r10 == 1.0)                 // probing every cluster = exact
+    assert(r5 >= r2 - 1e-9)            // monotone in probed fraction
+    assert(r2 > 0.0)                   // even 2/10 clusters finds some
+  }
+
+  test("quantized search recall@10 vs exact is near-perfect") {
+    import graft.functions.VectorFunctions._
+    val dq = emb
+      .select(col("vec_id"), quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), dequantizeInt8(col("q")).as("embedding"))
+    val scores = queryIds.map { q =>
+      val exact = topIds(Knn.exactTopK(emb, Knn.queryVector(emb, q), k))
+      val qv = Knn.queryVector(emb, q)
+      val approx = topIds(
+        dq.crossJoin(broadcast(qv))
+          .select(col("vec_id"), round(dot(col("embedding"), col("qv")), 6).as("score"))
+          .orderBy(desc("score"), col("vec_id")).limit(k))
+      (exact intersect approx).size.toDouble / k
+    }
+    val recall = scores.sum / scores.size
+    info(f"int8 recall@10 = $recall%.2f")
+    assert(recall >= 0.8)
+  }
+}
