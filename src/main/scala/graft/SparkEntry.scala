@@ -255,6 +255,22 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    "events_funnel" -> ((s, dir) => {
+      // Conversion funnel: of users who signed up, how many purchased
+      // *after* their first signup. One pass: conditional min-timestamps
+      // per user, then a corpus-level rollup.
+      val perUser = Tables.eventsWithTs(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("first_signup")).as("n_signup"),
+        sum(when(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_signup"), 1).otherwise(0)).as("n_converted"))
+    }),
+
     // ----- events: windowed agg / JSON props / sessionization -----
     "events_window" -> ((s, dir) => {
       Tables.eventsWithTs(s, dir)
@@ -703,6 +719,19 @@ private object OracleSql {
         |FROM documents
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    "events_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(ts) FILTER (WHERE event_type = 'signup') AS first_signup,
+        |         min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        |  FROM events
+        |  GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       count(first_signup) AS n_signup,
+        |       sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+        |FROM u""".stripMargin,
 
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,

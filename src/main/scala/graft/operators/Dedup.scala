@@ -203,6 +203,50 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("simhash"))
   }
 
+  /** Connected components over an undirected pair edge list
+    * ((id_a, id_b) rows) by iterative min-label propagation: every node
+    * adopts the smallest label among itself and its neighbors until
+    * fixpoint. Converges in O(diameter) rounds — near-dup clusters are
+    * tiny, so a handful of iterations; each round is one join + one
+    * aggregation (no driver-side graph). Returns (id, component) with
+    * component = min id of the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters: Jaccard pairs -> connected components -> one
+    * surviving canonical doc (min id) per cluster. The complete dedup
+    * decision: `keep = (component == id)`. */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, minJ: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, n, minJ)
+    connectedComponents(pairs)
+      .withColumn("keep", col("component") === col("id"))
+  }
+
   /** Hamming distance between two simhash columns (popcount of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

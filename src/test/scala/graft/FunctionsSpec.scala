@@ -160,6 +160,27 @@ class DedupSpec extends SparkSpec {
     assert(d.contains((0L, 1L, 1.0)))
   }
 
+  test("connected components: chains merge, singletons keep own label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("dup clusters pick one canonical survivor per cluster") {
+    val t = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = Seq((5L, t), (9L, t), (2L, t),
+      (7L, "completely different words about spark engines and shuffles here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupClusters(d, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Boolean)].collect()
+    val keep = out.filter(_._3).map(_._1).toSet
+    assert(keep == Set(2L)) // min id of the triplet survives
+    assert(out.forall(_._2 == 2L))
+    // doc 7 has no dup pairs, so it is absent (implicitly kept)
+    assert(!out.exists(_._1 == 7L))
+  }
+
   test("simhash: identical token multisets → identical hash") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L) && h(0L) == h(3L))
