@@ -40,6 +40,44 @@ object Streaming {
       }
   }
 
+  /** Deduplicating micro-batch ingest: each arriving batch drops (a)
+    * rows whose content fingerprint already exists in the index and (b)
+    * fingerprint duplicates *within* the batch (keeping the min source),
+    * then appends the survivors. The membership check is an anti join
+    * against the passages table's fingerprints — on a fingerprint-
+    * bucketed table this is the co-located "seen before" probe, the
+    * standard exact-dedup gate in front of a training-data pipeline. */
+  def dedupIngest(spark: SparkSession, sourceDir: String, indexDir: String,
+                  schema: StructType, provider: EmbeddingProvider,
+                  checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    import graft.functions.TextFunctions.fingerprint
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val seen = spark.read.parquet(s"$indexDir/passages")
+            .select(fingerprint(col("text")).as("fp")).distinct()
+          val w = Window.partitionBy("fp").orderBy("source")
+          val fresh = batch
+            .withColumn("fp", fingerprint(col("text")))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)          // in-batch dedup
+            .join(seen, Seq("fp"), "left_anti") // vs-index dedup
+            .drop("fp", "__rn")
+          if (!fresh.isEmpty) {
+            Index.update(fresh, indexDir, provider, strategy = "simple")
+          }
+        }
+        ()
+      }
+  }
+
   /** Watermarked tumbling-window counts over an event stream — the
     * streaming analog of the `events_window` batch query. State is
     * bounded by the watermark; partitioning is by (window, event_type)

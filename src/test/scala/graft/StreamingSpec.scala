@@ -41,6 +41,32 @@ class StreamingSpec extends SparkSpec {
     assert(hit.head == "c.md")
   }
 
+  test("dedup ingest drops already-indexed and in-batch duplicate content") {
+    val root = Files.createTempDirectory("graft-dedup-stream").toString
+    val src = s"$root/incoming"
+    val idx = s"$root/idx"
+    val provider = new HashEmbedder(16)
+
+    Index.build(Seq(("the original document", "orig.md")).toDF("text", "source"),
+      idx, provider, strategy = "simple")
+
+    Seq(
+      ("THE  ORIGINAL document", "copy.md"),   // dup of indexed (case/ws)
+      ("a genuinely new document", "new1.md"),
+      ("a genuinely NEW document", "new1dup.md"), // in-batch dup
+      ("another new one entirely", "new2.md"))
+      .toDF("text", "source").write.parquet(s"$src/f1")
+
+    val schema = spark.read.parquet(s"$src/f1").schema
+    Streaming.runAvailableNow(Streaming.dedupIngest(
+      spark, s"$src/*", idx, schema, provider, s"$root/ckpt"))
+
+    val sources = spark.read.parquet(s"$idx/passages")
+      .select("metadata.source").as[String].collect().toSet
+    assert(sources == Set("orig.md", "new1.md", "new2.md"))
+    assert(Index.readMeta(idx).passageCount == 3)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val root = Files.createTempDirectory("graft-events").toString
     Seq(
