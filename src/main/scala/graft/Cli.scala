@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.embedding.{EmbeddingProvider, HashEmbedder}
+import graft.llm.SimulatedLlm
+import graft.pipeline.Index
+import graft.serve.SearchServer
+import graft.sources.FileIngest
+
+/** Command-line surface mirroring the reference CLI (`leann <cmd>`,
+  * `src/cli/mod.rs`) so a reference user can run the same workflows:
+  *
+  *   graft.Cli build  --docs <dir> --index <name> [--strategy auto]
+  *                    [--chunk-size 256] [--chunk-overlap 128]
+  *   graft.Cli search <name> <query> [--top-k 5] [--filter <dsl>]
+  *                    [--hybrid] [--alpha 0.7]
+  *   graft.Cli ask    <name> <question> [--top-k 5]
+  *   graft.Cli update --docs <dir> --index <name>
+  *   graft.Cli prune  <name>
+  *   graft.Cli list
+  *   graft.Cli remove <name>
+  *   graft.Cli serve  <name> [--port 8080]
+  *
+  * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
+  * provider defaults to the offline deterministic hash embedder
+  * ($GRAFT_EMBED_DIMS); remote providers plug in via
+  * [[graft.embedding.EmbeddingProvider]].
+  */
+object Cli {
+
+  private def warehouse: String =
+    sys.env.getOrElse("GRAFT_WAREHOUSE", "graft-warehouse")
+
+  private def provider: EmbeddingProvider =
+    new HashEmbedder(sys.env.getOrElse("GRAFT_EMBED_DIMS", "64").toInt)
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Flag parsing: (positional args, --key value / --bool flags). */
+  private def parse(args: Seq[String]): (Seq[String], Map[String, String]) = {
+    val pos = Seq.newBuilder[String]
+    var flags = Map.empty[String, String]
+    var i = 0
+    val boolFlags = Set("--hybrid")
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (boolFlags.contains(a) || i + 1 >= args.length) {
+          flags += (a.drop(2) -> "true"); i += 1
+        } else {
+          flags += (a.drop(2) -> args(i + 1)); i += 2
+        }
+      } else { pos += a; i += 1 }
+    }
+    (pos.result(), flags)
+  }
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|update|prune|list|remove|serve> ...")
+    val (pos, flags) = parse(args.toSeq.tail)
+    args.head match {
+      case "build" | "update" =>
+        val docsDir = flags.getOrElse("docs", fail("--docs <dir> required"))
+        val name = flags.getOrElse("index", fail("--index <name> required"))
+        val spark = session()
+        val docs = FileIngest.readDocuments(spark, docsDir)
+        val dir = s"$warehouse/$name"
+        val meta =
+          if (args.head == "build")
+            Index.build(docs, dir, provider,
+              strategy = flags.getOrElse("strategy", "auto"))
+          else Index.update(docs, dir, provider,
+            strategy = flags.getOrElse("strategy", "auto"))
+        println(s"${args.head}: index '$name' at $dir — " +
+          s"${meta.passageCount} passages, ${meta.dimensions} dims")
+        spark.stop()
+
+      case "search" =>
+        val (name, query) = pos match {
+          case Seq(n, q, _*) => (n, q)
+          case _ => fail("usage: search <index> <query> [--top-k N] [--filter dsl] [--hybrid] [--alpha A]")
+        }
+        val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
+        val spark = session()
+        val rows = Index.search(spark, dir, query, provider,
+          topK = flags.get("top-k").map(_.toInt).getOrElse(5),
+          filterStr = flags.get("filter"),
+          hybrid = flags.contains("hybrid"),
+          alpha = flags.get("alpha").map(_.toDouble).getOrElse(0.7)).collect()
+        rows.zipWithIndex.foreach { case (r, i) =>
+          val text = r.getString(2)
+          val snippet = if (text.length > 100) text.take(100) + "…" else text
+          println(f"${i + 1}%2d. [${r.getDouble(1)}%.6f] ${r.getString(3)}%s  $snippet%s")
+        }
+        if (rows.isEmpty) println("(no results)")
+        spark.stop()
+
+      case "ask" =>
+        val (name, question) = pos match {
+          case Seq(n, q, _*) => (n, q)
+          case _ => fail("usage: ask <index> <question> [--top-k N]")
+        }
+        val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
+        val spark = session()
+        println(graft.llm.Rag.ask(spark, dir, question, provider,
+          new SimulatedLlm("cli"), topK = flags.get("top-k").map(_.toInt).getOrElse(5)))
+        spark.stop()
+
+      case "prune" =>
+        val name = pos.headOption.getOrElse(fail("usage: prune <index>"))
+        Index.locate(warehouse, name) match {
+          case None => fail(s"no index '$name' in $warehouse")
+          case Some(dir) =>
+            Index.prune(dir)
+            println(s"prune: dropped embeddings of '$name' (recompute-on-read)")
+        }
+
+      case "list" =>
+        val idx = Index.listIndexes(warehouse)
+        if (idx.isEmpty) println(s"(no indexes under $warehouse)")
+        else idx.foreach { case (n, m) =>
+          println(f"$n%-24s ${m.passageCount}%8d passages  ${m.dimensions}%5d dims" +
+            (if (m.isPruned) "  [pruned]" else ""))
+        }
+
+      case "remove" =>
+        val name = pos.headOption.getOrElse(fail("usage: remove <index>"))
+        if (Index.remove(warehouse, name)) println(s"removed '$name'")
+        else fail(s"no index '$name' in $warehouse")
+
+      case "serve" =>
+        val name = pos.headOption.getOrElse(fail("usage: serve <index> [--port N]"))
+        val spark = session()
+        val srv = new SearchServer(spark, warehouse, name, provider,
+          port = flags.get("port").map(_.toInt).getOrElse(8080))
+        srv.start()
+        println(s"serving '$name' on port ${srv.boundPort} (POST /search, GET /health /info /indexes)")
+        Thread.currentThread().join() // until killed
+
+      case other => fail(s"unknown command '$other'")
+    }
+  }
+}
