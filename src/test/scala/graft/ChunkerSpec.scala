@@ -121,6 +121,70 @@ class CodeChunkerSpec extends AnyFunSuite {
     assert(starts == starts.sorted)
   }
 
+  test("detects go funcs and type declarations") {
+    val code =
+      """func NewServer(addr string) *Server {
+        |    return &Server{addr: addr}
+        |}
+        |
+        |type Config struct {
+        |    Addr string
+        |}
+        |
+        |type Handler interface {
+        |    Serve()
+        |}""".stripMargin
+    val out = new CodeChunker(256, 128).chunk(code, "main.go")
+    val byType = out.flatMap(c => c.metadata.block_type.map(_ -> c.metadata.name.get))
+    assert(byType.contains("function" -> "NewServer"))
+    assert(byType.contains("struct" -> "Config"))
+    assert(byType.contains("interface" -> "Handler"))
+  }
+
+  test("detects javascript functions, classes and arrows") {
+    val code =
+      """function render(props) {
+        |  return props;
+        |}
+        |class Widget {
+        |  draw() {}
+        |}
+        |const handler = async (ev) => {
+        |  console.log(ev);
+        |};""".stripMargin
+    val out = new CodeChunker(256, 128).chunk(code, "app.js")
+    val names = out.flatMap(_.metadata.name).toSet
+    assert(names.contains("render"))
+    assert(names.contains("Widget"))
+    assert(names.contains("handler"))
+  }
+
+  test("detects java classes and ruby indentation blocks") {
+    val j = new CodeChunker(256, 128).chunk(
+      "public class Engine {\n  private int x;\n}\n", "Engine.java")
+    assert(j.exists(c => c.metadata.name.contains("Engine") &&
+      c.metadata.block_type.contains("class")))
+
+    val r = new CodeChunker(256, 128).chunk(
+      """class Parser
+        |  def parse(line)
+        |    line.split
+        |  end
+        |end""".stripMargin, "parser.rb")
+    // the inner def overlaps the class block, so overlap-dedup keeps only
+    // the enclosing class (ref ast.rs:175-190); its text covers the method
+    val cls = r.find(_.metadata.name.contains("Parser")).get
+    assert(cls.text.contains("def parse"))
+    assert(!r.exists(_.metadata.name.contains("parse")))
+  }
+
+  test("brace-less fallback: block without closing brace caps at 50 lines") {
+    val code = "fn broken(a: u32) {\n" + (1 to 80).map(i => s"    line_$i();").mkString("\n")
+    val out = new CodeChunker(256, 128).chunk(code, "broken.rs")
+    val fn = out.find(_.metadata.name.contains("broken")).get
+    assert(fn.metadata.end_line.get <= 51) // start + 50 cap (ref ast.rs:170)
+  }
+
   test("trailing content after the last block becomes a context chunk") {
     val code =
       """fn only() {
