@@ -36,18 +36,24 @@ object Bench {
       // eviction/GC of their predecessors' blocks.
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // Keep the one-line-JSON stdout contract; failures go loud on
-          // stderr rather than silently shrinking the total.
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            // Keep the one-line-JSON stdout contract; failures go loud on
+            // stderr rather than silently shrinking the total.
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      // A failed query reports -1, never its elapsed time: a fast failure
+      // must not read as a speedup to the BASELINE regression gate.
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

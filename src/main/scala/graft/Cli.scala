@@ -58,8 +58,12 @@ object Cli {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
-        if (boolFlags.contains(a) || i + 1 >= args.length) {
+        if (boolFlags.contains(a)) {
           flags += (a.drop(2) -> "true"); i += 1
+        } else if (i + 1 >= args.length) {
+          // A value-taking flag in final position is a usage error, not a
+          // silent "true" (which would crash later in .toInt/.toDouble).
+          fail(s"flag $a requires a value")
         } else {
           flags += (a.drop(2) -> args(i + 1)); i += 2
         }

@@ -642,7 +642,7 @@ private object OracleSql {
         |  SELECT id, i, sum(f * (((h >> i) & 1) * 2 - 1)) AS s
         |  FROM th CROSS JOIN range(0, 60) r(i)
         |  GROUP BY 1, 2)
-        |SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits
         |GROUP BY id
         |ORDER BY id
@@ -670,9 +670,9 @@ private object OracleSql {
         |m AS (
         |  SELECT doc_id,
         |         len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_words,
-        |         coalesce(list_sum(list_transform(words0,
+        |         CAST(coalesce(list_sum(list_transform(words0,
         |             w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-        |           + length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_tokens_est,
+        |           + length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS BIGINT) AS n_tokens_est,
         |         (length(lower(text)) - length(regexp_replace(lower(text), '[a-z]', '', 'g'))) / len AS alpha,
         |         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / len AS digits,
         |         (length(text) - length(regexp_replace(text, '[\s]', '', 'g'))) / len AS spaces,
@@ -729,8 +729,8 @@ private object OracleSql {
         |  GROUP BY user_id)
         |SELECT count(*) AS n_users,
         |       count(first_signup) AS n_signup,
-        |       sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
-        |                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+        |       CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |                 AND first_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM u""".stripMargin,
 
     "events_window" ->
@@ -805,8 +805,8 @@ private object OracleSql {
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events)
         |SELECT user_id,
-        |       sum(CASE WHEN prev_ts IS NULL
-        |                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |       CAST(sum(CASE WHEN prev_ts IS NULL
+        |                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM x
         |GROUP BY user_id
@@ -818,8 +818,8 @@ private object OracleSql {
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events)
         |SELECT user_id,
-        |       sum(CASE WHEN prev_ts IS NULL
-        |                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |       CAST(sum(CASE WHEN prev_ts IS NULL
+        |                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM x
         |GROUP BY user_id

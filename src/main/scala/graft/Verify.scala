@@ -11,11 +11,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Set in the builder (not as an eventsWithTs side effect) so query
+      // outcome never depends on Map iteration order: events.parquet has
+      // TIMESTAMP(NANOS) columns Spark otherwise refuses to read.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Queries persist intermediates (BM25 tf, shingle tables); drop
       // them between queries so 25+ runs don't accumulate cached blocks.
       spark.catalog.clearCache()

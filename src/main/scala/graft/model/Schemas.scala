@@ -60,10 +60,32 @@ object IndexMeta {
   /** Minimal JSON field extraction for our own sidecar format (flat
     * object, no nesting). */
   def fromJson(json: String): IndexMeta = {
+    // Single-pass unescape mirroring toJson's escaping (\" \\ \n \r \t
+    // \uXXXX). Chained .replace calls would mis-handle sequences like a
+    // literal backslash followed by 'n'.
+    def unescape(s: String): String = {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => b += '\n'; i += 2
+            case 'r' => b += '\r'; i += 2
+            case 't' => b += '\t'; i += 2
+            case 'u' if i + 5 < s.length =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => b += other; i += 2
+          }
+        } else { b += c; i += 1 }
+      }
+      b.result()
+    }
     def str(k: String): String = {
       val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
         .findFirstMatchIn(json)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+      m.map(m0 => unescape(m0.group(1))).getOrElse("")
     }
     def num(k: String): Long = ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r
       .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)

@@ -71,6 +71,7 @@ object Index {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings")
     val n = chunks.count()
     chunks.unpersist()
+    writeDocFps(docs, dir, textCol, SaveMode.Overwrite)
     buildBm25Stats(spark, dir)
     val cfg = ModelRegistry.getModelConfig(provider.modelName)
     val meta = IndexMeta(version = 1, backendName = "spark-exact",
@@ -80,6 +81,26 @@ object Index {
       queryPromptTemplate = cfg.queryPrefix, buildPromptTemplate = cfg.documentPrefix)
     writeMeta(dir, meta)
     meta
+  }
+
+  /** Sidecar table of *source-document* fingerprints (`<dir>/doc_fps`).
+    * Passage fingerprints can't answer "was this document ingested?" —
+    * a multi-chunk document never equals any one of its chunks — so the
+    * dedup gate ([[graft.streaming.Streaming.dedupIngest]]) anti-joins
+    * against this table instead. */
+  def writeDocFps(docs: DataFrame, dir: String, textCol: String,
+                  mode: SaveMode): Unit =
+    docs.select(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .write.mode(mode).parquet(s"$dir/doc_fps")
+
+  /** The stored document-fingerprint set, empty if the sidecar is absent
+    * (e.g. an index built by an older version). */
+  def docFps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(s"$dir/doc_fps").exists())
+      spark.read.parquet(s"$dir/doc_fps")
+    else Seq.empty[String].toDF("fp")
   }
 
   /** Recompute and persist the BM25 statistics tables from passages. */
@@ -108,6 +129,7 @@ object Index {
     chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages")
     embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings")
     chunks.unpersist()
+    writeDocFps(newDocs, dir, textCol, SaveMode.Append)
     buildBm25Stats(spark, dir)
     val meta0 = readMeta(dir)
     val n = spark.read.parquet(s"$dir/passages").count()

@@ -41,11 +41,13 @@ object Streaming {
   }
 
   /** Deduplicating micro-batch ingest: each arriving batch drops (a)
-    * rows whose content fingerprint already exists in the index and (b)
-    * fingerprint duplicates *within* the batch (keeping the min source),
-    * then appends the survivors. The membership check is an anti join
-    * against the passages table's fingerprints — on a fingerprint-
-    * bucketed table this is the co-located "seen before" probe, the
+    * documents whose content fingerprint already exists in the index's
+    * `doc_fps` sidecar (written at build/update time, keyed by *source
+    * document* — a passage-level check would never match multi-chunk
+    * documents) and (b) fingerprint duplicates *within* the batch
+    * (keeping the min source), then appends the survivors; `Index.update`
+    * appends their fingerprints, so re-sent duplicates are dropped in
+    * later batches too. The membership check is an anti join — the
     * standard exact-dedup gate in front of a training-data pipeline. */
   def dedupIngest(spark: SparkSession, sourceDir: String, indexDir: String,
                   schema: StructType, provider: EmbeddingProvider,
@@ -61,8 +63,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val seen = spark.read.parquet(s"$indexDir/passages")
-            .select(fingerprint(col("text")).as("fp")).distinct()
+          val seen = Index.docFps(spark, indexDir)
           val w = Window.partitionBy("fp").orderBy("source")
           val fresh = batch
             .withColumn("fp", fingerprint(col("text")))

@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
     assert(Index.readMeta(idx).passageCount == 3)
   }
 
+  test("dedup ingest drops a re-sent multi-chunk document (doc-level fp)") {
+    val root = Files.createTempDirectory("graft-dedup-long").toString
+    val src = s"$root/incoming"
+    val idx = s"$root/idx"
+    val provider = new HashEmbedder(16)
+
+    // ~12 KB doc: many chunks at the default 256-token window, so no
+    // single passage's fingerprint equals the whole document's.
+    val longText = (1 to 400)
+      .map(i => s"sentence number $i about distributed joins").mkString(". ")
+    Index.build(Seq((longText, "long.md")).toDF("text", "source"),
+      idx, provider, strategy = "simple")
+    val nChunks = spark.read.parquet(s"$idx/passages").count()
+    assert(nChunks > 1, "premise: the document must chunk into multiple passages")
+
+    Seq((longText, "resend.md"),               // exact duplicate of indexed doc
+        ("a brand new small doc", "new.md"))
+      .toDF("text", "source").write.parquet(s"$src/f1")
+    val schema = spark.read.parquet(s"$src/f1").schema
+    Streaming.runAvailableNow(Streaming.dedupIngest(
+      spark, s"$src/*", idx, schema, provider, s"$root/ckpt"))
+
+    val sources = spark.read.parquet(s"$idx/passages")
+      .select("metadata.source").as[String].distinct().collect().toSet
+    assert(sources == Set("long.md", "new.md"))
+    assert(Index.readMeta(idx).passageCount == nChunks + 1)
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val root = Files.createTempDirectory("graft-events").toString
     Seq(

@@ -53,6 +53,14 @@ for name, sql in sorted(oracle.items()):
     bad = False
     for c in g.columns:
         gv, wv = g[c], w[c]
+        # The driver hashes STRINGIFIED values: a DuckDB HUGEINT (e.g.
+        # sum() of integers) arrives as float64 and "5.0" != "5" even when
+        # numerically equal. Mirror that strictness here.
+        if gv.dtype.kind != wv.dtype.kind and "f" in (gv.dtype.kind, wv.dtype.kind):
+            bad = True
+            print(f"FAIL {name}.{c}: dtype kind {gv.dtype} (spark) vs {wv.dtype} (oracle)"
+                  " — int/float repr mismatch; CAST the oracle column")
+            continue
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             diff = (gv.astype(float) - wv.astype(float)).abs()
             if diff.max() > 0 or gv.isna().sum() != wv.isna().sum():
