@@ -19,6 +19,7 @@ import graft.functions.expressions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
+    e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     ()
   }
 }
@@ -42,6 +43,10 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), dotProductDescriptor._2, build _)
+    val rule = graft.plans.IvfTopKRewrite(spark)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfTopKRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
     ()
   }
 }

@@ -131,6 +131,26 @@ object SparkEntry {
       Knn.ivfTopK(emb, Knn.queryVector(emb, 0L), "label", nprobe = 4, k = 10)
     }),
 
+    "knn_ivf_plan" -> ((s, dir) => {
+      // The Catalyst-extension ANN path: the query is the NAIVE exact
+      // plan (scan, dot_product vs a literal query vector, ORDER BY
+      // DESC LIMIT k) over the IVF layout; graft.plans.IvfTopKRewrite
+      // injects the centroid pruning during optimization. Clusters are
+      // label-assigned (not KMeans) so the SQL oracle can reproduce the
+      // probe set — semantics identical to knn_ivf.
+      GraftExtensions.install(s)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfplan_${math.abs(dir.hashCode)}"
+      if (!new java.io.File(s"$out/centroids/_SUCCESS").exists()) {
+        val assigned = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), col("label").as("centroid_id"))
+        graft.pipeline.Index.writeIvfLayout(s, assigned, out)
+      }
+      s.conf.set("spark.graft.ivf.nprobe", "4")
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      graft.pipeline.Index.searchIvfDeclarative(s, out, qv, k = 10, idCol = "vec_id")
+    }),
+
     "knn_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 3)
@@ -429,6 +449,22 @@ private object OracleSql {
       |  JOIN sz sb ON id_b = sb.id)""".stripMargin
 
 
+  /** Label-clustered IVF probe + exact search within probed clusters
+    * (nprobe=4, k=10) — shared by knn_ivf and knn_ivf_plan. */
+  private val ivfOracle =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY 1, 2),
+      |cs AS (SELECT cluster, round(sum(cv * qv[pos]), 6) AS cscore FROM cent, q GROUP BY cluster),
+      |probed AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 4)
+      |SELECT e.vec_id, round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+      |FROM embeddings e, q
+      |WHERE e.label IN (SELECT cluster FROM probed)
+      |ORDER BY score DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -518,19 +554,11 @@ private object OracleSql {
         |ORDER BY score DESC, e.vec_id
         |LIMIT 10""".stripMargin,
 
-    "knn_ivf" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        |cent AS (
-        |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
-        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
-        |  GROUP BY 1, 2),
-        |cs AS (SELECT cluster, round(sum(cv * qv[pos]), 6) AS cscore FROM cent, q GROUP BY cluster),
-        |probed AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 4)
-        |SELECT e.vec_id, round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
-        |FROM embeddings e, q
-        |WHERE e.label IN (SELECT cluster FROM probed)
-        |ORDER BY score DESC, e.vec_id
-        |LIMIT 10""".stripMargin,
+    "knn_ivf" -> ivfOracle,
+
+    // The declarative-plan variant probes the same label clusters with
+    // the same nprobe/k — one oracle covers both.
+    "knn_ivf_plan" -> ivfOracle,
 
     "bm25_stats" ->
       s"""WITH $bm25Ctes

@@ -262,6 +262,15 @@ object Index {
                seed: Long = 42L): Unit = {
     val emb = spark.read.parquet(s"$dir/embeddings")
     val assigned = graft.operators.Knn.ivfAssign(emb, "embedding", numClusters, seed)
+    writeIvfLayout(spark, assigned, dir)
+  }
+
+  /** Write the IVF on-disk layout from a frame that already carries a
+    * `centroid_id` column: the embeddings table partitioned by cluster
+    * (so a cluster filter becomes Parquet partition pruning) plus the
+    * sibling `centroids` table (position-wise mean vector per cluster).
+    * This pair is the contract [[graft.plans.IvfTopKRewrite]] detects. */
+  def writeIvfLayout(spark: SparkSession, assigned: DataFrame, dir: String): Unit = {
     assigned.write.mode(SaveMode.Overwrite)
       .partitionBy("centroid_id").parquet(s"$dir/embeddings_ivf")
     spark.read.parquet(s"$dir/embeddings_ivf")
@@ -270,6 +279,24 @@ object Index {
       .groupBy("centroid_id", "pos")
       .agg(avg("v").as("cv"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+  }
+
+  /** The *declarative* IVF search: exactly the naive exact-top-k plan —
+    * scan, score by `dot_product` against a literal query vector, order
+    * desc, limit k. With [[graft.GraftExtensions]] installed, the
+    * [[graft.plans.IvfTopKRewrite]] optimizer rule turns it into the
+    * centroid-pruned scan that [[searchIvf]] constructs manually; without
+    * the extension it still returns correct exact-over-full-scan results,
+    * just without pruning. */
+  def searchIvfDeclarative(spark: SparkSession, dir: String,
+                           queryVec: Array[Float], k: Int,
+                           idCol: String = "id"): DataFrame = {
+    val qv = typedLit(queryVec.map(_.toDouble).toSeq)
+    spark.read.parquet(s"$dir/embeddings_ivf")
+      .select(col(idCol),
+        round(VectorFunctions.dot(col("embedding"), qv), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
   }
 
   /** IVF search against the partitioned layout: rank stored centroids,
