@@ -33,6 +33,29 @@ import graft.operators.{BM25, SmartChunker}
   */
 object Index {
 
+  /** Pool for submitting independent Spark jobs concurrently (writes of
+    * unrelated tables). Spark schedules jobs from multiple threads fine;
+    * on a busy cluster this overlaps the small jobs' scheduling + commit
+    * latency instead of paying it serially. Daemon threads: never blocks
+    * JVM exit. */
+  private lazy val ioPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-index-io")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Run independent job-submitting thunks concurrently; rethrows the
+    * first failure. */
+  private def inParallel(thunks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
+    ()
+  }
+
   /** Chunk a documents frame into passages (typed flatMap — T1-T3). */
   def chunkDocs(docs: DataFrame, textCol: String, sourceCol: String,
                 strategy: String = "auto", chunkSize: Int = 256,
@@ -66,13 +89,18 @@ object Index {
             sourceCol: String = "source"): IndexMeta = {
     val spark = docs.sparkSession
     val chunks = chunkDocs(docs, textCol, sourceCol, strategy).persist()
-    chunks.write.mode(SaveMode.Overwrite).parquet(s"$dir/passages")
-    embedChunks(chunks, provider)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings")
+    // Materialize the chunk cache once, then let the independent writes
+    // (passages, embeddings, doc fingerprints) run as concurrent jobs —
+    // they share the cached chunks and touch disjoint output tables.
     val n = chunks.count()
+    inParallel(
+      () => chunks.write.mode(SaveMode.Overwrite).parquet(s"$dir/passages"),
+      () => embedChunks(chunks, provider)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings"),
+      () => writeDocFps(docs, dir, textCol, SaveMode.Overwrite))
+    // Stats read the cached chunks directly — no passages re-read.
+    buildBm25Stats(spark, dir, Some(chunks.toDF()))
     chunks.unpersist()
-    writeDocFps(docs, dir, textCol, SaveMode.Overwrite)
-    buildBm25Stats(spark, dir)
     val cfg = ModelRegistry.getModelConfig(provider.modelName)
     val meta = IndexMeta(version = 1, backendName = "spark-exact",
       embeddingModel = provider.modelName, embeddingMode = "provider",
@@ -103,15 +131,20 @@ object Index {
     else Seq.empty[String].toDF("fp")
   }
 
-  /** Recompute and persist the BM25 statistics tables from passages. */
-  def buildBm25Stats(spark: SparkSession, dir: String): Unit = {
-    val passages = spark.read.parquet(s"$dir/passages")
+  /** Recompute and persist the BM25 statistics tables; `passagesOpt`
+    * short-circuits the passages re-read when the caller already holds
+    * the (cached) frame. The derived tables (dl, df, g) all read the
+    * just-written tf parquet, so they run as concurrent jobs. */
+  def buildBm25Stats(spark: SparkSession, dir: String,
+                     passagesOpt: Option[DataFrame] = None): Unit = {
+    val passages = passagesOpt.getOrElse(spark.read.parquet(s"$dir/passages"))
     val tf = BM25.termFrequencies(passages, "id", "text")
     tf.write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_tf")
     val tf2 = spark.read.parquet(s"$dir/bm25_tf")
-    BM25.docLengths(tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_dl")
-    BM25.docFrequencies(tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_df")
-    BM25.corpusStats(passages, tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_g")
+    inParallel(
+      () => BM25.docLengths(tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_dl"),
+      () => BM25.docFrequencies(tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_df"),
+      () => BM25.corpusStats(passages, tf2).write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_g"))
   }
 
   /** Incremental append (T7, ref `src/cli/update.rs`): chunk + embed the
@@ -126,10 +159,13 @@ object Index {
     // the chunk flatMap, and a re-executed non-deterministic source could
     // otherwise diverge between passages and embeddings.
     val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy).persist()
-    chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages")
-    embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings")
+    chunks.count() // materialize before the concurrent appends share it
+    inParallel(
+      () => chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages"),
+      () => embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings"),
+      () => writeDocFps(newDocs, dir, textCol, SaveMode.Append))
     chunks.unpersist()
-    writeDocFps(newDocs, dir, textCol, SaveMode.Append)
+    // Stats must cover the FULL table (old + new), so read it back.
     buildBm25Stats(spark, dir)
     val meta0 = readMeta(dir)
     val n = spark.read.parquet(s"$dir/passages").count()
