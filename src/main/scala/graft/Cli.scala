@@ -21,6 +21,7 @@ import graft.sources.FileIngest
   *   graft.Cli list
   *   graft.Cli remove <name>
   *   graft.Cli serve  <name> [--port 8080]
+  *   graft.Cli mcp    [--index <name>]        (MCP stdio transport)
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
   * provider defaults to the offline deterministic hash embedder
@@ -78,7 +79,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|update|prune|list|remove|serve> ...")
+    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|update|prune|list|remove|serve|mcp> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
       case "build" | "update" =>
@@ -149,6 +150,14 @@ object Cli {
         val name = pos.headOption.getOrElse(fail("usage: remove <index>"))
         if (Index.remove(warehouse, name)) println(s"removed '$name'")
         else fail(s"no index '$name' in $warehouse")
+
+      case "mcp" =>
+        // stdout carries only protocol frames; anything human goes to stderr.
+        val spark = session()
+        val srv = new graft.serve.McpServer(spark, warehouse, flags.get("index"), provider)
+        System.err.println(s"graft MCP server ready (stdio, warehouse $warehouse)")
+        srv.serve(System.in, System.out)
+        spark.stop()
 
       case "serve" =>
         val name = pos.headOption.getOrElse(fail("usage: serve <index> [--port N]"))

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.embedding.HashEmbedder
+import graft.pipeline.Index
+import graft.serve.{Json, McpServer}
+
+class McpServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft-mcp").toString
+    val docs = Seq(
+      ("spark shuffles data between stages", "a.md"),
+      ("parquet is a columnar file format", "b.md"),
+      ("the quick brown fox", "c.md")).toDF("text", "source")
+    Index.build(docs, s"$w/notes", new HashEmbedder(16), strategy = "simple")
+    w
+  }
+
+  private lazy val srv =
+    new McpServer(spark, warehouse, Some("notes"), new HashEmbedder(16))
+
+  private def call(line: String): Map[String, Any] =
+    Json.parseObject(srv.handleLine(line).get)
+
+  test("initialize advertises tools capability and echoes protocol version") {
+    val resp = call("""{"jsonrpc":"2.0","id":1,"method":"initialize",""" +
+      """"params":{"protocolVersion":"2025-03-26","capabilities":{}}}""")
+    assert(resp("id") == 1L)
+    val res = resp("result").asInstanceOf[Map[String, Any]]
+    assert(res("protocolVersion") == "2025-03-26")
+    assert(res("capabilities").asInstanceOf[Map[String, Any]].contains("tools"))
+    assert(res("serverInfo").asInstanceOf[Map[String, Any]]("name") == "graft-mcp")
+  }
+
+  test("notifications get no response") {
+    assert(srv.handleLine(
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+  }
+
+  test("tools/list returns search and list_indexes with schemas") {
+    val resp = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+    val tools = resp("result").asInstanceOf[Map[String, Any]]("tools")
+      .asInstanceOf[List[Map[String, Any]]]
+    assert(tools.map(_("name")).toSet == Set("search", "list_indexes"))
+    val search = tools.find(_("name") == "search").get
+    val schema = search("inputSchema").asInstanceOf[Map[String, Any]]
+    assert(schema("required") == List("query"))
+    assert(schema("properties").asInstanceOf[Map[String, Any]]
+      .keySet == Set("query", "index", "top_k", "filter", "hybrid"))
+  }
+
+  test("tools/call search returns reference-shaped markdown") {
+    val resp = call("""{"jsonrpc":"2.0","id":3,"method":"tools/call",""" +
+      """"params":{"name":"search","arguments":{"query":"columnar parquet","top_k":2}}}""")
+    val res = resp("result").asInstanceOf[Map[String, Any]]
+    assert(res("isError") == false)
+    val text = res("content").asInstanceOf[List[Map[String, Any]]].head("text")
+      .asInstanceOf[String]
+    assert(text.startsWith("## Search Results for \"columnar parquet\""))
+    assert(text.contains("Found 2 results in index 'notes'"))
+    assert(text.contains("### Result 1 (score:"))
+    assert(text.contains("**Source:** `"))
+  }
+
+  test("tools/call search honors a metadata filter") {
+    val resp = call("""{"jsonrpc":"2.0","id":4,"method":"tools/call",""" +
+      """"params":{"name":"search","arguments":{"query":"spark","top_k":3,""" +
+      """"filter":"source^a"}}}""")
+    val text = resp("result").asInstanceOf[Map[String, Any]]("content")
+      .asInstanceOf[List[Map[String, Any]]].head("text").asInstanceOf[String]
+    assert(text.contains("`a.md"))
+    assert(!text.contains("`b.md"))
+  }
+
+  test("tool errors come back as isError content, not protocol errors") {
+    val resp = call("""{"jsonrpc":"2.0","id":5,"method":"tools/call",""" +
+      """"params":{"name":"search","arguments":{"query":"x","index":"nope"}}}""")
+    val res = resp("result").asInstanceOf[Map[String, Any]]
+    assert(res("isError") == true)
+    val text = res("content").asInstanceOf[List[Map[String, Any]]].head("text")
+      .asInstanceOf[String]
+    assert(text.startsWith("Search error:"))
+  }
+
+  test("tools/call list_indexes lists the warehouse") {
+    val resp = call("""{"jsonrpc":"2.0","id":6,"method":"tools/call",""" +
+      """"params":{"name":"list_indexes","arguments":{}}}""")
+    val text = resp("result").asInstanceOf[Map[String, Any]]("content")
+      .asInstanceOf[List[Map[String, Any]]].head("text").asInstanceOf[String]
+    assert(text.contains("## Available Indexes") && text.contains("- notes"))
+  }
+
+  test("unknown method is a -32601 error; bad JSON is -32700") {
+    val e1 = call("""{"jsonrpc":"2.0","id":7,"method":"prompts/list"}""")
+    assert(e1("error").asInstanceOf[Map[String, Any]]("code") == -32601L)
+    val e2 = call("""{nope""")
+    assert(e2("error").asInstanceOf[Map[String, Any]]("code") == -32700L)
+    assert(e2("id") == null)
+  }
+
+  test("end-to-end over streams: newline-delimited frames") {
+    val in = new java.io.ByteArrayInputStream(
+      ("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""" + "\n" +
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""" + "\n" +
+        """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""" + "\n")
+        .getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    srv.serve(in, out)
+    val lines = out.toString("UTF-8").trim.split("\n")
+    assert(lines.length == 2) // notification produced no frame
+    assert(Json.parseObject(lines(0))("id") == 1L)
+    assert(Json.parseObject(lines(1))("id") == 2L)
+  }
+}
