@@ -148,9 +148,8 @@ object Index {
   }
 
   /** Incremental append (T7, ref `src/cli/update.rs`): chunk + embed the
-    * new documents, append to both tables, rebuild statistics (global df
-    * and avgdl shift with every append — a delta merge would be wrong),
-    * refresh meta. */
+    * new documents, append to both tables, merge the BM25 statistics
+    * incrementally (exact — counts compose), refresh meta. */
   def update(newDocs: DataFrame, dir: String, provider: EmbeddingProvider,
              strategy: String = "auto", textCol: String = "text",
              sourceCol: String = "source"): IndexMeta = {
@@ -164,14 +163,68 @@ object Index {
       () => chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages"),
       () => embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings"),
       () => writeDocFps(newDocs, dir, textCol, SaveMode.Append))
+    mergeBm25Stats(spark, dir, chunks.toDF())
     chunks.unpersist()
-    // Stats must cover the FULL table (old + new), so read it back.
-    buildBm25Stats(spark, dir)
     val meta0 = readMeta(dir)
     val n = spark.read.parquet(s"$dir/passages").count()
     val meta = meta0.copy(passageCount = n)
     writeMeta(dir, meta)
     meta
+  }
+
+  /** Exact incremental merge of the BM25 statistics for appended chunks.
+    * Per-document tables (tf, dl) simply append — appended passages have
+    * fresh ids; document frequencies merge by term (old + delta counts);
+    * the global row reuses the stored num_docs and re-sums dl for the
+    * token total. Cost is O(|delta| + |vocab| + |docs|) — never a
+    * re-tokenize of the corpus, which is the difference between appending
+    * to and rebuilding a 100 TB index. Identical output to a full
+    * rebuild (integer counts compose; avgdl divides the same integers).
+    * Falls back to a full rebuild if the stats tables don't exist. */
+  def mergeBm25Stats(spark: SparkSession, dir: String, newChunks: DataFrame): Unit = {
+    if (!new java.io.File(s"$dir/bm25_tf").exists() ||
+        !new java.io.File(s"$dir/bm25_g").exists()) {
+      buildBm25Stats(spark, dir)
+      return
+    }
+    val tfDelta = BM25.termFrequencies(newChunks, "id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaDocs = newChunks.count()
+    val oldNumDocs = spark.read.parquet(s"$dir/bm25_g")
+      .select(col("num_docs")).head.getLong(0)
+    // df merges by term: the only table whose rows change (not append),
+    // staged-overwritten because it feeds its own merge.
+    val mergedDf = spark.read.parquet(s"$dir/bm25_df")
+      .union(BM25.docFrequencies(tfDelta))
+      .groupBy("term").agg(sum("df").as("df"))
+    inParallel(
+      () => tfDelta.write.mode(SaveMode.Append).parquet(s"$dir/bm25_tf"),
+      () => BM25.docLengths(tfDelta).write.mode(SaveMode.Append).parquet(s"$dir/bm25_dl"),
+      () => overwriteStaged(mergedDf, s"$dir/bm25_df"))
+    tfDelta.unpersist()
+    // Global row last: total tokens re-summed from the merged dl table
+    // (integer-exact, no tokenize), docs counted forward from the old row.
+    val numDocs = oldNumDocs + deltaDocs
+    val totalTokens = spark.read.parquet(s"$dir/bm25_dl")
+      .agg(coalesce(sum("dl"), lit(0L))).head.getLong(0)
+    import spark.implicits._
+    Seq((numDocs, totalTokens.toDouble / numDocs)).toDF("num_docs", "avgdl")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_g")
+  }
+
+  /** Overwrite `dest` with `df` even though `df` reads from `dest`:
+    * write to a staging directory, then swap via the Hadoop FileSystem
+    * (works on HDFS/object stores with rename, not just local disk). */
+  private def overwriteStaged(df: DataFrame, dest: String): Unit = {
+    val staged = dest + ".staged"
+    df.write.mode(SaveMode.Overwrite).parquet(staged)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    fs.delete(destPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), destPath),
+      s"failed to swap staged table into $dest")
+    ()
   }
 
   /** Prune (T8, ref `src/cli/prune.rs`): drop the embeddings table; the

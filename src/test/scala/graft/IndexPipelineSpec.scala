@@ -76,6 +76,37 @@ class IndexPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/embeddings").count() == 5)
   }
 
+  test("incremental stats merge equals a full rebuild (multi-batch)") {
+    // Independent index: build with batch A, update with B then C (two
+    // merges), compare every stats table against a from-scratch build of
+    // A++B++C. Includes a token-less doc (counts toward num_docs only)
+    // and cross-batch term overlap (df must merge, not append).
+    val wh = Files.createTempDirectory("graft-merge").toString
+    val a = Seq(("spark executes distributed joins", "a1.md"),
+      ("... ...", "a2.md")) // tokenizer drops len<2 tokens -> zero tokens
+      .toDF("text", "source")
+    val b = Seq(("distributed joins shuffle data", "b1.md")).toDF("text", "source")
+    val c = Seq(("spark spark spark caching", "c1.md")).toDF("text", "source")
+
+    Index.build(a, s"$wh/inc", provider, strategy = "simple")
+    Index.update(b, s"$wh/inc", provider, strategy = "simple")
+    Index.update(c, s"$wh/inc", provider, strategy = "simple")
+    Index.build(a.union(b).union(c), s"$wh/full", provider, strategy = "simple")
+
+    def rows(d: String, t: String): Set[String] =
+      spark.read.parquet(s"$wh/$d/$t").collect().map(_.toString).toSet
+    // tf/dl keys embed the per-build chunk ids (source#idx) — comparable
+    // because ids derive from source, not a global counter.
+    for (t <- Seq("bm25_tf", "bm25_dl", "bm25_df", "bm25_g"))
+      assert(rows("inc", t) == rows("full", t), s"table $t diverged")
+    // and the query layer sees identical scores through either path
+    val qInc = Index.search(spark, s"$wh/inc", "distributed joins", provider,
+      topK = 3, hybrid = true).collect().map(_.toString).toSeq
+    val qFull = Index.search(spark, s"$wh/full", "distributed joins", provider,
+      topK = 3, hybrid = true).collect().map(_.toString).toSeq
+    assert(qInc == qFull)
+  }
+
   test("prune drops embeddings; search falls back to recompute") {
     built
     Index.update(Seq(("x y", "z.md")).toDF("text", "source"), dir, provider,
