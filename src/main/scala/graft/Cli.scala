@@ -22,6 +22,7 @@ import graft.sources.FileIngest
   *   graft.Cli remove <name>
   *   graft.Cli serve  <name> [--port 8080]
   *   graft.Cli mcp    [--index <name>]        (MCP stdio transport)
+  *   graft.Cli config [show|init|path] [--force]
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
   * provider defaults to the offline deterministic hash embedder
@@ -33,8 +34,12 @@ object Cli {
   private def warehouse: String =
     sys.env.getOrElse("GRAFT_WAREHOUSE", "graft-warehouse")
 
+  private lazy val config: Config = Config.load()
+
+  /** Precedence: $GRAFT_EMBED_DIMS > config [embedding].dims > 64. */
   private def provider: EmbeddingProvider =
-    new HashEmbedder(sys.env.getOrElse("GRAFT_EMBED_DIMS", "64").toInt)
+    new HashEmbedder(sys.env.get("GRAFT_EMBED_DIMS").map(_.toInt)
+      .getOrElse(config.embedding.dims))
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -55,7 +60,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid")
+    val boolFlags = Set("--hybrid", "--force")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -79,21 +84,32 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|update|prune|list|remove|serve|mcp> ...")
+    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|update|prune|list|remove|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
       case "build" | "update" =>
         val docsDir = flags.getOrElse("docs", fail("--docs <dir> required"))
         val name = flags.getOrElse("index", fail("--index <name> required"))
+        // Flags win over config-file values, config over defaults
+        // (matching the reference's flag/config precedence).
+        val chunkSize = flags.get("chunk-size").map(_.toInt)
+          .getOrElse(config.build.chunkSize)
+        val chunkOverlap = flags.get("chunk-overlap").map(_.toInt)
+          .getOrElse(config.build.chunkOverlap)
         val spark = session()
-        val docs = FileIngest.readDocuments(spark, docsDir)
+        val docs = FileIngest.readDocuments(spark, docsDir,
+          extensions = config.build.fileTypes
+            .getOrElse(FileIngest.defaultExtensions),
+          maxFileSizeKb = config.build.maxFileSizeKb)
         val dir = s"$warehouse/$name"
         val meta =
           if (args.head == "build")
             Index.build(docs, dir, provider,
-              strategy = flags.getOrElse("strategy", "auto"))
+              strategy = flags.getOrElse("strategy", "auto"),
+              chunkSize = chunkSize, chunkOverlap = chunkOverlap)
           else Index.update(docs, dir, provider,
-            strategy = flags.getOrElse("strategy", "auto"))
+            strategy = flags.getOrElse("strategy", "auto"),
+            chunkSize = chunkSize, chunkOverlap = chunkOverlap)
         println(s"${args.head}: index '$name' at $dir — " +
           s"${meta.passageCount} passages, ${meta.dimensions} dims")
         spark.stop()
@@ -150,6 +166,22 @@ object Cli {
         val name = pos.headOption.getOrElse(fail("usage: remove <index>"))
         if (Index.remove(warehouse, name)) println(s"removed '$name'")
         else fail(s"no index '$name' in $warehouse")
+
+      case "config" =>
+        pos.headOption match {
+          case Some("show") | None =>
+            println(Config.show(config, Config.configPath))
+          case Some("path") =>
+            println(Config.configPath)
+          case Some("init") =>
+            Config.init(Config.configPath, force = flags.contains("force")) match {
+              case Left(msg) => fail(msg)
+              case Right(p) =>
+                println(s"Created config file at $p")
+                println("Edit it to customize embedding dims and build defaults.")
+            }
+          case Some(other) => fail(s"unknown config subcommand '$other' (show|init|path)")
+        }
 
       case "mcp" =>
         // stdout carries only protocol frames; anything human goes to stderr.

@@ -86,9 +86,11 @@ object Index {
   /** Build an index directory from a documents frame. Returns the meta. */
   def build(docs: DataFrame, dir: String, provider: EmbeddingProvider,
             strategy: String = "auto", textCol: String = "text",
-            sourceCol: String = "source"): IndexMeta = {
+            sourceCol: String = "source", chunkSize: Int = 256,
+            chunkOverlap: Int = 128): IndexMeta = {
     val spark = docs.sparkSession
-    val chunks = chunkDocs(docs, textCol, sourceCol, strategy).persist()
+    val chunks = chunkDocs(docs, textCol, sourceCol, strategy,
+      chunkSize, chunkOverlap).persist()
     // Materialize the chunk cache once, then let the independent writes
     // (passages, embeddings, doc fingerprints) run as concurrent jobs —
     // they share the cached chunks and touch disjoint output tables.
@@ -152,12 +154,14 @@ object Index {
     * incrementally (exact — counts compose), refresh meta. */
   def update(newDocs: DataFrame, dir: String, provider: EmbeddingProvider,
              strategy: String = "auto", textCol: String = "text",
-             sourceCol: String = "source"): IndexMeta = {
+             sourceCol: String = "source", chunkSize: Int = 256,
+             chunkOverlap: Int = 128): IndexMeta = {
     val spark = newDocs.sparkSession
     // Persisted for the same reason as build(): both table writes consume
     // the chunk flatMap, and a re-executed non-deterministic source could
     // otherwise diverge between passages and embeddings.
-    val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy).persist()
+    val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy,
+      chunkSize, chunkOverlap).persist()
     chunks.count() // materialize before the concurrent appends share it
     inParallel(
       () => chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages"),
