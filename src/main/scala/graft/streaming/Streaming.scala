@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -91,6 +91,84 @@ object Streaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value")).as("total"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** One user's open session: epoch-micros bounds + event count. */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** A closed session emitted downstream. */
+  final case class ClosedSession(user_id: String, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization with *custom state* (M8): gap-based
+    * sessions per user via `flatMapGroupsWithState` — the streaming
+    * analog of the `events_sessionize` batch query (same 30-minute-gap,
+    * strictly-greater semantics). Each user's state is one `OpenSession`
+    * (constant size); an incoming event either extends it or closes it
+    * (the closed session is emitted) and opens the next. Event-time
+    * timeout closes sessions of idle users once the watermark passes
+    * `last + gap`, so state is reclaimed and the operator runs bounded
+    * at any scale — the property the batch lag/window formulation can't
+    * give an unbounded stream. Partitioning is the groupByKey shuffle on
+    * `user_id`; within a micro-batch events are folded in (ts, event_id)
+    * order for determinism. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+
+    def toTs(us: Long) = new java.sql.Timestamp(us / 1000)
+    // micros precision: getTime carries millis; getNanos the fraction
+    def toUs(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+    def fold(userId: String, batch: Iterator[(String, java.sql.Timestamp, Long)],
+             state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.n))
+      } else {
+        val closed = Seq.newBuilder[ClosedSession]
+        var open = state.getOption
+        batch.toSeq.map(e => (toUs(e._2), e._3)).sorted.foreach { case (us, _) =>
+          open match {
+            case Some(s) if us - s.lastUs > gapUs =>
+              closed += ClosedSession(userId, toTs(s.startUs), toTs(s.lastUs), s.n)
+              open = Some(OpenSession(us, us, 1))
+            case Some(s) =>
+              open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+            case None =>
+              open = Some(OpenSession(us, us, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          // Close once the watermark passes the session's gap horizon;
+          // clamped because setting a timeout at/behind the current
+          // watermark throws (a late-arriving event can open a session
+          // whose horizon is already past — it closes next batch).
+          state.setTimeoutTimestamp(math.max(
+            s.lastUs / 1000 + gapUs / 1000,
+            state.getCurrentWatermarkMs() + 1))
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      // NB: `ts` stays a TIMESTAMP column into the stateful operator —
+      // the watermark tag rides on it, and EventTimeTimeout requires a
+      // watermarked column in the operator's input.
+      .select(col("user_id").cast("string").as("user_id"),
+        col("ts"),
+        col("event_id").cast("long").as("event_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
 
   /** Run a streaming query to completion over whatever data is currently
     * available (test/backfill helper). */

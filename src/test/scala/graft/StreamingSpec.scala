@@ -95,6 +95,52 @@ class StreamingSpec extends SparkSpec {
     assert(Index.readMeta(idx).passageCount == nChunks + 1)
   }
 
+  test("stateful streaming sessionization (flatMapGroupsWithState)") {
+    val root = Files.createTempDirectory("graft-sess").toString
+    def ev(ts: String, user: String, id: Long) = (ts, user, id)
+    // Batch 1: alice has two sessions separated by >30min *within* the
+    // batch (closed inline); bob has one open session.
+    Seq(
+      ev("2024-01-01 00:00:00", "alice", 1),
+      ev("2024-01-01 00:10:00", "alice", 2),
+      ev("2024-01-01 01:00:00", "alice", 3), // 50min gap -> new session
+      ev("2024-01-01 00:05:00", "bob", 4))
+      .toDF("ts_s", "user_id", "event_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"), col("event_id"))
+      .coalesce(1) // one part file: maxFilesPerTrigger batches per FILE
+      .write.parquet(s"$root/ev/f1")
+    // Batch 2: a far-future event advances the watermark past every
+    // open session's gap horizon, so the event-time timeouts fire.
+    Seq(ev("2024-01-02 12:00:00", "carol", 5))
+      .toDF("ts_s", "user_id", "event_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"), col("event_id"))
+      .coalesce(1)
+      .write.parquet(s"$root/ev/f2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/ev/f1").schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(s"$root/ev/*")
+    val q = Streaming.sessionizeStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("sessout")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("sessout")
+      .select(col("user_id"), date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+      .as[(String, String, String, Long)].collect().toSet
+    // alice session 1 closed by the in-batch gap; alice session 2 and
+    // bob's closed by watermark timeout. carol's stays open (no later
+    // watermark) — correctly NOT emitted.
+    assert(got == Set(
+      ("alice", "00:00", "00:10", 2L),
+      ("alice", "01:00", "01:00", 1L),
+      ("bob", "00:05", "00:05", 1L)))
+  }
+
   test("watermarked windowed aggregation over an event stream") {
     val root = Files.createTempDirectory("graft-events").toString
     Seq(
