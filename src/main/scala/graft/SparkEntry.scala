@@ -265,6 +265,19 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // ----- corpus profiling (exact oracle tier + sketch tier) -----
+    "q_percentiles" -> ((s, dir) => {
+      graft.operators.Profile.exactPercentiles(Tables.documents(s, dir))
+    }),
+
+    // Sketch tier: HLL++ distinct + approximate quantiles — constant
+    // state per group, no SQL-portable oracle (sketch algorithms differ
+    // across engines) → driver records the rows-only check; ProfileSpec
+    // bounds the sketches against the exact tier.
+    "corpus_profile" -> ((s, dir) => {
+      graft.operators.Profile.corpusProfile(Tables.documents(s, dir))
+    }),
+
     // ----- multimodal: binary columns with byte-level stats -----
     "multimodal_stats" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -741,6 +754,14 @@ private object OracleSql {
         |FROM h
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       quantile_cont(n_chars, 0.5) AS p50_chars,
+        |       quantile_cont(n_chars, 0.95) AS p95_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "multimodal_stats" ->
       """SELECT doc_id, octet_length(text::BLOB) AS size_bytes, md5(text) AS digest

@@ -13,7 +13,8 @@ object ExplainDrive {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q3_join", "knn_filtered", "knn_ivf", "filter_dsl", "bm25_topk")
+      else Seq("q3_join", "knn_filtered", "knn_ivf", "knn_ivf_plan",
+        "filter_dsl", "bm25_topk")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
