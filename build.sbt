@@ -15,6 +15,9 @@ run / fork := true
 // of through sbt's logger: no "[info] " prefix on the Bench JSON line (the
 // driver parses it), and `sbt --error` no longer swallows forked stdout.
 run / outputStrategy := Some(StdoutOutput)
+// Forward this process's stdin to the forked app — the MCP stdio
+// transport (graft.Cli mcp) reads JSON-RPC frames from it.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -16,6 +16,7 @@ import graft.sources.FileIngest
   *   graft.Cli search <name> <query> [--top-k 5] [--filter <dsl>]
   *                    [--hybrid] [--alpha 0.7]
   *   graft.Cli ask    <name> <question> [--top-k 5]
+  *   graft.Cli react  <name> <question> [--top-k 3] [--max-steps 5]
   *   graft.Cli update --docs <dir> --index <name>
   *   graft.Cli prune  <name>
   *   graft.Cli list
@@ -84,7 +85,7 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|update|prune|list|remove|serve|mcp|config> ...")
+    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|react|update|prune|list|remove|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
       case "build" | "update" =>
@@ -143,6 +144,20 @@ object Cli {
         val spark = session()
         println(graft.llm.Rag.ask(spark, dir, question, provider,
           new SimulatedLlm("cli"), topK = flags.get("top-k").map(_.toInt).getOrElse(5)))
+        spark.stop()
+
+      case "react" =>
+        val (name, question) = pos match {
+          case Seq(n, q, _*) => (n, q)
+          case _ => fail("usage: react <index> <question> [--top-k N] [--max-steps N]")
+        }
+        val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
+        val spark = session()
+        val agent = new graft.llm.ReactAgent(spark, dir, provider,
+          new SimulatedLlm("cli"),
+          topK = flags.get("top-k").map(_.toInt).getOrElse(3),
+          maxSteps = flags.get("max-steps").map(_.toInt).getOrElse(5))
+        println(agent.run(question))
         spark.stop()
 
       case "prune" =>

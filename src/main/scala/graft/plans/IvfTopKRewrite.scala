@@ -87,7 +87,8 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     lr.relation match {
       case fs: HadoopFsRelation
           if fs.partitionSchema.fieldNames.contains("centroid_id") &&
-            fs.location.rootPaths.nonEmpty =>
+            fs.location.rootPaths.nonEmpty &&
+            fs.location.rootPaths.head.getParent != null =>
         val sibling = new Path(fs.location.rootPaths.head.getParent, "centroids")
         val hfs = sibling.getFileSystem(spark.sessionState.newHadoopConf())
         if (hfs.exists(sibling)) Some(fs) else None
