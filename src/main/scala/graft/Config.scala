@@ -44,8 +44,9 @@ object Config {
     val t = parseToml(text)
     def str(sec: String, k: String): Option[String] =
       t.getOrElse(sec, Map.empty).get(k).collect { case s: String => s }
-    def int(sec: String, k: String): Option[Int] =
-      t.getOrElse(sec, Map.empty).get(k).collect { case l: Long => l.toInt }
+    def long(sec: String, k: String): Option[Long] =
+      t.getOrElse(sec, Map.empty).get(k).collect { case l: Long => l }
+    def int(sec: String, k: String): Option[Int] = long(sec, k).map(_.toInt)
     def arr(sec: String, k: String): Option[Seq[String]] =
       t.getOrElse(sec, Map.empty).get(k).collect {
         case xs: Seq[_] => xs.map(String.valueOf) }
@@ -57,7 +58,8 @@ object Config {
       build = BuildConfig(
         chunkSize = int("build", "chunk_size").getOrElse(256),
         chunkOverlap = int("build", "chunk_overlap").getOrElse(128),
-        maxFileSizeKb = int("build", "max_file_size_kb").map(_.toLong).getOrElse(1024L),
+        // stays Long end-to-end: a multi-TB cap must not wrap through Int
+        maxFileSizeKb = long("build", "max_file_size_kb").getOrElse(1024L),
         fileTypes = arr("build", "file_types")))
   }
 
@@ -90,7 +92,11 @@ object Config {
     var done = false
     while (i < line.length && !done) {
       val c = line.charAt(i)
-      if (c == '"') { inStr = !inStr; b += c }
+      if (inStr && c == '\\' && i + 1 < line.length) {
+        // escaped char inside a string (e.g. \") never toggles inStr
+        b += c; b += line.charAt(i + 1); i += 1
+      }
+      else if (c == '"') { inStr = !inStr; b += c }
       else if (c == '#' && !inStr) done = true
       else b += c
       i += 1
@@ -152,7 +158,8 @@ object Config {
     if (Files.exists(path) && !force)
       Left(s"Config file already exists at $path. Use --force to overwrite.")
     else {
-      Files.createDirectories(path.getParent)
+      // a bare relative filename has no parent directory to create
+      Option(path.getParent).foreach(Files.createDirectories(_))
       Files.writeString(path, exampleToml)
       Right(path)
     }

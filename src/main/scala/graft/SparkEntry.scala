@@ -139,7 +139,10 @@ object SparkEntry {
       // label-assigned (not KMeans) so the SQL oracle can reproduce the
       // probe set — semantics identical to knn_ivf.
       GraftExtensions.install(s)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfplan_${math.abs(dir.hashCode)}"
+      // Layout cache keyed by (path, source mtime): regenerated testdata
+      // at the same path must not reuse a stale layout.
+      val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfplan_${math.abs(dir.hashCode)}_$mtime"
       if (!new java.io.File(s"$out/centroids/_SUCCESS").exists()) {
         val assigned = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"), col("label").as("centroid_id"))

@@ -42,55 +42,29 @@ final case class IndexMeta(
     queryPromptTemplate: String,
     buildPromptTemplate: String) {
 
-  def toJson: String = {
-    def q(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    s"""{"version":$version,"backend_name":${q(backendName)},""" +
-      s""""embedding_model":${q(embeddingModel)},"embedding_mode":${q(embeddingMode)},""" +
-      s""""dimensions":$dimensions,"passage_count":$passageCount,""" +
-      s""""is_recompute":$isRecompute,"is_pruned":$isPruned,""" +
-      s""""query_prompt_template":${q(queryPromptTemplate)},""" +
-      s""""build_prompt_template":${q(buildPromptTemplate)}}"""
-  }
+  def toJson: String =
+    graft.util.Json.write(scala.collection.immutable.ListMap(
+      "version" -> version,
+      "backend_name" -> backendName,
+      "embedding_model" -> embeddingModel,
+      "embedding_mode" -> embeddingMode,
+      "dimensions" -> dimensions,
+      "passage_count" -> passageCount,
+      "is_recompute" -> isRecompute,
+      "is_pruned" -> isPruned,
+      "query_prompt_template" -> queryPromptTemplate,
+      "build_prompt_template" -> buildPromptTemplate))
 }
 
 object IndexMeta {
-  /** Minimal JSON field extraction for our own sidecar format (flat
-    * object, no nesting). */
+  /** Parse the sidecar through the shared [[graft.util.Json]] parser —
+    * one escape/unescape implementation for the whole engine. Missing
+    * keys default (serde-style) rather than fail. */
   def fromJson(json: String): IndexMeta = {
-    // Single-pass unescape mirroring toJson's escaping (\" \\ \n \r \t
-    // \uXXXX). Chained .replace calls would mis-handle sequences like a
-    // literal backslash followed by 'n'.
-    def unescape(s: String): String = {
-      val b = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) {
-          s.charAt(i + 1) match {
-            case 'n' => b += '\n'; i += 2
-            case 'r' => b += '\r'; i += 2
-            case 't' => b += '\t'; i += 2
-            case 'u' if i + 5 < s.length =>
-              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
-              i += 6
-            case other => b += other; i += 2
-          }
-        } else { b += c; i += 1 }
-      }
-      b.result()
-    }
-    def str(k: String): String = {
-      val m = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(json)
-      m.map(m0 => unescape(m0.group(1))).getOrElse("")
-    }
-    def num(k: String): Long = ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r
-      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
-    def bool(k: String): Boolean = ("\"" + k + "\"\\s*:\\s*(true|false)").r
-      .findFirstMatchIn(json).exists(_.group(1) == "true")
+    val m = graft.util.Json.parseObject(json)
+    def str(k: String): String = m.get(k).map(String.valueOf).getOrElse("")
+    def num(k: String): Long = m.get(k).collect { case l: Long => l }.getOrElse(0L)
+    def bool(k: String): Boolean = m.get(k).contains(true)
     IndexMeta(num("version").toInt, str("backend_name"), str("embedding_model"),
       str("embedding_mode"), num("dimensions").toInt, num("passage_count"),
       bool("is_recompute"), bool("is_pruned"),

@@ -89,20 +89,25 @@ object Index {
             sourceCol: String = "source", chunkSize: Int = 256,
             chunkOverlap: Int = 128): IndexMeta = {
     val spark = docs.sparkSession
-    val chunks = chunkDocs(docs, textCol, sourceCol, strategy,
+    // One persisted snapshot of the source feeds chunking AND the doc
+    // fingerprints — a non-deterministic source re-evaluated twice could
+    // otherwise fingerprint text that was never indexed.
+    val src = snapshotSource(docs, textCol, sourceCol)
+    val chunks = chunkDocs(src, "text", "source", strategy,
       chunkSize, chunkOverlap).persist()
     // Materialize the chunk cache once, then let the independent writes
     // (passages, embeddings, doc fingerprints) run as concurrent jobs —
-    // they share the cached chunks and touch disjoint output tables.
+    // they share the cached frames and touch disjoint output tables.
     val n = chunks.count()
     inParallel(
       () => chunks.write.mode(SaveMode.Overwrite).parquet(s"$dir/passages"),
       () => embedChunks(chunks, provider)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings"),
-      () => writeDocFps(docs, dir, textCol, SaveMode.Overwrite))
+      () => writeDocFps(src, dir, "text", SaveMode.Overwrite))
     // Stats read the cached chunks directly — no passages re-read.
     buildBm25Stats(spark, dir, Some(chunks.toDF()))
     chunks.unpersist()
+    src.unpersist()
     val cfg = ModelRegistry.getModelConfig(provider.modelName)
     val meta = IndexMeta(version = 1, backendName = "spark-exact",
       embeddingModel = provider.modelName, embeddingMode = "provider",
@@ -112,6 +117,14 @@ object Index {
     writeMeta(dir, meta)
     meta
   }
+
+  /** Persisted (text, source) snapshot of an input documents frame, so
+    * every consumer in a build/update sees the same evaluation of a
+    * possibly non-deterministic source. */
+  private def snapshotSource(docs: DataFrame, textCol: String,
+                             sourceCol: String): DataFrame =
+    docs.select(col(textCol).as("text"), col(sourceCol).cast("string").as("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Sidecar table of *source-document* fingerprints (`<dir>/doc_fps`).
     * Passage fingerprints can't answer "was this document ingested?" —
@@ -124,12 +137,19 @@ object Index {
       .distinct()
       .write.mode(mode).parquet(s"$dir/doc_fps")
 
-  /** The stored document-fingerprint set, empty if the sidecar is absent
-    * (e.g. an index built by an older version). */
+  /** The stored document-fingerprint set. When the sidecar is absent
+    * (an index built by an older version), falls back to fingerprinting
+    * the stored passages — weaker (only single-chunk documents can
+    * match) but never a silent no-op; the sidecar is written on the
+    * next build/update. */
   def docFps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     if (new java.io.File(s"$dir/doc_fps").exists())
       spark.read.parquet(s"$dir/doc_fps")
+    else if (new java.io.File(s"$dir/passages").exists())
+      spark.read.parquet(s"$dir/passages")
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .distinct()
     else Seq.empty[String].toDF("fp")
   }
 
@@ -151,24 +171,50 @@ object Index {
 
   /** Incremental append (T7, ref `src/cli/update.rs`): chunk + embed the
     * new documents, append to both tables, merge the BM25 statistics
-    * incrementally (exact — counts compose), refresh meta. */
+    * incrementally (exact — counts compose), refresh meta.
+    *
+    * Chunk ids are deterministic (`source#idx`), so re-delivering an
+    * already-indexed source would duplicate ids in every table and skew
+    * the merged statistics; an anti join against the existing passage
+    * ids drops colliding chunks first (first write wins — the id-level
+    * idempotency guard under the content-level [[docFps]] gate). */
   def update(newDocs: DataFrame, dir: String, provider: EmbeddingProvider,
              strategy: String = "auto", textCol: String = "text",
              sourceCol: String = "source", chunkSize: Int = 256,
              chunkOverlap: Int = 128): IndexMeta = {
     val spark = newDocs.sparkSession
-    // Persisted for the same reason as build(): both table writes consume
-    // the chunk flatMap, and a re-executed non-deterministic source could
-    // otherwise diverge between passages and embeddings.
-    val chunks = chunkDocs(newDocs, textCol, sourceCol, strategy,
-      chunkSize, chunkOverlap).persist()
-    chunks.count() // materialize before the concurrent appends share it
-    inParallel(
-      () => chunks.write.mode(SaveMode.Append).parquet(s"$dir/passages"),
-      () => embedChunks(chunks, provider).write.mode(SaveMode.Append).parquet(s"$dir/embeddings"),
-      () => writeDocFps(newDocs, dir, textCol, SaveMode.Append))
-    mergeBm25Stats(spark, dir, chunks.toDF())
-    chunks.unpersist()
+    import spark.implicits._
+    // Snapshot + persist for the same reason as build(): several
+    // consumers, and a re-executed non-deterministic source could
+    // otherwise diverge between passages, embeddings and fingerprints.
+    val src = snapshotSource(newDocs, textCol, sourceCol)
+    // The fresh-chunk set is MATERIALIZED to a staging dir before
+    // anything is appended: its plan reads the passages table (the anti
+    // join), and appending to passages invalidates/recomputes any
+    // cached plan over it (refreshByPath) — a persisted frame would
+    // silently re-evaluate against the post-append table and drop its
+    // own rows. Reading the staged parquet cuts that lineage; the
+    // passages "append" itself is then just moving the staged files in.
+    val staging = s"$dir/passages.delta"
+    chunkDocs(src, "text", "source", strategy, chunkSize, chunkOverlap)
+      .join(spark.read.parquet(s"$dir/passages").select("id"), Seq("id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val fresh = spark.read.parquet(staging)
+    val nFresh = fresh.count()
+    if (nFresh > 0) {
+      inParallel(
+        () => embedChunks(fresh.as[Chunk], provider)
+          .write.mode(SaveMode.Append).parquet(s"$dir/embeddings"),
+        () => writeDocFps(src, dir, "text", SaveMode.Append))
+      mergeBm25Stats(spark, dir, fresh)
+      moveTableFiles(spark, staging, s"$dir/passages")
+    } else {
+      // No fresh passages — still record the doc fingerprints (the docs
+      // ARE in the index; this also upgrades pre-sidecar indexes).
+      writeDocFps(src, dir, "text", SaveMode.Append)
+      deleteDir(spark, staging)
+    }
+    src.unpersist()
     val meta0 = readMeta(dir)
     val n = spark.read.parquet(s"$dir/passages").count()
     val meta = meta0.copy(passageCount = n)
@@ -214,6 +260,32 @@ object Index {
     import spark.implicits._
     Seq((numDocs, totalTokens.toDouble / numDocs)).toDF("num_docs", "avgdl")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_g")
+  }
+
+  /** Move a staged table's data files into `dest` (a Parquet-append by
+    * rename — no data rewrite) and drop the staging dir. Part-file
+    * names carry UUIDs, so no collisions. */
+  private def moveTableFiles(spark: SparkSession, staging: String,
+                             dest: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    fs.listStatus(stagingPath).filter(_.getPath.getName.startsWith("part-"))
+      .foreach { f =>
+        require(fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
+          s"failed to move ${f.getPath} into $dest")
+      }
+    fs.delete(stagingPath, true)
+    // drop any stale cached listing of the grown table
+    spark.catalog.refreshByPath(dest)
+    ()
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
   }
 
   /** Overwrite `dest` with `df` even though `df` reads from `dest`:

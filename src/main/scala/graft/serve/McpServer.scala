@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.embedding.EmbeddingProvider
 import graft.pipeline.Index
+import graft.util.Json
 
 /** MCP (Model Context Protocol) server over stdio — the reference's
   * `leann mcp` surface (`src/cli/mcp.rs:79-316`) re-expressed over the
@@ -30,6 +31,10 @@ final class McpServer(spark: SparkSession, warehouse: String,
                       defaultIndex: Option[String],
                       provider: EmbeddingProvider) {
 
+  /** Protocol revisions whose initialize/tools surface we implement;
+    * an unknown requested version gets our latest supported one back
+    * (per spec — never echo a version we don't actually speak). */
+  private val supportedVersions = Set("2024-11-05", "2025-03-26", "2025-06-18")
   private val protocolVersion = "2024-11-05"
 
   /** Serve until EOF on `in` — one JSON-RPC message per line. */
@@ -77,8 +82,8 @@ final class McpServer(spark: SparkSession, warehouse: String,
       "error" -> Map("code" -> code, "message" -> message)))
 
   private def initializeResult(params: Map[String, Any]): Map[String, Any] = Map(
-    // Echo a mutually-supported protocol version (we speak one).
-    "protocolVersion" -> params.getOrElse("protocolVersion", protocolVersion),
+    "protocolVersion" -> params.get("protocolVersion").map(String.valueOf)
+      .filter(supportedVersions.contains).getOrElse(protocolVersion),
     "capabilities" -> Map("tools" -> Map.empty[String, Any]),
     "serverInfo" -> Map(
       "name" -> "graft-mcp",

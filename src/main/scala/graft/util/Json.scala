@@ -1,4 +1,4 @@
-package graft.serve
+package graft.util
 
 /** Minimal JSON parser/writer for the serving layer (MCP requests are
   * nested — `params.arguments.query` — so the flat regex field pulls of

@@ -86,12 +86,16 @@ class IndexPipelineSpec extends SparkSpec {
       ("... ...", "a2.md")) // tokenizer drops len<2 tokens -> zero tokens
       .toDF("text", "source")
     val b = Seq(("distributed joins shuffle data", "b1.md")).toDF("text", "source")
-    val c = Seq(("spark spark spark caching", "c1.md")).toDF("text", "source")
+    // c re-delivers a1.md: the id anti-join must drop its chunks so the
+    // stats don't double-count (first write wins).
+    val c = Seq(("spark spark spark caching", "c1.md"),
+      ("spark executes distributed joins", "a1.md")).toDF("text", "source")
+    val cFresh = Seq(("spark spark spark caching", "c1.md")).toDF("text", "source")
 
     Index.build(a, s"$wh/inc", provider, strategy = "simple")
     Index.update(b, s"$wh/inc", provider, strategy = "simple")
     Index.update(c, s"$wh/inc", provider, strategy = "simple")
-    Index.build(a.union(b).union(c), s"$wh/full", provider, strategy = "simple")
+    Index.build(a.union(b).union(cFresh), s"$wh/full", provider, strategy = "simple")
 
     def rows(d: String, t: String): Set[String] =
       spark.read.parquet(s"$wh/$d/$t").collect().map(_.toString).toSet

@@ -4,7 +4,8 @@ import java.nio.file.Files
 
 import graft.embedding.HashEmbedder
 import graft.pipeline.Index
-import graft.serve.{Json, McpServer}
+import graft.serve.McpServer
+import graft.util.Json
 
 class McpServerSpec extends SparkSpec {
   import spark.implicits._
