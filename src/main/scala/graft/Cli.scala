@@ -24,6 +24,7 @@ import graft.sources.FileIngest
   *   graft.Cli serve  <name> [--port 8080]
   *   graft.Cli mcp    [--index <name>]        (MCP stdio transport)
   *   graft.Cli config [show|init|path] [--force]
+  *   graft.Cli compact <name>                 (small-file compaction)
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
   * provider defaults to the offline deterministic hash embedder
@@ -181,6 +182,17 @@ object Cli {
         val name = pos.headOption.getOrElse(fail("usage: remove <index>"))
         if (Index.remove(warehouse, name)) println(s"removed '$name'")
         else fail(s"no index '$name' in $warehouse")
+
+      case "compact" =>
+        val name = pos.headOption.getOrElse(fail("usage: compact <index>"))
+        Index.locate(warehouse, name) match {
+          case None => fail(s"no index '$name' in $warehouse")
+          case Some(dir) =>
+            val spark = session()
+            Index.compact(spark, dir)
+            println(s"compact: rewrote '$name' tables to target file size")
+            spark.stop()
+        }
 
       case "config" =>
         pos.headOption match {

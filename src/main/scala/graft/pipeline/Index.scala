@@ -303,6 +303,66 @@ object Index {
     ()
   }
 
+  /** Compact an index's tables: micro-batch ingest (`Streaming.
+    * indexIngest` / repeated `update`) accumulates one small file per
+    * batch, and at scale the file count — not the byte count — becomes
+    * the scan bottleneck (task-per-file scheduling, footer reads, NN
+    * pressure). Rewrites each table to ~`targetFileBytes` files via the
+    * staged swap; row content is unchanged. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val tables = Seq("passages", "embeddings", "bm25_tf", "bm25_dl",
+      "bm25_df", "doc_fps")
+    tables.foreach { t =>
+      val path = s"$dir/$t"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) {
+        val bytes = fs.listStatus(p)
+          .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+        val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        overwriteStaged(spark.read.parquet(path).repartition(nFiles), path)
+      }
+    }
+  }
+
+  /** Incremental IVF maintenance: assign embeddings not yet in the IVF
+    * layout to their nearest EXISTING centroid (squared-L2, matching
+    * KMeans assignment) and append them to the partitioned table — the
+    * reference's "add to index" without a full re-cluster. Centroids
+    * are left in place: assignment quality degrades only as the data
+    * distribution drifts; re-run [[buildIvf]] to re-center. Staged
+    * through a flat dir because the fresh-row set is computed BY an
+    * anti join against the table being appended (same lineage trap as
+    * `update`). */
+  def appendIvf(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val ivfPath = s"$dir/embeddings_ivf"
+    // (K x dims) centroid vectors reassembled from the position-wise table
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .groupBy("centroid_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+    val fresh = spark.read.parquet(s"$dir/embeddings")
+      .join(spark.read.parquet(ivfPath).select("id"), Seq("id"), "left_anti")
+    val w = Window.partitionBy("id").orderBy(col("d"), col("centroid_id"))
+    val staging = s"$dir/embeddings_ivf.delta"
+    fresh.crossJoin(broadcast(cents))
+      .select(col("id"), col("embedding"), col("centroid_id"),
+        VectorFunctions.l2DistanceSq(col("embedding"), col("cvec")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("embedding"), col("centroid_id"))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val n = staged.count()
+    if (n > 0)
+      staged.write.mode(SaveMode.Append).partitionBy("centroid_id").parquet(ivfPath)
+    deleteDir(spark, staging)
+    spark.catalog.refreshByPath(ivfPath)
+    n
+  }
+
   /** Prune (T8, ref `src/cli/prune.rs`): drop the embeddings table; the
     * index answers queries by re-embedding on read (recompute mode). */
   def prune(dir: String): IndexMeta = {

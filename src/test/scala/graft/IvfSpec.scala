@@ -41,6 +41,53 @@ class IvfSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("appendIvf assigns new vectors to existing centroids (no re-cluster)") {
+    dir // force layout build
+    val before = spark.read.parquet(s"$dir/embeddings_ivf").count()
+    // Two new passages arrive via the ordinary update path...
+    Index.update(Seq(("brand new doc about topic 3", "n1.md"),
+        ("another new doc about topic 0", "n2.md")).toDF("text", "source"),
+      dir, new HashEmbedder(16), strategy = "simple")
+    // ...and incremental IVF maintenance folds them into the layout.
+    val appended = Index.appendIvf(spark, dir)
+    assert(appended == 2)
+    val ivf = spark.read.parquet(s"$dir/embeddings_ivf")
+    assert(ivf.count() == before + 2)
+    // assignments reference existing centroids only
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select("centroid_id").distinct().as[Int].collect().toSet
+    val got = ivf.select("centroid_id").distinct().as[Int].collect().toSet
+    assert(got.subsetOf(cents))
+    // idempotent: nothing left to assign
+    assert(Index.appendIvf(spark, dir) == 0)
+    // the new ids are searchable through the pruned path with full probes
+    val hits = Index.searchIvf(spark, dir,
+      new HashEmbedder(16).embedOne("brand new doc about topic 3"),
+      nprobe = 6, k = 1).as[(String, Double)].collect()
+    assert(hits.head._1.startsWith("n1.md"))
+  }
+
+  test("compact rewrites many small files into few, preserving rows") {
+    dir // ensure index exists (plus the update above may have run)
+    val passages = new java.io.File(s"$dir/passages")
+    def nParts = passages.listFiles().count(_.getName.startsWith("part-"))
+    // several single-row updates -> one small file each
+    (1 to 3).foreach { i =>
+      Index.update(Seq((s"tiny incremental doc $i", s"t$i.md")).toDF("text", "source"),
+        dir, new HashEmbedder(16), strategy = "simple")
+    }
+    val rowsBefore = spark.read.parquet(s"$dir/passages").count()
+    val tfBefore = spark.read.parquet(s"$dir/bm25_tf").count()
+    assert(nParts > 1)
+    Index.compact(spark, dir)
+    assert(nParts == 1) // tiny table -> a single file
+    assert(spark.read.parquet(s"$dir/passages").count() == rowsBefore)
+    assert(spark.read.parquet(s"$dir/bm25_tf").count() == tfBefore)
+    // keep the IVF layout in sync for the exact-recovery test below
+    Index.appendIvf(spark, dir)
+    ()
+  }
+
   test("nprobe = all clusters recovers exact search") {
     val exact = spark.read.parquet(s"$dir/embeddings")
       .crossJoin(broadcast(spark.range(1).select(
