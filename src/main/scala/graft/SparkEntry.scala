@@ -268,6 +268,24 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // ----- as-of join: enrich events with dimension history -----
+    "events_asof_order" -> ((s, dir) => {
+      // For each event, the customer's most recent order at or before
+      // the event time — the union+window as-of join (one shuffle on
+      // the key; no pair-join blowup).
+      val ev = Tables.eventsWithTs(s, dir).filter(col("user_id") < 10)
+        .select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      graft.operators.AsofJoin.latestAtOrBefore(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id").limit(1000)
+    }),
+
     // ----- corpus profiling (exact oracle tier + sketch tier) -----
     "q_percentiles" -> ((s, dir) => {
       graft.operators.Profile.exactPercentiles(Tables.documents(s, dir))
@@ -757,6 +775,19 @@ private object OracleSql {
         |FROM h
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    "events_asof_order" ->
+      """WITH ev AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 10),
+        |cand AS (
+        |  SELECT ev.event_id, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+        |         row_number() OVER (PARTITION BY ev.event_id
+        |                            ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+        |  FROM ev JOIN orders o ON o.o_custkey = ev.user_id
+        |                       AND epoch_us(o.o_orderdate) <= epoch_us(ev.ts))
+        |SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
+        |FROM ev LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+        |ORDER BY event_id
+        |LIMIT 1000""".stripMargin,
 
     "q_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single most recent right row
+  * with the same key and `rightTs <= leftTs` (inclusive), ties broken
+  * by the largest `tieBreak`. The operator Spark's built-ins lack
+  * (SURVEY §7.2's "custom operator" case), composed rather than
+  * custom-planned:
+  *
+  * Both sides are tagged and UNIONED, then one window per key — ordered
+  * by (ts, side, tie) with right rows sorting before left rows at equal
+  * ts — carries the last non-null right payload forward
+  * (`last_value(ignoreNulls)` over unbounded-preceding..current). Each
+  * left row reads the payload of the latest right row at or before it.
+  *
+  * Scale shape: ONE shuffle, partitioned by join key — no pair-wise
+  * join blowup (a naive join+filter+rank materializes |matches| rows;
+  * this materializes |left| + |right|). Within a hot key the window
+  * sort is the bound — for extreme per-key skew, range-partition the
+  * timeline per key and carry boundary rows, same pattern as
+  * sessionization at scale.
+  */
+object AsofJoin {
+
+  /** Left columns + `payload` columns of the as-of matched right row
+    * (nulls when no right row precedes). `tieBreak` must be a numeric
+    * right column; larger wins at equal timestamps. */
+  def latestAtOrBefore(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       payload: Seq[String],
+                       tieBreak: String): DataFrame = {
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val payStruct = struct(payload.map(col).toIndexedSeq: _*)
+    val lSchema = left.select(leftStruct).schema.head.dataType
+    val pSchema = right.select(payStruct).schema.head.dataType
+
+    val lTag = left.select(
+      col(leftKey).cast("long").as("__k"),
+      col(leftTs).as("__t"),
+      lit(1).as("__is_left"),
+      lit(0L).as("__tie"),
+      leftStruct.as("__l"),
+      lit(null).cast(pSchema).as("__p"))
+    val rTag = right.select(
+      col(rightKey).cast("long").as("__k"),
+      col(rightTs).as("__t"),
+      lit(0).as("__is_left"),
+      col(tieBreak).cast("long").as("__tie"),
+      lit(null).cast(lSchema).as("__l"),
+      payStruct.as("__p"))
+
+    // right-before-left at equal ts makes the join inclusive; among
+    // right rows at equal ts the largest tie value is carried last.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__is_left"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lTag.union(rTag)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val payCols = payload.map(c => col(s"__match.$c").as(c))
+    matched.select((leftCols ++ payCols).toIndexedSeq: _*)
+  }
+}
