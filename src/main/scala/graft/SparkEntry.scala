@@ -286,6 +286,25 @@ object SparkEntry {
         .orderBy("event_id").limit(1000)
     }),
 
+    // ----- range join: orders landing inside 30-day transit windows -----
+    "range_join_transit" -> ((s, dir) => {
+      val usPerDay = 86400L * 1000000
+      // session TZ is UTC, so the NTZ->TZ cast is wall-clock identity,
+      // matching DuckDB's epoch_us over the naive timestamps
+      val li = Tables.lineitem(s, dir).filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("w_start"),
+          (unix_micros(col("l_shipdate").cast("timestamp")) + lit(30 * usPerDay)).as("w_end"))
+      val ords = Tables.orders(s, dir)
+        .select(unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      graft.operators.RangeJoin.pointInInterval(ords, li,
+          pointCol = "o_us", startCol = "w_start", endCol = "w_end",
+          bucketWidth = 30 * usPerDay)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ----- corpus profiling (exact oracle tier + sketch tier) -----
     "q_percentiles" -> ((s, dir) => {
       graft.operators.Profile.exactPercentiles(Tables.documents(s, dir))
@@ -775,6 +794,16 @@ private object OracleSql {
         |FROM h
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    "range_join_transit" ->
+      """SELECT l.l_orderkey, l.l_linenumber, count(*) AS n_orders
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             epoch_us(l_shipdate) AS ws,
+        |             epoch_us(l_shipdate) + 2592000000000 AS we
+        |      FROM lineitem WHERE l_orderkey < 100) l
+        |JOIN orders o ON epoch_us(o.o_orderdate) BETWEEN l.ws AND l.we
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_asof_order" ->
       """WITH ev AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 10),
