@@ -92,6 +92,22 @@ object Streaming {
         sum(col("value")).as("total"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total"))
 
+  /** Watermark-bounded streaming dedup: drops rows whose content
+    * fingerprint already appeared within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state for a fingerprint is
+    * reclaimed once the watermark passes it). The complementary shape
+    * to [[dedupIngest]]: no index-side fingerprint table, state bounded
+    * by the horizon instead of corpus size — right for de-duplicating
+    * a firehose where repeats cluster in time (re-crawls, retries). */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** One user's open session: epoch-micros bounds + event count. */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 

@@ -95,6 +95,30 @@ class StreamingSpec extends SparkSpec {
     assert(Index.readMeta(idx).passageCount == nChunks + 1)
   }
 
+  test("watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)") {
+    val root = Files.createTempDirectory("graft-sdedup").toString
+    Seq(
+      ("2024-01-01 00:00:00", "same content", "a.md"),
+      ("2024-01-01 00:10:00", "SAME   content", "b.md"), // dup (normalized fp)
+      ("2024-01-01 00:20:00", "different content", "c.md"))
+      .toDF("ts_s", "text", "source")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("text"), col("source"))
+      .coalesce(1).write.parquet(s"$root/in/f1")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/f1").schema)
+      .parquet(s"$root/in/*")
+    val q = Streaming.dedupStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("sdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("sdedup").select("source").as[String].collect().toSet
+    assert(got == Set("a.md", "c.md"))
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState)") {
     val root = Files.createTempDirectory("graft-sess").toString
     def ev(ts: String, user: String, id: Long) = (ts, user, id)
