@@ -39,6 +39,40 @@ class RecallSpec extends SparkSpec {
     assert(r2 > 0.0)                   // even 2/10 clusters finds some
   }
 
+  test("declarative IVF (optimizer rewrite) recall@10 over KMeans clusters") {
+    import java.nio.file.Files
+    import graft.pipeline.Index
+    // Real production path: KMeans layout + the naive declarative plan,
+    // pruned by IvfTopKRewrite at the configured nprobe.
+    val d = Files.createTempDirectory("graft-recall-ivf").toString + "/idx"
+    emb.select(col("vec_id").as("id"), col("embedding"))
+      .write.parquet(s"$d/embeddings")
+    Index.buildIvf(spark, d, numClusters = 8)
+    GraftExtensions.install(spark)
+
+    def declarative(q: Long, nprobe: Int): Set[Long] = {
+      spark.conf.set("spark.graft.ivf.nprobe", nprobe.toString)
+      try {
+        val qv = emb.filter(col("vec_id") === q)
+          .select("embedding").head.getSeq[Float](0).toArray
+        Index.searchIvfDeclarative(spark, d, qv, k)
+          .select("id").as[Long].collect().toSet
+      } finally spark.conf.unset("spark.graft.ivf.nprobe")
+    }
+    def recallAt(nprobe: Int): Double = {
+      val scores = queryIds.map { q =>
+        val exact = topIds(Knn.exactTopK(emb, Knn.queryVector(emb, q), k))
+        (exact intersect declarative(q, nprobe)).size.toDouble / k
+      }
+      scores.sum / scores.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    info(f"declarative KMeans-IVF recall@10: nprobe=2 -> $r2%.2f, nprobe=8 -> $r8%.2f")
+    assert(r8 == 1.0)       // probing all clusters recovers exact
+    assert(r2 > 0.0)
+  }
+
   test("quantized search recall@10 vs exact is near-perfect") {
     import graft.functions.VectorFunctions._
     val dq = emb
