@@ -54,6 +54,9 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // SQL dot_product + the IvfTopKRewrite optimizer rule are part of
+    // the engine's surface; every CLI session gets them.
+    GraftExtensions.install(s)
     s
   }
 

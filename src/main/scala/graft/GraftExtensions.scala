@@ -19,6 +19,7 @@ import graft.functions.expressions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
+    e.injectFunction(GraftExtensions.simhashDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     ()
   }
@@ -39,10 +40,31 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       build)
 
+  private def buildSimhash(args: Seq[Expression]): Expression = {
+    require(args.nonEmpty && args.length <= 2,
+      s"simhash64 expects 1-2 arguments, got ${args.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bits = args.drop(1).headOption match {
+      case Some(Literal(b: Int, _)) => b
+      case None => 60
+      case other => throw new IllegalArgumentException(
+        s"simhash64 bits must be an integer literal, got $other")
+    }
+    graft.functions.expressions.SimHash64(args.head, bits)
+  }
+
+  private[graft] val simhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.expressions.SimHash64].getName, "simhash64"),
+      buildSimhash)
+
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), dotProductDescriptor._2, build _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"), simhashDescriptor._2, buildSimhash _)
     val rule = graft.plans.IvfTopKRewrite(spark)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfTopKRewrite]))
       spark.experimental.extraOptimizations =

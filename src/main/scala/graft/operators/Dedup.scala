@@ -190,17 +190,15 @@ object Dedup {
     * is positive. Near-dups = small Hamming distance. Expressed with a
     * 60-row bit explode + integer ops (no UDF; reproducible in SQL). */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val th = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).as("f"))
-      .withColumn("h", md5Hash64(col("term")))
-    val bitRange = docs.sparkSession.range(bits).select(col("id").cast("int").as("i"))
-    th.crossJoin(broadcast(bitRange))
-      .groupBy("id", "i")
-      .agg(sum(expr("f * ((shiftright(h, i) & 1) * 2 - 1)")).as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("simhash"))
+    // Single-pass scalar expression: fingerprinting is a pure map (zero
+    // shuffle at any corpus size). The relational formulation this
+    // replaces (explode -> 60x bit-position crossJoin -> three
+    // aggregations) lives on in DedupSpec as the parity check and in
+    // the DuckDB oracle.
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col(idCol).as("id"),
+      GraftColumnBridge.column(graft.functions.expressions.SimHash64(
+        GraftColumnBridge.expression(col(textCol)), bits)).as("simhash"))
   }
 
   /** Connected components over an undirected pair edge list

@@ -187,4 +187,35 @@ class DedupSpec extends SparkSpec {
     assert(h(0L) != h(2L))
     assert(Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap == h)
   }
+
+  test("SimHash64 expression == relational formulation, on real testdata") {
+    import graft.functions.TextFunctions.md5Hash64
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    // The explode -> bit-blowup -> three-aggregation plan the expression
+    // replaced — kept here as the executable parity oracle.
+    val th = real
+      .select(col("doc_id").as("id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("f"))
+      .withColumn("h", md5Hash64(col("term")))
+    val bitRange = spark.range(60).select(col("id").cast("int").as("i"))
+    val relational = th.crossJoin(broadcast(bitRange))
+      .groupBy("id", "i")
+      .agg(sum(expr("f * ((shiftright(h, i) & 1) * 2 - 1)")).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val expression = Dedup.simhash(real, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // relational drops token-less docs; the expression emits 0 for them
+    assert(relational.forall { case (id, v) => expression(id) == v })
+    assert(expression.keySet.size == 200)
+  }
+
+  test("simhash64 is callable from SQL via GraftExtensions") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT simhash64('the quick brown fox') AS a, simhash64('the quick brown fox') AS b")
+      .as[(Long, Long)].head()
+    assert(r._1 == r._2 && r._1 != 0L)
+  }
 }
