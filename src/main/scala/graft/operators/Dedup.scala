@@ -133,7 +133,7 @@ object Dedup {
     * |shingles| rows instead of |shingles| x numHashes. This is the
     * formulation that matters at corpus scale; the long form above is
     * the API-compatible view (same values, `minhashExpr` family). */
-  private def minhashSignaturesWide(sh: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def minhashSignaturesWide(sh: DataFrame, numHashes: Int): DataFrame = {
     val withH = sh.withColumn("h", md5Hash64(col("sh")))
     val aggs = (0 until numHashes).map { s =>
       min(expr(s"((h % 2147483647) * (2 * $s + 1) + $s + 1) % 2147483647")).as(s"m$s")
@@ -160,12 +160,20 @@ object Dedup {
                    n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Wide signatures -> banded (lo,hi) keys stacked via posexplode:
-    // the band table is |docs| x bands rows, tiny next to the corpus.
+    // Signatures via the single-pass MinHashSig expression: a pure map
+    // over the docs scan (zero shuffle), where the aggregation
+    // formulation (minhashSignaturesWide — kept as the parity oracle in
+    // DedupSpec) shuffles every (doc, shingle) row. Banded (lo,hi) keys
+    // stack via posexplode: |docs| x bands rows, tiny next to the corpus.
+    import org.apache.spark.sql.GraftColumnBridge
     val numBands = numHashes / bandSize
-    val wide = minhashSignaturesWide(sh, numHashes)
+    val wide = docs.select(col(idCol).as("id"),
+        GraftColumnBridge.column(graft.functions.expressions.MinHashSig(
+          GraftColumnBridge.expression(col(textCol)), n, numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (b * bandSize until (b + 1) * bandSize).map(s => col(s"m$s"))
+      val cols = (b * bandSize until (b + 1) * bandSize)
+        .map(s => element_at(col("sig"), s + 1))
       struct(least(cols: _*).as("b_lo"), greatest(cols: _*).as("b_hi"))
     }
     val bands = wide.select(col("id"),

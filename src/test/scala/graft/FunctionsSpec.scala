@@ -211,6 +211,22 @@ class DedupSpec extends SparkSpec {
     assert(expression.keySet.size == 200)
   }
 
+  test("MinHashSig expression == relational wide signatures, on real testdata") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val relational = Dedup.minhashSignaturesWide(
+        Dedup.shingleTable(real, "doc_id", "text", 3), 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val expression = real.select(col("doc_id"),
+        GraftColumnBridge.column(graft.functions.expressions.MinHashSig(
+          GraftColumnBridge.expression(col("text")), 3, 8)).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    // same doc set (null == absent from the relational table), same values
+    assert(expression.collect { case (id, Some(_)) => id }.toSet == relational.keySet)
+    relational.foreach { case (id, sig) => assert(expression(id).get == sig, s"doc $id") }
+  }
+
   test("simhash64 is callable from SQL via GraftExtensions") {
     GraftExtensions.install(spark)
     val r = spark.sql(
