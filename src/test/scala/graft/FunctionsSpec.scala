@@ -227,6 +227,13 @@ class DedupSpec extends SparkSpec {
     relational.foreach { case (id, sig) => assert(expression(id).get == sig, s"doc $id") }
   }
 
+  test("simhash is a zero-shuffle plan (no Exchange)") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.simhash(real, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fingerprinting must be a pure map:\n$plan")
+  }
+
   test("simhash64 is callable from SQL via GraftExtensions") {
     GraftExtensions.install(spark)
     val r = spark.sql(
