@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.embedding.{EmbeddingProvider, ModelRegistry}
@@ -515,9 +515,11 @@ object Index {
     * just without pruning. */
   def searchIvfDeclarative(spark: SparkSession, dir: String,
                            queryVec: Array[Float], k: Int,
-                           idCol: String = "id"): DataFrame = {
+                           idCol: String = "id",
+                           filter: Option[Column] = None): DataFrame = {
     val qv = typedLit(queryVec.map(_.toDouble).toSeq)
-    spark.read.parquet(s"$dir/embeddings_ivf")
+    val base = spark.read.parquet(s"$dir/embeddings_ivf")
+    filter.fold(base)(base.filter)
       .select(col(idCol),
         round(VectorFunctions.dot(col("embedding"), qv), 6).as("score"))
       .orderBy(desc("score"), col(idCol))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Descending, Expression, In, IntegerLiteral, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Descending, Expression, In, IntegerLiteral, Literal, NamedExpression, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -48,10 +48,17 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (inRewrite.get()) plan
     else plan.transformDown {
+      // Bare shape: Project over the relation. Filtered shape: a user
+      // predicate (filtered ANN) sits between — the injected centroid
+      // filter composes with it, giving PartitionFilters + the pushed
+      // user predicate in one scan.
       case gl @ GlobalLimit(IntegerLiteral(k),
             LocalLimit(IntegerLiteral(_),
-              Sort(orders, true, Project(projList, lr: LogicalRelation), sortHint)))
-          if orders.nonEmpty && ivfRelation(lr).isDefined =>
+              Sort(orders, true, ProjectOverIvf(projList, userFilter, lr), sortHint)))
+          if orders.nonEmpty && ivfRelation(lr).isDefined &&
+            // idempotency: an already-rewritten plan carries the probe
+            // filter on centroid_id — never inject twice
+            userFilter.forall(!_.references.exists(_.name == "centroid_id")) =>
         val rewritten = for {
           // NB: match on orders.head, not a `::` pattern — Sort.order is
           // typically an ArraySeq, which the List extractor won't match.
@@ -68,9 +75,10 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           val centroidsPath =
             new Path(fsRel.location.rootPaths.head.getParent, "centroids").toString
           val probes = probedClusters(centroidsPath, qv, nprobe)
+          val probeCond =
+            In(centroidAttr, probes.map(Literal.create(_, centroidAttr.dataType)))
           val filter = Filter(
-            In(centroidAttr, probes.map(Literal.create(_, centroidAttr.dataType))),
-            lr)
+            userFilter.map(And(probeCond, _)).getOrElse(probeCond), lr)
           logInfo(s"IvfTopKRewrite: pruned top-$k scan to clusters " +
             probes.mkString("[", ",", "]") + s" of $centroidsPath")
           GlobalLimit(Literal(k), LocalLimit(Literal(k),
@@ -78,6 +86,18 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         rewritten.getOrElse(gl)
     }
+
+  /** Matches `Project(list, relation)` or
+    * `Project(list, Filter(cond, relation))`, yielding the optional
+    * user predicate. */
+  private object ProjectOverIvf {
+    def unapply(p: LogicalPlan)
+        : Option[(Seq[NamedExpression], Option[Expression], LogicalRelation)] = p match {
+      case Project(list, lr: LogicalRelation) => Some((list, None, lr))
+      case Project(list, Filter(cond, lr: LogicalRelation)) => Some((list, Some(cond), lr))
+      case _ => None
+    }
+  }
 
   private def nprobe: Int =
     spark.conf.get("spark.graft.ivf.nprobe", "4").toInt

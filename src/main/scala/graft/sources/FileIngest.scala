@@ -44,6 +44,50 @@ object FileIngest {
     }
   }
 
+  /** HTML → text decoder (dependency-free): drops script/style/comments,
+    * strips tags (block-level tags become newlines so headings and
+    * paragraphs keep their boundaries for chunking), decodes the common
+    * named entities plus numeric escapes, collapses blank runs. Routes
+    * by extension and falls back to UTF-8 passthrough for everything
+    * else, so it can replace the default decoder wholesale. */
+  object HtmlTextDecoder extends ContentDecoder {
+    private val blockTags =
+      "p|div|br|li|ul|ol|tr|table|h[1-6]|section|article|header|footer|blockquote|pre"
+    private val named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+      "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+
+    private[graft] def htmlToText(html: String): String = {
+      val noScript = html
+        .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+        .replaceAll("(?s)<!--.*?-->", " ")
+      val withBreaks = noScript
+        .replaceAll(s"(?i)</?($blockTags)(\\s[^>]*)?/?>", "\n")
+        .replaceAll("(?s)<[^>]+>", " ")
+      val decoded = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(withBreaks, m => {
+        val body = m.group(1)
+        val rep =
+          if (body.startsWith("#x") || body.startsWith("#X"))
+            Character.toString(Integer.parseInt(body.drop(2), 16))
+          else if (body.startsWith("#"))
+            Character.toString(Integer.parseInt(body.drop(1)))
+          else named.getOrElse(body, m.matched)
+        java.util.regex.Matcher.quoteReplacement(rep)
+      })
+      decoded
+        .replaceAll("[ \\t\\x0B\\f\\r]+", " ")
+        .replaceAll(" ?\\n ?", "\n")
+        .replaceAll("\\n{2,}", "\n")
+        .trim
+    }
+
+    override def decode(path: String, bytes: Array[Byte]): Option[String] =
+      Utf8Decoder.decode(path, bytes).map { text =>
+        if (path.toLowerCase.endsWith(".html") || path.toLowerCase.endsWith(".htm"))
+          htmlToText(text)
+        else text
+      }.filter(_.nonEmpty)
+  }
+
   private def ext(path: Column): Column =
     lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
 

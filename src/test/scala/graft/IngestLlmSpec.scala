@@ -39,6 +39,39 @@ class FileIngestSpec extends SparkSpec {
     val docs = FileIngest.readDocuments(spark, root.toString, maxFiles = Some(2))
     assert(docs.count() == 2)
   }
+
+  test("html decoder: tags stripped, entities decoded, structure kept") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style>
+        |<script>var x = "<p>not text</p>";</script></head>
+        |<body><h1>Heading &amp; more</h1>
+        |<!-- a comment -->
+        |<p>First &lt;paragraph&gt; with a <a href="x">link</a>.</p>
+        |<ul><li>one</li><li>two &#65;&#x42;</li></ul>
+        |</body></html>""".stripMargin
+    val text = FileIngest.HtmlTextDecoder.htmlToText(html)
+    // no markup survives (decoded &lt;/&gt; literals are fine)
+    assert(!text.contains("<p>") && !text.contains("href") &&
+      !text.contains("color") && !text.contains("var x"))
+    assert(text.contains("Heading & more"))
+    assert(text.contains("First <paragraph> with a link"))
+    assert(text.contains("two AB"))
+    // block boundaries became newlines (heading separate from paragraph)
+    assert(text.linesIterator.toSeq.count(_.nonEmpty) >= 3)
+  }
+
+  test("html decoder ingests .html trees and passes other text through") {
+    val root = Files.createTempDirectory("graft-html")
+    Files.writeString(root.resolve("page.html"),
+      "<html><body><p>spark &amp; parquet</p></body></html>")
+    Files.writeString(root.resolve("notes.md"), "plain markdown")
+    val docs = FileIngest.readDocuments(spark, root.toString,
+        extensions = Seq("html", "md"), decoder = FileIngest.HtmlTextDecoder)
+      .as[(String, String)].collect()
+      .map { case (t, s) => Paths.get(s).getFileName.toString -> t }.toMap
+    assert(docs("page.html") == "spark & parquet")
+    assert(docs("notes.md") == "plain markdown")
+  }
 }
 
 class LlmSpec extends SparkSpec {

@@ -46,6 +46,25 @@ class IvfRewriteSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ivf.nprobe")
   }
 
+  test("filtered declarative ANN: probe filter composes with the user predicate") {
+    import org.apache.spark.sql.functions.{col, length}
+    spark.conf.set("spark.graft.ivf.nprobe", "2")
+    try {
+      val df = Index.searchIvfDeclarative(spark, dir, qv, k = 5,
+        filter = Some(length(col("id")) > 4))
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters: [centroid_id"),
+        s"probe pruning missing:\n$physical")
+      assert(physical.contains("PushedFilters:") && physical.contains("length"),
+        s"user predicate not pushed toward the scan:\n$physical")
+      // equivalent to filtering the manual pruned search's candidate set
+      val manual = Index.searchIvf(spark, dir, qv, nprobe = 2, k = 1000)
+        .filter(length(col("id")) > 4).limit(5)
+        .as[(String, Double)].collect().toSeq
+      assert(df.as[(String, Double)].collect().toSeq == manual)
+    } finally spark.conf.unset("spark.graft.ivf.nprobe")
+  }
+
   test("nprobe covering all clusters recovers the exact top-k") {
     spark.conf.set("spark.graft.ivf.nprobe", "6")
     try {
