@@ -15,13 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** THE tokenizer pattern — every consumer (the Column tokenizer, the
+    * SimHash64/MinHashSig scalar expressions, driver-side query
+    * tokenization) must share this one constant: the oracle parity
+    * contract requires their outputs to be bit-identical. */
+  val TokenRegex: String = "[a-z0-9]{2,}"
+
   /** BM25 tokenizer (ref `src/index/bm25.rs:127-132`): lowercase alnum
     * runs, tokens of length > 1 only. `[a-z0-9]{2,}` expresses the
     * length filter inside the (codegen'd) regex pass — identical output
     * to `filter(split(...), len > 1)`, which would evaluate its lambda
     * interpreted per token. */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]{2,}"), lit(0))
+    regexp_extract_all(lower(text), lit(TokenRegex), lit(0))
 
   /** Same tokenizer as a plain Scala function, for driver-side query
     * strings (the query is a scalar, not a column). */

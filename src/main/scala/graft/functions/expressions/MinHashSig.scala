@@ -1,7 +1,5 @@
 package graft.functions.expressions
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -43,7 +41,7 @@ case class MinHashSig(child: Expression, n: Int, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toLowerCase.toString
     val toks = new java.util.ArrayList[String]()
-    val m = MinHashSig.tokenPattern.matcher(text)
+    val m = SimHash64.tokenPattern.matcher(text)
     while (m.find()) toks.add(m.group())
     if (toks.size < n) return null
 
@@ -73,8 +71,4 @@ case class MinHashSig(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 
   override def prettyName: String = "minhash_sig"
-}
-
-object MinHashSig {
-  private[expressions] val tokenPattern = Pattern.compile("[a-z0-9]{2,}")
 }

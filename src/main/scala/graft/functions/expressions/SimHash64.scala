@@ -36,6 +36,7 @@ case class SimHash64(child: Expression, bits: Int = 60)
   require(bits > 0 && bits <= 60, s"bits must be in 1..60, got $bits")
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -47,6 +48,10 @@ case class SimHash64(child: Expression, bits: Int = 60)
     val freqs = new java.util.HashMap[String, Long]()
     val m = SimHash64.tokenPattern.matcher(text)
     while (m.find()) freqs.merge(m.group(), 1L, _ + _)
+    // Token-less docs: NULL, not fingerprint 0 — a zero sentinel would
+    // make every such doc a mutual Hamming-0 "duplicate" and a banding
+    // hot key; the relational/oracle formulation omits these docs too.
+    if (freqs.isEmpty) return null
 
     val acc = new Array[Long](bits)
     val it = freqs.entrySet().iterator()
@@ -76,7 +81,10 @@ case class SimHash64(child: Expression, bits: Int = 60)
 }
 
 object SimHash64 {
-  private val tokenPattern = Pattern.compile("[a-z0-9]{2,}")
+  /** Shared with MinHashSig; sourced from the single tokenizer constant
+    * so the Column/expression/oracle paths can never drift. */
+  private[expressions] val tokenPattern =
+    Pattern.compile(graft.functions.TextFunctions.TokenRegex)
 
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))

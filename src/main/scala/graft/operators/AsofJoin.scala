@@ -38,15 +38,19 @@ object AsofJoin {
     val lSchema = left.select(leftStruct).schema.head.dataType
     val pSchema = right.select(payStruct).schema.head.dataType
 
+    // keys pass through untyped (string/long/... — a silent numeric cast
+    // would null out non-numeric keys and collapse them into one
+    // partition); a NULL right timestamp can never be "at or before"
+    // anything, matching SQL comparison semantics, so it is dropped.
     val lTag = left.select(
-      col(leftKey).cast("long").as("__k"),
+      col(leftKey).as("__k"),
       col(leftTs).as("__t"),
       lit(1).as("__is_left"),
       lit(0L).as("__tie"),
       leftStruct.as("__l"),
       lit(null).cast(pSchema).as("__p"))
-    val rTag = right.select(
-      col(rightKey).cast("long").as("__k"),
+    val rTag = right.filter(col(rightTs).isNotNull).select(
+      col(rightKey).as("__k"),
       col(rightTs).as("__t"),
       lit(0).as("__is_left"),
       col(tieBreak).cast("long").as("__tie"),

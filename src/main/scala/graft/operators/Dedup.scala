@@ -195,18 +195,22 @@ object Dedup {
 
   /** SimHash over the token multiset: 60-bit fingerprint where bit i is
     * set when the tf-weighted sum of (bit i of md5-hash(token)) * 2 - 1
-    * is positive. Near-dups = small Hamming distance. Expressed with a
-    * 60-row bit explode + integer ops (no UDF; reproducible in SQL). */
+    * is positive. Near-dups = small Hamming distance. Computed by the
+    * single-pass [[graft.functions.expressions.SimHash64]] scalar
+    * expression (zero shuffle); the SQL-reproducible relational
+    * formulation remains the oracle and the DedupSpec parity check. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
     // Single-pass scalar expression: fingerprinting is a pure map (zero
     // shuffle at any corpus size). The relational formulation this
     // replaces (explode -> 60x bit-position crossJoin -> three
     // aggregations) lives on in DedupSpec as the parity check and in
-    // the DuckDB oracle.
+    // the DuckDB oracle. Token-less docs are absent (NULL signature),
+    // exactly as they are from the relational form.
     import org.apache.spark.sql.GraftColumnBridge
     docs.select(col(idCol).as("id"),
       GraftColumnBridge.column(graft.functions.expressions.SimHash64(
         GraftColumnBridge.expression(col(textCol)), bits)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Connected components over an undirected pair edge list

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join via bucketing.
@@ -27,12 +27,15 @@ object RangeJoin {
                       pointCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket",
-      floor(col(pointCol) / bucketWidth).cast("long"))
+    // Exact floor division via decimal arithmetic: a plain `/` promotes
+    // to double, and beyond 2^53 (e.g. nanosecond epochs) a boundary
+    // point can round into a bucket its interval never replicated to —
+    // a silently dropped match the BETWEEN refine cannot recover.
+    def floorDiv(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(bucketWidth)).cast("long")
+    val p = points.withColumn("__bucket", floorDiv(col(pointCol)))
     val i = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+      explode(sequence(floorDiv(col(startCol)), floorDiv(col(endCol)))))
     i.join(p, Seq("__bucket"))
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")

@@ -313,17 +313,20 @@ object Index {
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val tables = Seq("passages", "embeddings", "bm25_tf", "bm25_dl",
       "bm25_df", "doc_fps")
-    tables.foreach { t =>
+    val thunks = tables.flatMap { t =>
       val path = s"$dir/$t"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) {
+      if (!fs.exists(p)) None
+      else {
         val bytes = fs.listStatus(p)
           .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
         val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        overwriteStaged(spark.read.parquet(path).repartition(nFiles), path)
+        Some(() => overwriteStaged(spark.read.parquet(path).repartition(nFiles), path))
       }
     }
+    // independent tables — rewrite as concurrent jobs, like build/update
+    inParallel(thunks: _*)
   }
 
   /** Incremental IVF maintenance: assign embeddings not yet in the IVF

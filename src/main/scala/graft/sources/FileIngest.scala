@@ -63,14 +63,18 @@ object FileIngest {
       val withBreaks = noScript
         .replaceAll(s"(?i)</?($blockTags)(\\s[^>]*)?/?>", "\n")
         .replaceAll("(?s)<[^>]+>", " ")
-      val decoded = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(withBreaks, m => {
+      val decoded = "&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);".r.replaceAllIn(withBreaks, m => {
         val body = m.group(1)
+        // malformed/overflowing escapes pass through verbatim — one junk
+        // entity must never fail the ingest task
         val rep =
-          if (body.startsWith("#x") || body.startsWith("#X"))
-            Character.toString(Integer.parseInt(body.drop(2), 16))
-          else if (body.startsWith("#"))
-            Character.toString(Integer.parseInt(body.drop(1)))
-          else named.getOrElse(body, m.matched)
+          try {
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              Character.toString(Integer.parseInt(body.drop(2), 16))
+            else if (body.startsWith("#"))
+              Character.toString(Integer.parseInt(body.drop(1)))
+            else named.getOrElse(body, m.matched)
+          } catch { case _: IllegalArgumentException => m.matched }
         java.util.regex.Matcher.quoteReplacement(rep)
       })
       decoded

@@ -40,6 +40,23 @@ class AsofJoinSpec extends SparkSpec {
       (3000L, None, None)))                 // unseen key
   }
 
+  test("string keys pass through untyped; null right timestamps never match") {
+    val l = Seq(("doc#1", "2024-01-01 10:00:00", 1L),
+                ("doc#2", "2024-01-01 10:00:00", 2L))
+      .toDF("key", "ts_s", "tid")
+      .select(col("key"), to_timestamp(col("ts_s")).as("tts"), col("tid"))
+    val r = Seq(("doc#1", Some("2024-01-01 09:00:00"), 10L),
+                ("doc#2", None, 20L)) // null ts: must never be carried
+      .toDF("key", "ts_s", "qid")
+      .select(col("key"), to_timestamp(col("ts_s")).as("qts"), col("qid"))
+    val got = AsofJoin.latestAtOrBefore(l, r, "key", "key", "tts", "qts",
+        Seq("qid"), "qid")
+      .select("tid", "qid")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+    // a long-cast key would have nulled both keys and cross-matched them
+    assert(got == Set((1L, Some(10L)), (2L, None)))
+  }
+
   test("one shuffle on the key: no join blowup in the plan") {
     val plan = AsofJoin.latestAtOrBefore(trades, quotes,
         "key", "key", "tts", "qts", Seq("qid"), "qid")

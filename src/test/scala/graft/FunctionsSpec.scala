@@ -227,6 +227,13 @@ class DedupSpec extends SparkSpec {
     relational.foreach { case (id, sig) => assert(expression(id).get == sig, s"doc $id") }
   }
 
+  test("token-less docs are absent from simhash (no zero-sentinel collisions)") {
+    val d = Seq((1L, "real document text here"), (2L, "!!! ??? ..."), (3L, ""))
+      .toDF("doc_id", "text")
+    val ids = Dedup.simhash(d, "doc_id", "text").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L)) // punctuation-only and empty docs dropped, as in the oracle
+  }
+
   test("simhash is a zero-shuffle plan (no Exchange)") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Dedup.simhash(real, "doc_id", "text")

@@ -60,6 +60,14 @@ class FileIngestSpec extends SparkSpec {
     assert(text.linesIterator.toSeq.count(_.nonEmpty) >= 3)
   }
 
+  test("html decoder survives malformed entities (passes them through)") {
+    val text = FileIngest.HtmlTextDecoder.htmlToText(
+      "<p>bad &#99999999999; hex &#x110000; notdigit &#ab; ok &#65;</p>")
+    assert(text.contains("&#99999999999;") && text.contains("&#x110000;"))
+    assert(text.contains("&#ab;")) // not a valid numeric entity — verbatim
+    assert(text.contains("ok A"))
+  }
+
   test("html decoder ingests .html trees and passes other text through") {
     val root = Files.createTempDirectory("graft-html")
     Files.writeString(root.resolve("page.html"),

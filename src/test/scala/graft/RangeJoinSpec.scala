@@ -35,6 +35,18 @@ class RangeJoinSpec extends SparkSpec {
       s"bucketing must avoid the nested-loop fallback:\n$plan")
   }
 
+  test("exact bucketing beyond 2^53 (nanosecond-epoch magnitudes)") {
+    // base ~1.7e18: double division would misplace boundary buckets
+    val base = 1700000000000000000L
+    val w = 1000000000L
+    val iv = Seq((1L, base, base + w - 1)).toDF("iid", "s", "e")
+    val pts = Seq((100L, base), (101L, base + w - 1), (102L, base + w))
+      .toDF("pid", "p")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "s", "e", w)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(100L, 101L)) // boundary inclusive, next bucket out
+  }
+
   test("width >> spans still correct (all rows share few buckets)") {
     val got = RangeJoin.pointInInterval(points, intervals,
         "p", "s", "e", bucketWidth = 1000)
