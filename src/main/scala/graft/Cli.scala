@@ -14,7 +14,8 @@ import graft.sources.FileIngest
   *   graft.Cli build  --docs <dir> --index <name> [--strategy auto]
   *                    [--chunk-size 256] [--chunk-overlap 128]
   *   graft.Cli search <name> <query> [--top-k 5] [--filter <dsl>]
-  *                    [--hybrid] [--alpha 0.7]
+  *                    [--hybrid] [--alpha 0.7] [--no-auto-hybrid]
+  *                    [--no-expand] [--format text|json]
   *   graft.Cli ask    <name> <question> [--top-k 5]
   *   graft.Cli react  <name> <question> [--top-k 3] [--max-steps 5]
   *   graft.Cli update --docs <dir> --index <name>
@@ -65,7 +66,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -122,21 +123,41 @@ object Cli {
       case "search" =>
         val (name, query) = pos match {
           case Seq(n, q, _*) => (n, q)
-          case _ => fail("usage: search <index> <query> [--top-k N] [--filter dsl] [--hybrid] [--alpha A]")
+          case _ => fail("usage: search <index> <query> [--top-k N] [--filter dsl] " +
+            "[--hybrid] [--alpha A] [--no-auto-hybrid] [--no-expand] [--format text|json]")
         }
         val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
         val spark = session()
-        val rows = Index.search(spark, dir, query, provider,
+        // Reference search defaults (search.rs:39-45,147-148,173-186):
+        // short queries (<= 3 words) auto-enable hybrid and are expanded
+        // with key terms from their BM25-top passages; both opt-out.
+        val words = query.trim.split("\\s+").count(_.nonEmpty)
+        val searchQuery =
+          if (!flags.contains("no-expand") && graft.operators.Expansion.shouldExpand(query)) {
+            val eq = Index.expandQuery(spark, dir, query)
+            if (eq != query) System.err.println(s"Expanded query: '$query' -> '$eq'")
+            eq
+          } else query
+        val useHybrid = flags.contains("hybrid") ||
+          (!flags.contains("no-auto-hybrid") && words <= 3)
+        val rows = Index.search(spark, dir, searchQuery, provider,
           topK = flags.get("top-k").map(_.toInt).getOrElse(5),
           filterStr = flags.get("filter"),
-          hybrid = flags.contains("hybrid"),
+          hybrid = useHybrid,
           alpha = flags.get("alpha").map(_.toDouble).getOrElse(0.7)).collect()
-        rows.zipWithIndex.foreach { case (r, i) =>
-          val text = r.getString(2)
-          val snippet = if (text.length > 100) text.take(100) + "…" else text
-          println(f"${i + 1}%2d. [${r.getDouble(1)}%.6f] ${r.getString(3)}%s  $snippet%s")
+        if (flags.get("format").contains("json")) {
+          println(graft.util.Json.write(rows.toSeq.map(r =>
+            scala.collection.immutable.ListMap(
+              "id" -> r.getString(0), "score" -> r.getDouble(1),
+              "text" -> r.getString(2), "source" -> r.getString(3)))))
+        } else {
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val text = r.getString(2)
+            val snippet = if (text.length > 100) text.take(100) + "…" else text
+            println(f"${i + 1}%2d. [${r.getDouble(1)}%.6f] ${r.getString(3)}%s  $snippet%s")
+          }
+          if (rows.isEmpty) println("(no results)")
         }
-        if (rows.isEmpty) println("(no results)")
         spark.stop()
 
       case "ask" =>

@@ -463,6 +463,34 @@ object Index {
       .orderBy(desc("score"), col("id"))
   }
 
+  /** Short-query auto-expansion (ref `search.rs:173-186` +
+    * `query.rs:128-166`): take the BM25 top-`fromTopK` passages, extract
+    * ranked key terms plus code symbols, drop words already in the
+    * query, and append up to `maxTerms`. Returns the query unchanged
+    * when nothing matched or nothing new was found. */
+  def expandQuery(spark: SparkSession, dir: String, query: String,
+                  maxTerms: Int = 5, fromTopK: Int = 5): String = {
+    import spark.implicits._
+    val tf = spark.read.parquet(s"$dir/bm25_tf")
+    val topIds = bm25ScoresFromStats(spark, dir, tf, query)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("id")).limit(fromTopK)
+      .select("id")
+    val texts = spark.read.parquet(s"$dir/passages")
+      .join(topIds, Seq("id"), "left_semi")
+    val qWords = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val key = graft.operators.Expansion
+      .keyTerms(texts, "text", qWords.toSeq, maxTerms)
+      .select("term").as[String].collect().toSeq
+    val syms = graft.operators.Expansion
+      .codeSymbols(texts, "text", maxTerms)
+      .select("symbol").as[String].collect().toSeq
+    val fresh = (key ++ syms.filterNot(s => key.contains(s.toLowerCase)))
+      .filterNot(t => qWords.contains(t.toLowerCase))
+      .distinct.take(maxTerms)
+    if (fresh.isEmpty) query else s"$query ${fresh.mkString(" ")}"
+  }
+
   /** BM25 scores for a query using the persisted statistics tables
     * (A2 without the per-query corpus rebuild). */
   private def bm25ScoresFromStats(spark: SparkSession, dir: String,

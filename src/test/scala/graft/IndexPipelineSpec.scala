@@ -111,6 +111,19 @@ class IndexPipelineSpec extends SparkSpec {
     assert(qInc == qFull)
   }
 
+  test("expandQuery appends key terms from BM25-top passages (ref search.rs:173-186)") {
+    built
+    val expanded = Index.expandQuery(spark, dir, "shuffles")
+    assert(expanded.startsWith("shuffles "))
+    // terms come from the matching passage, minus the query word itself
+    assert(expanded.split(" ").distinct.length == expanded.split(" ").length)
+    assert(!expanded.split(" ").tail.contains("shuffles"))
+    assert(expanded.split(" ").tail.nonEmpty &&
+      expanded.split(" ").tail.forall(_.length >= 3))
+    // queries matching nothing come back unchanged
+    assert(Index.expandQuery(spark, dir, "zzzqqq") == "zzzqqq")
+  }
+
   test("prune drops embeddings; search falls back to recompute") {
     built
     Index.update(Seq(("x y", "z.md")).toDF("text", "source"), dir, provider,
