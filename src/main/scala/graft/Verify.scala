@@ -19,6 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle SQL first: if a query crashes the JVM mid-run, the queries
+    // that DID complete remain checkable instead of losing the round.
+    writeOracleSql(outDir)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Queries persist intermediates (BM25 tf, shingle tables); drop
       // them between queries so 25+ runs don't accumulate cached blocks.
@@ -29,9 +32,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def writeOracleSql(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -44,6 +51,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    ()
   }
 }
