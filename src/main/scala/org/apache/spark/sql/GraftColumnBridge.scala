@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Materialize the optimizer rules a SparkSessionExtensions instance
+    * would inject — lets tests exercise the `spark.sql.extensions`
+    * class-registration path without tearing down the shared session. */
+  def optimizerRules(e: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    e.buildOptimizerRules(spark)
 }

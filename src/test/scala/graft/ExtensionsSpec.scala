@@ -17,6 +17,15 @@ class ExtensionsSpec extends SparkSpec {
       .as[Double].collect().head == 1.5)
   }
 
+  test("class registration (spark.sql.extensions) injects the optimizer rule") {
+    import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    val rules = GraftColumnBridge.optimizerRules(e, spark)
+    assert(rules.exists(_.isInstanceOf[graft.plans.IvfTopKRewrite]),
+      s"expected IvfTopKRewrite among injected rules: $rules")
+  }
+
   test("wrong arity fails at analysis") {
     GraftExtensions.install(spark)
     val e = intercept[Exception] {
