@@ -24,6 +24,21 @@ class MultimodalSpec extends SparkSpec {
     assert(a(2).getAs[Int]("n_frames") >= 1)  // video gets frames
   }
 
+  test("media features feed the similarity-search path end to end") {
+    // decode -> 16-dim feature column -> exact top-k: media similarity
+    // search runs on the SAME operators as text embeddings (no special
+    // media path needed; the feature is just another vector column).
+    val feats = Multimodal.decodeStub(media)
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val near = graft.operators.Knn.cosineTopK(feats,
+      graft.operators.Knn.queryVector(feats, 0L), k = 2)
+      .as[(Long, Double)].collect()
+    assert(near.length == 2)
+    // cosine self-similarity = 1.0 ranks first
+    assert(near.head._1 == 0L && math.abs(near.head._2 - 1.0) < 1e-6)
+    assert(near.head._2 >= near(1)._2)
+  }
+
   test("byte stats are pure column expressions") {
     val out = media.select(
       Multimodal.sizeBytes(col("content")).as("sz"),
