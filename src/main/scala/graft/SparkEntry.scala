@@ -189,6 +189,31 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id")).limit(10)
     }),
 
+    "knn_ivf_quantized" -> ((s, dir) => {
+      // Composition of the two approximate tiers: centroid-pruned scan
+      // (IVF on label clusters, nprobe=4) ranking int8-dequantized
+      // vectors — 4x smaller storage AND nprobe/K of the scan. At 100 TB
+      // this is the production config: quantized vectors inside
+      // partition-pruned cluster files.
+      import graft.functions.VectorFunctions._
+      val emb = Tables.embeddings(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("qv"))
+      val byPos = emb
+        .select(col("label").as("cluster"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg("v").as("cv"))
+      val probed = byPos.join(broadcast(qv), expr("true"))
+        .groupBy("cluster")
+        .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6).as("cscore"))
+        .orderBy(desc("cscore"), col("cluster")).limit(4).select("cluster")
+      val pruned = emb.join(broadcast(probed), col("label") === col("cluster"), "left_semi")
+        .select(col("vec_id"), quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), dequantizeInt8(col("q")).as("dq"))
+      pruned.crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(dot(col("dq"), col("qv")), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+    }),
+
     // ----- BM25 / hybrid (SURVEY §2.5, A1-A4, J5) -----
     "bm25_stats" -> ((s, dir) => {
       val tf = BM25.termFrequencies(Tables.documents(s, dir), "doc_id", "text")
@@ -612,6 +637,29 @@ private object OracleSql {
     // The declarative-plan variant probes the same label clusters with
     // the same nprobe/k — one oracle covers both.
     "knn_ivf_plan" -> ivfOracle,
+
+    "knn_ivf_quantized" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cent AS (
+        |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT cluster, round(sum(cv * qv[pos]), 6) AS cscore FROM cent, q GROUP BY cluster),
+        |probed AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 4),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE label IN (SELECT cluster FROM probed)),
+        |sc AS (SELECT vec_id, v,
+        |              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |       FROM e),
+        |dq AS (SELECT vec_id,
+        |              CASE WHEN scale > 0
+        |                   THEN list_transform(v, x -> round(x / scale)::INT * scale)
+        |                   ELSE list_transform(v, x -> 0.0) END AS dqv
+        |       FROM sc)
+        |SELECT d.vec_id, round(list_inner_product(d.dqv, q.qv), 6) AS score
+        |FROM dq d, q
+        |ORDER BY score DESC, d.vec_id
+        |LIMIT 10""".stripMargin,
 
     "bm25_stats" ->
       s"""WITH $bm25Ctes
