@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
     e.injectFunction(GraftExtensions.simhashDescriptor)
+    e.injectFunction(GraftExtensions.minhashDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     ()
   }
@@ -59,12 +60,31 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.expressions.SimHash64].getName, "simhash64"),
       buildSimhash)
 
+  private def buildMinhash(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(args.length == 3, s"minhash_sig expects (text, n, numHashes), got ${args.length} args")
+    (args(1), args(2)) match {
+      case (Literal(n: Int, _), Literal(h: Int, _)) =>
+        graft.functions.expressions.MinHashSig(args.head, n, h)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig n/numHashes must be integer literals, got $other")
+    }
+  }
+
+  private[graft] val minhashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.expressions.MinHashSig].getName, "minhash_sig"),
+      buildMinhash)
+
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_product"), dotProductDescriptor._2, build _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"), simhashDescriptor._2, buildSimhash _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"), minhashDescriptor._2, buildMinhash _)
     val rule = graft.plans.IvfTopKRewrite(spark)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfTopKRewrite]))
       spark.experimental.extraOptimizations =

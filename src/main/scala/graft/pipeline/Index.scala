@@ -28,8 +28,14 @@ import graft.operators.{BM25, SmartChunker}
   * Scale posture: every stage is a DataFrame transform — chunking is a
   * typed flatMap, embedding is mapPartitions with provider batching,
   * statistics are shuffled aggregations. Nothing is collected to the
-  * driver; `update` is an append plus a stats rebuild (the stats
-  * aggregation is a single shuffle over the tokenized corpus).
+  * driver; `update` appends plus merges statistics incrementally.
+  *
+  * Concurrency contract: SINGLE WRITER per index directory (the
+  * reference has the same implicit contract — one process owns the
+  * index files). Concurrent `update`/`compact` on one index can
+  * interleave their staged swaps; serialize writers externally.
+  * Readers are safe against completed writes (parquet file listing is
+  * per-query).
   */
 object Index {
 

@@ -17,6 +17,16 @@ class ExtensionsSpec extends SparkSpec {
       .as[Double].collect().head == 1.5)
   }
 
+  test("minhash_sig is callable from SQL; null for shingle-less text") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig('the quick brown fox jumps', 3, 8) AS sig, " +
+        "minhash_sig('hi', 3, 8) AS nosig")
+      .head()
+    assert(r.getSeq[Long](0).length == 8)
+    assert(r.isNullAt(1)) // fewer than n tokens -> no shingles -> NULL
+  }
+
   test("class registration (spark.sql.extensions) injects the optimizer rule") {
     import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
     val e = new SparkSessionExtensions
