@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => PropTest}
+
+import graft.functions.TextFunctions
+import graft.util.Json
+
+/** Property/parity checks for the pure functions the oracle contract
+  * leans on: generated inputs instead of hand-picked ones. */
+class ParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("Json round-trips arbitrary strings (escapes, control chars, unicode)") {
+    check(Prop.forAll { (s: String) => Json.parse(Json.write(s)) == s })
+  }
+
+  test("Json round-trips nested objects") {
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.alphaNumStr.map(identity[Any]),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(identity[Any]),
+      Gen.oneOf(true, false).map(identity[Any]),
+      Gen.const(null))
+    val obj: Gen[Map[String, Any]] = for {
+      n <- Gen.choose(0, 6)
+      keys <- Gen.listOfN(n, Gen.alphaNumStr)
+      vals <- Gen.listOfN(n, Gen.oneOf(scalar, Gen.listOf(scalar).map(identity[Any])))
+    } yield scala.collection.immutable.ListMap(keys.zip(vals).toMap.toSeq: _*)
+    check(Prop.forAll(obj) { m => Json.parseObject(Json.write(m)) == m })
+  }
+
+  // Seeded random corpus shared by the Spark-side parity checks — one
+  // DataFrame pass each instead of a job per scalacheck sample.
+  private lazy val samples: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    // codepoint-safe building blocks (the emoji stays a whole surrogate
+    // pair — char-level sampling would create lone surrogates that
+    // UTF-8 round-trips replace, breaking the comparison keys)
+    val parts = Seq("a", "b", "c", "X", "Y", "Z", "0", "1", "9", " ",
+      ",", ".", "!", "?", "\n", "\t", "ü", "ñ", "中", "文", "🙂", "-", "_", "/")
+    (0 until 300).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => parts(rnd.nextInt(parts.length))).mkString
+    } :+ "" :+ "ab" :+ "a" :+ "ONLY UPPER" :+ "123 456"
+  }
+
+  test("md5Hex15 == conv(substring(md5,1,15),16,10) on generated strings") {
+    val fromSpark = samples.toDF("s")
+      .select(col("s"), TextFunctions.md5Hash64(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    samples.foreach { s =>
+      val viaExpr = {
+        // same helper SimHash64/MinHashSig use, exposed through a probe
+        val d = java.security.MessageDigest.getInstance("MD5")
+        val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+        v >>> 4
+      }
+      assert(fromSpark(s) == viaExpr, s"md5 divergence for ${s.take(20)}")
+    }
+  }
+
+  test("driver-side tokenizeString == the tokens() column on generated strings") {
+    val fromSpark = samples.toDF("s")
+      .select(col("s"), TextFunctions.tokens(col("s")).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    samples.foreach { s =>
+      assert(fromSpark(s) == TextFunctions.tokenizeString(s),
+        s"tokenizer divergence for ${s.take(20)}")
+    }
+  }
+}
