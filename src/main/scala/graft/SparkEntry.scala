@@ -150,7 +150,7 @@ object SparkEntry {
       }
       s.conf.set("spark.graft.ivf.nprobe", "4")
       val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray
+        .select("embedding").head().getSeq[Float](0).toArray
       graft.pipeline.Index.searchIvfDeclarative(s, out, qv, k = 10, idCol = "vec_id")
     }),
 

@@ -65,9 +65,7 @@ final class ReactAgent(spark: SparkSession, indexDir: String,
                        embedder: EmbeddingProvider, llm: LlmProvider,
                        topK: Int = 3, maxSteps: Int = 5) {
 
-  sealed trait Action
-  final case class Search(query: String) extends Action
-  final case class Finish(answer: String) extends Action
+  import ReactAgent.{Action, Finish, Search}
 
   /** Action parser (react.rs:173-218): bare `search(...)`/`finish(...)`
     * first, then `Action:`-prefixed lines. */
@@ -121,4 +119,12 @@ final class ReactAgent(spark: SparkSession, indexDir: String,
     }
     "Maximum steps reached. " + llm.generate(sb.toString + "\nQuestion: " + query)
   }
+}
+
+object ReactAgent {
+  /** Agent actions — in the companion so pattern matches need no outer
+    * instance reference (the inner-ADT type-test warning). */
+  sealed trait Action
+  final case class Search(query: String) extends Action
+  final case class Finish(answer: String) extends Action
 }

@@ -247,7 +247,7 @@ object Index {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaDocs = newChunks.count()
     val oldNumDocs = spark.read.parquet(s"$dir/bm25_g")
-      .select(col("num_docs")).head.getLong(0)
+      .select(col("num_docs")).head().getLong(0)
     // df merges by term: the only table whose rows change (not append),
     // staged-overwritten because it feeds its own merge.
     val mergedDf = spark.read.parquet(s"$dir/bm25_df")
@@ -262,7 +262,7 @@ object Index {
     // (integer-exact, no tokenize), docs counted forward from the old row.
     val numDocs = oldNumDocs + deltaDocs
     val totalTokens = spark.read.parquet(s"$dir/bm25_dl")
-      .agg(coalesce(sum("dl"), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     import spark.implicits._
     Seq((numDocs, totalTokens.toDouble / numDocs)).toDF("num_docs", "avgdl")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/bm25_g")

@@ -120,9 +120,9 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def queryVectorOf(e: Expression): Option[Array[Double]] = {
     def litVec(x: Expression): Option[Array[Double]] = x match {
       case c: Cast => litVec(c.child)
-      case Literal(a: ArrayData, ArrayType(DoubleType, _)) => Some(a.toDoubleArray)
+      case Literal(a: ArrayData, ArrayType(DoubleType, _)) => Some(a.toDoubleArray())
       case Literal(a: ArrayData, ArrayType(FloatType, _)) =>
-        Some(a.toFloatArray.map(_.toDouble))
+        Some(a.toFloatArray().map(_.toDouble))
       case _ => None
     }
     e.collectFirst { case DotProduct(a, b) => litVec(b).orElse(litVec(a)) }.flatten
