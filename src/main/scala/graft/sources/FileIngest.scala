@@ -92,6 +92,33 @@ object FileIngest {
       }.filter(_.nonEmpty)
   }
 
+  /** JSONL corpus source: one JSON document object per line — the
+    * common interchange format for training-data drops. Maps the
+    * configured fields to the engine's `(text, source)` contract;
+    * malformed lines are dropped (DROPMALFORMED), text-less rows are
+    * filtered, and a missing source field falls back to
+    * `<file>#<line>` so ids stay deterministic. Splittable and
+    * scan-parallel like any Spark json read. */
+  def readJsonl(spark: SparkSession, path: String,
+                textField: String = "text",
+                sourceField: String = "source"): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField(textField, StringType, nullable = true),
+      StructField(sourceField, StringType, nullable = true)))
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+      .withColumn("__file", input_file_name())
+      .withColumn("__line", monotonically_increasing_id())
+      .select(
+        col(textField).as("text"),
+        coalesce(col(sourceField),
+          concat(col("__file"), lit("#"), col("__line"))).as("source"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+  }
+
   private def ext(path: Column): Column =
     lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
 

@@ -60,6 +60,33 @@ class FileIngestSpec extends SparkSpec {
     assert(text.linesIterator.toSeq.count(_.nonEmpty) >= 3)
   }
 
+  test("jsonl source: field mapping, malformed lines dropped, source fallback") {
+    val root = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(root.resolve("corpus.jsonl"),
+      """{"text": "first document", "source": "a.md"}
+        |{"text": "no source field here"}
+        |not json at all {{{
+        |{"source": "textless.md"}
+        |{"text": "", "source": "empty.md"}
+        |{"text": "last document", "source": "z.md"}
+        |""".stripMargin)
+    val docs = FileIngest.readJsonl(spark, root.resolve("corpus.jsonl").toString)
+      .as[(String, String)].collect()
+    assert(docs.length == 3)
+    val bySource = docs.map(_.swap).toMap
+    assert(bySource("a.md") == "first document")
+    assert(bySource("z.md") == "last document")
+    // the source-less doc got a deterministic <file>#<line> fallback
+    val fallback = docs.find(_._1 == "no source field here").get._2
+    assert(fallback.contains("corpus.jsonl#"))
+    // and the result feeds the index pipeline directly
+    val idx = root.resolve("idx").toString
+    val meta = graft.pipeline.Index.build(
+      FileIngest.readJsonl(spark, root.resolve("corpus.jsonl").toString),
+      idx, new graft.embedding.HashEmbedder(16), strategy = "simple")
+    assert(meta.passageCount == 3)
+  }
+
   test("html decoder survives malformed entities (passes them through)") {
     val text = FileIngest.HtmlTextDecoder.htmlToText(
       "<p>bad &#99999999999; hex &#x110000; notdigit &#ab; ok &#65;</p>")
