@@ -11,8 +11,9 @@ import graft.sources.FileIngest
 /** Command-line surface mirroring the reference CLI (`leann <cmd>`,
   * `src/cli/mod.rs`) so a reference user can run the same workflows:
   *
-  *   graft.Cli build  --docs <dir> --index <name> [--strategy auto]
-  *                    [--chunk-size 256] [--chunk-overlap 128]
+  *   graft.Cli build  --docs <dir|corpus.jsonl> --index <name>
+  *                    [--strategy auto] [--chunk-size 256]
+  *                    [--chunk-overlap 128]
   *   graft.Cli search <name> <query> [--top-k 5] [--filter <dsl>]
   *                    [--hybrid] [--alpha 0.7] [--no-auto-hybrid]
   *                    [--no-expand] [--format text|json]
@@ -103,10 +104,14 @@ object Cli {
         val chunkOverlap = flags.get("chunk-overlap").map(_.toInt)
           .getOrElse(config.build.chunkOverlap)
         val spark = session()
-        val docs = FileIngest.readDocuments(spark, docsDir,
-          extensions = config.build.fileTypes
-            .getOrElse(FileIngest.defaultExtensions),
-          maxFileSizeKb = config.build.maxFileSizeKb)
+        // --docs may be a directory tree OR a JSONL corpus file
+        val docs =
+          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+            FileIngest.readJsonl(spark, docsDir)
+          else FileIngest.readDocuments(spark, docsDir,
+            extensions = config.build.fileTypes
+              .getOrElse(FileIngest.defaultExtensions),
+            maxFileSizeKb = config.build.maxFileSizeKb)
         val dir = s"$warehouse/$name"
         val meta =
           if (args.head == "build")
