@@ -87,6 +87,18 @@ class FileIngestSpec extends SparkSpec {
     assert(meta.passageCount == 3)
   }
 
+  test("jsonl source reads gzip-compressed corpora transparently") {
+    val root = Files.createTempDirectory("graft-jsonlgz")
+    val gz = root.resolve("corpus.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write("""{"text": "compressed doc", "source": "c.md"}""".getBytes("UTF-8"))
+    out.write('\n')
+    out.close()
+    val docs = FileIngest.readJsonl(spark, gz.toString)
+      .as[(String, String)].collect()
+    assert(docs.toSeq == Seq(("compressed doc", "c.md")))
+  }
+
   test("html decoder survives malformed entities (passes them through)") {
     val text = FileIngest.HtmlTextDecoder.htmlToText(
       "<p>bad &#99999999999; hex &#x110000; notdigit &#ab; ok &#65;</p>")

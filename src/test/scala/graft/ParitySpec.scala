@@ -67,6 +67,36 @@ class ParitySpec extends SparkSpec {
     }
   }
 
+  test("SimpleChunker invariants hold on generated text (coverage, progress, ids)") {
+    import graft.operators.SimpleChunker
+    val chunker = new SimpleChunker(chunkSize = 8, chunkOverlap = 4) // small: many chunks
+    val textGen = for {
+      n <- Gen.choose(0, 600)
+      parts <- Gen.listOfN(n, Gen.oneOf("word", "x", "  ", "\n", "longerword", "a b"))
+    } yield parts.mkString
+    check(Prop.forAll(textGen) { text =>
+      val chunks = chunker.chunk(text, "t.md")
+      val substrings = chunks.forall(c => text.contains(c.text))
+      val ids = chunks.map(_.id) == chunks.indices.map(i => s"t.md#$i")
+      // forward progress: greedy earliest-match start positions never
+      // decrease (overlap allows re-covering, but never going backward)
+      val progress = {
+        val starts = chunks.scanLeft(0) { (from, c) =>
+          val at = text.indexOf(c.text, from)
+          if (at < 0) Int.MaxValue else at
+        }.tail
+        starts == starts.sorted && !starts.contains(Int.MaxValue)
+      }
+      // content anchoring: first and last non-whitespace chars survive
+      val trimmed = text.trim
+      val anchored = trimmed.isEmpty ||
+        (chunks.nonEmpty &&
+          chunks.head.text.contains(trimmed.take(1)) &&
+          chunks.last.text.contains(trimmed.takeRight(1)))
+      substrings && ids && (chunks.isEmpty || progress) && anchored
+    })
+  }
+
   test("driver-side tokenizeString == the tokens() column on generated strings") {
     val fromSpark = samples.toDF("s")
       .select(col("s"), TextFunctions.tokens(col("s")).as("t"))
