@@ -97,6 +97,28 @@ class ParitySpec extends SparkSpec {
     })
   }
 
+  test("CodeChunker never crashes or loses content on generated code-ish text") {
+    import graft.operators.SmartChunker
+    val chunker = new SmartChunker("auto", 8, 4)
+    val tokens = Seq("fn main() {", "}", "{", "def f(x):", "class A:", "// comment",
+      "\n", "  ", "}", "impl X {", "pub fn g() {", "let a = 1;", "if (a) {",
+      "###", "\"str {\"", "')", "func h() {")
+    val codeGen = for {
+      n <- Gen.choose(0, 120)
+      parts <- Gen.listOfN(n, Gen.oneOf(tokens))
+      ext <- Gen.oneOf("x.rs", "x.py", "x.go", "x.md", "x.scala", "x.js")
+    } yield (parts.mkString("\n"), ext)
+    check(Prop.forAll(codeGen) { case (text, source) =>
+      val chunks = chunker.chunk(text, source) // must not throw
+      val uniqueIds = chunks.map(_.id).distinct.size == chunks.size
+      // no content invented: every non-ws character class present in the
+      // output existed in the input
+      val inChars = text.filterNot(_.isWhitespace).toSet
+      val outChars = chunks.flatMap(_.text).filterNot(_.isWhitespace).toSet
+      uniqueIds && outChars.subsetOf(inChars)
+    })
+  }
+
   test("driver-side tokenizeString == the tokens() column on generated strings") {
     val fromSpark = samples.toDF("s")
       .select(col("s"), TextFunctions.tokens(col("s")).as("t"))
