@@ -119,6 +119,23 @@ class ParitySpec extends SparkSpec {
     })
   }
 
+  test("MetadataFilterDsl never throws on arbitrary filter strings (fail-open contract)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val frag = Gen.oneOf("lang", "=", "en", ",", ">", "n_chars", "300", "OR",
+      "not_in", "[", "]", "^", "src", "AND", "!", "  ", "~", "source", "\"", "3.5")
+    val dslGen = for {
+      n <- Gen.choose(0, 12)
+      parts <- Gen.listOfN(n, frag)
+    } yield parts.mkString
+    check(Prop.forAll(dslGen) { s =>
+      // must neither throw at parse time nor produce an unresolvable plan
+      graft.filter.MetadataFilterDsl.toColumn(s, docs) match {
+        case Some(pred) => docs.filter(pred).queryExecution.analyzed != null
+        case None => true
+      }
+    })
+  }
+
   test("driver-side tokenizeString == the tokens() column on generated strings") {
     val fromSpark = samples.toDF("s")
       .select(col("s"), TextFunctions.tokens(col("s")).as("t"))
