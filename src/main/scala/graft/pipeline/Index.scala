@@ -150,9 +150,9 @@ object Index {
     * next build/update. */
   def docFps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(s"$dir/doc_fps").exists())
+    if (tableExists(spark, s"$dir/doc_fps"))
       spark.read.parquet(s"$dir/doc_fps")
-    else if (new java.io.File(s"$dir/passages").exists())
+    else if (tableExists(spark, s"$dir/passages"))
       spark.read.parquet(s"$dir/passages")
         .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
         .distinct()
@@ -238,9 +238,15 @@ object Index {
     * rebuild (integer counts compose; avgdl divides the same integers).
     * Falls back to a full rebuild if the stats tables don't exist. */
   def mergeBm25Stats(spark: SparkSession, dir: String, newChunks: DataFrame): Unit = {
-    if (!new java.io.File(s"$dir/bm25_tf").exists() ||
-        !new java.io.File(s"$dir/bm25_g").exists()) {
-      buildBm25Stats(spark, dir)
+    if (!tableExists(spark, s"$dir/bm25_tf") ||
+        !tableExists(spark, s"$dir/bm25_g")) {
+      // Fallback rebuild runs BEFORE update() moves the staged fresh
+      // passages into the table, so the table alone would exclude the
+      // batch being appended — union the fresh chunks in explicitly or
+      // the new passages stay BM25-invisible until the next rebuild.
+      buildBm25Stats(spark, dir, Some(
+        spark.read.parquet(s"$dir/passages").select("id", "text")
+          .unionByName(newChunks.select("id", "text"))))
       return
     }
     val tfDelta = BM25.termFrequencies(newChunks, "id", "text")
@@ -292,6 +298,14 @@ object Index {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     ()
+  }
+
+  /** Table existence via the Hadoop FileSystem — `java.io.File` is local
+    * only and silently answers false on HDFS/object stores, which would
+    * flip every incremental path into its full-rebuild fallback. */
+  private def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Overwrite `dest` with `df` even though `df` reads from `dest`:
@@ -393,7 +407,7 @@ object Index {
                             provider: EmbeddingProvider,
                             passages: DataFrame): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(s"$dir/embeddings").exists())
+    if (tableExists(spark, s"$dir/embeddings"))
       spark.read.parquet(s"$dir/embeddings")
     else {
       val template = readMeta(dir).buildPromptTemplate

@@ -35,7 +35,7 @@ final class McpServer(spark: SparkSession, warehouse: String,
     * an unknown requested version gets our latest supported one back
     * (per spec — never echo a version we don't actually speak). */
   private val supportedVersions = Set("2024-11-05", "2025-03-26", "2025-06-18")
-  private val protocolVersion = "2024-11-05"
+  private val latestVersion = supportedVersions.max
 
   /** Serve until EOF on `in` — one JSON-RPC message per line. */
   def serve(in: InputStream, out: OutputStream): Unit = {
@@ -83,7 +83,7 @@ final class McpServer(spark: SparkSession, warehouse: String,
 
   private def initializeResult(params: Map[String, Any]): Map[String, Any] = Map(
     "protocolVersion" -> params.get("protocolVersion").map(String.valueOf)
-      .filter(supportedVersions.contains).getOrElse(protocolVersion),
+      .filter(supportedVersions.contains).getOrElse(latestVersion),
     "capabilities" -> Map("tools" -> Map.empty[String, Any]),
     "serverInfo" -> Map(
       "name" -> "graft-mcp",

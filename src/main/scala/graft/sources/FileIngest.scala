@@ -97,7 +97,11 @@ object FileIngest {
     * configured fields to the engine's `(text, source)` contract;
     * malformed lines are dropped (DROPMALFORMED), text-less rows are
     * filtered, and a missing source field falls back to
-    * `<file>#<line>` so ids stay deterministic. Splittable and
+    * `<file>#<content-fingerprint>` — derived from stable data only, so
+    * ids stay deterministic across runs and repartitioning (a line
+    * number would not be: Spark reads splits in any order). Identical
+    * text lines in one file collapse to one source, which matches the
+    * dedup gate's exact-duplicate semantics anyway. Splittable and
     * scan-parallel like any Spark json read. */
   def readJsonl(spark: SparkSession, path: String,
                 textField: String = "text",
@@ -111,11 +115,11 @@ object FileIngest {
       .option("mode", "DROPMALFORMED")
       .json(path)
       .withColumn("__file", input_file_name())
-      .withColumn("__line", monotonically_increasing_id())
       .select(
         col(textField).as("text"),
         coalesce(col(sourceField),
-          concat(col("__file"), lit("#"), col("__line"))).as("source"))
+          concat(col("__file"), lit("#"),
+            graft.functions.TextFunctions.fingerprint(col(textField)))).as("source"))
       .filter(col("text").isNotNull && length(col("text")) > 0)
   }
 

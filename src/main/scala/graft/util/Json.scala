@@ -47,8 +47,12 @@ object Json {
         writeTo(x, b)
       }
       b += ']'
+    // Non-finite numbers have no JSON representation — emit null rather
+    // than an unparseable bare NaN/Infinity in a protocol frame.
+    case d: Double if d.isNaN || d.isInfinite => b ++= "null"
     case d: Double => b ++= (if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString)
-    case other => b ++= String.valueOf(other) // Long, Int, Boolean
+    case f: Float if f.isNaN || f.isInfinite => b ++= "null"
+    case other => b ++= String.valueOf(other) // Long, Int, Float, Boolean
   }
 
   private def writeString(s: String, b: StringBuilder): Unit = {

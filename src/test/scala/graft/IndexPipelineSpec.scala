@@ -111,6 +111,34 @@ class IndexPipelineSpec extends SparkSpec {
     assert(qInc == qFull)
   }
 
+  test("stats-fallback rebuild during update includes the appended batch") {
+    // When the stats tables are missing (older index), update() falls
+    // back to a full rebuild — which runs BEFORE the staged passages are
+    // moved in, so it must union the fresh chunks explicitly or the new
+    // batch stays BM25-invisible.
+    val wh = Files.createTempDirectory("graft-fb").toString
+    val d = s"$wh/idx"
+    Index.build(Seq(("alpha beta gamma", "a.md")).toDF("text", "source"),
+      d, provider, strategy = "simple")
+    def rmDir(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmDir)
+      p.delete(); ()
+    }
+    rmDir(new java.io.File(s"$d/bm25_tf")) // simulate a pre-stats index
+    Index.update(Seq(("zeppelin quartz xylophone", "b.md")).toDF("text", "source"),
+      d, provider, strategy = "simple")
+    val dfTerms = spark.read.parquet(s"$d/bm25_df")
+      .select("term").as[String].collect().toSet
+    assert(dfTerms.contains("zeppelin") && dfTerms.contains("alpha"))
+    assert(spark.read.parquet(s"$d/bm25_g").select("num_docs")
+      .as[Long].head() == 2L)
+    // and the appended doc is retrievable through the BM25 arm
+    // (alpha=0: score is purely BM25, independent of the hash embedder)
+    val hit = Index.search(spark, d, "zeppelin xylophone", provider,
+      topK = 1, hybrid = true, alpha = 0.0).select("source").as[String].head()
+    assert(hit == "b.md")
+  }
+
   test("expandQuery appends key terms from BM25-top passages (ref search.rs:173-186)") {
     built
     val expanded = Index.expandQuery(spark, dir, "shuffles")

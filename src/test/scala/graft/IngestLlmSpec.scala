@@ -76,9 +76,13 @@ class FileIngestSpec extends SparkSpec {
     val bySource = docs.map(_.swap).toMap
     assert(bySource("a.md") == "first document")
     assert(bySource("z.md") == "last document")
-    // the source-less doc got a deterministic <file>#<line> fallback
+    // the source-less doc got a <file>#<content-fingerprint> fallback,
+    // stable across re-reads (a line number would depend on split order)
     val fallback = docs.find(_._1 == "no source field here").get._2
     assert(fallback.contains("corpus.jsonl#"))
+    val again = FileIngest.readJsonl(spark, root.resolve("corpus.jsonl").toString)
+      .as[(String, String)].collect().find(_._1 == "no source field here").get._2
+    assert(again == fallback)
     // and the result feeds the index pipeline directly
     val idx = root.resolve("idx").toString
     val meta = graft.pipeline.Index.build(

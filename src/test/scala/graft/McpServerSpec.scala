@@ -36,6 +36,13 @@ class McpServerSpec extends SparkSpec {
     assert(res("serverInfo").asInstanceOf[Map[String, Any]]("name") == "graft-mcp")
   }
 
+  test("initialize answers an unknown protocol version with our latest") {
+    val resp = call("""{"jsonrpc":"2.0","id":9,"method":"initialize",""" +
+      """"params":{"protocolVersion":"2099-01-01","capabilities":{}}}""")
+    val res = resp("result").asInstanceOf[Map[String, Any]]
+    assert(res("protocolVersion") == "2025-06-18")
+  }
+
   test("notifications get no response") {
     assert(srv.handleLine(
       """{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)

@@ -34,6 +34,14 @@ class ParitySpec extends SparkSpec {
     check(Prop.forAll(obj) { m => Json.parseObject(Json.write(m)) == m })
   }
 
+  test("Json writes non-finite numbers as null (never a bare NaN token)") {
+    assert(Json.write(Double.NaN) == "null")
+    assert(Json.write(Double.PositiveInfinity) == "null")
+    assert(Json.write(Float.NegativeInfinity) == "null")
+    assert(Json.write(Map("score" -> Double.NaN)) == """{"score":null}""")
+    assert(Json.parse(Json.write(List(1L, Double.NaN))) == List(1L, null))
+  }
+
   // Seeded random corpus shared by the Spark-side parity checks — one
   // DataFrame pass each instead of a job per scalacheck sample.
   private lazy val samples: Seq[String] = {
