@@ -55,8 +55,29 @@ object VectorFunctions {
     * dot-product error — the storage-tier trade for 100 TB of vectors.
     * Returns a struct (scale DOUBLE, codes ARRAY<INT>); `round` is
     * HALF_UP like the SQL oracle's. Zero vectors quantize to scale 0 +
-    * zero codes. */
+    * zero codes. Computed by the single-pass
+    * [[graft.functions.expressions.QuantizeInt8]] expression — the HOF
+    * formulation ([[quantizeInt8Columns]], kept as the parity oracle)
+    * re-evaluates the scale fold per element once CollapseProject
+    * inlines it into downstream lambdas. */
   def quantizeInt8(v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.QuantizeInt8(
+      GraftColumnBridge.expression(asDouble(v))))
+  }
+
+  /** Dequantized vector from a quantizeInt8 struct (single-pass
+    * [[graft.functions.expressions.DequantizeInt8]]). */
+  def dequantizeInt8(q: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.DequantizeInt8(
+      GraftColumnBridge.expression(q)))
+  }
+
+  /** The composable-Column formulation of [[quantizeInt8]] — identical
+    * values; kept as the parity oracle (FunctionsSpec pins the
+    * expression against it). */
+  private[graft] def quantizeInt8Columns(v: Column): Column = {
     val d = asDouble(v)
     val maxAbs = aggregate(d, lit(0.0), (acc, x) => greatest(acc, abs(x)))
     val scale = maxAbs / 127.0
@@ -66,7 +87,7 @@ object VectorFunctions {
         .otherwise(lit(0))).as("codes"))
   }
 
-  /** Dequantized vector from a quantizeInt8 struct. */
-  def dequantizeInt8(q: Column): Column =
+  /** Column-formulation parity oracle for [[dequantizeInt8]]. */
+  private[graft] def dequantizeInt8Columns(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 }

@@ -53,6 +53,33 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(z == Seq(0.0, 0.0))
   }
 
+  test("QuantizeInt8/DequantizeInt8 expressions match the Column formulation bit-for-bit") {
+    // Seeded random vectors plus adversarial cases: exact half-way
+    // codes (round HALF_UP vs Math.floor(x+0.5) diverge near .5),
+    // negatives, zero and empty vectors, tiny/huge magnitudes.
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[Seq[Float]] =
+      (1 to 50).map(_ => Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)) ++
+      Seq(
+        Seq(1.0f, 0.5f, -0.5f, 0.25f),      // codes land on halves
+        Seq(-1.0f, -0.9999999f),
+        Seq(0.0f, 0.0f, 0.0f),
+        Seq.empty[Float],
+        Seq(1e-30f, -1e-30f),
+        Seq(1e30f, -1e30f, 5e29f))
+    val df = vecs.toDF("v")
+    val got = df.select(
+      VectorFunctions.quantizeInt8(col("v")).as("q"),
+      VectorFunctions.dequantizeInt8(VectorFunctions.quantizeInt8(col("v"))).as("dq"))
+      .collect().map(_.toString)
+    val want = df.select(
+      VectorFunctions.quantizeInt8Columns(col("v")).as("q"),
+      VectorFunctions.dequantizeInt8Columns(
+        VectorFunctions.quantizeInt8Columns(col("v"))).as("dq"))
+      .collect().map(_.toString)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("l2 normalize produces unit vectors; zero vector unchanged") {
     val z = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
     val out = z.select(
