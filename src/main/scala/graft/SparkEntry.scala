@@ -26,6 +26,21 @@ object SparkEntry {
     queries("hybrid_search")(spark, dir)
   }
 
+  /** Build-once cache of the label-assigned IVF layout (partitioned
+    * embeddings + centroids table) shared by knn_ivf / knn_ivf_plan.
+    * Keyed by (path, source mtime): regenerated testdata at the same
+    * path must not reuse a stale layout. */
+  private def ivfLayoutDir(s: SparkSession, dir: String): String = {
+    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfplan_${math.abs(dir.hashCode)}_$mtime"
+    if (!new java.io.File(s"$out/centroids/_SUCCESS").exists()) {
+      val assigned = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label").as("centroid_id"))
+      graft.pipeline.Index.writeIvfLayout(s, assigned, out)
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- relational core over the TPC-H-ish tables -----
     "q1_agg" -> ((s, dir) => {
@@ -127,8 +142,16 @@ object SparkEntry {
     }),
 
     "knn_ivf" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Knn.ivfTopK(emb, Knn.queryVector(emb, 0L), "label", nprobe = 4, k = 10)
+      // The persisted-centroid production path: rank the STORED
+      // centroids table (nprobe driver-side ints), then scan only the
+      // probed partitions of the centroid-partitioned layout —
+      // sub-linear in the corpus. (Knn.ivfTopK, which re-derives
+      // centroids from the full table, remains the oracle-reproducible
+      // formulation only — see its scaladoc.)
+      val out = ivfLayoutDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.pipeline.Index.searchIvf(s, out, qv, nprobe = 4, k = 10, idCol = "vec_id")
     }),
 
     "knn_ivf_plan" -> ((s, dir) => {
@@ -139,15 +162,7 @@ object SparkEntry {
       // label-assigned (not KMeans) so the SQL oracle can reproduce the
       // probe set — semantics identical to knn_ivf.
       GraftExtensions.install(s)
-      // Layout cache keyed by (path, source mtime): regenerated testdata
-      // at the same path must not reuse a stale layout.
-      val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfplan_${math.abs(dir.hashCode)}_$mtime"
-      if (!new java.io.File(s"$out/centroids/_SUCCESS").exists()) {
-        val assigned = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"), col("label").as("centroid_id"))
-        graft.pipeline.Index.writeIvfLayout(s, assigned, out)
-      }
+      val out = ivfLayoutDir(s, dir)
       s.conf.set("spark.graft.ivf.nprobe", "4")
       val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -252,8 +267,13 @@ object SparkEntry {
     }),
 
     "dedup_jaccard" -> ((s, dir) => {
+      // maxShingleDf caps the inverted-index fanout: a shingle shared by
+      // d docs contributes d^2 join rows, so on a skewed real corpus the
+      // hottest shingles dominate the shuffle. The benchmarked query
+      // runs WITH the cap on (the 100 TB posture); the oracle computes
+      // the same capped-set Jaccard.
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, minJ = 0.5)
+          n = 3, minJ = 0.5, maxShingleDf = 20)
         .orderBy("id_a", "id_b")
     }),
 
@@ -732,10 +752,35 @@ private object OracleSql {
         |LIMIT 200""".stripMargin,
 
     "dedup_jaccard" ->
-      s"""WITH $shingleCtes
-         |SELECT id_a, id_b, jaccard FROM jac
-         |WHERE jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+      // Capped-set semantics (maxShingleDf=20), mirroring jaccardPairs:
+      // intersections AND set sizes both come from the retained shingles.
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM tk),
+        |dfs AS (SELECT s, count(*) AS shdf FROM sh0 GROUP BY 1),
+        |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN dfs USING (s) WHERE shdf <= 20),
+        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.id < b.id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT id_a, id_b,
+        |         round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |  FROM pairs
+        |  JOIN sz sa ON id_a = sa.id
+        |  JOIN sz sb ON id_b = sb.id)
+        |SELECT id_a, id_b, jaccard FROM jac
+        |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $shingleCtes,

@@ -57,9 +57,15 @@ object Knn {
   /** IVF-pruned top-k: rank cluster centroids (mean vector per
     * `clusterCol`), keep the best `nprobe`, search only those clusters.
     *
-    * The centroid ranking is computed position-wise (explode → avg per
-    * (cluster, pos) → dot with the query element) so the oracle SQL can
-    * reproduce it without array aggregation.
+    * ==ORACLE FORMULATION ONLY — not a production entry point.==
+    * The centroid derivation here (explode → avg per (cluster, pos))
+    * re-reads the FULL table per query: O(corpus) work that exists so
+    * the DuckDB oracle SQL can reproduce the probe set without array
+    * aggregation. Production queries go through the persisted-centroid
+    * paths — [[graft.pipeline.Index.searchIvf]] (stored `centroids`
+    * table + partition-pruned layout scan) or the declarative
+    * [[graft.plans.IvfTopKRewrite]] rule — where centroid ranking costs
+    * O(K·dims) regardless of corpus size.
     */
   def ivfTopK(emb: DataFrame, query: DataFrame, clusterCol: String,
               nprobe: Int, k: Int): DataFrame = {

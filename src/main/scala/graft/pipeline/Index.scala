@@ -583,7 +583,7 @@ object Index {
     * partitioned table with those literals so the Parquet source prunes
     * to nprobe partitions before any vector math. */
   def searchIvf(spark: SparkSession, dir: String, queryVec: Array[Float],
-                nprobe: Int, k: Int): DataFrame = {
+                nprobe: Int, k: Int, idCol: String = "id"): DataFrame = {
     val qdf = spark.range(1).select(
       typedLit(queryVec.map(_.toDouble).toSeq).as("qv"))
     val probed = spark.read.parquet(s"$dir/centroids")
@@ -597,9 +597,9 @@ object Index {
     val pruned = spark.read.parquet(s"$dir/embeddings_ivf")
       .filter(col("centroid_id").isin(probed.map(Integer.valueOf).toSeq: _*))
     pruned.crossJoin(broadcast(qdf))
-      .select(col("id"),
+      .select(col(idCol),
         round(VectorFunctions.dot(col("embedding"), col("qv")), 6).as("score"))
-      .orderBy(desc("score"), col("id"))
+      .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
 
