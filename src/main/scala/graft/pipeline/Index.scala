@@ -190,6 +190,14 @@ object Index {
              chunkOverlap: Int = 128): IndexMeta = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // Fail fast on a wrong embedder BEFORE anything is written
+    // (ref src/cli/update.rs:105-111): mismatched vectors appended here
+    // would only blow up later, at query time, inside the dot product.
+    val meta00 = readMeta(dir)
+    if (provider.dimensions != meta00.dimensions)
+      throw new IllegalArgumentException(
+        s"Embedding dimension mismatch: index has ${meta00.dimensions}, " +
+        s"provider '${provider.modelName}' has ${provider.dimensions}")
     // Snapshot + persist for the same reason as build(): several
     // consumers, and a re-executed non-deterministic source could
     // otherwise diverge between passages, embeddings and fingerprints.

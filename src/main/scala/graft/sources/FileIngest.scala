@@ -126,41 +126,72 @@ object FileIngest {
   private def ext(path: Column): Column =
     lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
 
-  /** Scan a directory tree into `(text, source)` rows. */
+  /** Scan a directory tree into `(text, source)` rows.
+    *
+    * Local directory roots are enumerated by [[IgnoreWalk]] (honoring
+    * `.gitignore`/`.leannignore` and skipping build/dependency
+    * directories, like the reference's `ignore`-crate walker,
+    * build.rs:492-509) — pointing the build CLI at a real repo must not
+    * ingest `node_modules` or `target`. The extension/size/cap policy
+    * is then applied as Column predicates over the (path, length)
+    * listing, and only the surviving files have their CONTENT read —
+    * distributed, inside the flatMap. Non-local roots (HDFS/object
+    * store paths, where per-directory ignore files aren't a convention)
+    * fall back to the plain recursive `binaryFile` scan; so does
+    * `honorIgnoreFiles = false`. */
   def readDocuments(spark: SparkSession, root: String,
                     extensions: Seq[String] = defaultExtensions,
                     excludeExtensions: Seq[String] = Nil,
                     includeHidden: Boolean = false,
                     maxFileSizeKb: Long = 1024,
                     maxFiles: Option[Int] = None,
-                    decoder: ContentDecoder = Utf8Decoder): DataFrame = {
+                    decoder: ContentDecoder = Utf8Decoder,
+                    honorIgnoreFiles: Boolean = true): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(col("path"), col("length"), col("content"))
 
     val e = ext(col("path"))
     val strict = strictSizeExtensions.foldLeft(lit(maxFileSizeKb * 1024)) {
       case (acc, (x, cap)) => when(e === x, least(acc, lit(cap))).otherwise(acc)
     }
-    val hiddenOk =
-      if (includeHidden) lit(true)
-      else !col("path").rlike("/\\.[^/]+(/|$)")
-
-    val filtered = raw
-      .filter(e.isin(extensions.map(_.toLowerCase): _*))
-      .filter(if (excludeExtensions.isEmpty) lit(true)
-              else !e.isin(excludeExtensions.map(_.toLowerCase): _*))
-      .filter(col("length") <= strict)
-      .filter(hiddenOk)
-    val capped = maxFiles match {
-      case Some(n) => filtered.orderBy("path").limit(n) // deterministic cap
-      case None    => filtered
+    def applyPolicy(raw: DataFrame, hiddenFiltered: Boolean): DataFrame = {
+      val hiddenOk =
+        if (includeHidden || hiddenFiltered) lit(true)
+        else !col("path").rlike("/\\.[^/]+(/|$)")
+      val filtered = raw
+        .filter(e.isin(extensions.map(_.toLowerCase): _*))
+        .filter(if (excludeExtensions.isEmpty) lit(true)
+                else !e.isin(excludeExtensions.map(_.toLowerCase): _*))
+        .filter(col("length") <= strict)
+        .filter(hiddenOk)
+      maxFiles match {
+        case Some(n) => filtered.orderBy("path").limit(n) // deterministic cap
+        case None    => filtered
+      }
     }
-    capped.select(col("path").as("source"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => decoder.decode(p, bytes).map(t => (t, p)) }
-      .toDF("text", "source")
+
+    val localRoot = new java.io.File(root)
+    if (honorIgnoreFiles && localRoot.isDirectory) {
+      val listing = IgnoreWalk.walk(root, includeHidden).toDF("path", "length")
+      applyPolicy(listing, hiddenFiltered = true)
+        .select("path").as[String]
+        .flatMap { p =>
+          // skip-unreadable covers I/O races too (file deleted mid-scan)
+          val bytes =
+            try Some(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+            catch { case _: java.io.IOException => None }
+          bytes.flatMap(b => decoder.decode(p, b)).map(t => (t, p))
+        }
+        .toDF("text", "source")
+    } else {
+      val raw = spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(col("path"), col("length"), col("content"))
+      applyPolicy(raw, hiddenFiltered = false)
+        .select(col("path").as("source"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (p, bytes) => decoder.decode(p, bytes).map(t => (t, p)) }
+        .toDF("text", "source")
+    }
   }
 }

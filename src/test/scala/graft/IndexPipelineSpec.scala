@@ -111,6 +111,24 @@ class IndexPipelineSpec extends SparkSpec {
     assert(qInc == qFull)
   }
 
+  test("update with a wrong-dimension provider fails fast, index unchanged (ref update.rs:105-111)") {
+    val wh = Files.createTempDirectory("graft-dim").toString
+    val d = s"$wh/idx"
+    Index.build(Seq(("some document text", "a.md")).toDF("text", "source"),
+      d, provider, strategy = "simple")
+    val before = spark.read.parquet(s"$d/passages").count()
+    val e = intercept[IllegalArgumentException] {
+      Index.update(Seq(("appended doc", "b.md")).toDF("text", "source"),
+        d, new HashEmbedder(16), strategy = "simple") // index was built at 32
+    }
+    assert(e.getMessage.contains("dimension mismatch"))
+    assert(e.getMessage.contains("32") && e.getMessage.contains("16"))
+    // nothing was staged or appended
+    assert(spark.read.parquet(s"$d/passages").count() == before)
+    assert(Index.readMeta(d).passageCount == before)
+    assert(!new java.io.File(s"$d/passages.delta").exists())
+  }
+
   test("stats-fallback rebuild during update includes the appended batch") {
     // When the stats tables are missing (older index), update() falls
     // back to a full rebuild — which runs BEFORE the staged passages are

@@ -33,6 +33,57 @@ class FileIngestSpec extends SparkSpec {
     assert(docs == Set("readme.md", "code.rs", "small.json"))
   }
 
+  test("honors .gitignore/.leannignore and skips build dirs (ref build.rs:492-509)") {
+    val root = Files.createTempDirectory("graft-ign")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+      ()
+    }
+    // build/dependency dirs are never walked, gitignored or not
+    write("node_modules/lib/index.js", "module.exports = 1")
+    write("target/debug/gen.rs", "fn gen() {}")
+    write("__pycache__/mod.py", "cached")
+    // .gitignore at the root: glob, anchored path, dir pattern, negation
+    write(".gitignore",
+      """*.log
+        |/secrets.md
+        |generated/
+        |scratch*.py
+        |!scratchkeep.py
+        |""".stripMargin)
+    write("notes.log", "log text")               // *.log -> ignored (wrong ext anyway)
+    write("build.md", "keep me: name is a dir rule only when a dir")
+    write("secrets.md", "anchored ignore")
+    write("sub/secrets.md", "NOT ignored: /secrets.md anchors to root")
+    write("generated/out.md", "ignored dir")
+    write("scratch1.py", "ignored glob")
+    write("scratchkeep.py", "negation wins")
+    // nested .gitignore scopes to its own directory
+    write("sub/.gitignore", "local.md\n")
+    write("sub/local.md", "ignored by nested rule")
+    write("other/local.md", "kept: nested rule does not reach here")
+    // .leannignore is honored like the reference's custom ignore file
+    write(".leannignore", "vendored_thing.md\n")
+    write("vendored_thing.md", "ignored by leannignore")
+    write("kept.md", "plain keeper")
+
+    val got = FileIngest.readDocuments(spark, root.toString)
+      .select("source").as[String].collect()
+      .map(p => root.relativize(Paths.get(p)).toString).toSet
+    assert(got == Set("build.md", "sub/secrets.md", "scratchkeep.py",
+      "other/local.md", "kept.md"))
+
+    // the walk can be bypassed (pure policy scan, pre-round-3 behavior)
+    val bypassed = FileIngest.readDocuments(spark, root.toString,
+      honorIgnoreFiles = false)
+      .select("source").as[String].collect()
+      // binaryFile sources are file: URIs; the walk branch yields plain paths
+      .map(p => root.relativize(Paths.get(p.stripPrefix("file:"))).toString).toSet
+    assert(bypassed.contains("secrets.md") && bypassed.contains("generated/out.md"))
+  }
+
   test("maxFiles caps deterministically") {
     val root = Files.createTempDirectory("graft-cap")
     (1 to 5).foreach(i => Files.writeString(root.resolve(s"f$i.txt"), s"doc $i"))
