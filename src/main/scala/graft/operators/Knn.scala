@@ -149,16 +149,26 @@ object Knn {
     * `bits` pseudo-random hyperplanes derived from a seeded hash, sign
     * bit per plane. Same-bucket vectors are near-duplicate candidates;
     * the hyperplanes are deterministic so bucketing is reproducible
-    * across runs and engines. */
+    * across runs and engines. Computed by the single-pass
+    * [[graft.functions.expressions.SignLsh64]] expression — the Column
+    * formulation ([[signLshKeyColumns]], kept as the parity oracle)
+    * builds a bits × dims expression tree that blows past codegen
+    * limits at production dims. */
   def signLshKey(vecCol: Column, dims: Int, bits: Int, seed: Long = 42L): Column = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.SignLsh64(
+      GraftColumnBridge.expression(asDouble(vecCol)), dims, bits, seed))
+  }
+
+  /** The composable-Column formulation of [[signLshKey]] — identical
+    * values; kept as the parity oracle (KnnSpec pins the expression
+    * against it). */
+  private[graft] def signLshKeyColumns(vecCol: Column, dims: Int, bits: Int,
+                                       seed: Long = 42L): Column = {
     val planes: Seq[Seq[Double]] = (0 until bits).map(b =>
-      (0 until dims).map(d => mix(seed + b * 1000003L + d).toDouble / Long.MaxValue))
+      (0 until dims).map(d =>
+        graft.functions.expressions.SignLsh64.mix(seed + b * 1000003L + d)
+          .toDouble / Long.MaxValue))
     val v = asDouble(vecCol)
     planes.zipWithIndex.map { case (p, i) =>
       val proj = (0 until dims).map(d => element_at(v, d + 1) * p(d)).reduce(_ + _)

@@ -55,6 +55,25 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"expected map-side partial agg in:\n$plan")
   }
 
+  test("SignLsh64 expression matches the Column formulation bit-for-bit") {
+    // Every stored embedding, two plane configs (incl. a bit count past
+    // what a sane Column tree would allow at real dims) — keys must be
+    // identical, including vectors projecting exactly to 0 on a plane
+    // (the zero vector: strict proj > 0 keeps the bit clear).
+    import graft.functions.VectorFunctions.asDouble
+    val withZero = emb.select(asDouble(col("embedding")).as("v"))
+      .union(Seq(Seq.fill(64)(0.0)).toDF("v"))
+    for ((bits, seed) <- Seq((12, 42L), (16, 7L))) {
+      val got = withZero.select(
+        Knn.signLshKey(col("v"), dims = 64, bits = bits, seed = seed).as("k"),
+        Knn.signLshKeyColumns(col("v"), dims = 64, bits = bits, seed = seed).as("kc"))
+        .as[(Long, Long)].collect()
+      assert(got.forall { case (k, kc) => k == kc },
+        s"bits=$bits seed=$seed diverged")
+      assert(got.last._1 == 0L) // zero vector -> no bit set
+    }
+  }
+
   test("sign-LSH: identical vectors collide; pairs verified by cosine") {
     val dup = emb.limit(3).union(emb.limit(3)) // every vector duplicated
       .withColumn("rid", monotonically_increasing_id())
