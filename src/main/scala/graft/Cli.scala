@@ -40,10 +40,23 @@ object Cli {
 
   private lazy val config: Config = Config.load()
 
-  /** Precedence: $GRAFT_EMBED_DIMS > config [embedding].dims > 64. */
-  private def provider: EmbeddingProvider =
-    new HashEmbedder(sys.env.get("GRAFT_EMBED_DIMS").map(_.toInt)
-      .getOrElse(config.embedding.dims))
+  /** Precedence: $GRAFT_EMBED_DIMS > config [embedding].dims > 64.
+    * `provider = "http"` (with `base_url`/`model`, key from
+    * $GRAFT_EMBED_API_KEY) selects the OpenAI-compatible HTTP client;
+    * anything else is the offline hash embedder. */
+  private def provider: EmbeddingProvider = {
+    val dims = sys.env.get("GRAFT_EMBED_DIMS").map(_.toInt)
+      .getOrElse(config.embedding.dims)
+    config.embedding.provider match {
+      case "http" | "openai" =>
+        new graft.embedding.HttpEmbedder(
+          config.embedding.model.getOrElse("text-embedding-3-small"),
+          config.embedding.baseUrl.getOrElse("http://localhost:8080/v1"),
+          apiKey = sys.env.get("GRAFT_EMBED_API_KEY"),
+          dims = dims)
+      case _ => new HashEmbedder(dims)
+    }
+  }
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -123,6 +136,11 @@ object Cli {
             chunkSize = chunkSize, chunkOverlap = chunkOverlap)
         println(s"${args.head}: index '$name' at $dir — " +
           s"${meta.passageCount} passages, ${meta.dimensions} dims")
+        // Per-extension diagnostics (ref build.rs:290-308 prints the same
+        // ext -> (files, chunks) rollup after a build).
+        Index.buildStatsByExtension(spark, dir).collect().foreach { r =>
+          println(f"  .${r.getString(0)}%-8s ${r.getLong(1)}%6d files ${r.getLong(2)}%8d chunks")
+        }
         spark.stop()
 
       case "search" =>

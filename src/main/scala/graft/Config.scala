@@ -15,7 +15,9 @@ import java.nio.file.{Files, Path, Paths}
 final case class EmbeddingConfig(
     provider: String = "hash",
     dims: Int = 64,
-    batchSize: Option[Int] = None)
+    batchSize: Option[Int] = None,
+    model: Option[String] = None,
+    baseUrl: Option[String] = None)
 
 final case class BuildConfig(
     chunkSize: Int = 256,
@@ -54,7 +56,9 @@ object Config {
       embedding = EmbeddingConfig(
         provider = str("embedding", "provider").getOrElse("hash"),
         dims = int("embedding", "dims").getOrElse(64),
-        batchSize = int("embedding", "batch_size")),
+        batchSize = int("embedding", "batch_size"),
+        model = str("embedding", "model"),
+        baseUrl = str("embedding", "base_url")),
       build = BuildConfig(
         chunkSize = int("build", "chunk_size").getOrElse(256),
         chunkOverlap = int("build", "chunk_overlap").getOrElse(128),
@@ -142,8 +146,10 @@ object Config {
     """# graft configuration (see: graft.Cli config show)
       |
       |[embedding]
-      |provider = "hash"     # offline deterministic embedder
-      |dims = 64
+      |provider = "hash"     # or "http": OpenAI-compatible endpoint
+      |dims = 64             # 0 with provider="http" = auto-probe
+      |# model = "text-embedding-3-small"
+      |# base_url = "http://localhost:8080/v1"   # $GRAFT_EMBED_API_KEY for auth
       |# batch_size = 100
       |
       |[build]

@@ -611,6 +611,24 @@ object Index {
       .limit(k)
   }
 
+  /** Per-extension build statistics (A7, ref `src/cli/build.rs:290-308`:
+    * ext → (files, chunks)): one distributed groupBy over the stored
+    * passages — files counts distinct sources per extension, chunks the
+    * passages. Extension-less sources report "unknown" like the
+    * reference. */
+  def buildStatsByExtension(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.read.parquet(s"$dir/passages")
+      .select(col("id"), col("metadata.source").as("source"))
+    src.select(
+        when(col("source").rlike("\\.[A-Za-z0-9]+$"),
+          lower(regexp_extract(col("source"), "\\.([A-Za-z0-9]+)$", 1)))
+          .otherwise(lit("unknown")).as("ext"),
+        col("source"), col("id"))
+      .groupBy("ext")
+      .agg(countDistinct("source").as("files"), count(lit(1)).as("chunks"))
+      .orderBy("ext")
+  }
+
   // ----- registry utilities (S12-S14) -----
 
   def writeMeta(dir: String, meta: IndexMeta): Unit = {

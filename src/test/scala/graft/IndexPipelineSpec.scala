@@ -182,6 +182,25 @@ class IndexPipelineSpec extends SparkSpec {
     assert(r.length == 2)
   }
 
+  test("per-extension build statistics (A7, ref build.rs:290-308)") {
+    val wh = Files.createTempDirectory("graft-stats").toString
+    val d = s"$wh/idx"
+    val docs2 = Seq(
+      ("alpha beta gamma delta", "a.md"),
+      ("def f():\n  return 1\n", "b.py"),
+      ("class G:\n  pass\n", "c.py"),
+      ("no extension here", "README"))
+      .toDF("text", "source")
+    Index.build(docs2, d, provider, strategy = "simple")
+    val stats = Index.buildStatsByExtension(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(stats.map(_._1) == Seq("md", "py", "unknown")) // sorted
+    val byExt = stats.map(s => s._1 -> ((s._2, s._3))).toMap
+    assert(byExt("md")._1 == 1 && byExt("py")._1 == 2 && byExt("unknown")._1 == 1)
+    // every passage is accounted for exactly once
+    assert(stats.map(_._3).sum == spark.read.parquet(s"$d/passages").count())
+  }
+
   test("registry: list, locate, remove") {
     built
     val listed = Index.listIndexes(warehouse).map(_._1)
