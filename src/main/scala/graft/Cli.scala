@@ -122,9 +122,13 @@ object Cli {
           if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
             FileIngest.readJsonl(spark, docsDir)
           else FileIngest.readDocuments(spark, docsDir,
+            // full decoder chain: .pdf -> PdfText, .html -> HTML-to-text,
+            // rest UTF-8 (the reference gates .pdf behind a cargo feature;
+            // this build ships it, build.rs:637-655)
             extensions = config.build.fileTypes
-              .getOrElse(FileIngest.defaultExtensions),
-            maxFileSizeKb = config.build.maxFileSizeKb)
+              .getOrElse(FileIngest.defaultExtensions ++ Seq("pdf", "html", "htm")),
+            maxFileSizeKb = config.build.maxFileSizeKb,
+            decoder = graft.sources.PdfTextDecoder)
         val dir = s"$warehouse/$name"
         val meta =
           if (args.head == "build")
