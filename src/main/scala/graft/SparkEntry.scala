@@ -547,6 +547,128 @@ private object OracleSql {
       |  JOIN sz sb ON id_b = sb.id)""".stripMargin
 
 
+  // ----- index_search oracle: the full build+search path in SQL -----
+  //
+  // The hash embedder is pure integer/float math, so DuckDB can
+  // reproduce it bit-for-bit: Java String.hashCode over the (ASCII)
+  // text, splitmix64 mixing emulated in HUGEINT arithmetic mod 2^64
+  // (xor/floordiv are native; the 64x64->64 multiply is split 32/32 to
+  // stay under 128 bits), float32 truncation via ::FLOAT. Each mix
+  // stage is its own list_transform CTE so no expression blows up.
+  // The chunker is the identity at gate scales (every documents.text
+  // fits one 1024-char chunk and is ASCII — both preconditions asserted
+  // in ParitySpec's "index_search oracle preconditions"), so chunk id =
+  // source || '/' || doc_id || '#0'.
+
+  /** `(a * c) mod 2^64` over HUGEINT, `c` a 64-bit constant split into
+    * 32-bit halves at generation time. */
+  private def umul64(a: String, c: BigInt): String = {
+    val lo = c & 0xFFFFFFFFL
+    val hi = c >> 32
+    s"((($a) % 4294967296) * $lo + (((($a) % 4294967296) * $hi + " +
+      s"(($a) // 4294967296) * $lo) % 4294967296) * 4294967296) % 18446744073709551616"
+  }
+
+  /** CTE chain computing the HashEmbedder(64, seed=42) vector for
+    * column `text` of CTE `in` carrying key column(s) `keep`; emits CTEs
+    * `<p>0..<p>b` and a final `<p>emb(keep..., dv DOUBLE[])`. */
+  private def hashEmbedCtes(p: String, in: String, keep: String): String = {
+    val M = "18446744073709551616"
+    val C1 = BigInt("9e3779b97f4a7c15", 16)
+    val C2 = BigInt("bf58476d1ce4e5b9", 16)
+    val C3 = BigInt("94d049bb133111eb", 16)
+    s"""${p}hc AS (
+       |  SELECT $keep, text,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length(text)),
+       |      i -> unicode(substr(text, i, 1))::BIGINT)),
+       |      (h, c) -> (h * 31 + c) % 4294967296) AS hcu
+       |  FROM $in),
+       |${p}sx AS (
+       |  SELECT $keep, xor(42::BIGINT,
+       |    CASE WHEN hcu < 2147483648 THEN hcu ELSE hcu - 4294967296 END) AS sxv
+       |  FROM ${p}hc),
+       |${p}b0 AS (SELECT $keep, (CASE WHEN sxv < 0 THEN sxv::HUGEINT + $M ELSE sxv::HUGEINT END + $C1) % $M AS z FROM ${p}sx),
+       |${p}b1 AS (SELECT $keep, xor(z, z // 1073741824) AS z FROM ${p}b0),
+       |${p}b2 AS (SELECT $keep, ${umul64("z", C2)} AS z FROM ${p}b1),
+       |${p}b3 AS (SELECT $keep, xor(z, z // 134217728) AS z FROM ${p}b2),
+       |${p}b4 AS (SELECT $keep, ${umul64("z", C3)} AS z FROM ${p}b3),
+       |${p}bb AS (SELECT $keep, xor(z, z // 2147483648) AS base FROM ${p}b4),
+       |${p}e0 AS (SELECT $keep, list_transform(generate_series(0, 63), i -> (base + i + $C1) % $M) AS l FROM ${p}bb),
+       |${p}e1 AS (SELECT $keep, list_transform(l, z -> xor(z, z // 1073741824)) AS l FROM ${p}e0),
+       |${p}e2 AS (SELECT $keep, list_transform(l, z -> ${umul64("z", C2)}) AS l FROM ${p}e1),
+       |${p}e3 AS (SELECT $keep, list_transform(l, z -> xor(z, z // 134217728)) AS l FROM ${p}e2),
+       |${p}e4 AS (SELECT $keep, list_transform(l, z -> ${umul64("z", C3)}) AS l FROM ${p}e3),
+       |${p}e5 AS (SELECT $keep, list_transform(l, z -> xor(z, z // 2147483648)) AS l FROM ${p}e4),
+       |${p}xs AS (SELECT $keep, list_transform(l,
+       |    m -> (CASE WHEN m >= 9223372036854775808 THEN m - $M ELSE m END)::DOUBLE
+       |         / 9223372036854775807) AS xs FROM ${p}e5),
+       |${p}nn AS (SELECT $keep, xs, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(xs, x -> x * x)), (a, b) -> a + b)) AS n FROM ${p}xs),
+       |${p}emb AS (SELECT $keep,
+       |    list_transform(xs, x -> (((x::FLOAT)::DOUBLE / n)::FLOAT)::DOUBLE) AS dv
+       |  FROM ${p}nn)""".stripMargin
+  }
+
+  /** The query vector is a constant of the query — inlined as a literal
+    * (same stance as the query string itself). */
+  private val indexSearchQv: String =
+    new graft.embedding.HashEmbedder(64).embedOne("spark hash join")
+      .map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
+  private val indexSearchOracle: String =
+    s"""WITH chunks AS (
+       |  SELECT source || '/' || doc_id || '#0' AS id, text,
+       |         source || '/' || doc_id AS src
+       |  FROM documents),
+       |fil AS (SELECT * FROM chunks WHERE starts_with(src, 'src')),
+       |${hashEmbedCtes("h", "fil", "id")},
+       |q AS (SELECT $indexSearchQv::DOUBLE[] AS qv),
+       |vs AS (
+       |  SELECT id, round(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, 64), i -> dv[i] * qv[i])),
+       |    (a, b) -> a + b), 6) AS vscore
+       |  FROM hemb, q),
+       |vec AS (SELECT id, vscore FROM vs ORDER BY vscore DESC, id LIMIT 25),
+       |toks AS (
+       |  SELECT id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                                t -> length(t) > 1)) AS term
+       |  FROM chunks),
+       |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |g AS (SELECT (SELECT count(*) FROM chunks) AS num_docs,
+       |             (SELECT coalesce(sum(tf), 0) FROM tf)::DOUBLE
+       |               / (SELECT count(*) FROM chunks) AS avgdl),
+       |qt AS (SELECT * FROM (VALUES ('spark', 1), ('hash', 1), ('join', 1)) t(term, qn)),
+       |bm AS (
+       |  SELECT tf.id,
+       |         sum(qn * ln((num_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |             * (tf * (1.2 + 1.0))
+       |             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))) AS score
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (id)
+       |  CROSS JOIN g
+       |  GROUP BY tf.id),
+       |bmall AS (
+       |  SELECT f.id, round(coalesce(bm.score, 0.0), 6) AS bscore
+       |  FROM fil f LEFT JOIN bm ON f.id = bm.id),
+       |bmtop AS (SELECT id FROM bmall WHERE bscore > 0 ORDER BY bscore DESC, id LIMIT 25),
+       |cand AS (
+       |  SELECT coalesce(v.id, t.id) AS id, coalesce(v.vscore, 0.0) AS vscore
+       |  FROM vec v FULL OUTER JOIN bmtop t ON v.id = t.id),
+       |vstat AS (SELECT min(vscore) AS vmin, max(vscore) AS vmax FROM cand),
+       |bstat AS (SELECT min(bscore) AS bmin, max(bscore) AS bmax FROM bmall),
+       |fused AS (
+       |  SELECT c.id,
+       |         round(0.7 * (c.vscore - vmin) / greatest(vmax - vmin, 1e-6)
+       |             + (1.0 - 0.7) * (coalesce(b.bscore, 0.0) - bmin)
+       |               / greatest(bmax - bmin, 1e-6), 6) AS score
+       |  FROM cand c LEFT JOIN bmall b ON c.id = b.id
+       |  CROSS JOIN vstat CROSS JOIN bstat
+       |  ORDER BY score DESC, c.id LIMIT 5)
+       |SELECT f.id, f.score, c.text, c.src AS source
+       |FROM fused f JOIN chunks c ON f.id = c.id
+       |ORDER BY f.score DESC, f.id""".stripMargin
+
   /** Label-clustered IVF probe + exact search within probed clusters
     * (nprobe=4, k=10) — shared by knn_ivf and knn_ivf_plan. */
   private val ivfOracle =
@@ -692,6 +814,8 @@ private object OracleSql {
          |SELECT id, round(score, 6) AS score FROM s
          |ORDER BY score DESC, id
          |LIMIT 10""".stripMargin,
+
+    "index_search" -> indexSearchOracle,
 
     "hybrid_search" ->
       s"""WITH ${bm25ScoreCte("('spark', 1.0), ('hash', 1.0), ('join', 1.0)")},

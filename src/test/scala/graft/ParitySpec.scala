@@ -42,6 +42,24 @@ class ParitySpec extends SparkSpec {
     assert(Json.parse(Json.write(List(1L, Double.NaN))) == List(1L, null))
   }
 
+  test("index_search oracle preconditions hold on the gate datasets") {
+    // The DuckDB oracle for index_search treats the simple chunker as
+    // the identity (doc fits one 1024-char chunk) and reproduces Java
+    // String.hashCode via codepoints (== UTF-16 units only for ASCII).
+    // If regenerated testdata ever breaks either assumption, fail HERE
+    // with a clear message instead of as an opaque oracle hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")
+         if new java.io.File(s"/root/testdata/$sf/documents.parquet").exists()) {
+      val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .filter(length(col("text")) > 1024 ||
+          col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(bad == 0L,
+        s"$sf/documents violates the index_search oracle preconditions " +
+        "(>1024 chars or non-ASCII); update the oracle SQL")
+    }
+  }
+
   // Seeded random corpus shared by the Spark-side parity checks — one
   // DataFrame pass each instead of a job per scalacheck sample.
   private lazy val samples: Seq[String] = {
