@@ -188,14 +188,24 @@ object Cli {
         spark.stop()
 
       case "ask" =>
-        val (name, question) = pos match {
-          case Seq(n, q, _*) => (n, q)
-          case _ => fail("usage: ask <index> <question> [--top-k N]")
-        }
+        // `ask <index> <question>` answers once; `ask <index>` (or
+        // --interactive) enters the REPL (ref ask.rs:200-317).
+        val name = pos.headOption.getOrElse(
+          fail("usage: ask <index> [question] [--top-k N] [--interactive]"))
+        val question = pos.drop(1).headOption
         val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
         val spark = session()
-        println(graft.llm.Rag.ask(spark, dir, question, provider,
-          new SimulatedLlm("cli"), topK = flags.get("top-k").map(_.toInt).getOrElse(5)))
+        val topK = flags.get("top-k").map(_.toInt).getOrElse(5)
+        def answer(q: String): String = graft.llm.Rag.ask(
+          spark, dir, q, provider, new SimulatedLlm("cli"), topK = topK)
+        question match {
+          case Some(q) if !flags.contains("interactive") => println(answer(q))
+          case _ =>
+            val hist = java.nio.file.Paths.get(warehouse, ".ask_history")
+            new graft.llm.AskRepl(answer, historyFile = Some(hist)).run(
+              new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+              new java.io.PrintWriter(System.out, true))
+        }
         spark.stop()
 
       case "react" =>

@@ -196,6 +196,40 @@ class LlmSpec extends SparkSpec {
     assert(out.contains("context"))
   }
 
+  test("ask REPL: commands, conversation history, persisted command history (ref ask.rs:200-317)") {
+    val hist = Files.createTempDirectory("graft-repl").resolve("history.txt")
+    def drive(lines: String*): String = {
+      val out = new java.io.StringWriter
+      new graft.llm.AskRepl(q => s"answer to [$q]", historyFile = Some(hist))
+        .run(new java.io.BufferedReader(new java.io.StringReader(lines.mkString("\n"))),
+          new java.io.PrintWriter(out, true))
+      out.toString
+    }
+    val t1 = drive("what is spark", "/history", "/clear", "/history",
+      "/bogus", "/quit", "never reached")
+    assert(t1.contains("answer to [what is spark]"))
+    assert(t1.contains("  1. what is spark"))        // /history lists questions
+    assert(t1.split("Conversation history:")(2).contains("(empty)")) // after /clear
+    assert(t1.contains("Unknown command: /bogus"))
+    assert(t1.contains("Goodbye!"))
+    assert(!t1.contains("never reached"))
+    // command history persisted (commands AND questions)
+    val saved = java.nio.file.Files.readAllLines(hist)
+    assert(saved.contains("what is spark") && saved.contains("/quit"))
+    // a second session loads it and appends; EOF (no /quit) still saves + says goodbye
+    val t2 = drive("another question")
+    assert(t2.contains("answer to [another question]") && t2.contains("Goodbye!"))
+    assert(java.util.Collections.frequency(
+      java.nio.file.Files.readAllLines(hist), "what is spark") == 1)
+    assert(java.nio.file.Files.readAllLines(hist).contains("another question"))
+    // errors from the ask function are reported, not fatal
+    val out3 = new java.io.StringWriter
+    new graft.llm.AskRepl(_ => throw new RuntimeException("boom"))
+      .run(new java.io.BufferedReader(new java.io.StringReader("q1\n/quit")),
+        new java.io.PrintWriter(out3, true))
+    assert(out3.toString.contains("Error: boom") && out3.toString.contains("Goodbye!"))
+  }
+
   test("react agent executes search then finish (ref react.rs:88-171)") {
     // Scripted LLM: first turn searches, second finishes using the observation
     val scripted = new LlmProvider {
