@@ -47,6 +47,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // a typo'd/empty filter must not print total 0.0 — a gate comparing
+    // totals would read that as a massive speedup
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no queries: ${only.getOrElse(Set.empty)}")
     val names = selected.map(_._1)
     // runs(r)(name) = seconds, or -1.0 for a failure in that run
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { r =>

@@ -54,7 +54,11 @@ object Cli {
           config.embedding.baseUrl.getOrElse("http://localhost:8080/v1"),
           apiKey = sys.env.get("GRAFT_EMBED_API_KEY"),
           dims = dims)
-      case _ => new HashEmbedder(dims)
+      case "hash" => new HashEmbedder(dims)
+      // an unknown provider must not silently build an index with
+      // meaningless hash vectors
+      case other => fail(
+        s"unknown [embedding].provider '$other' (supported: hash, http)")
     }
   }
 
@@ -196,15 +200,17 @@ object Cli {
         val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
         val spark = session()
         val topK = flags.get("top-k").map(_.toInt).getOrElse(5)
+        // one provider for the whole session — re-evaluating the def per
+        // question would re-run the HTTP dim probe on every turn
+        val prov = provider
         def answer(q: String): String = graft.llm.Rag.ask(
-          spark, dir, q, provider, new SimulatedLlm("cli"), topK = topK)
-        question match {
-          case Some(q) if !flags.contains("interactive") => println(answer(q))
-          case _ =>
-            val hist = java.nio.file.Paths.get(warehouse, ".ask_history")
-            new graft.llm.AskRepl(answer, historyFile = Some(hist)).run(
-              new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
-              new java.io.PrintWriter(System.out, true))
+          spark, dir, q, prov, new SimulatedLlm("cli"), topK = topK)
+        question.foreach(q => println(answer(q)))
+        if (question.isEmpty || flags.contains("interactive")) {
+          val hist = java.nio.file.Paths.get(warehouse, ".ask_history")
+          new graft.llm.AskRepl(answer, historyFile = Some(hist)).run(
+            new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+            new java.io.PrintWriter(System.out, true))
         }
         spark.stop()
 

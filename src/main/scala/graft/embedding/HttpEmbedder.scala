@@ -34,6 +34,18 @@ final class HttpEmbedder(val modelName: String, baseUrl: String,
   override val dimensions: Int =
     if (dims > 0) dims else embed(Seq("test")).head.length
 
+  /** Configured dims are enforced on every response vector — a model
+    * answering 1536-dim vectors against `dims = 64` must fail at build
+    * time, not store vectors that disagree with the index meta and blow
+    * up (or silently truncate) at query time. 0 = auto-probe, any
+    * length accepted on the probe itself. */
+  private def checkDims(vec: Array[Float]): Array[Float] = {
+    require(dims <= 0 || vec.length == dims,
+      s"embedding response dimension ${vec.length} != configured dims $dims " +
+      s"for model '$modelName'")
+    vec
+  }
+
   override def embed(texts: Seq[String]): Seq[Array[Float]] =
     if (texts.isEmpty) Seq.empty
     else texts.grouped(batchSize).flatMap(embedBatch).toSeq
@@ -52,7 +64,7 @@ final class HttpEmbedder(val modelName: String, baseUrl: String,
           case l: java.lang.Long => l.toFloat
           case other => other.toString.toFloat
         }.toArray
-      idx -> vec
+      idx -> checkDims(vec)
     }.toMap
     require(byIndex.size == batch.size,
       s"embedding response has ${byIndex.size} vectors for ${batch.size} inputs")

@@ -58,6 +58,11 @@ case class QuantizeInt8(child: Expression)
       i += 1
     }
     val scale = maxAbs / 127.0
+    // fail fast with a clear message: BigDecimal.valueOf(NaN) inside
+    // code() would throw an opaque NumberFormatException mid-task
+    if (java.lang.Double.isNaN(maxAbs) || java.lang.Double.isInfinite(maxAbs))
+      throw new IllegalArgumentException(
+        "quantize_int8: vector contains a non-finite element")
     val codes = new Array[Int](n)
     if (scale > 0) {
       i = 0

@@ -46,6 +46,12 @@ case class SignLsh64(child: Expression, dims: Int, bits: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // fail fast like DotProduct: a short vector means a wrong-dims
+    // configuration; reading past numElements on UnsafeArrayData would
+    // silently hash garbage memory into the bucket key
+    if (v.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"sign_lsh64: vector has ${v.numElements()} elements, expected >= $dims")
     var key = 0L
     var b = 0
     while (b < bits) {

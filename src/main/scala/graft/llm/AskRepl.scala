@@ -33,11 +33,13 @@ final class AskRepl(ask: String => String,
       ()
     }
 
+  // the reference's help text says "command history" but its handler
+  // (and ours) lists the conversation's questions — say what we do
   private val helpText =
     """Commands:
       |  /help     - Show this help message
       |  /clear    - Clear conversation history
-      |  /history  - Show command history
+      |  /history  - Show conversation history
       |  /quit     - Exit interactive mode""".stripMargin
 
   def run(in: BufferedReader, out: PrintWriter): Unit = {

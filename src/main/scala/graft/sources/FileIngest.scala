@@ -135,10 +135,16 @@ object FileIngest {
     * ingest `node_modules` or `target`. The extension/size/cap policy
     * is then applied as Column predicates over the (path, length)
     * listing, and only the surviving files have their CONTENT read —
-    * distributed, inside the flatMap. Non-local roots (HDFS/object
-    * store paths, where per-directory ignore files aren't a convention)
-    * fall back to the plain recursive `binaryFile` scan; so does
-    * `honorIgnoreFiles = false`. */
+    * distributed, inside the flatMap. The walk branch requires the
+    * driver's filesystem to be visible to the executors (local master /
+    * shared FS — the build-CLI deployments); on a non-local master,
+    * non-local roots (HDFS/object stores, where per-directory ignore
+    * files aren't a convention), or `honorIgnoreFiles = false`, the
+    * plain recursive `binaryFile` scan is used instead — which fails
+    * LOUDLY if paths aren't readable, never silently ingesting zero
+    * documents. In the walk branch, a file deleted between listing and
+    * read is skipped (ingest races are normal); any other I/O error
+    * (permissions, disk) fails the task loudly. */
   def readDocuments(spark: SparkSession, root: String,
                     extensions: Seq[String] = defaultExtensions,
                     excludeExtensions: Seq[String] = Nil,
@@ -170,15 +176,21 @@ object FileIngest {
     }
 
     val localRoot = new java.io.File(root)
-    if (honorIgnoreFiles && localRoot.isDirectory) {
+    if (honorIgnoreFiles && localRoot.isDirectory &&
+        spark.sparkContext.isLocal) {
       val listing = IgnoreWalk.walk(root, includeHidden).toDF("path", "length")
       applyPolicy(listing, hiddenFiltered = true)
         .select("path").as[String]
         .flatMap { p =>
-          // skip-unreadable covers I/O races too (file deleted mid-scan)
           val bytes =
             try Some(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
-            catch { case _: java.io.IOException => None }
+            catch {
+              // deleted between listing and read: a normal ingest race
+              case _: java.nio.file.NoSuchFileException => None
+              case _: java.io.FileNotFoundException => None
+              // permissions/disk errors must fail the task, not silently
+              // shrink the corpus
+            }
           bytes.flatMap(b => decoder.decode(p, b)).map(t => (t, p))
         }
         .toDF("text", "source")

@@ -119,7 +119,12 @@ object IgnoreWalk {
         val name = f.getName
         val hiddenSkip = !includeHidden && name.startsWith(".")
         if (f.isDirectory) {
-          if (!hiddenSkip && !skipDirNames.contains(name) &&
+          // never FOLLOW directory symlinks (cycle -> unbounded
+          // recursion; link out of the root -> out-of-corpus ingest) —
+          // matching the reference walker's follow_links(false). File
+          // symlinks still resolve and are ingested, like the reference.
+          val isLink = java.nio.file.Files.isSymbolicLink(f.toPath)
+          if (!hiddenSkip && !isLink && !skipDirNames.contains(name) &&
               !ignoredBy(here, f.getPath, isDir = true))
             go(f, here)
         } else if (f.isFile) {

@@ -39,7 +39,23 @@ object PdfText {
       raw.indexOf("stream", from) match {
         case -1 => found = false
         case s =>
-          val dictStart = raw.lastIndexOf("<<", s)
+          // Find the OUTER dictionary open: scan backward balancing
+          // << / >> so a nested dict (e.g. /DecodeParms << ... >>)
+          // can't hide the stream's /Filter from us.
+          val dictStart = {
+            var i = s - 1
+            var depth = 0
+            var found = -1
+            while (i > 0 && found < 0) {
+              if (raw.charAt(i - 1) == '>' && raw.charAt(i) == '>') { depth += 1; i -= 2 }
+              else if (raw.charAt(i - 1) == '<' && raw.charAt(i) == '<') {
+                depth -= 1
+                if (depth == 0) found = i - 1
+                i -= 2
+              } else i -= 1
+            }
+            found
+          }
           val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
           // stream data starts after "stream" + EOL (spec: CRLF or LF)
           var dataStart = s + "stream".length

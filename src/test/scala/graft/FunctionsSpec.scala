@@ -80,6 +80,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("QuantizeInt8 rejects non-finite vectors with a clear error") {
+    val bad = Seq(Seq(1.0, Double.PositiveInfinity)).toDF("v")
+    val e = intercept[Exception] {
+      bad.select(VectorFunctions.quantizeInt8(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-finite")))
+  }
+
   test("l2 normalize produces unit vectors; zero vector unchanged") {
     val z = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "b")
     val out = z.select(

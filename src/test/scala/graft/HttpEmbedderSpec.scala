@@ -75,6 +75,15 @@ class HttpEmbedderSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("response vectors not matching configured dims fail at build time") {
+    val stub = new Stub() // serves 16-dim vectors
+    try {
+      val p = new HttpEmbedder("m", stub.base, dims = 64)
+      val e = intercept[IllegalArgumentException] { p.embed(Seq("hello")) }
+      assert(e.getMessage.contains("16") && e.getMessage.contains("64"))
+    } finally stub.stop()
+  }
+
   test("transient 500s are retried; hard 4xx is not") {
     val stub = new Stub(failFirst = 2)
     try {

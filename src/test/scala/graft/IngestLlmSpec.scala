@@ -84,6 +84,23 @@ class FileIngestSpec extends SparkSpec {
     assert(bypassed.contains("secrets.md") && bypassed.contains("generated/out.md"))
   }
 
+  test("directory symlinks are not followed (cycles, out-of-tree links)") {
+    val root = Files.createTempDirectory("graft-link")
+    Files.createDirectories(root.resolve("real"))
+    Files.writeString(root.resolve("real/doc.md"), "real doc")
+    // cycle: sub -> root; out-of-tree: outside -> a dir above root
+    val outside = Files.createTempDirectory("graft-outside")
+    Files.writeString(outside.resolve("secret.md"), "outside the corpus")
+    try {
+      Files.createSymbolicLink(root.resolve("real/loop"), root)
+      Files.createSymbolicLink(root.resolve("vendored"), outside)
+    } catch { case _: UnsupportedOperationException => cancel("no symlinks here") }
+    val got = FileIngest.readDocuments(spark, root.toString)
+      .select("source").as[String].collect()
+      .map(p => root.relativize(Paths.get(p)).toString).toSet
+    assert(got == Set("real/doc.md")) // terminates; nothing out-of-tree
+  }
+
   test("maxFiles caps deterministically") {
     val root = Files.createTempDirectory("graft-cap")
     (1 to 5).foreach(i => Files.writeString(root.resolve(s"f$i.txt"), s"doc $i"))

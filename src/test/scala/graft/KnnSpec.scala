@@ -74,6 +74,16 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("SignLsh64 fails fast on short vectors (no silent garbage keys)") {
+    val short = Seq(Seq.fill(8)(0.5)).toDF("v")
+    val e = intercept[Exception] {
+      short.select(Knn.signLshKey(col("v"), dims = 64, bits = 8)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("expected >= 64")))
+  }
+
   test("sign-LSH: identical vectors collide; pairs verified by cosine") {
     val dup = emb.limit(3).union(emb.limit(3)) // every vector duplicated
       .withColumn("rid", monotonically_increasing_id())

@@ -61,6 +61,18 @@ class PdfTextSpec extends SparkSpec {
     assert(text.contains("Hello PDF world") && text.contains("Hex string"))
   }
 
+  test("a nested dict (DecodeParms) cannot hide the stream's filter") {
+    // /Filter sits in the OUTER dict; a naive lastIndexOf("<<") would
+    // find the inner /DecodeParms dict and mis-read the deflate bytes
+    // as plain text.
+    val content = deflate("BT (Nested dict text) Tj ET")
+    val raw = new String(pdf(content, flate = true), StandardCharsets.ISO_8859_1)
+      .replace("/Filter /FlateDecode",
+        "/Filter /FlateDecode /DecodeParms << /Columns 4 >>")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(raw).get.contains("Nested dict text"))
+  }
+
   test("non-PDF, image-filter, and corrupt-deflate inputs are skipped, not thrown") {
     assert(PdfText.extract("not a pdf at all".getBytes).isEmpty)
     // DCTDecode (JPEG) stream: unsupported filter -> no text, no crash
