@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhashDescriptor)
     e.injectFunction(GraftExtensions.minhashDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ()
   }
 }

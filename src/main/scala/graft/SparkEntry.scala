@@ -331,6 +331,28 @@ object SparkEntry {
         .orderBy("event_id").limit(1000)
     }),
 
+    "events_asof_native" -> ((s, dir) => {
+      // Same as-of semantics through the custom plan node
+      // (AsofJoinNode -> AsofJoinStrategy -> AsofJoinExec): each side
+      // shuffles only its own columns; an O(n) per-partition merge
+      // carries one payload row per key. Shares events_asof_order's
+      // oracle — the custom physical operator is DuckDB-checked.
+      val ev = Tables.eventsWithTs(s, dir).filter(col("user_id") < 10)
+        .select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          // NTZ -> TZ is wall-clock identity in the UTC session; the
+          // union formulation gets the same coercion implicitly
+          col("o_orderdate").cast("timestamp").as("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      graft.operators.AsofJoin.latestAtOrBeforeNative(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id").limit(1000)
+    }),
+
     // ----- range join: orders landing inside 30-day transit windows -----
     "range_join_transit" -> ((s, dir) => {
       val usPerDay = 86400L * 1000000
@@ -668,6 +690,22 @@ private object OracleSql {
        |SELECT f.id, f.score, c.text, c.src AS source
        |FROM fused f JOIN chunks c ON f.id = c.id
        |ORDER BY f.score DESC, f.id""".stripMargin
+
+  /** The as-of join as left-join-of-rank-1 — shared by the union+window
+    * formulation (events_asof_order) and the custom physical operator
+    * (events_asof_native). */
+  private val asofOracle: String =
+    """WITH ev AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 10),
+      |cand AS (
+      |  SELECT ev.event_id, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+      |         row_number() OVER (PARTITION BY ev.event_id
+      |                            ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+      |  FROM ev JOIN orders o ON o.o_custkey = ev.user_id
+      |                       AND epoch_us(o.o_orderdate) <= epoch_us(ev.ts))
+      |SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
+      |FROM ev LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+      |ORDER BY event_id
+      |LIMIT 1000""".stripMargin
 
   /** Label-clustered IVF probe + exact search within probed clusters
     * (nprobe=4, k=10) — shared by knn_ivf and knn_ivf_plan. */
@@ -1022,18 +1060,9 @@ private object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
-    "events_asof_order" ->
-      """WITH ev AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 10),
-        |cand AS (
-        |  SELECT ev.event_id, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-        |         row_number() OVER (PARTITION BY ev.event_id
-        |                            ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
-        |  FROM ev JOIN orders o ON o.o_custkey = ev.user_id
-        |                       AND epoch_us(o.o_orderdate) <= epoch_us(ev.ts))
-        |SELECT ev.event_id, ev.user_id, c.o_orderkey, c.o_totalprice
-        |FROM ev LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
-        |ORDER BY event_id
-        |LIMIT 1000""".stripMargin,
+    "events_asof_order" -> asofOracle,
+    // same semantics via the custom physical operator — same oracle
+    "events_asof_native" -> asofOracle,
 
     "q_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

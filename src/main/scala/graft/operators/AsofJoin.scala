@@ -71,4 +71,41 @@ object AsofJoin {
     val payCols = payload.map(c => col(s"__match.$c").as(c))
     matched.select((leftCols ++ payCols).toIndexedSeq: _*)
   }
+
+  /** The same as-of semantics through the custom plan node
+    * ([[graft.plans.AsofJoinNode]] → `AsofJoinStrategy` →
+    * `AsofJoinExec`): each side shuffles only its own columns and the
+    * per-partition merge carries one payload row per key instead of a
+    * window frame over null-padded union rows. Registered on the
+    * session on first use; sides must not share attribute lineage
+    * (alias one side of a self-join). Null right timestamps are
+    * filtered here, like the window formulation. */
+  def latestAtOrBeforeNative(left: DataFrame, right: DataFrame,
+                             leftKey: String, rightKey: String,
+                             leftTs: String, rightTs: String,
+                             payload: Seq[String],
+                             tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    graft.plans.AsofJoinPlan.install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.filter(col(rightTs).isNotNull).queryExecution.analyzed
+    def attrOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+               name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in ${plan.output.map(_.name).mkString(", ")}"))
+    require(attrOf(lPlan, leftTs).dataType == attrOf(rPlan, rightTs).dataType,
+      s"asof timestamp types differ: ${attrOf(lPlan, leftTs).dataType} vs " +
+      s"${attrOf(rPlan, rightTs).dataType}")
+    val payloadExprs = payload.map(attrOf(rPlan, _))
+    val payloadAttrs = payloadExprs.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    GraftColumnBridge.ofRows(spark, graft.plans.AsofJoinNode(
+      lPlan, rPlan,
+      attrOf(lPlan, leftKey), attrOf(rPlan, rightKey),
+      attrOf(lPlan, leftTs), attrOf(rPlan, rightTs),
+      attrOf(rPlan, tieBreak), payloadExprs, payloadAttrs))
+  }
 }

@@ -11,6 +11,12 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom logical plan node
+    * (`Dataset.ofRows` is `private[sql]`). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Materialize the optimizer rules a SparkSessionExtensions instance
     * would inject — lets tests exercise the `spark.sql.extensions`
     * class-registration path without tearing down the shared session. */
