@@ -24,6 +24,48 @@ class MultimodalSpec extends SparkSpec {
     assert(a(2).getAs[Int]("n_frames") >= 1)  // video gets frames
   }
 
+  test("decode: real JDK codecs for PNG and WAV, stub fallback for the rest") {
+    // real 20x10 PNG: left half black, right half white
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 10 until 20) img.setRGB(x, y, 0xFFFFFF)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", pngOut))
+    // real WAV: 8000 Hz mono PCM, 4000 frames = 500 ms
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](4000 * 2)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4000),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+
+    val mixed = Seq(
+      (0L, "image", pngOut.toByteArray),
+      (1L, "audio", wavOut.toByteArray),
+      (2L, "image", "not an image at all".getBytes("UTF-8")), // corrupt
+      (3L, "video", "fake-mp4".getBytes("UTF-8")))            // no JDK codec
+      .toDF("media_id", "media_type", "content")
+    val rows = Multimodal.decode(mixed).orderBy("media_id").collect()
+
+    val png = rows(0)
+    assert(png.getAs[Boolean]("decoded"))
+    assert(png.getAs[Int]("width") == 20 && png.getAs[Int]("height") == 10)
+    // half black, half white pixels -> mass at both histogram ends
+    val hist = png.getAs[scala.collection.Seq[Float]]("feature")
+    assert(math.abs(hist.head - 0.5f) < 0.1f && math.abs(hist.last - 0.5f) < 0.1f)
+
+    val wav = rows(1)
+    assert(wav.getAs[Boolean]("decoded"))
+    assert(wav.getAs[Int]("sample_rate") == 8000)
+    assert(wav.getAs[Long]("duration_ms") == 500L)
+
+    // corrupt image and video fall back to the stub, never fail the task
+    assert(!rows(2).getAs[Boolean]("decoded"))
+    assert(!rows(3).getAs[Boolean]("decoded"))
+    assert(rows(3).getAs[Int]("n_frames") >= 1)
+  }
+
   test("media features feed the similarity-search path end to end") {
     // decode -> 16-dim feature column -> exact top-k: media similarity
     // search runs on the SAME operators as text embeddings (no special
