@@ -14,8 +14,9 @@ object ExplainDrive {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q3_join", "knn_filtered", "knn_ivf", "knn_ivf_plan",
-        "knn_ivf_quantized", "filter_dsl", "bm25_topk", "dedup_simhash",
-        "events_asof_order", "range_join_transit")
+        "knn_ivf_quantized", "knn_quantized", "filter_dsl", "bm25_topk",
+        "dedup_simhash", "dedup_jaccard", "events_asof_order",
+        "events_asof_native", "range_join_transit")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
