@@ -313,6 +313,40 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // ----- corpus cleaning (pretraining-data pipeline) -----
+    // Gopher document-quality rules: zero-shuffle per-row projection.
+    "quality_gopher" -> ((s, dir) => {
+      graft.operators.CorpusClean.gopherFlags(
+          Tables.documents(s, dir), "doc_id", "text", minWords = 50)
+        .orderBy("doc_id").limit(500)
+    }),
+
+    // Cross-document repeated 5-grams -> per-doc boilerplate coverage
+    // (Lee et al. 2021). One groupBy on the gram + a broadcast join of
+    // the (small, head-of-distribution) repeated set back to docs.
+    "boilerplate_ngrams" -> ((s, dir) => {
+      graft.operators.CorpusClean.boilerplateCoverage(
+          Tables.documents(s, dir), "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id").limit(500)
+    }),
+
+    // PII redaction: the payload is derived deterministically from event
+    // keys so the regex parity (email/phone/IPv4, Java regex vs RE2) is
+    // actually exercised — the raw synthetic tables contain no PII.
+    "pii_scrub" -> ((s, dir) => {
+      val ev = Tables.eventsWithTs(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"))
+      val payload = concat(
+        lit("user"), col("user_id"), lit("@example.com said hi from 10.0."),
+        col("user_id") % 256, lit("."), col("event_id") % 256,
+        lit(" call 555-"),
+        lpad((col("event_id") % 1000).cast("string"), 3, "0"), lit("-0199"))
+      graft.operators.CorpusClean.piiScrub(
+          ev.withColumn("payload", payload), "payload", keep = Seq("event_id"))
+        .orderBy("event_id").limit(1000)
+    }),
+
     // ----- as-of join: enrich events with dimension history -----
     "events_asof_order" -> ((s, dir) => {
       // For each event, the customer's most recent order at or before
@@ -1049,6 +1083,100 @@ private object OracleSql {
         |FROM h
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    // Ratios are rounded to 6 decimals BEFORE threshold comparison in
+    // both engines (CorpusClean.gopherFlags does the same), so boolean
+    // rule outcomes cannot diverge on FP boundaries.
+    "quality_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         round(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::DOUBLE
+        |               / greatest(len(ws), 1)::DOUBLE, 6) AS mean_word_len,
+        |         round(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+        |               / greatest(len(ws), 1)::DOUBLE, 6) AS alpha_word_ratio,
+        |         round(((length(text) - length(regexp_replace(text, '[#]', '', 'g')))
+        |                + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))::DOUBLE
+        |               / greatest(len(ws), 1)::DOUBLE, 6) AS symbol_ratio,
+        |         CAST(len(list_filter(toks, t -> t IN %STOP%)) AS BIGINT) AS stop_hits
+        |  FROM base)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio, stop_hits,
+        |       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+        |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+        |       (alpha_word_ratio >= 0.8) AS pass_alpha,
+        |       (symbol_ratio <= 0.1) AS pass_symbol,
+        |       (stop_hits >= 2) AS pass_stops,
+        |       (n_words >= 50 AND n_words <= 100000
+        |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |        AND alpha_word_ratio >= 0.8 AND symbol_ratio <= 0.1
+        |        AND stop_hits >= 2) AS passes
+        |FROM m
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin.replace("%STOP%", stopList),
+
+    "boilerplate_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+        |  FROM tk),
+        |rep AS (SELECT s FROM g GROUP BY s HAVING count(DISTINCT id) >= 2),
+        |per AS (
+        |  SELECT g.id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        |  FROM g LEFT JOIN rep r ON g.s = r.s
+        |  GROUP BY g.id)
+        |SELECT d.doc_id,
+        |       coalesce(p.n_grams, 0) AS n_grams,
+        |       coalesce(p.n_repeated, 0) AS n_repeated,
+        |       round(coalesce(p.n_repeated, 0)::DOUBLE
+        |             / greatest(coalesce(p.n_grams, 0), 1)::DOUBLE, 6) AS coverage
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.id
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
+
+    // Email scrub runs before phone/IP in BOTH engines (emails contain
+    // dots and digits) — the staged CTEs mirror CorpusClean.piiScrub's
+    // expression nesting exactly.
+    "pii_scrub" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |         'user' || CAST(user_id AS VARCHAR) || '@example.com said hi from 10.0.'
+        |           || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR)
+        |           || ' call 555-' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS payload
+        |  FROM events WHERE event_id < 2000),
+        |s1 AS (
+        |  SELECT event_id,
+        |         CAST(len(regexp_extract_all(payload, '%EMAIL%')) AS BIGINT) AS n_emails,
+        |         regexp_replace(payload, '%EMAIL%', '[EMAIL]', 'g') AS p1
+        |  FROM src),
+        |s2 AS (
+        |  SELECT event_id, n_emails,
+        |         CAST(len(regexp_extract_all(p1, '%PHONE%')) AS BIGINT) AS n_phones,
+        |         regexp_replace(p1, '%PHONE%', '[PHONE]', 'g') AS p2
+        |  FROM s1)
+        |SELECT event_id, n_emails, n_phones,
+        |       CAST(len(regexp_extract_all(p2, '%IP%')) AS BIGINT) AS n_ips,
+        |       regexp_replace(p2, '%IP%', '[IP]', 'g') AS redacted
+        |FROM s2
+        |ORDER BY event_id
+        |LIMIT 1000"""
+        .stripMargin
+        .replace("%EMAIL%", graft.operators.CorpusClean.EmailRegex)
+        .replace("%PHONE%", graft.operators.CorpusClean.PhoneRegex)
+        .replace("%IP%", graft.operators.CorpusClean.Ipv4Regex),
 
     "range_join_transit" ->
       """SELECT l.l_orderkey, l.l_linenumber, count(*) AS n_orders

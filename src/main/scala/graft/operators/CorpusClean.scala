@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-cleaning operators for pretraining-data pipelines: rule-based
+  * quality filtering (the Gopher heuristics), cross-document repeated
+  * n-gram (boilerplate) detection, and PII redaction.
+  *
+  * These extend the reference's text surface (tokenizer/fingerprint,
+  * `src/index/bm25.rs:127-132`) with the standard published cleaning
+  * passes a 100 TB corpus needs before training: Gopher's document-level
+  * rules (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+  * appendix A1.1), repeated-passage detection (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better"), and
+  * regex PII scrubbing (the C4 pipeline's cleanup stage).
+  *
+  * Scale design: every rule is a pure per-row projection (codegen'd
+  * Column expressions, zero shuffles); the only shuffles are the
+  * n-gram inverted index (one groupBy on the gram — identical shape to
+  * [[Dedup.shingleTable]], hot grams ARE the signal here so no df cap
+  * is needed) and its count join back to docs. Nothing is collected to
+  * the driver and nothing is quadratic. All arithmetic is small-int /
+  * Double rounded to 6 decimals, so every operator is
+  * DuckDB-oracle-checkable.
+  */
+object CorpusClean {
+
+  /** Whitespace words (non-empty), the unit Gopher's rules count. */
+  private def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Gopher-style document quality flags. Returns one row per doc with
+    * the measured statistics, one boolean per rule, and `passes` = AND
+    * of all rules. Thresholds are the published defaults scaled by the
+    * caller (the 50-word minimum is the load-bearing one on short docs).
+    *
+    * Rules (Gopher A1.1 subset that is model-free and engine-portable):
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10]
+    *  - fraction of words containing an alphabetic character >= 0.8
+    *  - symbol-to-word ratio (# and ... occurrences) <= 0.1
+    *  - at least `minStopHits` stopword tokens (the "real prose" test)
+    *
+    * All ratios are rounded to 6 decimals BEFORE threshold comparison in
+    * both engines, so FP boundary behavior is identical by construction.
+    */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
+    val ws = words(col(textCol))
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      ws.as("ws"),
+      tokens(col(textCol)).as("toks"))
+    val nWords = size(col("ws")).cast("long")
+    val nWordsD = greatest(nWords, lit(1L)).cast("double")
+    val meanWordLen = round(
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / nWordsD, 6)
+    val alphaWords = size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))).cast("double")
+    val alphaRatio = round(alphaWords / nWordsD, 6)
+    // symbols: '#' characters plus '...' runs (each counted once)
+    val hashes = charClassCount(col("text"), "[#]")
+    val ellipses = ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolRatio = round((hashes + ellipses).cast("double") / nWordsD, 6)
+    val stopHits = size(filter(col("toks"), t => t.isin(stopwords.map(lit): _*))).cast("long")
+
+    base.select(
+        col("doc_id"), nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+        alphaRatio.as("alpha_word_ratio"), symbolRatio.as("symbol_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass_word_count", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_word_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("pass_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("pass_stops", col("stop_hits") >= minStopHits)
+      .withColumn("passes",
+        col("pass_word_count") && col("pass_word_len") && col("pass_alpha") &&
+          col("pass_symbol") && col("pass_stops"))
+  }
+
+  /** Corpus-repeated n-grams: distinct token n-grams that appear in at
+    * least `minDocs` distinct documents — the boilerplate/repeated-
+    * passage inventory of Lee et al. 2021 at n-gram granularity.
+    * One shuffle (groupBy gram over the distinct (doc, gram) pairs).
+    * Returns (gram, n_docs, example_doc = min doc id). */
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    Dedup.shingleTable(docs, idCol, textCol, n)
+      .groupBy(col("sh").as("gram"))
+      .agg(count(lit(1)).as("n_docs"), min("id").as("example_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate coverage: the fraction of a doc's distinct
+    * n-grams that are corpus-repeated (appear in >= minDocs docs). The
+    * pipeline filter drops docs above a coverage threshold. Two shuffles
+    * total: the gram count and the doc rollup — the gram->doc join is a
+    * broadcast when the repeated-gram set is small (it is: boilerplate
+    * is by definition the head of the distribution).
+    *
+    * Docs with fewer than n tokens have no grams; they surface with
+    * n_grams = 0 and coverage 0.0 (nothing repeated, nothing to strip).
+    */
+  def boilerplateCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val grams = Dedup.shingleTable(docs, idCol, textCol, n)
+    val repeated = grams.groupBy("sh")
+      .agg(countDistinct("id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("sh")
+    val perDoc = grams
+      .join(broadcast(repeated.withColumn("rep", lit(1L))), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("rep"), lit(0L))).as("n_repeated"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"), 6).as("coverage"))
+  }
+
+  /** PII patterns: engine-portable (Java regex ∩ RE2) so the DuckDB
+    * oracle applies the byte-identical scrub. Order matters — emails
+    * contain dots and digits, so they are scrubbed before phones/IPs. */
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRegex = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Regex = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact emails, NANP-style phone numbers, and IPv4 addresses from a
+    * text column; returns (n_emails, n_phones, n_ips, redacted). Pure
+    * per-row regex projection — no shuffle, codegen'd, safe to run as
+    * the first pass over 100 TB. */
+  def piiScrub(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame = {
+    val nEmails = size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).cast("long")
+    val afterEmail = regexp_replace(col(textCol), EmailRegex, "[EMAIL]")
+    val nPhones = size(regexp_extract_all(afterEmail, lit(PhoneRegex), lit(0))).cast("long")
+    val afterPhone = regexp_replace(afterEmail, PhoneRegex, "[PHONE]")
+    val nIps = size(regexp_extract_all(afterPhone, lit(Ipv4Regex), lit(0))).cast("long")
+    val redacted = regexp_replace(afterPhone, Ipv4Regex, "[IP]")
+    df.select(keep.map(col) ++ Seq(
+      nEmails.as("n_emails"), nPhones.as("n_phones"), nIps.as("n_ips"),
+      redacted.as("redacted")): _*)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusClean
+
+/** Corpus-cleaning operators: Gopher quality rules, repeated-n-gram
+  * boilerplate coverage, PII redaction. Fixture docs are crafted to hit
+  * every rule boundary the synthetic corpus cannot (short docs, symbol
+  * spam, non-alpha words, shared boilerplate passages, embedded PII). */
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val prose = // exactly 50 whitespace words
+    "the quick brown fox jumps over the lazy dog and then it runs far " +
+      "away into the deep dark woods where all of the other animals live " +
+      "and play games all day long with their many good friends there too " +
+      "we will come back again every single warm sunny morning"
+
+  test("gopherFlags: rule boundaries") {
+    val docs = Seq(
+      (1L, prose),                               // passes everything (50 words)
+      (2L, "too short to pass"),                 // fails word count + stops
+      (3L, ("#### " * 30) + prose),              // symbol spam fails pass_symbol
+      (4L, Seq.fill(60)("12345").mkString(" ")), // no alpha words, no stops
+      (5L, Seq.fill(60)("transcendentalism").mkString(" ")) // mean word len > 10
+    ).toDF("doc_id", "text")
+
+    val out = CorpusClean.gopherFlags(docs, "doc_id", "text", minWords = 50)
+      .orderBy("doc_id").collect()
+
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("passes"))
+    assert(!byId(2L).getAs[Boolean]("pass_word_count"))
+    assert(!byId(3L).getAs[Boolean]("pass_symbol"))
+    assert(byId(3L).getAs[Boolean]("pass_word_count")) // symbol words still count
+    assert(!byId(4L).getAs[Boolean]("pass_alpha"))
+    assert(!byId(4L).getAs[Boolean]("pass_stops"))
+    assert(!byId(5L).getAs[Boolean]("pass_word_len"))
+    assert(byId(1L).getAs[Long]("n_words") === 50L)
+  }
+
+  test("gopherFlags: stats are exact on a hand-computed doc") {
+    val docs = Seq((1L, "aa bb cc 123 ##")).toDF("doc_id", "text")
+    val r = CorpusClean.gopherFlags(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_words") === 5L)
+    // (2+2+2+3+2)/5 = 2.2
+    assert(r.getAs[Double]("mean_word_len") === 2.2)
+    // 3 of 5 words contain [a-zA-Z]
+    assert(r.getAs[Double]("alpha_word_ratio") === 0.6)
+    // two '#' chars / 5 words
+    assert(r.getAs[Double]("symbol_ratio") === 0.4)
+  }
+
+  test("boilerplateCoverage: shared passage raises coverage; short docs are zero") {
+    val boiler = "please subscribe to our newsletter for daily updates now" // 9 tokens
+    val docs = Seq(
+      (1L, s"unique alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (2L, s"different iota kappa lambda mu nu xi omicron pi $boiler"),
+      (3L, "totally unrelated words rho sigma tau upsilon phi chi psi omega"),
+      (4L, "tiny doc") // < n tokens -> no grams
+    ).toDF("doc_id", "text")
+
+    val out = CorpusClean.boilerplateCoverage(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+    val cov = out.map(r => r.getLong(0) -> r.getAs[Double]("coverage")).toMap
+    assert(cov(1L) > 0.0 && cov(1L) < 1.0)
+    assert(cov(2L) > 0.0 && cov(2L) < 1.0)
+    assert(cov(3L) === 0.0)
+    assert(cov(4L) === 0.0)
+    assert(out.filter(_.getLong(0) == 4L).head.getAs[Long]("n_grams") === 0L)
+
+    // the repeated-gram inventory agrees: the boilerplate sentence has
+    // 9 tokens -> 5 distinct 5-grams shared by docs 1 and 2... plus the
+    // grams straddling the unique prefix differ, so exactly the 5
+    // fully-inside grams repeat.
+    val rep = CorpusClean.repeatedNgrams(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect()
+    assert(rep.length === 5)
+    assert(rep.forall(_.getAs[Long]("n_docs") === 2L))
+  }
+
+  test("piiScrub: redacts emails, phones, IPv4 and counts each") {
+    val df = Seq(
+      (1L, "write bob.smith+x@corp.example.org or call 555-123-4567 ok"),
+      (2L, "server at 192.168.0.1 and 10.20.30.40 no mail"),
+      (3L, "clean text with nothing to hide"),
+      // email scrubbed first: the host's dots never masquerade as an IP
+      (4L, "a@b.co 1.2.3.4")
+    ).toDF("id", "text")
+
+    val out = CorpusClean.piiScrub(df, "text", keep = Seq("id"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_emails") === 1L)
+    assert(out(0).getAs[Long]("n_phones") === 1L)
+    assert(out(0).getAs[String]("redacted") === "write [EMAIL] or call [PHONE] ok")
+    assert(out(1).getAs[Long]("n_ips") === 2L)
+    assert(out(1).getAs[String]("redacted") === "server at [IP] and [IP] no mail")
+    assert(out(2).getAs[String]("redacted") === "clean text with nothing to hide")
+    assert(out(3).getAs[Long]("n_emails") === 1L)
+    assert(out(3).getAs[Long]("n_ips") === 1L)
+    assert(out(3).getAs[String]("redacted") === "[EMAIL] [IP]")
+  }
+
+  test("cleaning passes are zero-shuffle projections (scale contract)") {
+    val docs = Seq((1L, prose)).toDF("doc_id", "text")
+    // gopherFlags and piiScrub must not introduce an Exchange: they are
+    // the first pass over 100 TB and run at scan parallelism.
+    for (df <- Seq(
+        CorpusClean.gopherFlags(docs, "doc_id", "text"),
+        CorpusClean.piiScrub(docs, "text", keep = Seq("doc_id")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    }
+  }
+}
