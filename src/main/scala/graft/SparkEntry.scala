@@ -204,6 +204,26 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id")).limit(10)
     }),
 
+    // Product quantization: encode every vector to m=8 codes against
+    // k=16 per-subspace centroids, rank by the ADC lookup-table score.
+    // Seed codebooks (slices of the 16 lowest-id rows — the ORACLE
+    // FORMULATION, Pq.seedCodebooks) let DuckDB rebuild the identical
+    // model from the table and check encode + ADC bit-for-bit; the
+    // production path trains per-subspace KMeans (Pq.trainCodebooks,
+    // pinned by PqSpec) and re-ranks exactly (Pq.ivfPqSearch).
+    "knn_pq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, dir)
+      val cb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+      val q = emb.filter(col("vec_id") === 7)
+        .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+        .head.getSeq[Double](0).toArray
+      emb.select(col("vec_id"), Pq.encodeCol(col("embedding"), cb).as("codes"))
+        .select(col("vec_id"),
+          round(Pq.adcScore(col("codes"), Pq.adcLut(cb, q)), 6).as("adc_score"))
+        .orderBy(desc("adc_score"), col("vec_id")).limit(10)
+    }),
+
     "knn_ivf_quantized" -> ((s, dir) => {
       // Composition of the two approximate tiers: centroid-pruned scan
       // (IVF on label clusters, nprobe=4) ranking int8-dequantized
@@ -1283,6 +1303,47 @@ private object OracleSql {
         |SELECT d.vec_id, round(list_inner_product(d.dqv, q.qv), 6) AS score
         |FROM dq d, q
         |ORDER BY score DESC, d.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Rebuilds the seed codebooks from the same table (subvector slices
+    // of the 16 lowest-vec_id rows), encodes every vector by sequential
+    // sum-of-squared-diffs argmin (first-win tie = ORDER BY dist, code),
+    // and ADC-scores via the per-subspace q·centroid products — the
+    // exact arithmetic PqEncode/adcLut perform. list_inner_product is a
+    // sequential double fold, matching the expression's loops.
+    "knn_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |subs AS (SELECT unnest(range(0, 8)) AS m),
+        |cb AS (
+        |  SELECT subs.m, seeds.code,
+        |         list_transform(range(1, 9), j -> seeds.v[subs.m * 8 + j]) AS cent
+        |  FROM subs CROSS JOIN seeds),
+        |dists AS (
+        |  SELECT e.vec_id, cb.m, cb.code,
+        |         list_inner_product(
+        |           list_transform(range(1, 9), j -> e.v[cb.m * 8 + j] - cb.cent[j]),
+        |           list_transform(range(1, 9), j -> e.v[cb.m * 8 + j] - cb.cent[j])) AS dist
+        |  FROM e CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |           row_number() OVER (PARTITION BY vec_id, m
+        |                              ORDER BY dist ASC, code ASC) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT cb.m, cb.code,
+        |         list_inner_product(
+        |           list_transform(range(1, 9), j -> q.qv[cb.m * 8 + j]), cb.cent) AS pdot
+        |  FROM cb, q)
+        |SELECT c.vec_id, round(sum(l.pdot), 6) AS adc_score
+        |FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+        |GROUP BY c.vec_id
+        |ORDER BY adc_score DESC, c.vec_id
         |LIMIT 10""".stripMargin,
 
     "events_session_native" ->

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, Pq}
+
+/** Product quantization: encoder expression parity against the driver
+  * reference, ADC scoring parity, the exact-search identity at full
+  * nprobe/rerank, recall under real compression, and the KMeans-trained
+  * codebooks beating the seed (sample-init) ones on reconstruction. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+  private lazy val seedCb = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+
+  private def vecOf(id: Long): Array[Double] =
+    emb.filter(col("vec_id") === id)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .head.getSeq[Double](0).toArray
+
+  test("PqEncode matches the driver reference encoder (codegen and interpreted)") {
+    val rows = emb.limit(100).select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    for (wholeStage <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
+      try {
+        val got = emb.limit(100)
+          .select(col("vec_id"), Pq.encodeCol(col("embedding"), seedCb).as("codes"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+        for ((id, v) <- rows)
+          assert(got(id).toSeq === Pq.encodeRef(v, seedCb).toSeq,
+            s"codes diverge for vec $id (wholeStage=$wholeStage)")
+      } finally spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("adcScore column equals driver-side LUT sum") {
+    val q = vecOf(7L)
+    val lut = Pq.adcLut(seedCb, q)
+    val got = emb.limit(50)
+      .select(col("vec_id"), Pq.encodeCol(col("embedding"), seedCb).as("codes"))
+      .withColumn("adc", Pq.adcScore(col("codes"), lut))
+      .collect()
+    for (r <- got) {
+      val codes = r.getSeq[Int](1)
+      val want = codes.zipWithIndex.map { case (c, mi) => lut(mi)(c) }
+        .foldLeft(0.0)(_ + _)
+      assert(r.getDouble(2) === want, s"ADC diverges for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("wrong-dims vector fails fast") {
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      bad.select(Pq.encodeCol(col("v"), seedCb)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("ivfPqSearch at full nprobe + rerank IS exact search") {
+    val q = vecOf(7L)
+    val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 8, seed = 1L)
+    val pq = Pq.ivfPqSearch(assigned, "vec_id", "embedding", "centroid_id",
+        seedCb, q, nprobe = 8, k = 10, rerank = 1000)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.exactTopK(emb, Knn.queryVector(emb, 7L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.toSeq === exact.toSeq)
+  }
+
+  test("recall@10 under compression: ADC-only vs rerank, seed vs trained") {
+    val queryIds = Seq(3L, 57L, 123L, 250L, 401L)
+    val trainedCb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 16, seed = 42L)
+    val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 8, seed = 1L)
+
+    def recall(cb: Pq.Codebooks, rerank: Int): Double = {
+      val per = queryIds.map { qid =>
+        val q = vecOf(qid)
+        val exact = Knn.exactTopK(emb, Knn.queryVector(emb, qid), 10)
+          .select("vec_id").as[Long].collect().toSet
+        val got = Pq.ivfPqSearch(assigned, "vec_id", "embedding", "centroid_id",
+            cb, q, nprobe = 8, k = 10, rerank = rerank)
+          .select("vec_id").as[Long].collect().toSet
+        (exact intersect got).size.toDouble / 10
+      }
+      per.sum / per.size
+    }
+
+    // rerank recovers what quantization loses: exact re-rank of the ADC
+    // top-100 (of 500) must dominate the raw ADC top-10
+    val adcOnlySeed = recall(seedCb, rerank = 10)
+    val rerankSeed = recall(seedCb, rerank = 100)
+    val rerankTrained = recall(trainedCb, rerank = 100)
+    info(f"recall@10 seed/adc-only=$adcOnlySeed%.2f seed/rerank100=$rerankSeed%.2f trained/rerank100=$rerankTrained%.2f")
+    assert(rerankSeed >= adcOnlySeed - 1e-9)
+    assert(rerankSeed >= 0.5, "rerank=100 of 500 should recover half the true top-10")
+    assert(rerankTrained >= rerankSeed - 0.1,
+      "KMeans codebooks should not be far below seed codebooks")
+  }
+
+  test("trained codebooks reconstruct better than seed codebooks") {
+    val trainedCb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 16, seed = 42L)
+    val vecs = emb.limit(200)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def mse(cb: Pq.Codebooks): Double = {
+      val errs = vecs.map { v =>
+        val rec = Pq.decodeRef(Pq.encodeRef(v, cb), cb)
+        v.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum / v.length
+      }
+      errs.sum / errs.length
+    }
+    val seedMse = mse(seedCb)
+    val trainedMse = mse(trainedCb)
+    info(f"reconstruction MSE: seed=$seedMse%.4f trained=$trainedMse%.4f")
+    assert(trainedMse < seedMse, "KMeans must beat sample-init on its own objective")
+  }
+}
