@@ -611,6 +611,87 @@ object Index {
       .limit(k)
   }
 
+  /** Build the PQ storage tier: train per-subspace KMeans codebooks
+    * ([[graft.operators.Pq.trainCodebooks]]) and persist
+    *
+    *   - `pq_codebooks` — (sub, code, cent ARRAY<DOUBLE>), m·k tiny rows;
+    *   - `pq_codes` — (id, codes ARRAY<INT>), partitioned by
+    *     `centroid_id` when the IVF layout exists so ANN queries prune
+    *     code partitions exactly like vector partitions.
+    *
+    * The codes table is ~m bytes per vector vs 4·dims for floats: the
+    * ADC scan at 100 TB reads ~3 TB. Build cost is one encode pass over
+    * the corpus (codegen'd PqEncode) plus m small KMeans fits — train on
+    * a sample via `sampleFraction` at scale. */
+  def buildPq(spark: SparkSession, dir: String, m: Int, k: Int,
+              seed: Long = 42L, sampleFraction: Double = 1.0): Unit = {
+    import graft.operators.Pq
+    val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
+    val emb = spark.read.parquet(
+      if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
+    val cb = Pq.trainCodebooks(emb, "embedding", m, k, seed, sampleFraction)
+    val cbRows = for (mi <- 0 until cb.m; c <- 0 until cb.k)
+      yield (mi, c, cb.cents(mi)(c).toSeq)
+    import spark.implicits._
+    cbRows.toDF("sub", "code", "cent")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codebooks")
+    val encoded = emb.select(
+      (Seq(col("id"), Pq.encodeCol(col("embedding"), cb).as("codes")) ++
+        (if (haveIvf) Seq(col("centroid_id")) else Nil)): _*)
+    val w = encoded.write.mode(SaveMode.Overwrite)
+    (if (haveIvf) w.partitionBy("centroid_id") else w).parquet(s"$dir/pq_codes")
+  }
+
+  /** Load the persisted codebooks (m·k·dsub doubles — a model object,
+    * not data; the one legitimate driver-side collect here). */
+  def loadPqCodebooks(spark: SparkSession, dir: String): graft.operators.Pq.Codebooks = {
+    val rows = spark.read.parquet(s"$dir/pq_codebooks")
+      .orderBy("sub", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * k, s"codebook table has ${rows.length} rows, want ${m * k}")
+    val dsub = rows.head.getSeq[Double](2).length
+    val cents = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    graft.operators.Pq.Codebooks(m, k, dsub, cents)
+  }
+
+  /** ANN search over the PQ tier: rank stored centroids → prune the
+    * `pq_codes` partitions to nprobe clusters → ADC top-`rerank` over
+    * codes only (the scan never touches a float vector) → exact re-rank
+    * of the candidate ids against the (equally pruned) float table.
+    * Falls back to un-pruned ADC when no IVF layout exists. */
+  def searchPq(spark: SparkSession, dir: String, queryVec: Array[Float],
+               nprobe: Int, k: Int, rerank: Int,
+               idCol: String = "id"): DataFrame = {
+    import graft.operators.Pq
+    val cb = loadPqCodebooks(spark, dir)
+    val q = queryVec.map(_.toDouble)
+    val haveIvf = tableExists(spark, s"$dir/centroids")
+    val probed: Option[Seq[Int]] = if (haveIvf) {
+      val qdf = spark.range(1).select(typedLit(q.toSeq).as("qv"))
+      Some(spark.read.parquet(s"$dir/centroids")
+        .join(broadcast(qdf), expr("true"))
+        .groupBy("centroid_id")
+        .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6).as("cscore"))
+        .orderBy(desc("cscore"), col("centroid_id"))
+        .limit(nprobe)
+        .collect().map(_.getInt(0)).toSeq)
+    } else None
+    def prune(df: DataFrame): DataFrame = probed.fold(df)(ids =>
+      df.filter(col("centroid_id").isin(ids.map(Integer.valueOf): _*)))
+    val candidates = Pq.adcTopK(
+        prune(spark.read.parquet(s"$dir/pq_codes")), idCol, "codes", cb, q, rerank)
+      .select(col(idCol))
+    val vectors = prune(spark.read.parquet(
+      if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings"))
+    vectors.join(broadcast(candidates), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(VectorFunctions.dot(col("embedding"), typedLit(q.toSeq)), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-extension build statistics (A7, ref `src/cli/build.rs:290-308`:
     * ext → (files, chunks)): one distributed groupBy over the stored
     * passages — files counts distinct sources per extension, chunks the

@@ -105,6 +105,47 @@ class PqSpec extends SparkSpec {
       "KMeans codebooks should not be far below seed codebooks")
   }
 
+  test("persisted PQ tier: buildPq/searchPq prune code partitions and match exact at full knobs") {
+    import java.nio.file.Files
+    import graft.pipeline.Index
+    val d = Files.createTempDirectory("graft-pq").toString + "/idx"
+    emb.select(col("vec_id").as("id"), col("embedding"))
+      .write.parquet(s"$d/embeddings")
+    Index.buildIvf(spark, d, numClusters = 8)
+    Index.buildPq(spark, d, m = 8, k = 16)
+
+    // round-trip: the persisted codebooks are the trained ones
+    val cb = Index.loadPqCodebooks(spark, d)
+    assert(cb.m === 8 && cb.k === 16 && cb.dsub === 8)
+
+    val q = vecOf(7L).map(_.toFloat)
+    // full knobs -> identical to exact search over the same rows
+    val got = Index.searchPq(spark, d, q, nprobe = 8, k = 10, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.exactTopK(
+        spark.read.parquet(s"$d/embeddings_ivf").withColumnRenamed("id", "vec_id"),
+        Knn.queryVector(emb, 7L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq)
+
+    // restricted nprobe prunes the CODES scan by partition, not just the
+    // float scan — the plan must show PartitionFilters on pq_codes
+    val restricted = Index.searchPq(spark, d, q, nprobe = 2, k = 10, rerank = 50)
+    val plan = restricted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected centroid partition pruning in:\n$plan")
+    assert(restricted.count() === 10)
+
+    // no-IVF fallback: PQ alone still searches (un-pruned ADC + re-rank)
+    val d2 = Files.createTempDirectory("graft-pq-flat").toString + "/idx"
+    emb.select(col("vec_id").as("id"), col("embedding"))
+      .write.parquet(s"$d2/embeddings")
+    Index.buildPq(spark, d2, m = 8, k = 16)
+    val flat = Index.searchPq(spark, d2, q, nprobe = 1, k = 10, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(flat.toSeq === exact.toSeq)
+  }
+
   test("trained codebooks reconstruct better than seed codebooks") {
     val trainedCb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 16, seed = 42L)
     val vecs = emb.limit(200)
