@@ -41,6 +41,20 @@ object SparkEntry {
     out
   }
 
+  /** The IVF layout extended with the persisted PQ tier (codes
+    * partitioned by centroid_id + codebooks table), using the
+    * deterministic SEED codebooks so the stored-path query stays
+    * DuckDB-oracle-checkable. Shares [[ivfLayoutDir]]'s cache key. */
+  private def pqLayoutDir(s: SparkSession, dir: String): String = {
+    val out = ivfLayoutDir(s, dir)
+    if (!new java.io.File(s"$out/pq_codes/_SUCCESS").exists()) {
+      val cb = graft.operators.Pq.seedCodebooks(
+        Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, k = 16)
+      graft.pipeline.Index.writePqLayout(s, out, cb, idCol = "vec_id")
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- relational core over the TPC-H-ish tables -----
     "q1_agg" -> ((s, dir) => {
@@ -224,6 +238,20 @@ object SparkEntry {
         .orderBy(desc("adc_score"), col("vec_id")).limit(10)
     }),
 
+    // The PRODUCTION read path over the persisted PQ tier: stored
+    // centroids rank the probe set (partition pruning on pq_codes),
+    // the ADC pass reads only the codes column, and the float vectors
+    // are touched just for the exact re-rank of the rerank=50
+    // candidates. knn_pq above measures encode+ADC from scratch (the
+    // build cost); this measures what a query actually pays.
+    "knn_pq_stored" -> ((s, dir) => {
+      val out = pqLayoutDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.pipeline.Index.searchPq(s, out, qv,
+        nprobe = 4, k = 10, rerank = 50, idCol = "vec_id")
+    }),
+
     "knn_ivf_quantized" -> ((s, dir) => {
       // Composition of the two approximate tiers: centroid-pruned scan
       // (IVF on label clusters, nprobe=4) ranking int8-dequantized
@@ -347,6 +375,17 @@ object SparkEntry {
     "boilerplate_ngrams" -> ((s, dir) => {
       graft.operators.CorpusClean.boilerplateCoverage(
           Tables.documents(s, dir), "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id").limit(500)
+    }),
+
+    // Test-set decontamination: every 50th doc plays the benchmark set;
+    // corpus docs sharing a 5-gram with it are flagged with their
+    // overlap count (the anti-join input for a clean training split).
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusClean.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
         .orderBy("doc_id").limit(500)
     }),
 
@@ -1167,6 +1206,26 @@ private object OracleSql {
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
 
+    "decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+        |  FROM tk),
+        |bg AS (SELECT DISTINCT s FROM g WHERE id % 50 = 0)
+        |SELECT g.id AS doc_id, count(*) AS n_overlap_grams
+        |FROM g JOIN bg ON g.s = bg.s
+        |WHERE g.id % 50 <> 0
+        |GROUP BY 1
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
+
     // Email scrub runs before phone/IP in BOTH engines (emails contain
     // dots and digits) — the staged CTEs mirror CorpusClean.piiScrub's
     // expression nesting exactly.
@@ -1344,6 +1403,56 @@ private object OracleSql {
         |FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
         |GROUP BY c.vec_id
         |ORDER BY adc_score DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // The stored-tier read path: probe = label-cluster mean ranking
+    // (same probe arithmetic as the knn_ivf oracle), ADC restricted to
+    // the probed clusters, exact re-rank of the ADC top-50. Mirrors
+    // Index.searchPq stage for stage.
+    "knn_pq_stored" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |cent AS (
+        |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT cluster, round(sum(cv * qv[pos]), 6) AS cscore FROM cent, q GROUP BY cluster),
+        |probed AS (SELECT cluster FROM cs ORDER BY cscore DESC, cluster LIMIT 4),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |subs AS (SELECT unnest(range(0, 8)) AS m),
+        |cb AS (
+        |  SELECT subs.m, seeds.code,
+        |         list_transform(range(1, 9), j -> seeds.v[subs.m * 8 + j]) AS cent
+        |  FROM subs CROSS JOIN seeds),
+        |pe AS (SELECT * FROM e WHERE label IN (SELECT cluster FROM probed)),
+        |dists AS (
+        |  SELECT pe.vec_id, cb.m, cb.code,
+        |         list_inner_product(
+        |           list_transform(range(1, 9), j -> pe.v[cb.m * 8 + j] - cb.cent[j]),
+        |           list_transform(range(1, 9), j -> pe.v[cb.m * 8 + j] - cb.cent[j])) AS dist
+        |  FROM pe CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |           row_number() OVER (PARTITION BY vec_id, m
+        |                              ORDER BY dist ASC, code ASC) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT cb.m, cb.code,
+        |         list_inner_product(
+        |           list_transform(range(1, 9), j -> q.qv[cb.m * 8 + j]), cb.cent) AS pdot
+        |  FROM cb, q),
+        |adc AS (
+        |  SELECT c.vec_id, round(sum(l.pdot), 6) AS a
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+        |  GROUP BY c.vec_id),
+        |cand AS (SELECT vec_id FROM adc ORDER BY a DESC, vec_id LIMIT 50)
+        |SELECT pe.vec_id, round(list_inner_product(pe.v, q.qv), 6) AS score
+        |FROM pe JOIN cand ON pe.vec_id = cand.vec_id, q
+        |ORDER BY score DESC, pe.vec_id
         |LIMIT 10""".stripMargin,
 
     "events_session_native" ->

@@ -125,6 +125,28 @@ object CorpusClean {
           greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double"), 6).as("coverage"))
   }
 
+  /** Test-set decontamination (the GPT-3 paper's appendix-C pass, Brown
+    * et al. 2020: drop training docs that share an n-gram with an
+    * evaluation set). Returns the contaminated corpus docs with their
+    * distinct-overlapping-gram count — the filter a pipeline anti-joins
+    * against before training.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites are MBs, the corpus is TBs), so it broadcasts; the
+    * corpus side is one zero-shuffle gram explode + the broadcast join +
+    * one groupBy on doc id. The corpus is never shuffled by gram. */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int): DataFrame = {
+    val corpusGrams = Dedup.shingleTable(corpus, corpusId, corpusText, n)
+    val benchGrams = Dedup.shingleTable(bench, benchId, benchText, n)
+      .select("sh").distinct()
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("sh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_overlap_grams"))
+  }
+
   /** PII patterns: engine-portable (Java regex ∩ RE2) so the DuckDB
     * oracle applies the byte-identical scrub. Order matters — emails
     * contain dots and digits, so they are scrubbed before phones/IPs. */

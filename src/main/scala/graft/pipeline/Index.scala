@@ -624,19 +624,32 @@ object Index {
     * the corpus (codegen'd PqEncode) plus m small KMeans fits — train on
     * a sample via `sampleFraction` at scale. */
   def buildPq(spark: SparkSession, dir: String, m: Int, k: Int,
-              seed: Long = 42L, sampleFraction: Double = 1.0): Unit = {
+              seed: Long = 42L, sampleFraction: Double = 1.0,
+              idCol: String = "id"): Unit = {
     import graft.operators.Pq
     val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
     val emb = spark.read.parquet(
       if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
     val cb = Pq.trainCodebooks(emb, "embedding", m, k, seed, sampleFraction)
+    writePqLayout(spark, dir, cb, idCol)
+  }
+
+  /** Persist a PQ model + the codes table for an already-chosen set of
+    * codebooks (trained OR the deterministic seed/oracle ones). */
+  def writePqLayout(spark: SparkSession, dir: String,
+                    cb: graft.operators.Pq.Codebooks,
+                    idCol: String = "id"): Unit = {
+    import graft.operators.Pq
+    val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
+    val emb = spark.read.parquet(
+      if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
     val cbRows = for (mi <- 0 until cb.m; c <- 0 until cb.k)
       yield (mi, c, cb.cents(mi)(c).toSeq)
     import spark.implicits._
     cbRows.toDF("sub", "code", "cent")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codebooks")
     val encoded = emb.select(
-      (Seq(col("id"), Pq.encodeCol(col("embedding"), cb).as("codes")) ++
+      (Seq(col(idCol), Pq.encodeCol(col("embedding"), cb).as("codes")) ++
         (if (haveIvf) Seq(col("centroid_id")) else Nil)): _*)
     val w = encoded.write.mode(SaveMode.Overwrite)
     (if (haveIvf) w.partitionBy("centroid_id") else w).parquet(s"$dir/pq_codes")

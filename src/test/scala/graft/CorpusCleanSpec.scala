@@ -102,6 +102,48 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out(3).getAs[String]("redacted") === "[EMAIL] [IP]")
   }
 
+  test("decontaminate: flags corpus docs sharing an n-gram with the benchmark set") {
+    val shared = "the capital of france is paris and everyone knows it"
+    val corpus = Seq(
+      (1L, s"training doc alpha beta gamma delta epsilon zeta $shared"),
+      (2L, "clean doc with entirely original content about nothing shared here"),
+      (3L, s"another leaky one $shared plus extra trailing words follow")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, s"benchmark question $shared answer choice")
+    ).toDF("doc_id", "text")
+
+    val out = CorpusClean.decontaminate(
+        corpus, "doc_id", "text", bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L)) // doc 2 is clean
+    // the shared sentence has 10 tokens -> 6 fully-inside 5-grams, all
+    // present in both corpus docs and the benchmark doc
+    assert(out.forall(_.getAs[Long]("n_overlap_grams") >= 6L))
+  }
+
+  test("gopher quality gate works on a stream (stateless projection)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-squality").toString
+    Seq((1L, prose), (2L, "too short"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/in/f1")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/f1").schema)
+      .parquet(s"$root/in/*")
+    val q = CorpusClean.gopherFlags(stream, "doc_id", "text", minWords = 50)
+      .filter(col("passes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("squality")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.table("squality").select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("cleaning passes are zero-shuffle projections (scale contract)") {
     val docs = Seq((1L, prose)).toDF("doc_id", "text")
     // gopherFlags and piiScrub must not introduce an Exchange: they are
