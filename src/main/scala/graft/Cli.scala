@@ -27,6 +27,8 @@ import graft.sources.FileIngest
   *   graft.Cli mcp    [--index <name>]        (MCP stdio transport)
   *   graft.Cli config [show|init|path] [--force]
   *   graft.Cli compact <name>                 (small-file compaction)
+  *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
+  *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50]
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
   * provider defaults to the offline deterministic hash embedder
@@ -260,6 +262,42 @@ object Cli {
             println(s"compact: rewrote '$name' tables to target file size")
             spark.stop()
         }
+
+      case "ann-build" =>
+        val name = pos.headOption.getOrElse(
+          fail("usage: ann-build <index> [--clusters 16] [--pq-m 8] [--pq-k 16]"))
+        Index.locate(warehouse, name) match {
+          case None => fail(s"no index '$name' in $warehouse")
+          case Some(dir) =>
+            val spark = session()
+            val clusters = flags.get("clusters").map(_.toInt).getOrElse(16)
+            Index.buildIvf(spark, dir, numClusters = clusters)
+            Index.buildPq(spark, dir,
+              m = flags.get("pq-m").map(_.toInt).getOrElse(8),
+              k = flags.get("pq-k").map(_.toInt).getOrElse(16))
+            println(s"ann-build: IVF($clusters) + PQ layout written for '$name'")
+            spark.stop()
+        }
+
+      case "ann-search" =>
+        val (name, query) = pos match {
+          case Seq(n, q, _*) => (n, q)
+          case _ => fail("usage: ann-search <index> <query> [--top-k 5] " +
+            "[--nprobe 4] [--rerank 50]")
+        }
+        val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
+        val spark = session()
+        val rows = Index.searchAnn(spark, dir, query, provider,
+          topK = flags.get("top-k").map(_.toInt).getOrElse(5),
+          nprobe = flags.get("nprobe").map(_.toInt).getOrElse(4),
+          rerank = flags.get("rerank").map(_.toInt).getOrElse(50)).collect()
+        rows.zipWithIndex.foreach { case (r, i) =>
+          val text = r.getString(2)
+          val snippet = if (text.length > 100) text.take(100) + "…" else text
+          println(f"${i + 1}%2d. [${r.getDouble(1)}%.6f] ${r.getString(3)}%s  $snippet%s")
+        }
+        if (rows.isEmpty) println("(no results)")
+        spark.stop()
 
       case "config" =>
         pos.headOption match {

@@ -491,6 +491,26 @@ object Index {
       .orderBy(desc("score"), col("id"))
   }
 
+  /** ANN read path over a built index's persisted IVF-PQ tier: embed
+    * the query (query prompt template, like [[search]]), run
+    * [[searchPq]], resolve the k winning ids back to passages with a
+    * broadcast join. Sub-linear counterpart to [[search]]'s exact scan —
+    * the trade a 100 TB index must make. Requires [[buildIvf]] +
+    * [[buildPq]] (CLI: `ann-build`); fails loudly otherwise. */
+  def searchAnn(spark: SparkSession, dir: String, query: String,
+                provider: EmbeddingProvider, topK: Int = 5,
+                nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    require(tableExists(spark, s"$dir/pq_codes"),
+      s"no PQ layout under $dir — run ann-build (buildIvf + buildPq) first")
+    val meta = readMeta(dir)
+    val qv = provider.embedWithTemplate(Seq(query), meta.queryPromptTemplate).head
+    val ranked = searchPq(spark, dir, qv, nprobe, topK, rerank)
+    broadcast(ranked).join(spark.read.parquet(s"$dir/passages"), Seq("id"))
+      .select(col("id"), col("score"), col("text"),
+        col("metadata.source").as("source"))
+      .orderBy(desc("score"), col("id"))
+  }
+
   /** Short-query auto-expansion (ref `search.rs:173-186` +
     * `query.rs:128-166`): take the BM25 top-`fromTopK` passages, extract
     * ranked key terms plus code symbols, drop words already in the
@@ -653,6 +673,38 @@ object Index {
         (if (haveIvf) Seq(col("centroid_id")) else Nil)): _*)
     val w = encoded.write.mode(SaveMode.Overwrite)
     (if (haveIvf) w.partitionBy("centroid_id") else w).parquet(s"$dir/pq_codes")
+  }
+
+  /** Incremental PQ maintenance: encode ONLY the vectors not yet in
+    * `pq_codes` with the persisted codebooks and append them — O(delta)
+    * work, no retrain, mirroring [[appendIvf]]'s staged-append shape
+    * (including the anti-join lineage trap: the delta is materialized
+    * to a side dir before the append so the plan cannot observe its own
+    * write). Codebook drift under distribution shift is the standard PQ
+    * trade; re-run [[buildPq]] to re-center. */
+  def appendPq(spark: SparkSession, dir: String, idCol: String = "id"): Long = {
+    import graft.operators.Pq
+    val codesPath = s"$dir/pq_codes"
+    val cb = loadPqCodebooks(spark, dir)
+    val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
+    val emb = spark.read.parquet(
+      if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
+    val fresh = emb.join(
+      spark.read.parquet(codesPath).select(idCol), Seq(idCol), "left_anti")
+    val staging = s"$dir/pq_codes.delta"
+    fresh.select(
+        (Seq(col(idCol), Pq.encodeCol(col("embedding"), cb).as("codes")) ++
+          (if (haveIvf) Seq(col("centroid_id")) else Nil)): _*)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val n = staged.count()
+    if (n > 0) {
+      val w = staged.write.mode(SaveMode.Append)
+      (if (haveIvf) w.partitionBy("centroid_id") else w).parquet(codesPath)
+    }
+    deleteDir(spark, staging)
+    spark.catalog.refreshByPath(codesPath)
+    n
   }
 
   /** Load the persisted codebooks (m·k·dsub doubles — a model object,

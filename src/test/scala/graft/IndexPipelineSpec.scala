@@ -43,6 +43,23 @@ class IndexPipelineSpec extends SparkSpec {
     assert(r.forall(_._2.nonEmpty))
   }
 
+  test("ann-build + searchAnn: IVF-PQ tier over a built index matches exact search at full knobs") {
+    built
+    Index.buildIvf(spark, dir, numClusters = 2)
+    Index.buildPq(spark, dir, m = 8, k = 4)
+    val ann = Index.searchAnn(spark, dir, "vector retrieval", provider,
+        topK = 2, nprobe = 2, rerank = 10)
+      .select("id", "score").as[(String, Double)].collect().toSeq
+    val exact = Index.search(spark, dir, "vector retrieval", provider, topK = 2)
+      .select("id", "score").as[(String, Double)].collect().toSeq
+    assert(ann === exact)
+    // fails loudly without the layout
+    val e = intercept[IllegalArgumentException] {
+      Index.searchAnn(spark, s"$warehouse/nope", "q", provider)
+    }
+    assert(e.getMessage.contains("ann-build"))
+  }
+
   test("search is deterministic") {
     built
     val a = Index.search(spark, dir, "spark shuffle", provider, topK = 3)

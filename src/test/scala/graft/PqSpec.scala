@@ -146,6 +146,33 @@ class PqSpec extends SparkSpec {
     assert(flat.toSeq === exact.toSeq)
   }
 
+  test("appendPq: incremental codes for new vectors, search equals full rebuild") {
+    import java.nio.file.Files
+    import graft.pipeline.Index
+    val d = Files.createTempDirectory("graft-pq-append").toString + "/idx"
+    val all = emb.select(col("vec_id").as("id"), col("embedding"))
+    // stage 1: index the first 400 vectors only
+    all.filter(col("id") < 400).write.parquet(s"$d/embeddings")
+    Index.buildIvf(spark, d, numClusters = 8)
+    Index.buildPq(spark, d, m = 8, k = 16)
+    // stage 2: the remaining 100 arrive; IVF assigns them to existing
+    // centroids, appendPq encodes exactly the delta
+    all.filter(col("id") >= 400).write.mode("append").parquet(s"$d/embeddings")
+    val nIvf = Index.appendIvf(spark, d)
+    val nPq = Index.appendPq(spark, d)
+    assert(nIvf === 100L && nPq === 100L)
+    assert(spark.read.parquet(s"$d/pq_codes").count() === 500L)
+    // full-knob search over the incrementally-built tier is exact
+    val q = vecOf(7L).map(_.toFloat)
+    val got = Index.searchPq(spark, d, q, nprobe = 8, k = 10, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.exactTopK(emb, Knn.queryVector(emb, 7L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq)
+    // idempotent: nothing new on a second call
+    assert(Index.appendPq(spark, d) === 0L)
+  }
+
   test("trained codebooks reconstruct better than seed codebooks") {
     val trainedCb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 16, seed = 42L)
     val vecs = emb.limit(200)
