@@ -16,7 +16,9 @@ object ExplainDrive {
       else Seq("q3_join", "knn_filtered", "knn_ivf", "knn_ivf_plan",
         "knn_ivf_quantized", "knn_quantized", "filter_dsl", "bm25_topk",
         "dedup_simhash", "dedup_jaccard", "events_asof_order",
-        "events_asof_native", "range_join_transit")
+        "events_asof_native", "range_join_transit",
+        "knn_pq", "knn_pq_stored", "quality_gopher", "boilerplate_ngrams",
+        "pii_scrub", "decontaminate")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
