@@ -378,6 +378,24 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Corpus vocabulary profile via the SpaceSaving heavy-hitters
+    // Aggregator: capacity-bounded state per task instead of shuffling
+    // every distinct term. Capacity (10k) >> this vocabulary, so the
+    // summary is EXACT (err=0) and hash-checkable; the approximation
+    // regime (eviction, error bounds) is pinned in HeavyHittersSpec.
+    "corpus_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      val hh = new graft.functions.HeavyHitters(capacity = 10000)
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .as[String]
+        .select(hh.toColumn) // typed select — the Aggregator needs the input encoder
+        .toDF("summary")
+        .select(explode(col("summary")).as("tc"))
+        .select(col("tc.term").as("term"), col("tc.count").as("n"))
+        .orderBy(desc("n"), col("term")).limit(50)
+    }),
+
     // Test-set decontamination: every 50th doc plays the benchmark set;
     // corpus docs sharing a 5-gram with it are flagged with their
     // overlap count (the anti-join input for a clean training split).
@@ -1205,6 +1223,18 @@ private object OracleSql {
         |FROM documents d LEFT JOIN per p ON d.doc_id = p.id
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
+
+    "corpus_top_terms" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |t AS (SELECT unnest(toks) AS term FROM tk)
+        |SELECT term, count(*) AS n
+        |FROM t
+        |GROUP BY term
+        |ORDER BY n DESC, term
+        |LIMIT 50""".stripMargin,
 
     "decontaminate" ->
       """WITH tk AS (
