@@ -238,6 +238,18 @@ object SparkEntry {
         .orderBy(desc("adc_score"), col("vec_id")).limit(10)
     }),
 
+    // The 1-bit tier: axis-sign binary sketches ranked by Hamming
+    // similarity (integer xor+popcount over 8 bytes/vector), exact
+    // re-rank of the top 50. Completes the compression ladder
+    // float -> int8 -> PQ -> binary, all oracle-checked.
+    "knn_hamming" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 7)
+        .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+        .head.getSeq[Double](0).toArray
+      graft.operators.Knn.hammingTopK(emb, q, dims = 64, k = 10, rerank = 50)
+    }),
+
     // The PRODUCTION read path over the persisted PQ tier: stored
     // centroids rank the probe set (partition pruning on pq_codes),
     // the ADC pass reads only the codes column, and the float vectors
@@ -1433,6 +1445,36 @@ private object OracleSql {
         |FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
         |GROUP BY c.vec_id
         |ORDER BY adc_score DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Binary words built with the same 32-bit split as Knn.binaryWord
+    // (positive BIGINT range, no signed-shift edge); integer Hamming
+    // sims make the candidate cut deterministic without rounding.
+    "knn_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |sig AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |         CAST(list_sum(list_transform(range(33, 65),
+        |           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM e),
+        |qs AS (
+        |  SELECT CAST(list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS qw0,
+        |         CAST(list_sum(list_transform(range(33, 65),
+        |           i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS qw1
+        |  FROM q),
+        |cand AS (
+        |  SELECT s.vec_id,
+        |         64 - (bit_count(xor(s.w0, qs.qw0)) + bit_count(xor(s.w1, qs.qw1))) AS hs
+        |  FROM sig s, qs
+        |  ORDER BY hs DESC, s.vec_id
+        |  LIMIT 50)
+        |SELECT e.vec_id, round(list_inner_product(e.v, q.qv), 6) AS score
+        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+        |ORDER BY score DESC, e.vec_id
         |LIMIT 10""".stripMargin,
 
     // The stored-tier read path: probe = label-cluster mean ranking

@@ -129,6 +129,48 @@ object Knn {
         col("t.id").as("vec_id"), col("t.score").as("score"))
   }
 
+  /** Axis-sign binary sketch of one 32-dim slice of a vector: bit
+    * `i - w*32` set when `v[i] > 0`. Words stay in the positive BIGINT
+    * range (no 1<<63 signed-shift edge), so the DuckDB oracle builds
+    * bit-identical words. */
+  private def binaryWord(v: Column, dims: Int, w: Int): Column =
+    ((w * 32) until math.min(dims, (w + 1) * 32))
+      .map(i => when(element_at(v, i + 1) > 0, lit(1L << (i - w * 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Driver-side twin of [[binaryWord]] for the query vector. */
+  private def packWords(q: Array[Double], dims: Int): Array[Long] =
+    Array.tabulate((dims + 31) / 32) { w =>
+      ((w * 32) until math.min(dims, (w + 1) * 32))
+        .foldLeft(0L)((acc, i) => if (q(i) > 0) acc | (1L << (i - w * 32)) else acc)
+    }
+
+  /** The 1-bit storage tier: rank by Hamming similarity of axis-sign
+    * binary sketches (`dims - popcount(sig XOR querySig)` — a couple of
+    * integer ops over 1/32 of the int8 tier's bytes), then exactly
+    * re-rank the top `rerank` candidates. The compression ladder ends
+    * here: float (1x) → int8 (4x) → PQ (m bytes) → binary (dims bits);
+    * identical to exact search when `rerank` covers the corpus.
+    * Candidate ranking is deterministic (integer sims, vec_id
+    * tie-break), so the whole query is DuckDB-oracle-checkable. */
+  def hammingTopK(emb: DataFrame, q: Array[Double], dims: Int,
+                  k: Int, rerank: Int): DataFrame = {
+    val words = (dims + 31) / 32
+    val qw = packWords(q, dims)
+    val v = asDouble(col("embedding"))
+    val sim = lit(dims) - (0 until words)
+      .map(w => bit_count(binaryWord(v, dims, w).bitwiseXOR(lit(qw(w)))))
+      .reduce(_ + _)
+    val cand = emb.select(col("vec_id"), sim.as("hs"))
+      .orderBy(desc("hs"), col("vec_id")).limit(rerank)
+      .select("vec_id")
+    emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(dot(col("embedding"), typedLit(q.toSeq)), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Real IVF build: KMeans over the embedding column assigns a
     * `centroid_id` — at scale this becomes the table's partition column
     * (`.write.partitionBy("centroid_id")`), so `ivfTopK`'s cluster

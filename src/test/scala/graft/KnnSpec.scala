@@ -84,6 +84,25 @@ class KnnSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("expected >= 64")))
   }
 
+  test("hamming tier: full rerank is exact; binary candidates carry real recall") {
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+      .head.getSeq[Double](0).toArray
+    val exact = Knn.exactTopK(emb, Knn.queryVector(emb, 7L), 10)
+      .as[(Long, Double)].collect().toSeq
+    // rerank covering the corpus -> identical to exact search
+    val full = Knn.hammingTopK(emb, q, dims = 64, k = 10, rerank = 1000)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    // the 1-bit sketch is informative: the top-50 Hamming candidates
+    // must recover a meaningful share of the true top-10
+    val got = Knn.hammingTopK(emb, q, dims = 64, k = 10, rerank = 50)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = (exact.map(_._1).toSet intersect got).size / 10.0
+    info(f"hamming rerank=50 recall@10 = $recall%.2f")
+    assert(recall >= 0.3)
+  }
+
   test("sign-LSH: identical vectors collide; pairs verified by cosine") {
     val dup = emb.limit(3).union(emb.limit(3)) // every vector duplicated
       .withColumn("rid", monotonically_increasing_id())
