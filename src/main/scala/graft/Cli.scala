@@ -29,6 +29,7 @@ import graft.sources.FileIngest
   *   graft.Cli compact <name>                 (small-file compaction)
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50]
+  *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
   * provider defaults to the offline deterministic hash embedder
@@ -260,6 +261,27 @@ object Cli {
             val spark = session()
             Index.compact(spark, dir)
             println(s"compact: rewrote '$name' tables to target file size")
+            spark.stop()
+        }
+
+      case "export" =>
+        // Round-trip with the JSONL corpus source (`build --docs x.jsonl`):
+        // the reference's native passage storage IS jsonl
+        // (src/storage/jsonl.rs), so an exported index re-imports there.
+        val name = pos.headOption.getOrElse(
+          fail("usage: export <index> --out <dir> [--format jsonl|parquet]"))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        Index.locate(warehouse, name) match {
+          case None => fail(s"no index '$name' in $warehouse")
+          case Some(dir) =>
+            val spark = session()
+            val passages = spark.read.parquet(s"$dir/passages")
+            flags.getOrElse("format", "jsonl") match {
+              case "jsonl" => passages.write.mode("overwrite").json(out)
+              case "parquet" => passages.write.mode("overwrite").parquet(out)
+              case other => fail(s"unknown export format '$other' (jsonl|parquet)")
+            }
+            println(s"export: wrote passages of '$name' to $out")
             spark.stop()
         }
 

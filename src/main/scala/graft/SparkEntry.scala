@@ -238,6 +238,18 @@ object SparkEntry {
         .orderBy(desc("adc_score"), col("vec_id")).limit(10)
     }),
 
+    // Late-interaction (MaxSim) retrieval: label groups stand in for
+    // multi-vector documents, vec_ids 0-2 for the query's token
+    // vectors; score = sum over query vectors of the group's best
+    // inner product.
+    "knn_maxsim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+      graft.operators.Knn.maxSimTopK(emb, queries, groupCol = "label", k = 5)
+    }),
+
     // The 1-bit tier: axis-sign binary sketches ranked by Hamming
     // similarity (integer xor+popcount over 8 bytes/vector), exact
     // re-rank of the top 50. Completes the compression ladder
@@ -1446,6 +1458,20 @@ private object OracleSql {
         |GROUP BY c.vec_id
         |ORDER BY adc_score DESC, c.vec_id
         |LIMIT 10""".stripMargin,
+
+    "knn_maxsim" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        |s AS (
+        |  SELECT e.label AS grp, q.qid,
+        |         max(list_inner_product(e.embedding::DOUBLE[], q.qv)) AS best
+        |  FROM embeddings e CROSS JOIN q
+        |  GROUP BY 1, 2)
+        |SELECT grp, round(sum(best), 6) AS maxsim_score
+        |FROM s
+        |GROUP BY grp
+        |ORDER BY maxsim_score DESC, grp
+        |LIMIT 5""".stripMargin,
 
     // Binary words built with the same 32-bit split as Knn.binaryWord
     // (positive BIGINT range, no signed-shift edge); integer Hamming

@@ -129,6 +129,24 @@ object Knn {
         col("t.id").as("vec_id"), col("t.score").as("score"))
   }
 
+  /** ColBERT-style late interaction (Khattab & Zaharia 2020, "ColBERT:
+    * Efficient and Effective Passage Search..."): a "document" is a
+    * GROUP of vectors (its chunks/tokens), the query is a SET of
+    * vectors, and the score is the sum over query vectors of the best
+    * similarity inside the group (MaxSim). Both aggregations combine
+    * map-side — the shuffles carry one row per (group, qid) then per
+    * group, never the scored pairs — and the query set broadcasts, so
+    * the corpus-side scan is shuffle-free until the tiny rollup. */
+  def maxSimTopK(emb: DataFrame, queries: DataFrame, groupCol: String,
+                 k: Int): DataFrame =
+    emb.join(broadcast(queries))
+      .select(col(groupCol).as("grp"), col("qid"),
+        dot(col("embedding"), col("qv")).as("sim"))
+      .groupBy("grp", "qid").agg(max("sim").as("best"))
+      .groupBy("grp").agg(round(sum("best"), 6).as("maxsim_score"))
+      .orderBy(desc("maxsim_score"), col("grp"))
+      .limit(k)
+
   /** Axis-sign binary sketch of one 32-dim slice of a vector: bit
     * `i - w*32` set when `v[i] > 0`. Words stay in the positive BIGINT
     * range (no 1<<63 signed-shift edge), so the DuckDB oracle builds

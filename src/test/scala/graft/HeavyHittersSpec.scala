@@ -61,4 +61,26 @@ class HeavyHittersSpec extends SparkSpec {
     val one = fixture.coalesce(1).select(hh.toColumn).head()
     assert(one.map(tc => tc.term -> tc.count).toMap === exact)
   }
+
+  test("heavy hitters over a stream: same bounded-state summary, complete mode") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-shh").toString
+    fixture.toDF("term").coalesce(1).write.parquet(s"$root/in/f1")
+
+    val hh = new HeavyHitters(1000)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/f1").schema)
+      .parquet(s"$root/in/*")
+      .as[String]
+    val q = stream.select(hh.toColumn).toDF("summary")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("shh")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("shh").select(explode(col("summary")).as("tc"))
+      .select("tc.term", "tc.count").as[(String, Long)].collect().toMap
+    assert(got === exact)
+  }
 }

@@ -60,6 +60,21 @@ class IndexPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("ann-build"))
   }
 
+  test("export: passages round-trip through jsonl (the reference's native storage)") {
+    built
+    val out = s"$warehouse/export1"
+    spark.read.parquet(s"$dir/passages").write.mode("overwrite").json(out)
+    val back = spark.read.json(out)
+    assert(back.count() === 4L)
+    val texts = back.select("id", "text").as[(String, String)].collect().toMap
+    val orig = spark.read.parquet(s"$dir/passages")
+      .select("id", "text").as[(String, String)].collect().toMap
+    assert(texts === orig)
+    // and the jsonl corpus source can rebuild an index from the export
+    val docs2 = graft.sources.FileIngest.readJsonl(spark, out)
+    assert(docs2.count() === 4L)
+  }
+
   test("search is deterministic") {
     built
     val a = Index.search(spark, dir, "spark shuffle", provider, topK = 3)

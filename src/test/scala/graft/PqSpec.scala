@@ -173,6 +173,35 @@ class PqSpec extends SparkSpec {
     assert(Index.appendPq(spark, d) === 0L)
   }
 
+  test("PqEncode property: random vectors and codebooks, expression == reference") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val genCase = for {
+      m <- Gen.choose(1, 4)
+      k <- Gen.choose(1, 6)
+      dsub <- Gen.choose(1, 5)
+      // bounded magnitudes incl. negatives, zeros, and exact ties
+      // (duplicate centroids force the first-win argmin to matter)
+      cents <- Gen.listOfN(m * k * dsub, Gen.oneOf(Gen.choose(-3, 3).map(_.toDouble),
+        Gen.choose(-1000, 1000).map(_ / 250.0)))
+      nVecs <- Gen.choose(1, 8)
+      vecs <- Gen.listOfN(nVecs * m * dsub, Gen.choose(-1000, 1000).map(_ / 250.0))
+    } yield (m, k, dsub, cents, vecs.grouped(m * dsub).toList)
+
+    val prop = Prop.forAll(genCase) { case (m, k, dsub, flat, vecs) =>
+      val cb = Pq.Codebooks(m, k, dsub,
+        Array.tabulate(m, k)((mi, c) =>
+          flat.slice((mi * k + c) * dsub, (mi * k + c) * dsub + dsub).toArray))
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val got = df.select(col("id"), Pq.encodeCol(col("v"), cb).as("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        got(i.toLong) == Pq.encodeRef(v.toArray, cb).toSeq
+      }
+    }
+    val r = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("trained codebooks reconstruct better than seed codebooks") {
     val trainedCb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 16, seed = 42L)
     val vecs = emb.limit(200)
