@@ -707,6 +707,16 @@ object Index {
     n
   }
 
+  /** Keep the ANN storage tiers fresh after an append: nearest-centroid
+    * IVF assignment for the new vectors, then PQ codes from the
+    * persisted codebooks — each only if its layout exists, each
+    * O(delta). The streaming ingest calls this after every micro-batch
+    * update, so a built tier never goes stale against the base table. */
+  def maintainAnnTiers(spark: SparkSession, dir: String): Unit = {
+    if (tableExists(spark, s"$dir/embeddings_ivf")) { appendIvf(spark, dir); () }
+    if (tableExists(spark, s"$dir/pq_codebooks")) { appendPq(spark, dir); () }
+  }
+
   /** Load the persisted codebooks (m·k·dsub doubles — a model object,
     * not data; the one legitimate driver-side collect here). */
   def loadPqCodebooks(spark: SparkSession, dir: String): graft.operators.Pq.Codebooks = {

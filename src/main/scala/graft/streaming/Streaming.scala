@@ -35,6 +35,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           Index.update(batch, indexDir, provider, strategy = "simple")
+          Index.maintainAnnTiers(batch.sparkSession, indexDir)
         }
         ()
       }
@@ -73,6 +74,7 @@ object Streaming {
             .drop("fp", "__rn")
           if (!fresh.isEmpty) {
             Index.update(fresh, indexDir, provider, strategy = "simple")
+            Index.maintainAnnTiers(batch.sparkSession, indexDir)
           }
         }
         ()

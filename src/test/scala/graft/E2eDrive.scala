@@ -27,6 +27,11 @@ object E2eDrive {
     val sym = graft.operators.Expansion.codeSymbols(docs, "text", 8).collect()
       .map(r => s"${r.getString(0)}(${r.getLong(1)})").mkString(" ")
     println(s"SYMBOLS $sym")
+    graft.pipeline.Index.buildIvf(spark, dir, numClusters = 8)
+    graft.pipeline.Index.buildPq(spark, dir, m = 8, k = 16)
+    val annHits = graft.pipeline.Index.searchAnn(spark, dir,
+      "bm25 scoring statistics", provider, topK = 3).collect()
+    println("ANN_TOP " + annHits.map(r => r.getString(3)).mkString(" | "))
     val answer = graft.llm.Rag.ask(spark, dir, "how are bm25 scores computed",
       provider, new graft.llm.SimulatedLlm("drive"), topK = 3)
     println("ASK " + answer.take(120))

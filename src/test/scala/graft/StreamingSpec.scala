@@ -41,6 +41,40 @@ class StreamingSpec extends SparkSpec {
     assert(hit.head == "c.md")
   }
 
+  test("streaming ingest keeps the ANN tiers fresh (appendIvf + appendPq per batch)") {
+    val root = Files.createTempDirectory("graft-stream-ann").toString
+    val src = s"$root/incoming"
+    val idx = s"$root/idx"
+    val provider = new HashEmbedder(16)
+
+    // seed index + both ANN tiers (4 docs so KMeans has points)
+    Index.build(Seq(
+        ("alpha doc about spark executors", "a.md"),
+        ("beta doc about shuffle plans", "b.md"),
+        ("gamma doc about parquet files", "c.md"),
+        ("delta doc about broadcast joins", "d.md")).toDF("text", "source"),
+      idx, provider, strategy = "simple")
+    Index.buildIvf(spark, idx, numClusters = 2)
+    Index.buildPq(spark, idx, m = 4, k = 4)
+
+    Seq(("epsilon doc about watermarks", "e.md"), ("zeta doc about state stores", "f.md"))
+      .toDF("text", "source").write.parquet(s"$src/f1")
+    val schema = spark.read.parquet(s"$src/f1").schema
+    Streaming.runAvailableNow(Streaming.indexIngest(
+      spark, s"$src/*", idx, schema, provider, s"$root/ckpt"))
+
+    // every tier tracks the base table: 6 embeddings = 6 ivf rows = 6 code rows
+    val n = spark.read.parquet(s"$idx/embeddings").count()
+    assert(n === 6L)
+    assert(spark.read.parquet(s"$idx/embeddings_ivf").count() === n)
+    assert(spark.read.parquet(s"$idx/pq_codes").count() === n)
+    // and the ANN read path can retrieve a streamed-in doc
+    val hit = Index.searchAnn(spark, idx, "epsilon doc about watermarks",
+        provider, topK = 1, nprobe = 2, rerank = 10)
+      .select("source").as[String].collect()
+    assert(hit.head == "e.md")
+  }
+
   test("dedup ingest drops already-indexed and in-batch duplicate content") {
     val root = Files.createTempDirectory("graft-dedup-stream").toString
     val src = s"$root/incoming"
