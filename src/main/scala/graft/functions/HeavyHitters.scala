@@ -21,6 +21,13 @@ final case class TermCount(term: String, count: Long, err: Long)
   * new term's error bound — then merges summaries associatively: the
   * exchange carries O(tasks × capacity) rows, corpus-size-independent.
   *
+  * Cost honesty: once a task's buffer saturates, each NOVEL term pays
+  * an O(capacity) min-scan for eviction (the canonical Stream-Summary
+  * structure makes that O(1); this Map-backed buffer trades that for
+  * encoder simplicity). Terms already tracked update in O(1), so on the
+  * skewed distributions heavy-hitter profiling targets — where the hot
+  * head dominates arrivals — the amortized cost stays near O(1)/token.
+  *
   * Exactness contract (what the DuckDB oracle checks): while the number
   * of distinct terms seen by every task stays <= capacity, no eviction
   * happens, every err is 0, and the summary IS the exact term count —

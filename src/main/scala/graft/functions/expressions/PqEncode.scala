@@ -27,11 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * [[DotProduct.dimMismatch]] — silent truncation would produce
   * plausible wrong codes).
   */
-case class PqEncode(child: Expression, codebook: IndexedSeq[Double], m: Int, k: Int)
+case class PqEncode(child: Expression, codebook: PqCodebookConst, m: Int, k: Int)
     extends UnaryExpression {
 
   require(m > 0 && k > 0, s"pq_encode: m and k must be positive, got m=$m k=$k")
-  require(codebook.length % (m * k) == 0 && codebook.nonEmpty,
+  require(codebook.length % (m * k) == 0 && codebook.length > 0,
     s"pq_encode: codebook length ${codebook.length} is not a multiple of m*k=${m * k}")
 
   val dsub: Int = codebook.length / (m * k)
@@ -44,7 +44,7 @@ case class PqEncode(child: Expression, codebook: IndexedSeq[Double], m: Int, k: 
       s"pq_encode expects ARRAY<DOUBLE> input, got $other")
   }
 
-  @transient private lazy val flat: Array[Double] = codebook.toArray
+  private def flat: Array[Double] = codebook.flat
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -125,4 +125,25 @@ object PqEncode {
   def dimMismatch(got: Int, want: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"pq_encode: vector has $got dimensions, codebook expects $want")
+}
+
+/** Opaque codebook constant for [[PqEncode]]'s case-class arity.
+  *
+  * A bare `IndexedSeq[Double]` constructor field leaks into the
+  * expression's product iterator: `explain()` would render all
+  * m·k·dsub doubles (multi-MB plan strings at 8·256·96 production
+  * shape) and every tree transform/comparison would walk them. This
+  * wrapper prints a three-number summary and compares by a precomputed
+  * hash before falling back to content equality (so Catalyst
+  * canonicalization/CSE still unify identical codebooks). */
+final class PqCodebookConst(val flat: Array[Double]) extends Serializable {
+  def length: Int = flat.length
+  private val hash: Int = java.util.Arrays.hashCode(flat)
+  override def hashCode: Int = hash
+  override def equals(o: Any): Boolean = o match {
+    case c: PqCodebookConst =>
+      (c eq this) || (c.hash == hash && java.util.Arrays.equals(c.flat, flat))
+    case _ => false
+  }
+  override def toString: String = s"pq_codebook(len=${flat.length}, hash=$hash)"
 }

@@ -107,8 +107,11 @@ object CorpusClean {
   def boilerplateCoverage(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
     val grams = Dedup.shingleTable(docs, idCol, textCol, n)
+    // shingleTable emits distinct (id, gram) pairs, so a plain count IS
+    // the distinct-doc count — countDistinct here would force the
+    // two-phase distinct-aggregate rewrite on the pass's biggest shuffle
     val repeated = grams.groupBy("sh")
-      .agg(countDistinct("id").as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("sh")
     val perDoc = grams

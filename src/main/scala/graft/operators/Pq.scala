@@ -96,7 +96,8 @@ object Pq {
   def encodeCol(vec: Column, cb: Codebooks): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.expressions.PqEncode(
-      GraftColumnBridge.expression(asDouble(vec)), cb.flat, cb.m, cb.k))
+      GraftColumnBridge.expression(asDouble(vec)),
+      new graft.functions.expressions.PqCodebookConst(cb.flat.toArray), cb.m, cb.k))
   }
 
   /** Driver-side reference encoder — the parity oracle PqSpec pins the
@@ -153,11 +154,18 @@ object Pq {
       .orderBy(desc("adc_score"), col(idCol))
       .limit(k)
 
-  /** The full production read path: IVF partition pruning → ADC over
+  /** The IVF-PQ read path at the operator level: IVF pruning → ADC over
     * codes only → exact re-rank of the survivors.
     *
-    *  1. Rank the (tiny, broadcastable) centroid table against the
-    *     query on the driver; keep `nprobe` cluster ids.
+    *  1. Rank cluster centroids against the query; keep `nprobe` ids.
+    *     Pass `centroids` (`clusterCol`, pos, cv — the persisted
+    *     layout's position-wise mean table) to make this O(K·dims
+    *     not counting its own tiny scan). When omitted
+    *     the means are DERIVED from the full table — an O(corpus)
+    *     per-query convenience/oracle formulation, same stance as
+    *     [[Knn.ivfTopK]]; the persisted-layout production entry point
+    *     is [[graft.pipeline.Index.searchPq]], which always ranks
+    *     stored centroids.
     *  2. Scan ONLY the `codes` column of the probed partitions and ADC-
     *     score them — with the table partitioned by `centroid_id` this
     *     is partition pruning plus a bytes-not-floats scan.
@@ -173,14 +181,18 @@ object Pq {
   def ivfPqSearch(assigned: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, cb: Codebooks, q: Array[Double],
       nprobe: Int, k: Int, rerank: Int,
-      codesCol: Option[String] = None): DataFrame = {
+      codesCol: Option[String] = None,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val spark = assigned.sparkSession
     // 1. probe set from per-cluster mean vectors (scores rounded like
     // Index.searchIvf so probe choice is deterministic)
     val qdf = spark.range(1).select(typedLit(q.toSeq).as("qv"))
-    val probed = assigned
-      .select(col(clusterCol).as("__cl"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
-      .groupBy(col("__cl"), col("pos")).agg(avg("v").as("cv"))
+    val cents = centroids
+      .map(_.select(col(clusterCol).as("__cl"), col("pos"), col("cv")))
+      .getOrElse(assigned
+        .select(col(clusterCol).as("__cl"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+        .groupBy(col("__cl"), col("pos")).agg(avg("v").as("cv")))
+    val probed = cents
       .join(broadcast(qdf), expr("true"))
       .groupBy("__cl")
       .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6).as("cscore"))

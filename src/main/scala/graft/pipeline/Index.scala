@@ -583,6 +583,17 @@ object Index {
       .groupBy("centroid_id", "pos")
       .agg(avg("v").as("cv"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    // A PQ tier built before (or against a previous) IVF layout holds
+    // codes partitioned by the OLD cluster assignment — partition
+    // pruning against the NEW centroids would then silently read the
+    // wrong partitions. Re-encode with the persisted codebooks so the
+    // tiers cannot desync (the model itself is assignment-independent).
+    if (tableExists(spark, s"$dir/pq_codebooks")) {
+      val idCol = spark.read.parquet(s"$dir/pq_codes").columns
+        .find(c => c != "codes" && c != "centroid_id")
+        .getOrElse("id")
+      writePqLayout(spark, dir, loadPqCodebooks(spark, dir), idCol)
+    }
   }
 
   /** The *declarative* IVF search: exactly the naive exact-top-k plan —
@@ -655,7 +666,13 @@ object Index {
   }
 
   /** Persist a PQ model + the codes table for an already-chosen set of
-    * codebooks (trained OR the deterministic seed/oracle ones). */
+    * codebooks (trained OR the deterministic seed/oracle ones).
+    *
+    * Write order is load-bearing: the corpus-sized codes table is
+    * written FIRST and the tiny codebooks table LAST, so `pq_codebooks`
+    * doubles as the tier's commit marker — a build that dies mid-encode
+    * leaves no codebooks, and [[maintainAnnTiers]] (which gates on both
+    * tables) never enters a crash loop against half a tier. */
   def writePqLayout(spark: SparkSession, dir: String,
                     cb: graft.operators.Pq.Codebooks,
                     idCol: String = "id"): Unit = {
@@ -663,16 +680,16 @@ object Index {
     val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
     val emb = spark.read.parquet(
       if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
-    val cbRows = for (mi <- 0 until cb.m; c <- 0 until cb.k)
-      yield (mi, c, cb.cents(mi)(c).toSeq)
-    import spark.implicits._
-    cbRows.toDF("sub", "code", "cent")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codebooks")
     val encoded = emb.select(
       (Seq(col(idCol), Pq.encodeCol(col("embedding"), cb).as("codes")) ++
         (if (haveIvf) Seq(col("centroid_id")) else Nil)): _*)
     val w = encoded.write.mode(SaveMode.Overwrite)
     (if (haveIvf) w.partitionBy("centroid_id") else w).parquet(s"$dir/pq_codes")
+    val cbRows = for (mi <- 0 until cb.m; c <- 0 until cb.k)
+      yield (mi, c, cb.cents(mi)(c).toSeq)
+    import spark.implicits._
+    cbRows.toDF("sub", "code", "cent")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codebooks")
   }
 
   /** Incremental PQ maintenance: encode ONLY the vectors not yet in
@@ -709,12 +726,19 @@ object Index {
 
   /** Keep the ANN storage tiers fresh after an append: nearest-centroid
     * IVF assignment for the new vectors, then PQ codes from the
-    * persisted codebooks — each only if its layout exists, each
-    * O(delta). The streaming ingest calls this after every micro-batch
-    * update, so a built tier never goes stale against the base table. */
+    * persisted codebooks — each only if its layout exists (for PQ: both
+    * the codebooks AND the codes table, so a build that died mid-encode
+    * is skipped instead of crash-looping the stream). The encode/assign
+    * work is O(delta); the delta discovery is an anti-join that scans
+    * the ID COLUMN of the existing tier (column-pruned Parquet scan —
+    * bytes proportional to row count, not table width). A pipeline that
+    * needs strictly O(delta) maintenance threads the update's delta ids
+    * through instead; at micro-batch cadence the pruned scan is the
+    * simpler trade. */
   def maintainAnnTiers(spark: SparkSession, dir: String): Unit = {
     if (tableExists(spark, s"$dir/embeddings_ivf")) { appendIvf(spark, dir); () }
-    if (tableExists(spark, s"$dir/pq_codebooks")) { appendPq(spark, dir); () }
+    if (tableExists(spark, s"$dir/pq_codebooks") &&
+        tableExists(spark, s"$dir/pq_codes")) { appendPq(spark, dir); () }
   }
 
   /** Load the persisted codebooks (m·k·dsub doubles — a model object,
@@ -753,8 +777,16 @@ object Index {
         .limit(nprobe)
         .collect().map(_.getInt(0)).toSeq)
     } else None
-    def prune(df: DataFrame): DataFrame = probed.fold(df)(ids =>
-      df.filter(col("centroid_id").isin(ids.map(Integer.valueOf): _*)))
+    // prune only frames that actually carry the partition column: a PQ
+    // tier built before the IVF layout is flat (no centroid_id) — its
+    // ADC pass legally scans everything rather than crashing or, worse,
+    // pruning by a stale assignment (writeIvfLayout re-encodes to heal
+    // that, but search must stay safe in the window)
+    def prune(df: DataFrame): DataFrame = probed match {
+      case Some(ids) if df.columns.contains("centroid_id") =>
+        df.filter(col("centroid_id").isin(ids.map(Integer.valueOf): _*))
+      case _ => df
+    }
     val candidates = Pq.adcTopK(
         prune(spark.read.parquet(s"$dir/pq_codes")), idCol, "codes", cb, q, rerank)
       .select(col(idCol))

@@ -146,6 +146,27 @@ class PqSpec extends SparkSpec {
     assert(flat.toSeq === exact.toSeq)
   }
 
+  test("buildIvf after a flat buildPq re-encodes the codes: tiers cannot desync") {
+    import java.nio.file.Files
+    import graft.pipeline.Index
+    val d = Files.createTempDirectory("graft-pq-desync").toString + "/idx"
+    emb.select(col("vec_id").as("id"), col("embedding"))
+      .write.parquet(s"$d/embeddings")
+    // PQ first (flat — no IVF layout yet), IVF second
+    Index.buildPq(spark, d, m = 8, k = 16)
+    assert(!spark.read.parquet(s"$d/pq_codes").columns.contains("centroid_id"))
+    Index.buildIvf(spark, d, numClusters = 8)
+    // writeIvfLayout re-encoded the tier against the new assignment
+    assert(spark.read.parquet(s"$d/pq_codes").columns.contains("centroid_id"))
+    assert(spark.read.parquet(s"$d/pq_codes").count() === 500L)
+    val q = vecOf(7L).map(_.toFloat)
+    val got = Index.searchPq(spark, d, q, nprobe = 8, k = 10, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Knn.exactTopK(emb, Knn.queryVector(emb, 7L), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === exact.toSeq)
+  }
+
   test("appendPq: incremental codes for new vectors, search equals full rebuild") {
     import java.nio.file.Files
     import graft.pipeline.Index
