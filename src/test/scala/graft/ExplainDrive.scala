@@ -18,7 +18,8 @@ object ExplainDrive {
         "dedup_simhash", "dedup_jaccard", "events_asof_order",
         "events_asof_native", "range_join_transit",
         "knn_pq", "knn_pq_stored", "quality_gopher", "boilerplate_ngrams",
-        "pii_scrub", "decontaminate")
+        "pii_scrub", "decontaminate", "knn_maxsim", "knn_hamming",
+        "corpus_top_terms")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
