@@ -11,74 +11,93 @@ final case class TermCount(term: String, count: Long, err: Long)
 /** SpaceSaving heavy hitters (Metwally, Agrawal, El Abbadi 2005,
   * "Efficient Computation of Frequent and Top-k Elements in Data
   * Streams") as a typed Spark Aggregator: the frequent-terms profile of
-  * a 100 TB corpus with `capacity` counters of state per task instead
-  * of a full term shuffle.
+  * a 100 TB corpus with bounded counters of state per task instead of a
+  * full term shuffle.
   *
   * Why not `groupBy(term).count.orderBy.limit(k)`? That plan shuffles
   * every distinct term (a web-scale corpus has billions) to get back the
-  * top 100. SpaceSaving keeps a capped counter map per map task —
-  * eviction replaces the minimum counter and inherits its count as the
-  * new term's error bound — then merges summaries associatively: the
-  * exchange carries O(tasks × capacity) rows, corpus-size-independent.
+  * top 100. This Aggregator keeps a capped counter map per map task,
+  * then merges summaries associatively: the exchange carries
+  * O(tasks × capacity) rows, corpus-size-independent.
   *
-  * Cost honesty: once a task's buffer saturates, each NOVEL term pays
-  * an O(capacity) min-scan for eviction (the canonical Stream-Summary
-  * structure makes that O(1); this Map-backed buffer trades that for
-  * encoder simplicity). Terms already tracked update in O(1), so on the
-  * skewed distributions heavy-hitter profiling targets — where the hot
-  * head dominates arrivals — the amortized cost stays near O(1)/token.
-  *
-  * Exactness contract (what the DuckDB oracle checks): while the number
-  * of distinct terms seen by every task stays <= capacity, no eviction
-  * happens, every err is 0, and the summary IS the exact term count —
-  * so the `corpus_top_terms` query (capacity >> vocabulary) is
-  * hash-checked, and the approximation behavior (capacity bound, err
-  * accounting, guaranteed-heavy detection) is pinned in
-  * HeavyHittersSpec.
+  * Eviction is the lazy-compaction variant: the buffer grows to
+  * 2×capacity, then one O(B log B) compaction keeps the `capacity`
+  * largest and raises a `floor` offset to the largest dropped count —
+  * amortized O(log capacity) per novel term where the textbook
+  * evict-the-minimum is O(capacity) with a Map buffer (the canonical
+  * Stream-Summary list gets O(1), at the price of a buffer Spark can't
+  * encode cheaply). Novel terms enter at `(floor + 1, floor)`: the
+  * floor upper-bounds the count any evicted term had when dropped, so
+  * `count` stays an upper bound on the true frequency and
+  * `count - err` a lower bound — the exact invariants of strict
+  * SpaceSaving, just with a slightly looser err.
   *
   * Merge (the mergeable-summaries construction, Agarwal et al. 2012):
-  * a term absent from a FULL summary may have been evicted there, so
-  * its contribution from that side is bounded by that summary's minimum
-  * count (absent from a non-full summary = genuinely unseen = 0); sum
-  * the per-side bounds, then keep the `capacity` largest. Both
-  * invariants survive: `count` stays an upper bound on the true
-  * frequency and `count - err` a lower bound.
+  * a term absent from a summary contributes that summary's floor
+  * (what an evicted counter could have held; 0 for a never-compacted
+  * summary = genuinely unseen); sum the per-side bounds, keep the
+  * `capacity` largest, and add the floors.
+  *
+  * Exactness contract (what the DuckDB oracle checks): while every
+  * task's distinct-term count stays <= capacity, no compaction happens,
+  * every floor is 0, every err is 0, and the summary IS the exact term
+  * count — so the `corpus_top_terms` query (capacity >> vocabulary) is
+  * hash-checked, and the approximation regime (compaction, error
+  * bounds, guaranteed-heavy detection) is pinned in HeavyHittersSpec.
   */
 final class HeavyHitters(capacity: Int)
-    extends Aggregator[String, Map[String, (Long, Long)], Seq[TermCount]] {
+    extends Aggregator[String, (Map[String, (Long, Long)], Long), Seq[TermCount]] {
 
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
-  override def zero: Map[String, (Long, Long)] = Map.empty
+  /** Buffer = (counters, floor): floor upper-bounds every count this
+    * summary has ever evicted. */
+  type Buf = (Map[String, (Long, Long)], Long)
 
-  override def reduce(buf: Map[String, (Long, Long)], term: String): Map[String, (Long, Long)] =
-    buf.get(term) match {
-      case Some((c, e)) => buf.updated(term, (c + 1, e))
-      case None if buf.size < capacity => buf.updated(term, (1L, 0L))
+  override def zero: Buf = (Map.empty, 0L)
+
+  override def reduce(buf: Buf, term: String): Buf = {
+    val (m, floor) = buf
+    m.get(term) match {
+      case Some((c, e)) => (m.updated(term, (c + 1, e)), floor)
       case None =>
-        // SpaceSaving eviction: replace the minimum counter; the new
-        // term inherits min as both count-offset and error bound
-        val (minTerm, (minC, _)) = buf.minBy { case (t, (c, _)) => (c, t) }
-        (buf - minTerm).updated(term, (minC + 1, minC))
+        val grown = m.updated(term, (floor + 1, floor))
+        if (grown.size <= capacity * 2) (grown, floor)
+        else compact(grown, floor)
     }
-
-  override def merge(b1: Map[String, (Long, Long)], b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
-    val min1 = if (b1.size < capacity) 0L else b1.valuesIterator.map(_._1).min
-    val min2 = if (b2.size < capacity) 0L else b2.valuesIterator.map(_._1).min
-    val union = (b1.keySet ++ b2.keySet).iterator.map { t =>
-      val (c1, e1) = b1.getOrElse(t, (min1, min1))
-      val (c2, e2) = b2.getOrElse(t, (min2, min2))
-      t -> (c1 + c2, e1 + e2)
-    }.toMap
-    if (union.size <= capacity) union
-    else union.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity).toMap
   }
 
-  override def finish(r: Map[String, (Long, Long)]): Seq[TermCount] =
-    r.toSeq.map { case (t, (c, e)) => TermCount(t, c, e) }
-      .sortBy(tc => (-tc.count, tc.term))
+  /** Keep the `capacity` largest counters; the floor rises to the
+    * largest dropped count (every dropped counter upper-bounded its
+    * term's true frequency, so the new floor still does). */
+  private def compact(m: Map[String, (Long, Long)], floor: Long): Buf = {
+    val sorted = m.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+    val dropped = sorted.drop(capacity)
+    val newFloor =
+      if (dropped.isEmpty) floor
+      else math.max(floor, dropped.iterator.map(_._2._1).max)
+    (sorted.take(capacity).toMap, newFloor)
+  }
 
-  override def bufferEncoder: Encoder[Map[String, (Long, Long)]] = ExpressionEncoder()
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    val (m1, f1) = b1
+    val (m2, f2) = b2
+    val union = (m1.keySet ++ m2.keySet).iterator.map { t =>
+      val (c1, e1) = m1.getOrElse(t, (f1, f1))
+      val (c2, e2) = m2.getOrElse(t, (f2, f2))
+      t -> (c1 + c2, e1 + e2)
+    }.toMap
+    if (union.size <= capacity) (union, f1 + f2)
+    else compact(union, f1 + f2)
+  }
+
+  override def finish(r: Buf): Seq[TermCount] = {
+    val (m, _) = compact(r._1, r._2)
+    m.toSeq.map { case (t, (c, e)) => TermCount(t, c, e) }
+      .sortBy(tc => (-tc.count, tc.term))
+  }
+
+  override def bufferEncoder: Encoder[Buf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[TermCount]] = ExpressionEncoder()
 }
 

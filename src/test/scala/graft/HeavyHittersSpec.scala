@@ -62,6 +62,23 @@ class HeavyHittersSpec extends SparkSpec {
     assert(one.map(tc => tc.term -> tc.count).toMap === exact)
   }
 
+  test("compaction property: bounds hold on a high-cardinality randomized stream") {
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(
+      Seq.fill(5000)(s"t${rnd.nextInt(600)}") ++ Seq.fill(800)("hot"))
+    val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = spark.createDataset(stream).repartition(4)
+      .select(new HeavyHitters(32).toColumn).head()
+    assert(got.size <= 32)
+    for (tc <- got) {
+      val f = trueCounts.getOrElse(tc.term, 0L)
+      assert(tc.count >= f, s"${tc.term}: ${tc.count} < $f")
+      assert(tc.count - tc.err <= f, s"${tc.term}: ${tc.count - tc.err} > $f")
+    }
+    // "hot" (800 arrivals vs ~8 avg for noise) must survive and lead
+    assert(got.head.term === "hot")
+  }
+
   test("heavy hitters over a stream: same bounded-state summary, complete mode") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
