@@ -28,7 +28,7 @@ import graft.sources.FileIngest
   *   graft.Cli config [show|init|path] [--force]
   *   graft.Cli compact <name>                 (small-file compaction)
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
-  *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50]
+  *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
   *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
@@ -305,14 +305,15 @@ object Cli {
         val (name, query) = pos match {
           case Seq(n, q, _*) => (n, q)
           case _ => fail("usage: ann-search <index> <query> [--top-k 5] " +
-            "[--nprobe 4] [--rerank 50]")
+            "[--nprobe 4] [--rerank 50] [--filter dsl]")
         }
         val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
         val spark = session()
         val rows = Index.searchAnn(spark, dir, query, provider,
           topK = flags.get("top-k").map(_.toInt).getOrElse(5),
           nprobe = flags.get("nprobe").map(_.toInt).getOrElse(4),
-          rerank = flags.get("rerank").map(_.toInt).getOrElse(50)).collect()
+          rerank = flags.get("rerank").map(_.toInt).getOrElse(50),
+          filterStr = flags.get("filter")).collect()
         rows.zipWithIndex.foreach { case (r, i) =>
           val text = r.getString(2)
           val snippet = if (text.length > 100) text.take(100) + "…" else text

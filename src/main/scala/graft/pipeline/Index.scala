@@ -496,19 +496,36 @@ object Index {
     * [[searchPq]], resolve the k winning ids back to passages with a
     * broadcast join. Sub-linear counterpart to [[search]]'s exact scan —
     * the trade a 100 TB index must make. Requires [[buildIvf]] +
-    * [[buildPq]] (CLI: `ann-build`); fails loudly otherwise. */
+    * [[buildPq]] (CLI: `ann-build`); fails loudly otherwise.
+    *
+    * `filterStr` (metadata filter DSL) post-filters the candidates with
+    * a 5× over-fetch of both topK and rerank — the reference's ANN
+    * filtering stance (`src/index/searcher.rs:129-133`: the graph walk
+    * can't push predicates, so over-fetch then filter). The EXACT path
+    * ([[search]]) pushes the predicate below scoring instead; filtered
+    * ANN trades that for the pruned scan. */
   def searchAnn(spark: SparkSession, dir: String, query: String,
                 provider: EmbeddingProvider, topK: Int = 5,
-                nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+                nprobe: Int = 4, rerank: Int = 50,
+                filterStr: Option[String] = None): DataFrame = {
     require(tableExists(spark, s"$dir/pq_codes"),
       s"no PQ layout under $dir — run ann-build (buildIvf + buildPq) first")
     val meta = readMeta(dir)
     val qv = provider.embedWithTemplate(Seq(query), meta.queryPromptTemplate).head
-    val ranked = searchPq(spark, dir, qv, nprobe, topK, rerank)
-    broadcast(ranked).join(spark.read.parquet(s"$dir/passages"), Seq("id"))
+    val overFetch = if (filterStr.isDefined) 5 else 1
+    val ranked = searchPq(spark, dir, qv, nprobe,
+      topK * overFetch, rerank * overFetch)
+    val passages0 = spark.read.parquet(s"$dir/passages")
+    val passages = filterStr.flatMap { f =>
+      val flat = passages0.select(col("id"), col("text"), col("metadata.*"))
+      MetadataFilterDsl.toColumn(f, flat).map(pred =>
+        passages0.join(flat.filter(pred).select("id"), Seq("id"), "left_semi"))
+    }.getOrElse(passages0)
+    broadcast(ranked).join(passages, Seq("id"))
       .select(col("id"), col("score"), col("text"),
         col("metadata.source").as("source"))
       .orderBy(desc("score"), col("id"))
+      .limit(topK)
   }
 
   /** Short-query auto-expansion (ref `search.rs:173-186` +

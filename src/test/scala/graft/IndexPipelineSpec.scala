@@ -53,6 +53,12 @@ class IndexPipelineSpec extends SparkSpec {
     val exact = Index.search(spark, dir, "vector retrieval", provider, topK = 2)
       .select("id", "score").as[(String, Double)].collect().toSeq
     assert(ann === exact)
+    // filtered ANN: over-fetch + post-filter (ref searcher.rs:129-133)
+    val filtered = Index.searchAnn(spark, dir, "vector retrieval", provider,
+        topK = 2, nprobe = 2, rerank = 10,
+        filterStr = Some("source^spark"))
+      .select("source").as[String].collect().toSeq
+    assert(filtered === Seq("spark.md"))
     // fails loudly without the layout
     val e = intercept[IllegalArgumentException] {
       Index.searchAnn(spark, s"$warehouse/nope", "q", provider)
