@@ -27,6 +27,8 @@ import graft.sources.FileIngest
   *   graft.Cli mcp    [--index <name>]        (MCP stdio transport)
   *   graft.Cli config [show|init|path] [--force]
   *   graft.Cli compact <name>                 (small-file compaction)
+  *   graft.Cli export-training <name> --out <dir> [--shards 8]
+  *                    [--seed graft] [--pack-budget 2048]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
   *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
@@ -282,6 +284,41 @@ object Cli {
               case other => fail(s"unknown export format '$other' (jsonl|parquet)")
             }
             println(s"export: wrote passages of '$name' to $out")
+            spark.stop()
+        }
+
+      case "export-training" =>
+        // Training-run export (TrainExport): deterministic md5-keyed
+        // shuffle into round-robin shards, written partitionBy(shard) —
+        // re-running on the same index yields byte-identical shards.
+        // --pack-budget additionally lays out GPT-style sequence
+        // packing columns (seq_id/seq_offset) over the shuffled order.
+        val name = pos.headOption.getOrElse(
+          fail("usage: export-training <index> --out <dir> [--shards 8] " +
+            "[--seed graft] [--pack-budget 2048]"))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        Index.locate(warehouse, name) match {
+          case None => fail(s"no index '$name' in $warehouse")
+          case Some(dir) =>
+            import org.apache.spark.sql.functions.{ceil, col, length, lit}
+            val spark = session()
+            val nShards = flags.get("shards").map(_.toInt).getOrElse(8)
+            val seed = flags.getOrElse("seed", "graft")
+            val passages = spark.read.parquet(s"$dir/passages")
+            val shuffled = graft.operators.TrainExport
+              .deterministicShuffle(passages, "id", seed, nShards)
+            val laid = flags.get("pack-budget").map(_.toInt) match {
+              case None => shuffled
+              case Some(budget) =>
+                val toks = ceil(length(col("text")) / lit(4.0)).cast("long")
+                val packed = graft.operators.TrainExport.packSequences(
+                  shuffled.withColumn("n_tokens", toks), "pos", "n_tokens", budget)
+                shuffled.join(
+                  packed.select(col("pos"), col("seq_id"), col("seq_offset")),
+                  Seq("pos"))
+            }
+            laid.write.mode("overwrite").partitionBy("shard").parquet(out)
+            println(s"export-training: wrote $nShards shards to $out")
             spark.stop()
         }
 

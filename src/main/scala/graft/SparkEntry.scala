@@ -47,7 +47,11 @@ object SparkEntry {
     * DuckDB-oracle-checkable. Shares [[ivfLayoutDir]]'s cache key. */
   private def pqLayoutDir(s: SparkSession, dir: String): String = {
     val out = ivfLayoutDir(s, dir)
-    if (!new java.io.File(s"$out/pq_codes/_SUCCESS").exists()) {
+    // Gate on the COMMIT marker (pq_codebooks is written last by
+    // writePqLayout): gating on pq_codes alone would treat a build that
+    // crashed between the two writes as complete, and every later run
+    // would then fail on the missing codebooks table.
+    if (!new java.io.File(s"$out/pq_codebooks/_SUCCESS").exists()) {
       val cb = graft.operators.Pq.seedCodebooks(
         Tables.embeddings(s, dir), "vec_id", "embedding", m = 8, k = 16)
       graft.pipeline.Index.writePqLayout(s, out, cb, idCol = "vec_id")
@@ -429,6 +433,43 @@ object SparkEntry {
           docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 5)
         .orderBy("doc_id").limit(500)
+    }),
+
+    // ----- training-data export (TrainExport) -----
+    // GPT-style concatenate-and-cut packing over the documents table.
+    // The naive SQL is a single-partition window; the operator is the
+    // two-pass distributed prefix sum (range partition + tiny
+    // partition-sum collect + per-partition running sum), so the oracle
+    // checks the scalable formulation against the naive one. Token
+    // counts use the chars/4 proxy — tokenization itself is covered by
+    // text_metrics.
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_tokens"))
+      graft.operators.TrainExport.packSequences(
+          docs, "doc_id", "n_tokens", budget = 2048)
+        .orderBy("doc_id")
+    }),
+
+    // Mixture-balanced downsampling: every doc of the rarest lang plus
+    // an md5-uniform fraction of the others. One tiny count agg
+    // broadcast back; the keep decision is a map-side filter, so the
+    // operator has no full shuffle at any corpus size.
+    "sample_mixture" -> ((s, dir) => {
+      graft.operators.TrainExport.mixtureSample(
+          Tables.documents(s, dir), "doc_id", "lang", "mix42")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
+    // Deterministic global shuffle + round-robin sharding: reproducible
+    // md5-keyed permutation, global position via the distributed prefix
+    // sum (row_number without the single-partition window), shard
+    // sizes equal to ±1 by construction.
+    "shuffle_export" -> ((s, dir) => {
+      graft.operators.TrainExport.deterministicShuffle(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "doc_id", "shuf7", nShards = 8)
+        .select("doc_id", "pos", "shard").orderBy("pos")
     }),
 
     // PII redaction: the payload is derived deterministically from event
@@ -1279,6 +1320,52 @@ private object OracleSql {
         |GROUP BY 1
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
+
+    // The naive single-partition-window formulation the two-pass
+    // distributed prefix sum must reproduce exactly. tok_start is cast
+    // back to BIGINT because DuckDB widens windowed SUM(BIGINT) to
+    // HUGEINT, which would drift the compared dtypes.
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST(FLOOR(tok_start / 2048.0) AS BIGINT) AS seq_id,
+        |       tok_start % 2048 AS seq_offset
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    // Keep-threshold compare in fixed-width lowercase hex: both engines
+    // compute floor(min_cnt*2^32/cnt) in double then format 8 hex
+    // digits, so the comparison is bit-identical.
+    "sample_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(cnt) AS min_cnt FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN c USING (lang) CROSS JOIN m
+        |WHERE c.cnt = m.min_cnt
+        |   OR substr(md5('mix42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < printf('%08x', CAST(FLOOR(min_cnt * 4294967296.0 / cnt) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
+
+    // row_number over the md5 permutation key (suffixed with the id so
+    // the order key is unconditionally unique in both engines).
+    "shuffle_export" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY
+        |           substr(md5('shuf7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |             || ':' || CAST(doc_id AS VARCHAR)) AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard
+        |FROM r
+        |ORDER BY pos""".stripMargin,
 
     // Email scrub runs before phone/IP in BOTH engines (emails contain
     // dots and digits) — the staged CTEs mirror CorpusClean.piiScrub's

@@ -30,18 +30,28 @@ final class HttpEmbedder(val modelName: String, baseUrl: String,
 
   override val batchSize: Int = 100
 
-  /** Probed once at construction when unknown (reference behavior). */
-  override val dimensions: Int =
-    if (dims > 0) dims else embed(Seq("test")).head.length
+  /** The dimensionality every response vector is validated against.
+    * 0 only while the construction-time probe is in flight (any length
+    * accepted on the probe itself); the probe's answer then becomes the
+    * enforced value, so an auto-probed (dims=0) embedder still fails at
+    * build time if the server changes response dimensionality mid-build
+    * instead of storing mixed-length vectors. */
+  private var enforcedDims: Int = dims
 
-  /** Configured dims are enforced on every response vector — a model
-    * answering 1536-dim vectors against `dims = 64` must fail at build
-    * time, not store vectors that disagree with the index meta and blow
-    * up (or silently truncate) at query time. 0 = auto-probe, any
-    * length accepted on the probe itself. */
+  /** Probed once at construction when unknown (reference behavior). */
+  override val dimensions: Int = {
+    val d = if (dims > 0) dims else embed(Seq("test")).head.length
+    enforcedDims = d
+    d
+  }
+
+  /** Expected dims are enforced on every response vector — a model
+    * answering 1536-dim vectors against a 64-dim index must fail at
+    * build time, not store vectors that disagree with the index meta and
+    * blow up (or silently truncate) at query time. */
   private def checkDims(vec: Array[Float]): Array[Float] = {
-    require(dims <= 0 || vec.length == dims,
-      s"embedding response dimension ${vec.length} != configured dims $dims " +
+    require(enforcedDims <= 0 || vec.length == enforcedDims,
+      s"embedding response dimension ${vec.length} != expected $enforcedDims " +
       s"for model '$modelName'")
     vec
   }

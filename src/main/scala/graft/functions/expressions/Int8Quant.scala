@@ -54,15 +54,17 @@ case class QuantizeInt8(child: Expression)
     var i = 0
     while (i < n) {
       val a = math.abs(arr.getDouble(i))
+      // fail fast with a clear message: BigDecimal.valueOf(NaN) inside
+      // code() would throw an opaque NumberFormatException mid-task.
+      // Checked per element — NaN never propagates through `a > maxAbs`
+      // (NaN compares false), so a post-loop check on maxAbs misses it.
+      if (!java.lang.Double.isFinite(a))
+        throw new IllegalArgumentException(
+          "quantize_int8: vector contains a non-finite element")
       if (a > maxAbs) maxAbs = a
       i += 1
     }
     val scale = maxAbs / 127.0
-    // fail fast with a clear message: BigDecimal.valueOf(NaN) inside
-    // code() would throw an opaque NumberFormatException mid-task
-    if (java.lang.Double.isNaN(maxAbs) || java.lang.Double.isInfinite(maxAbs))
-      throw new IllegalArgumentException(
-        "quantize_int8: vector contains a non-finite element")
     val codes = new Array[Int](n)
     if (scale > 0) {
       i = 0

@@ -144,9 +144,12 @@ object Multimodal {
         case _ => stubbed
       }
     } catch {
-      // unsupported/corrupt container: the stub arm, never a task failure
-      case _: java.io.IOException => stubbed
-      case _: javax.sound.sampled.UnsupportedAudioFileException => stubbed
+      // unsupported/corrupt container: the stub arm, never a task failure.
+      // NonFatal, not just IOException: ImageIO plugins throw runtime
+      // exceptions (IllegalArgumentException, NegativeArraySizeException,
+      // CMMException) on malformed containers, and those must hit the
+      // same fallback instead of failing the task.
+      case scala.util.control.NonFatal(_) => stubbed
     }
   }
 

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data export operators: the last mile between a cleaned
+  * corpus and a training run — deterministic global shuffle + sharding,
+  * mixture-balanced sampling, and fixed-token-budget sequence packing.
+  *
+  * These extend the reference's pipeline (whose export surface stops at
+  * per-index Parquet/JSONL tables) with the standard published export
+  * passes a pretraining corpus needs: domain/language mixture balancing
+  * (Du et al. 2022 GLaM §3; Touvron et al. 2023 LLaMA table 1),
+  * deterministic shuffling into training shards, and GPT-style
+  * concatenate-and-cut sequence packing (Brown et al. 2020, §2.2 —
+  * documents are concatenated in order and cut every `budget` tokens).
+  *
+  * Scale design — the common primitive is a GLOBAL running total, which
+  * naive SQL expresses as a window over `ORDER BY` with no PARTITION BY:
+  * on Spark that plan collapses onto ONE task holding the whole corpus.
+  * [[withGlobalPrefixSum]] instead does the classic two-pass distributed
+  * prefix sum: range-partition + sort (the scalable total sort), take
+  * ONE tiny per-partition aggregate to the driver (numPartitions rows,
+  * never data), broadcast the partition base offsets back, and finish
+  * with a per-partition running sum — every pass parallel, nothing
+  * quadratic, driver state O(partitions). Sampling is a map-side filter
+  * against md5-uniform keys (no shuffle beyond one tiny count agg), so
+  * the only full shuffle in any of these operators is the range
+  * partition that a total order fundamentally requires.
+  *
+  * Everything is deterministic (md5-keyed, not rand()-keyed): re-running
+  * the export on the same corpus yields byte-identical shards — which is
+  * also what makes every operator DuckDB-oracle-checkable.
+  */
+object TrainExport {
+
+  /** 32-bit md5-uniform key in [0,1) as 8 lowercase hex chars —
+    * deterministic per (seed, id), identically computable by any engine
+    * with md5 (the property the sampling oracle leans on). Comparing the
+    * fixed-width lowercase hex lexicographically IS the numeric compare.
+    */
+  def uniformHexKey(seed: String, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lower(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 8))
+
+  /** Appends `outCol` = running sum of `valueCol` over the global
+    * `orderCol` order (inclusive of the current row), without a
+    * single-partition window.
+    *
+    * Two-pass distributed prefix sum:
+    *   1. range-partition by `orderCol` + sort within partitions — the
+    *      same plan shape as Spark's total sort, so it scales exactly as
+    *      far as `ORDER BY` does;
+    *   2. per-partition sums (one tiny `groupBy(partition_id)` — at most
+    *      `numParts` rows) collected to the driver, prefix-summed there,
+    *      and broadcast back as each partition's base offset;
+    *   3. one per-partition pass adds the running total on top of the
+    *      base offset — imperative per-partition logic, the documented
+    *      last-resort case (a running sum over a sorted iterator has no
+    *      declarative equivalent that doesn't serialize the cluster).
+    *
+    * The result is independent of partition boundaries (a global cumsum
+    * only depends on the total order), so AQE/partition-count changes
+    * can't change answers. `orderCol` must be globally unique — ties
+    * would make the within-tie order (hence their cumsums) arbitrary.
+    * The partitioned+sorted frame is persisted for the duration of the
+    * two passes so both jobs see the same partitioning.
+    */
+  def withGlobalPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                          outCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+            else spark.sessionState.conf.numShufflePartitions
+    // Persisted so pass 1's collect and the caller's eventual action
+    // share one scan+shuffle — scoped to the query per this repo's
+    // convention (Bench/Verify clear the SQL cache between queries).
+    // Correctness does NOT depend on the cache: range-partitioner
+    // sampling is deterministic for deterministic input, so a
+    // recomputed pass 2 sees the same boundaries pass 1 summed.
+    val sorted = df
+      .withColumn("_psval", col(valueCol).cast("long"))
+      .repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .persist()
+    // Pass 1: per-partition totals — numParts rows, never row data.
+    val sums = sorted
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(sum("_psval").as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Exclusive prefix: partition p's base = sum of partitions < p.
+    val bases: Map[Int, Long] = {
+      var acc = 0L
+      (0 until n).map { p =>
+        val b = p -> acc; acc += sums.getOrElse(p, 0L); b
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(bases)
+    val outSchema = sorted.schema
+      .add(outCol, LongType, nullable = false)
+    // Pass 2: running sum per sorted partition on top of the base.
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value.getOrElse(pid, 0L)
+      it.map { r =>
+        acc += r.getAs[Long]("_psval")
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).drop("_psval")
+  }
+
+  /** GPT-style sequence packing (concatenate-and-cut): documents are
+    * laid out in `idCol` order and cut every `budget` tokens; a document
+    * starting at global token offset `t` belongs to sequence
+    * `floor(t / budget)` at in-sequence offset `t % budget` (it may
+    * straddle into the next sequence — the standard pretraining layout,
+    * where an EOS token separates documents within a sequence).
+    *
+    * Returns (id, n_tokens, seq_id, seq_offset). One range-partition
+    * shuffle total (see [[withGlobalPrefixSum]]).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: String,
+                    budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    withGlobalPrefixSum(docs.select(col(idCol), col(tokCol)),
+        idCol, tokCol, "_cum")
+      .select(col(idCol), col(tokCol),
+        (col("_cum") - col(tokCol)).as("_start"))
+      .select(col(idCol), col(tokCol),
+        floor(col("_start") / lit(budget.toDouble)).as("seq_id"),
+        (col("_start") % budget).as("seq_offset"))
+  }
+
+  /** Mixture-balanced downsampling: keep every document of the rarest
+    * `labelCol` class and an md5-uniform-keyed fraction of the others,
+    * so each class contributes (in expectation) the rarest class's
+    * count — the uniform-mixture special case of trained-mixture
+    * weighting (GLaM/LLaMA-style domain reweighting).
+    *
+    * Deterministic per (seed, id): the kept set is a pure function of
+    * the corpus, not of run order. Plan: one tiny class-count aggregate
+    * (broadcast both ways), then a map-side filter — no full shuffle at
+    * any scale. Keep-threshold compare happens in fixed-width lowercase
+    * hex so any md5-capable engine reproduces it bit-for-bit.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, labelCol: String,
+                    seed: String): DataFrame = {
+    val counts = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min("_cnt").as("_min_cnt"))
+    // floor(min*2^32/cnt) as 8 lowercase hex digits; rate==1 (the rarest
+    // class itself) is handled by the _cnt = _min_cnt arm, so the hex
+    // threshold never needs to represent 2^32 (9 digits).
+    val threshold = lower(lpad(hex(
+      floor(col("_min_cnt") * lit(4294967296.0) / col("_cnt"))
+        .cast("long")), 8, "0"))
+    docs
+      .join(broadcast(counts), Seq(labelCol))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("_cnt") === col("_min_cnt") ||
+        uniformHexKey(seed, col(idCol)) < threshold)
+      .drop("_cnt", "_min_cnt")
+  }
+
+  /** Deterministic global shuffle + round-robin sharding for training
+    * export: order by an md5 key of (seed, id) — a reproducible random
+    * permutation — assign the global position scalably (prefix sum of
+    * 1s, i.e. a distributed row_number), and deal rows into `nShards`
+    * output shards round-robin, which equalizes shard sizes to ±1 row
+    * regardless of key distribution.
+    *
+    * Returns the input columns + (pos, shard), pos 1-based in shuffle
+    * order. Writing `partitionBy(shard)` after this yields the
+    * fixed-count training files a data loader expects.
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String, seed: String,
+                           nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = docs.withColumn("_shufkey",
+      // md5 of the id is unique iff id is; suffix the id to make the
+      // order key unconditionally unique (prefix-sum requirement)
+      concat(uniformHexKey(seed, col(idCol)), lit(":"), col(idCol).cast("string")))
+    withGlobalPrefixSum(keyed.withColumn("_one", lit(1L)),
+        "_shufkey", "_one", "pos")
+      .withColumn("shard", ((col("pos") - 1) % nShards).cast("int"))
+      .drop("_one", "_shufkey")
+  }
+}

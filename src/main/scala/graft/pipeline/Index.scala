@@ -429,6 +429,16 @@ object Index {
     }
   }
 
+  /** Compile a caller-supplied metadata filter or fail loudly. A typo'd
+    * `--filter` must surface as an error, never as silently-unfiltered
+    * results (the reference's parser likewise rejects rather than
+    * ignores: `src/metadata/filter.rs` returns Err on malformed input). */
+  private def compileFilter(filterStr: String,
+                            flat: DataFrame): Column =
+    MetadataFilterDsl.toColumn(filterStr, flat).getOrElse(
+      throw new IllegalArgumentException(
+        s"unparseable metadata filter: '$filterStr'"))
+
   /** Search the index: exact top-k inner product over (optionally
     * filtered) passages, with optional BM25 hybrid fusion — the complete
     * read path of SURVEY §3.1 as one logical plan. The metadata filter
@@ -442,10 +452,11 @@ object Index {
     // Filter fields address the metadata object (as in the reference's
     // JSON filters), so compile against a flattened view.
     val flat = passages0.select(col("id"), col("text"), col("metadata.*"))
-    val passages = filterStr.flatMap(f => MetadataFilterDsl.toColumn(f, flat)) match {
+    val passages = filterStr match {
       case None => passages0
-      case Some(pred) =>
-        passages0.join(flat.filter(pred).select("id"), Seq("id"), "left_semi")
+      case Some(f) =>
+        passages0.join(flat.filter(compileFilter(f, flat)).select("id"),
+          Seq("id"), "left_semi")
     }
 
     val qv = provider.embedWithTemplate(Seq(query), meta.queryPromptTemplate).head
@@ -516,11 +527,13 @@ object Index {
     val ranked = searchPq(spark, dir, qv, nprobe,
       topK * overFetch, rerank * overFetch)
     val passages0 = spark.read.parquet(s"$dir/passages")
-    val passages = filterStr.flatMap { f =>
-      val flat = passages0.select(col("id"), col("text"), col("metadata.*"))
-      MetadataFilterDsl.toColumn(f, flat).map(pred =>
-        passages0.join(flat.filter(pred).select("id"), Seq("id"), "left_semi"))
-    }.getOrElse(passages0)
+    val passages = filterStr match {
+      case None => passages0
+      case Some(f) =>
+        val flat = passages0.select(col("id"), col("text"), col("metadata.*"))
+        passages0.join(flat.filter(compileFilter(f, flat)).select("id"),
+          Seq("id"), "left_semi")
+    }
     broadcast(ranked).join(passages, Seq("id"))
       .select(col("id"), col("score"), col("text"),
         col("metadata.source").as("source"))

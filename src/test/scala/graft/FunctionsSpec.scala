@@ -81,13 +81,16 @@ class VectorFunctionsSpec extends SparkSpec {
   }
 
   test("QuantizeInt8 rejects non-finite vectors with a clear error") {
-    val bad = Seq(Seq(1.0, Double.PositiveInfinity)).toDF("v")
-    val e = intercept[Exception] {
-      bad.select(VectorFunctions.quantizeInt8(col("v"))).collect()
-    }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("non-finite")))
+    // NaN needs its own per-element check: `NaN > maxAbs` is false, so a
+    // post-loop guard on the max alone never sees it.
+    Seq(Seq(1.0, Double.PositiveInfinity), Seq(1.0, Double.NaN)).foreach { v =>
+      val e = intercept[Exception] {
+        Seq(v).toDF("v").select(VectorFunctions.quantizeInt8(col("v"))).collect()
+      }
+      assert(msgs(e).exists(_.contains("non-finite")), s"for input $v")
+    }
   }
 
   test("l2 normalize produces unit vectors; zero vector unchanged") {

@@ -28,6 +28,9 @@ class HttpEmbedderSpec extends SparkSpec {
     val failures = new AtomicInteger(failFirst)
     @volatile var batchSizes: List[Int] = Nil
     @volatile var sawAuth: Option[String] = None
+    /** >0: serve only the first N components — simulates a server that
+      * changes response dimensionality mid-build. */
+    @volatile var truncateTo: Int = 0
 
     private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1/embeddings", (ex: HttpExchange) => {
@@ -43,8 +46,9 @@ class HttpEmbedderSpec extends SparkSpec {
           .map(_.asInstanceOf[String])
         synchronized { batchSizes = batchSizes :+ texts.length }
         val data = texts.zipWithIndex.map { case (t, i) =>
-          Map("index" -> i.toLong,
-            "embedding" -> hash.embedOne(t).map(_.toDouble).toList)
+          val full = hash.embedOne(t).map(_.toDouble).toList
+          val vec = if (truncateTo > 0) full.take(truncateTo) else full
+          Map("index" -> i.toLong, "embedding" -> vec)
         }
         val resp = Json.write(Map("data" -> data)).getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -81,6 +85,21 @@ class HttpEmbedderSpec extends SparkSpec {
       val p = new HttpEmbedder("m", stub.base, dims = 64)
       val e = intercept[IllegalArgumentException] { p.embed(Seq("hello")) }
       assert(e.getMessage.contains("16") && e.getMessage.contains("64"))
+    } finally stub.stop()
+  }
+
+  test("auto-probed dims are enforced on every later batch") {
+    // dims=0: the probe's answer (16) becomes the enforced value, so a
+    // server that changes dimensionality mid-build fails the build
+    // instead of storing mixed-length vectors.
+    val stub = new Stub()
+    try {
+      val p = new HttpEmbedder("m", stub.base, dims = 0)
+      assert(p.dimensions == 16)
+      assert(p.embed(Seq("ok")).head.length == 16)
+      stub.truncateTo = 8
+      val e = intercept[IllegalArgumentException] { p.embed(Seq("drifted")) }
+      assert(e.getMessage.contains("8") && e.getMessage.contains("16"))
     } finally stub.stop()
   }
 

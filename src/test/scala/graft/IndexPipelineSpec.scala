@@ -98,6 +98,23 @@ class IndexPipelineSpec extends SparkSpec {
     assert(r.toSeq == Seq("spark.md"))
   }
 
+  test("an unparseable filter fails loudly, never silently unfiltered") {
+    built
+    // ',,' parses to nothing — before the fix this returned every
+    // passage as if no filter had been requested.
+    val e = intercept[IllegalArgumentException] {
+      Index.search(spark, dir, "anything", provider, filterStr = Some(",,")).collect()
+    }
+    assert(e.getMessage.contains("unparseable"))
+    // layout for the ANN arm (idempotent if the ann test already built it)
+    Index.buildIvf(spark, dir, numClusters = 2)
+    Index.buildPq(spark, dir, m = 8, k = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Index.searchAnn(spark, dir, "anything", provider, filterStr = Some(",,")).collect()
+    }
+    assert(e2.getMessage.contains("unparseable"))
+  }
+
   test("hybrid search fuses bm25 (exact keyword match ranks first)") {
     built
     val r = Index.search(spark, dir, "hnsw neighbors", provider, topK = 2, hybrid = true)

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainExport
+
+/** The scalable two-pass formulations must agree row-for-row with the
+  * single-partition window formulations they replace — pinned here on
+  * data small enough for the naive plan, across partition counts (a
+  * global cumsum must not depend on partition boundaries). */
+class TrainExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, (i * 37 % 100 + 1).toLong,
+        if (i % 7 == 0) "rare" else if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "toks", "lang")
+
+  test("global prefix sum matches the naive window across partition counts") {
+    val d = docs(500)
+    val naive = d.withColumn("cum",
+        sum("toks").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    for (parts <- Seq(1, 3, 32)) {
+      val got = TrainExport.withGlobalPrefixSum(d, "id", "toks", "cum", parts)
+        .select("id", "cum").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == naive, s"at $parts partitions")
+    }
+  }
+
+  test("packSequences: contiguous layout, budget-sized cuts, straddling allowed") {
+    val d = docs(300)
+    val packed = TrainExport.packSequences(d, "id", "toks", budget = 128)
+      .orderBy("id")
+      .select("id", "toks", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // reconstruct the global token stream: each doc starts exactly where
+    // the previous ended
+    var offset = 0L
+    packed.foreach { case (_, toks, seqId, seqOff) =>
+      assert(seqId == offset / 128)
+      assert(seqOff == offset % 128)
+      offset += toks
+    }
+    // budget must be respected: no start offset at or past the cut
+    assert(packed.forall(_._4 < 128))
+  }
+
+  test("mixtureSample keeps all of the rarest class and is deterministic") {
+    val d = docs(700)
+    val kept = TrainExport.mixtureSample(d, "id", "lang", "seed1")
+    val keptCounts = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val rareTotal = d.filter($"lang" === "rare").count()
+    assert(keptCounts("rare") == rareTotal) // rarest class never sampled
+    // others land near the rare count (md5-uniform: expect ±40% at n=100)
+    Seq("en", "de").foreach { l =>
+      assert(keptCounts(l) > rareTotal * 0.6 && keptCounts(l) < rareTotal * 1.4,
+        s"$l kept ${keptCounts(l)} vs target $rareTotal")
+    }
+    // byte-deterministic across runs; different seed → different set
+    val again = TrainExport.mixtureSample(d, "id", "lang", "seed1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    val other = TrainExport.mixtureSample(d, "id", "lang", "seed2")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(other != again)
+  }
+
+  test("deterministicShuffle: a permutation, balanced shards, stable across partitionings") {
+    val d = docs(333)
+    val shuf = TrainExport.deterministicShuffle(d, "id", "s7", nShards = 8)
+    val rows = shuf.select("id", "pos", "shard")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(rows.map(_._2).sorted == (1L to 333L)) // pos is a permutation
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1) // round-robin: ±1 row
+    // same order regardless of input partitioning
+    val rows2 = TrainExport.deterministicShuffle(d.repartition(13), "id", "s7", 8)
+      .select("id", "pos").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows2 == rows.map(r => (r._1, r._2)).sorted)
+    // the permutation actually shuffles (not identity order)
+    assert(rows.sortBy(_._2).map(_._1) != (1L to 333L).toSeq)
+  }
+}
