@@ -397,6 +397,17 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Char-bigram LM quality score (CCNet's perplexity filter without
+    // the external model): corpus-trained Laplace-smoothed bigram
+    // conditionals, each doc scored by mean ln p over its bigram
+    // occurrences. Model fits in KBs and broadcasts; the doc-side
+    // shuffle is capped at 37^2 rows/doc by map-side combine.
+    "quality_lm" -> ((s, dir) => {
+      graft.operators.CorpusClean.lmScore(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id").limit(500)
+    }),
+
     // Cross-document repeated 5-grams -> per-doc boilerplate coverage
     // (Lee et al. 2021). One groupBy on the gram + a broadcast join of
     // the (small, head-of-distribution) repeated set back to docs.
@@ -1261,6 +1272,32 @@ private object OracleSql {
         |FROM m
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin.replace("%STOP%", stopList),
+
+    // Sum order inside a doc's rollup is engine-dependent, so avg_logp
+    // rounds to 6 (error ~1e-14 at these magnitudes); ln itself matches
+    // within that rounding (same stance as the BM25 idf oracles).
+    "quality_lm" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(length(t) - 1, 0)),
+        |                               i -> substr(t, i, 2))) AS bg
+        |  FROM nt),
+        |dg AS (SELECT doc_id, bg, count(*) AS n FROM g GROUP BY 1, 2),
+        |gc AS (SELECT bg, sum(n) AS cnt FROM dg GROUP BY 1),
+        |cc AS (SELECT substr(bg, 1, 1) AS c0, sum(cnt) AS ctx FROM gc GROUP BY 1),
+        |lp AS (
+        |  SELECT bg, ln((cnt + 1.0) / (ctx + 37.0)) AS lp
+        |  FROM gc JOIN cc ON substr(gc.bg, 1, 1) = cc.c0)
+        |SELECT dg.doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |       round(sum(n * lp.lp) / sum(n), 6) AS avg_logp
+        |FROM dg JOIN lp USING (bg)
+        |GROUP BY 1
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
 
     "boilerplate_ngrams" ->
       """WITH tk AS (

@@ -122,6 +122,30 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_overlap_grams") >= 6L))
   }
 
+  test("lmScore: hand-computed bigram model on a tiny corpus") {
+    // corpus: "abab" -> ab,ba,ab ; "zq" -> zq ; "—" normalizes empty
+    val docs = Seq((1L, "abab"), (2L, "zq"), (3L, "—")).toDF("doc_id", "text")
+    val out = CorpusClean.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // counts: ab=2, ba=1, zq=1; ctx: a=2, b=1, z=1 (Laplace +1 / +37)
+    val lpAb = math.log(3.0 / 39.0)
+    val lpBa = math.log(2.0 / 38.0)
+    val lpZq = math.log(2.0 / 38.0)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 3L), (2L, 1L))) // doc 3 absent
+    assert(out(0)._3 == r6((2 * lpAb + lpBa) / 3.0))
+    assert(out(1)._3 == r6(lpZq))
+  }
+
+  test("lmScore: gibberish lands below prose under a prose-trained model") {
+    val docs = (1L to 9L).map(i => (i, prose)).toDF("doc_id", "text")
+      .union(Seq((10L, "qzxjv qkw zzqj qxv wqz jqqx zvq")).toDF("doc_id", "text"))
+    val scores = CorpusClean.lmScore(docs, "doc_id", "text")
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(scores(10L) < scores(1L) - 1.0,
+      s"gibberish ${scores(10L)} should score well below prose ${scores(1L)}")
+  }
+
   test("gopher quality gate works on a stream (stateless projection)") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
