@@ -397,6 +397,16 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Gopher's within-document repetition rules (duplicate lines, top
+    // 2-gram coverage, duplicated 5-gram coverage) — the companion to
+    // quality_gopher's length/symbol/stopword subset. Every rollup is
+    // doc-keyed with map-side combine.
+    "quality_repetition" -> ((s, dir) => {
+      graft.operators.CorpusClean.repetitionFlags(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id").limit(500)
+    }),
+
     // Char-bigram LM quality score (CCNet's perplexity filter without
     // the external model): corpus-trained Laplace-smoothed bigram
     // conditionals, each doc scored by mean ln p over its bigram
@@ -1272,6 +1282,69 @@ private object OracleSql {
         |FROM m
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin.replace("%STOP%", stopList),
+
+    // Ratios rounded to 6 before threshold booleans (house style); the
+    // top-2-gram tie breaks (count desc, gram asc) in both engines.
+    "quality_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars FROM documents),
+        |lo AS (
+        |  SELECT doc_id, trim(l) AS line
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+        |  WHERE length(trim(l)) > 0),
+        |lc AS (SELECT doc_id, line, count(*) AS c FROM lo GROUP BY 1, 2),
+        |ls AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+        |         CAST(sum(c * length(line)) AS BIGINT) AS line_chars,
+        |         CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
+        |  FROM lc GROUP BY 1),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |g2c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                                         i -> toks[i] || ' ' || toks[i+1])) AS g
+        |    FROM tk) GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT doc_id, g AS top_2gram, c * length(g) AS top2_chars
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+        |        FROM g2c)
+        |  WHERE rn = 1),
+        |g5c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+        |                                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                              || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+        |    FROM tk) GROUP BY 1, 2),
+        |d5 AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup5_chars
+        |  FROM g5c GROUP BY 1),
+        |m AS (
+        |  SELECT b.doc_id,
+        |         COALESCE(n_lines, 0) AS n_lines,
+        |         round(COALESCE(dup_occ, 0)::DOUBLE / greatest(COALESCE(n_lines, 0), 1), 6) AS dup_line_frac,
+        |         round(COALESCE(dup_line_chars, 0)::DOUBLE / greatest(COALESCE(line_chars, 0), 1), 6) AS dup_line_char_frac,
+        |         COALESCE(top_2gram, '') AS top_2gram,
+        |         round(least(COALESCE(top2_chars, 0)::DOUBLE / greatest(total_chars, 1), 1.0), 6) AS top_2gram_char_frac,
+        |         round(least(COALESCE(dup5_chars, 0)::DOUBLE / greatest(total_chars, 1), 1.0), 6) AS dup_5gram_char_frac
+        |  FROM base b
+        |  LEFT JOIN ls USING (doc_id)
+        |  LEFT JOIN t2 USING (doc_id)
+        |  LEFT JOIN d5 USING (doc_id))
+        |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_2gram,
+        |       top_2gram_char_frac, dup_5gram_char_frac,
+        |       (dup_line_frac <= 0.30) AS pass_dup_line,
+        |       (dup_line_char_frac <= 0.20) AS pass_dup_line_char,
+        |       (top_2gram_char_frac <= 0.20) AS pass_top_2gram,
+        |       (dup_5gram_char_frac <= 0.15) AS pass_dup_5gram,
+        |       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |        AND top_2gram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15) AS passes
+        |FROM m
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
 
     // Sum order inside a doc's rollup is engine-dependent, so avg_logp
     // rounds to 6 (error ~1e-14 at these magnitudes); ln itself matches

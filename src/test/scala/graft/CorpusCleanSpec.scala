@@ -122,6 +122,39 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_overlap_grams") >= 6L))
   }
 
+  test("repetitionFlags: duplicate lines and repeated n-grams are measured per doc") {
+    val docs = Seq(
+      // 4 lines, "same line" twice: dup_line_frac = 2/4,
+      // dup_line_char_frac = 18/ (9+9+5+5) = 18/28
+      (1L, "same line\nsame line\nother\nthing"),
+      // "spam ham" repeated 6x: top 2-gram "ham spam" or "spam ham"
+      // dominates; no newlines -> 1 line, no dup lines
+      (2L, Seq.fill(6)("spam ham").mkString(" ")),
+      // natural-ish prose: passes everything
+      (3L, prose),
+      (4L, "")).toDF("doc_id", "text")
+    val out = CorpusClean.repetitionFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+
+    assert(byId(1L).getAs[Long]("n_lines") == 4L)
+    assert(byId(1L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(byId(1L).getAs[Double]("dup_line_char_frac") ==
+      BigDecimal(18.0 / 28.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!byId(1L).getAs[Boolean]("pass_dup_line"))
+
+    // doc 2: "spam ham spam ham ..." -> 2-grams: (spam ham) x6, (ham spam) x5
+    assert(byId(2L).getAs[String]("top_2gram") == "spam ham")
+    assert(byId(2L).getAs[Double]("top_2gram_char_frac") > 0.2)
+    assert(!byId(2L).getAs[Boolean]("pass_top_2gram"))
+    assert(byId(2L).getAs[Boolean]("pass_dup_line")) // single line, no dups
+
+    assert(byId(3L).getAs[Boolean]("passes"))
+    // empty doc: zero lines/grams, all ratios 0, passes
+    assert(byId(4L).getAs[Long]("n_lines") == 0L)
+    assert(byId(4L).getAs[Boolean]("passes"))
+  }
+
   test("lmScore: hand-computed bigram model on a tiny corpus") {
     // corpus: "abab" -> ab,ba,ab ; "zq" -> zq ; "—" normalizes empty
     val docs = Seq((1L, "abab"), (2L, "zq"), (3L, "—")).toDF("doc_id", "text")
