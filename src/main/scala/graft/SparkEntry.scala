@@ -254,6 +254,16 @@ object SparkEntry {
       graft.operators.Knn.maxSimTopK(emb, queries, groupCol = "label", k = 5)
     }),
 
+    // MMR diversity re-rank over the exact top-50: distributed fetch,
+    // then the inherently-sequential greedy loop on the driver's
+    // k-bounded candidate set (the serving-layer scalar). Oracle is a
+    // recursive CTE replaying the same greedy selection.
+    "knn_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Knn.mmrRerank(emb, graft.operators.Knn.queryVector(emb, 0L),
+        k = 10, fetchK = 50, lambda = 0.7)
+    }),
+
     // The 1-bit tier: axis-sign binary sketches ranked by Hamming
     // similarity (integer xor+popcount over 8 bytes/vector), exact
     // re-rank of the top 50. Completes the compression ladder
@@ -1669,6 +1679,38 @@ private object OracleSql {
         |GROUP BY grp
         |ORDER BY maxsim_score DESC, grp
         |LIMIT 5""".stripMargin,
+
+    // The greedy MMR selection replayed as a recursive CTE. (1.0 - 0.7)
+    // stays UNSIMPLIFIED: 1.0-0.7 != 0.3 in doubles, and the Scala side
+    // computes (1 - lambda) the same way. Sims round to 6 BEFORE the
+    // max, mmr values before the argmax — selection is therefore
+    // engine-deterministic with vec_id tie-breaks.
+    "knn_mmr" ->
+      """WITH RECURSIVE q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id,
+        |         round(list_inner_product(embedding::DOUBLE[], q.qv), 6) AS rel,
+        |         list_transform(embedding::DOUBLE[],
+        |           x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings, q
+        |  ORDER BY rel DESC, vec_id
+        |  LIMIT 50),
+        |sel(step, ids, picked, score) AS (
+        |  SELECT 1, [c.vec_id], c.vec_id, c.rel
+        |  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1) c
+        |  UNION ALL
+        |  SELECT s.step + 1, list_append(s.ids, n.vec_id), n.vec_id, n.mmr
+        |  FROM sel s, LATERAL (
+        |    SELECT c.vec_id,
+        |           round(0.7 * c.rel - (1.0 - 0.7) * (
+        |             SELECT max(round(list_inner_product(c.nv, c2.nv), 6))
+        |             FROM cand c2 WHERE list_contains(s.ids, c2.vec_id)), 6) AS mmr
+        |    FROM cand c WHERE NOT list_contains(s.ids, c.vec_id)
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1) n
+        |  WHERE s.step < 10)
+        |SELECT CAST(step AS INT) AS rank, picked AS vec_id, score
+        |FROM sel
+        |ORDER BY rank""".stripMargin,
 
     // Binary words built with the same 32-bit split as Knn.binaryWord
     // (positive BIGINT range, no signed-shift edge); integer Hamming

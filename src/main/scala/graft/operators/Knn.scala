@@ -220,6 +220,83 @@ object Knn {
       GraftColumnBridge.expression(asDouble(vecCol)), dims, bits, seed))
   }
 
+  /** Maximal Marginal Relevance diversity re-rank (Carbonell &
+    * Goldstein 1998): greedily select `k` of the `fetchK` most relevant
+    * candidates, each step maximizing
+    * `round(λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), 6)` —
+    * relevance traded against redundancy with what is already selected,
+    * the standard diversity pass over a RAG candidate list.
+    *
+    * The candidate fetch is the distributed exact top-`fetchK`
+    * (broadcast query, `TakeOrderedAndProject`); the greedy loop runs on
+    * the DRIVER over that k-bounded set — the serving-layer scalar, same
+    * stance as the nprobe centroid ranking — because each step depends
+    * on the previous selection: inherently sequential, O(fetchK·k) dot
+    * products, never corpus-scale. Engine-portable determinism: rel and
+    * every pairwise sim (inner product of l2-normalized vectors, element
+    * order preserved) round to 6 decimals BEFORE comparisons; ties break
+    * to the smallest vec_id at every step. λ arithmetic is written
+    * `λ·rel − (1−λ)·maxsim` with `1−λ` COMPUTED (not a pre-simplified
+    * literal): `1.0-0.7 != 0.3` in doubles, so an oracle spelling `0.3`
+    * would drift in the 17th digit and flip 6-decimal roundings.
+    *
+    * Returns (rank, vec_id, score): rank 1..k in selection order; score
+    * is rel for the first pick and the mmr value for the rest.
+    */
+  def mmrRerank(emb: DataFrame, query: DataFrame, k: Int, fetchK: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && fetchK >= k, s"need fetchK >= k >= 1, got k=$k fetchK=$fetchK")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // distributed part: top-fetchK by rel, vectors carried through
+    val cands: Array[(Long, Double, Array[Double])] = emb
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")), 6).as("rel"),
+        asDouble(col("embedding")).as("v"))
+      .orderBy(desc("rel"), col("vec_id")).limit(fetchK)
+      .as[(Long, Double, Seq[Double])].collect()
+      .map { case (id, rel, v) => (id, rel, v.toArray) }
+    // driver part: greedy MMR over the k-bounded candidates
+    val nv = cands.map { case (_, _, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+    def sim(a: Int, b: Int): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < nv(a).length) { s += nv(a)(i) * nv(b)(i); i += 1 }
+      r6(s)
+    }
+    val n = cands.length
+    val maxSimToSel = Array.fill(n)(Double.NegativeInfinity)
+    val taken = Array.fill(n)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var last = 0 // cands is sorted (rel desc, id asc): first pick is index 0
+    taken(0) = true
+    out += ((1, cands(0)._1, cands(0)._2))
+    for (rank <- 2 to math.min(k, n)) {
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s = sim(i, last)
+          if (s > maxSimToSel(i)) maxSimToSel(i) = s
+        }
+        i += 1
+      }
+      val next = (0 until n).filter(!taken(_))
+        .minBy(i => (-r6(lambda * cands(i)._2 - (1.0 - lambda) * maxSimToSel(i)),
+          cands(i)._1))
+      taken(next) = true
+      last = next
+      out += ((rank, cands(next)._1,
+        r6(lambda * cands(next)._2 - (1.0 - lambda) * maxSimToSel(next))))
+    }
+    out.toSeq.toDF("rank", "vec_id", "score")
+  }
+
   /** The composable-Column formulation of [[signLshKey]] — identical
     * values; kept as the parity oracle (KnnSpec pins the expression
     * against it). */

@@ -19,7 +19,9 @@ object ExplainDrive {
         "events_asof_native", "range_join_transit",
         "knn_pq", "knn_pq_stored", "quality_gopher", "boilerplate_ngrams",
         "pii_scrub", "decontaminate", "knn_maxsim", "knn_hamming",
-        "corpus_top_terms")
+        "corpus_top_terms",
+        "pack_sequences", "sample_mixture", "shuffle_export",
+        "quality_lm", "quality_repetition")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

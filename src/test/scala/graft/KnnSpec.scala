@@ -27,6 +27,35 @@ class KnnSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("mmr rerank: lambda=1 is exact order; duplicates get deferred; deterministic") {
+    val q = Knn.queryVector(emb, 0L)
+    // lambda=1: the diversity term vanishes, selection IS the exact order
+    val pure = Knn.exactTopK(emb, q, 10).as[(Long, Double)].collect().map(_._1).toSeq
+    val l1 = Knn.mmrRerank(emb, q, k = 10, fetchK = 50, lambda = 1.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(l1 == pure)
+    // a near-duplicate of the best hit must rank LOWER under mmr than
+    // under pure relevance: clone vec 0 as id 9999 with tiny noise
+    val v0 = emb.filter($"vec_id" === 0L)
+      .select(graft.functions.VectorFunctions.asDouble($"embedding"))
+      .head.getSeq[Double](0)
+    val clone = Seq((9999L, v0.map(x => (x * 0.999f).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val withClone = emb.select($"vec_id", $"embedding", $"label").union(clone)
+    // lambda 0.3 weights diversity enough to punish the ~1.0 sim (at
+    // 0.7 the clone's huge relevance gap would still win step 2)
+    val mmr = Knn.mmrRerank(withClone, q, k = 10, fetchK = 50, lambda = 0.3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val pureC = Knn.exactTopK(withClone, q, 10).as[(Long, Double)].collect().map(_._1).toSeq
+    assert(pureC.take(2).toSet == Set(0L, 9999L)) // relevance alone keeps the dup adjacent
+    assert(mmr.head == 0L)
+    assert(mmr.indexOf(9999L) != 1, s"mmr should defer the near-duplicate: $mmr")
+    // deterministic
+    val again = Knn.mmrRerank(withClone, q, k = 10, fetchK = 50, lambda = 0.3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(again == mmr)
+  }
+
   test("kmeans ivf assignment: deterministic, k clusters, prunable") {
     val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 8)
     val clusters = assigned.select("centroid_id").distinct().as[Int].collect().toSet
