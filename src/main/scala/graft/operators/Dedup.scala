@@ -257,6 +257,37 @@ object Dedup {
       .withColumn("keep", col("component") === col("id"))
   }
 
+  /** Cluster resolution keeping the highest-QUALITY member instead of
+    * the smallest id: what a real pretraining pipeline wants — when
+    * near-duplicates collapse, survive the best-written copy, not the
+    * one with the lexicographically smallest key. Compose with any
+    * per-doc score ([[CorpusClean.gopherFlags]] rule stats,
+    * [[CorpusClean.lmScore]]'s avg_logp).
+    *
+    * `members`: (id, component) from [[connectedComponents]];
+    * `quality`: (idCol, scoreCol) per doc — members without a score
+    * lose to any scored member. Winner per component = max (score,
+    * ties to the smallest id). One per-component struct-max aggregate
+    * (map-side combine, one row per component) + a join back on
+    * component — same shuffle shape as the labeling itself.
+    */
+  def resolveByQuality(members: DataFrame, quality: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame = {
+    val m = members.join(
+        quality.select(col(idCol).as("id"),
+          col(scoreCol).cast("double").as("_q")),
+        Seq("id"), "left")
+      .withColumn("_q", coalesce(col("_q"), lit(Double.MinValue)))
+    // max(struct(q, -id)): largest quality, ties -> largest -id = smallest id
+    val winners = m
+      .groupBy("component")
+      .agg(max(struct(col("_q"), (-col("id")).as("_nid"))).as("w"))
+      .select(col("component"), (-col("w._nid")).as("winner"))
+    m.join(winners, Seq("component"))
+      .withColumn("keep", col("id") === col("winner"))
+      .drop("_q")
+  }
+
   /** Hamming distance between two simhash columns (popcount of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

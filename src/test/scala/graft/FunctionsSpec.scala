@@ -221,6 +221,24 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(_._1 == 7L))
   }
 
+  test("resolveByQuality: best-scored member survives, ties to smallest id") {
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    // cluster 1: doc 2 best; cluster 10: tie -> smallest id (10) wins
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "q")
+    val out = Dedup.resolveByQuality(members, quality, "doc_id", "q")
+      .select("id", "component", "keep").as[(Long, Long, Boolean)].collect()
+    assert(out.filter(_._3).map(_._1).toSet == Set(2L, 10L))
+    assert(out.length == 5)
+    // an unscored member always loses to a scored one
+    val q2 = Seq((1L, 0.1)).toDF("doc_id", "q")
+    val out2 = Dedup.resolveByQuality(
+        Seq((1L, 1L), (2L, 1L)).toDF("id", "component"), q2, "doc_id", "q")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out2(1L) && !out2(2L))
+  }
+
   test("simhash: identical token multisets → identical hash") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L) && h(0L) == h(3L))
