@@ -300,25 +300,14 @@ object Cli {
         Index.locate(warehouse, name) match {
           case None => fail(s"no index '$name' in $warehouse")
           case Some(dir) =>
-            import org.apache.spark.sql.functions.{ceil, col, length, lit}
             val spark = session()
             val nShards = flags.get("shards").map(_.toInt).getOrElse(8)
-            val seed = flags.getOrElse("seed", "graft")
-            val passages = spark.read.parquet(s"$dir/passages")
-            val shuffled = graft.operators.TrainExport
-              .deterministicShuffle(passages, "id", seed, nShards)
-            val laid = flags.get("pack-budget").map(_.toInt) match {
-              case None => shuffled
-              case Some(budget) =>
-                val toks = ceil(length(col("text")) / lit(4.0)).cast("long")
-                val packed = graft.operators.TrainExport.packSequences(
-                  shuffled.withColumn("n_tokens", toks), "pos", "n_tokens", budget)
-                shuffled.join(
-                  packed.select(col("pos"), col("seq_id"), col("seq_offset")),
-                  Seq("pos"))
-            }
-            laid.write.mode("overwrite").partitionBy("shard").parquet(out)
-            println(s"export-training: wrote $nShards shards to $out")
+            val perShard = graft.operators.TrainExport.writeTrainingShards(
+              spark.read.parquet(s"$dir/passages"), out, idCol = "id",
+              seed = flags.getOrElse("seed", "graft"), nShards = nShards,
+              packBudget = flags.get("pack-budget").map(_.toInt))
+            println(s"export-training: wrote ${perShard.values.sum} rows " +
+              s"across $nShards shards to $out (_manifest.json written)")
             spark.stop()
         }
 

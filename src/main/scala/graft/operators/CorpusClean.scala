@@ -289,13 +289,25 @@ object CorpusClean {
     * has no bigram (len < 2) are absent, as in the oracle.
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // The char ARRAY is materialized behind a projection boundary (same
-    // stance as Dedup.shingleTable): referencing the normalized STRING
-    // per lambda element would re-run the regex per element, and
-    // UTF8String.substring is O(position), turning a doc into O(len²)
-    // work — measured 17.8 s for this query at sf0.1 vs 1.4 s with the
-    // array form. split-by-"" can emit empty edge elements, which the
-    // filter drops so bigram windows never see them.
+    val docGram = bigramCounts(docs, idCol, textCol)
+    docGram.join(broadcast(lmLogProbs(docGram)), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        round(sum(col("n") * col("lp")) / sum("n"), 6).as("avg_logp"))
+  }
+
+  /** Per-(doc, bigram) occurrence counts over the normalized text.
+    *
+    * The char ARRAY is materialized behind a projection boundary (same
+    * stance as Dedup.shingleTable): referencing the normalized STRING
+    * per lambda element would re-run the regex per element, and
+    * UTF8String.substring is O(position), turning a doc into O(len²)
+    * work — measured 17.8 s for quality_lm at sf0.1 vs 2.6 s with the
+    * array form. split-by-"" can emit empty edge elements, which the
+    * filter drops so bigram windows never see them.
+    */
+  private def bigramCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val normed = docs.select(col(idCol).as("doc_id"),
       filter(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")),
           ""), c => length(c) > 0).as("_cs"))
@@ -307,17 +319,53 @@ object CorpusClean {
       transform(sequence(lit(1), greatest(cnt, lit(1))),
         i => concat(element_at(col("_cs"), i), element_at(col("_cs"), i + 1)))
     ).otherwise(array().cast("array<string>"))
-    val docGram = normed
+    normed
       .select(col("doc_id"), explode(grams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+  }
+
+  /** Laplace-smoothed bigram log-conditionals from per-doc counts
+    * (≤37² rows). */
+  private def lmLogProbs(docGram: DataFrame): DataFrame = {
     val gramCnt = docGram.groupBy("bg").agg(sum("n").as("cnt"))
     val ctxCnt = gramCnt
       .groupBy(substring(col("bg"), 1, 1).as("c0")).agg(sum("cnt").as("ctx"))
-    val logp = gramCnt
+    gramCnt
       .join(ctxCnt, substring(col("bg"), 1, 1) === col("c0"))
       .select(col("bg"),
         log((col("cnt") + lit(1.0)) / (col("ctx") + lit(37.0))).as("lp"))
-    docGram.join(broadcast(logp), Seq("bg"))
+  }
+
+  /** Train the bigram LM once on a reference corpus, for scoring OTHER
+    * data with [[lmScoreWith]] — the CCNet deployment shape (model
+    * trained on a clean corpus, applied to the crawl; also the
+    * streaming shape: train batch, score each micro-batch). Returns
+    * (logProbs: bg → lp, contexts: c0 → ctx), both ≤37²-row frames that
+    * broadcast. */
+  def lmModel(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val docGram = bigramCounts(docs, idCol, textCol)
+    val logp = lmLogProbs(docGram)
+    val ctx = docGram.groupBy(substring(col("bg"), 1, 1).as("c0"))
+      .agg(sum("n").as("ctx"))
+    (logp, ctx)
+  }
+
+  /** Score documents under a PRE-TRAINED [[lmModel]]. Bigrams the model
+    * never saw back off to the Laplace floor `ln(1 / (ctx(a)+37))` —
+    * and `ln(1/37)` when even the context char is unseen — so scoring
+    * is total over any input. Same output shape as [[lmScore]];
+    * `lmScore(d) == lmScoreWith(lmModel(d), d)` by construction
+    * (pinned in CorpusCleanSpec). */
+  def lmScoreWith(model: (DataFrame, DataFrame), docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val (logp, ctx) = model
+    bigramCounts(docs, idCol, textCol)
+      .join(broadcast(logp), Seq("bg"), "left")
+      .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("c0"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(col("lp"),
+          log(lit(1.0) / (coalesce(col("ctx"), lit(0L)) + lit(37.0)))).as("lp"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_bigrams"),
         round(sum(col("n") * col("lp")) / sum("n"), 6).as("avg_logp"))

@@ -160,6 +160,48 @@ object TrainExport {
       .drop("_cnt", "_min_cnt")
   }
 
+  /** Write the deterministic training-shard layout for `docs`: global
+    * md5-keyed shuffle + round-robin shards via
+    * [[deterministicShuffle]], optional GPT-style packing columns over
+    * the shuffled order ([[packSequences]] on `pos`, chars/4 token
+    * proxy), `partitionBy(shard)` parquet, and a `_manifest.json`
+    * (underscore-prefixed so Spark's file index ignores it in the dir)
+    * recording the export config + per-shard row counts. Everything is
+    * a pure function of (input, seed, nShards, packBudget): re-running
+    * yields byte-identical shards and manifest — the reproducibility
+    * contract a training run pins. Per-shard counts are computed from a
+    * RE-READ of the written files (verifying the write, not the plan)
+    * and returned. */
+  def writeTrainingShards(docs: DataFrame, out: String, idCol: String,
+      seed: String, nShards: Int, packBudget: Option[Int] = None,
+      textCol: String = "text"): Map[String, Long] = {
+    val shuffled = deterministicShuffle(docs, idCol, seed, nShards)
+    val laid = packBudget match {
+      case None => shuffled
+      case Some(b) =>
+        val toks = ceil(length(col(textCol)) / lit(4.0)).cast("long")
+        val packed = packSequences(
+          shuffled.withColumn("n_tokens", toks), "pos", "n_tokens", b)
+        shuffled.join(
+          packed.select(col("pos"), col("seq_id"), col("seq_offset")),
+          Seq("pos"))
+    }
+    laid.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val perShard = docs.sparkSession.read.parquet(out)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1).toMap
+    val manifest = scala.collection.immutable.ListMap(
+      "seed" -> seed, "shards" -> nShards,
+      "pack_budget" -> packBudget.getOrElse(0),
+      "rows" -> perShard.values.sum, "per_shard" -> perShard)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_manifest.json"),
+      graft.util.Json.write(manifest)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    perShard
+  }
+
   /** Deterministic global shuffle + round-robin sharding for training
     * export: order by an md5 key of (seed, id) — a reproducible random
     * permutation — assign the global position scalably (prefix sum of

@@ -170,6 +170,48 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out(1)._3 == r6(lpZq))
   }
 
+  test("lmModel/lmScoreWith: self-application equals lmScore; unseen bigrams back off") {
+    val docs = Seq((1L, "abab"), (2L, "zq")).toDF("doc_id", "text")
+    val model = CorpusClean.lmModel(docs, "doc_id", "text")
+    val direct = CorpusClean.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val via = CorpusClean.lmScoreWith(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(direct == via)
+    // backoff: "aq" = unseen bigram with seen context 'a' (ctx=2) ->
+    // ln(1/39); "77" = unseen context entirely -> ln(1/37)
+    val out = CorpusClean.lmScoreWith(model,
+        Seq((8L, "aq"), (9L, "77")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((8L, 1L, r6(math.log(1.0 / 39.0)))))
+    assert(out(1) == ((9L, 1L, r6(math.log(1.0 / 37.0)))))
+  }
+
+  test("lm scoring works on a stream (batch-trained model, per-micro-batch application)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val trainDocs = (1L to 9L).map(i => (i, prose)).toDF("doc_id", "text")
+    val model = CorpusClean.lmModel(trainDocs, "doc_id", "text")
+    val root = Files.createTempDirectory("graft-slm").toString
+    Seq((100L, prose), (101L, "qzxjv qkw zzqj qxv wqz jqqx"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/in/f1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/f1").schema)
+      .parquet(s"$root/in/*")
+    @volatile var scores = Map.empty[Long, Double]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scores ++= CorpusClean.lmScoreWith(model, batch, "doc_id", "text")
+          .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(scores.keySet == Set(100L, 101L))
+    assert(scores(100L) > scores(101L), s"prose should outscore gibberish: $scores")
+  }
+
   test("lmScore: gibberish lands below prose under a prose-trained model") {
     val docs = (1L to 9L).map(i => (i, prose)).toDF("doc_id", "text")
       .union(Seq((10L, "qzxjv qkw zzqj qxv wqz jqqx zvq")).toDF("doc_id", "text"))

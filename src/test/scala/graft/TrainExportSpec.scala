@@ -69,6 +69,30 @@ class TrainExportSpec extends SparkSpec {
     assert(other != again)
   }
 
+  test("writeTrainingShards: balanced partitioned layout, manifest, byte-deterministic re-export") {
+    val d = docs(200).withColumn("text",
+      concat_ws(" ", lit("body of document"), $"id"))
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/exp"
+    val perShard = TrainExport.writeTrainingShards(
+      d, out, "id", seed = "s1", nShards = 4, packBudget = Some(64))
+    assert(perShard.values.sum == 200L)
+    assert(perShard.values.max - perShard.values.min <= 1)
+    // physical layout: one shard=N directory per shard
+    val back = spark.read.parquet(out)
+    assert(back.select("shard").distinct().count() == 4)
+    assert(back.columns.toSet ==
+      Set("id", "toks", "lang", "text", "pos", "shard", "seq_id", "seq_offset"))
+    val manifest = graft.util.Json.parseObject(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "_manifest.json"))))
+    assert(manifest("seed") == "s1")
+    assert(manifest("rows") == 200L)
+    // re-export = byte-identical content (reproducibility contract)
+    val snapshot = back.orderBy("pos").collect().map(_.toString).toSeq
+    TrainExport.writeTrainingShards(d, out, "id", "s1", 4, Some(64))
+    val again = spark.read.parquet(out).orderBy("pos").collect().map(_.toString).toSeq
+    assert(again == snapshot)
+  }
+
   test("deterministicShuffle: a permutation, balanced shards, stable across partitionings") {
     val d = docs(333)
     val shuf = TrainExport.deterministicShuffle(d, "id", "s7", nShards = 8)
