@@ -29,6 +29,8 @@ import graft.sources.FileIngest
   *   graft.Cli compact <name>                 (small-file compaction)
   *   graft.Cli export-training <name> --out <dir> [--shards 8]
   *                    [--seed graft] [--pack-budget 2048]
+  *   graft.Cli clean  --docs <dir|corpus.jsonl> --out <dir>
+  *                    [--min-words 50] [--min-lm -9.0]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
   *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
@@ -286,6 +288,31 @@ object Cli {
             println(s"export: wrote passages of '$name' to $out")
             spark.stop()
         }
+
+      case "clean" =>
+        // Corpus-hygiene pipeline (CorpusClean.cleanCorpus): Gopher
+        // length/symbol/stopword rules + repetition rules + optional LM
+        // quality floor; survivors get PII-scrubbed text. Prints the
+        // per-rule failure report a pipeline owner reads before
+        // shipping the corpus.
+        val docsDir = flags.getOrElse("docs", fail(
+          "usage: clean --docs <dir|corpus.jsonl> --out <dir> " +
+          "[--min-words 50] [--min-lm -9.0]"))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val spark = session()
+        val docs =
+          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+            FileIngest.readJsonl(spark, docsDir)
+          else FileIngest.readDocuments(spark, docsDir)
+        val (kept, report) = graft.operators.CorpusClean.cleanCorpus(
+          docs, "source", "text",
+          minWords = flags.get("min-words").map(_.toInt).getOrElse(50),
+          minLmScore = flags.get("min-lm").map(_.toDouble))
+        kept.write.mode("overwrite").parquet(out)
+        report.collect().foreach(r =>
+          println(f"  ${r.getString(0)}%-16s ${r.getLong(1)}%8d"))
+        println(s"clean: wrote surviving documents to $out")
+        spark.stop()
 
       case "export-training" =>
         // Training-run export (TrainExport): deterministic md5-keyed

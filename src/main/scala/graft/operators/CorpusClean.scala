@@ -371,6 +371,57 @@ object CorpusClean {
         round(sum(col("n") * col("lp")) / sum("n"), 6).as("avg_logp"))
   }
 
+  /** The whole hygiene pipeline as one call (CLI `clean`): Gopher
+    * length/symbol/stopword rules AND repetition rules AND (optionally)
+    * the LM quality floor, PII-scrubbed text on the survivors. Returns
+    * (kept, report): `kept` = the surviving docs with `text` redacted
+    * and the quality scores attached; `report` = one row per rule with
+    * its failure count — the numbers a pipeline owner reads before
+    * shipping a corpus.
+    *
+    * Composition stays one pass over the text per operator family (the
+    * scale posture of each pass is documented on it); the rule joins
+    * are doc-keyed. `minLmScore` NaN-safe: docs absent from lmScore
+    * (no bigrams) fail the floor when one is set — an empty doc is not
+    * trainable text.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50,
+      minLmScore: Option[Double] = None): (DataFrame, DataFrame) = {
+    val g = gopherFlags(docs, idCol, textCol, minWords = minWords)
+      .select(col("doc_id"), col("passes").as("pass_gopher"))
+    val r = repetitionFlags(docs, idCol, textCol)
+      .select(col("doc_id"), col("passes").as("pass_repetition"))
+    val lm = lmScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("avg_logp"))
+    val flagged = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(g, Seq("doc_id"), "left")
+      .join(r, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("pass_gopher", coalesce(col("pass_gopher"), lit(false)))
+      .withColumn("pass_repetition", coalesce(col("pass_repetition"), lit(false)))
+      .withColumn("pass_lm", minLmScore match {
+        case None => lit(true)
+        case Some(t) => coalesce(col("avg_logp") >= t, lit(false))
+      })
+      .withColumn("keep",
+        col("pass_gopher") && col("pass_repetition") && col("pass_lm"))
+    val report = flagged.agg(
+        count(lit(1)).as("total"),
+        sum(when(!col("pass_gopher"), 1L).otherwise(0L)).as("fail_gopher"),
+        sum(when(!col("pass_repetition"), 1L).otherwise(0L)).as("fail_repetition"),
+        sum(when(!col("pass_lm"), 1L).otherwise(0L)).as("fail_lm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .selectExpr("stack(5, 'total', total, 'fail_gopher', fail_gopher, " +
+        "'fail_repetition', fail_repetition, 'fail_lm', fail_lm, " +
+        "'kept', kept) as (rule, n)")
+    val kept = piiScrub(flagged.filter(col("keep")), "text",
+        keep = Seq("doc_id", "avg_logp"))
+      .withColumnRenamed("redacted", "text")
+      .select("doc_id", "text", "avg_logp", "n_emails", "n_phones", "n_ips")
+    (kept, report)
+  }
+
   /** PII patterns: engine-portable (Java regex ∩ RE2) so the DuckDB
     * oracle applies the byte-identical scrub. Order matters — emails
     * contain dots and digits, so they are scrubbed before phones/IPs. */

@@ -221,6 +221,39 @@ class CorpusCleanSpec extends SparkSpec {
       s"gibberish ${scores(10L)} should score well below prose ${scores(1L)}")
   }
 
+  test("cleanCorpus: composed gates, per-rule report, survivors PII-scrubbed") {
+    // prose-dominant corpus (the LM is trained in-corpus), bigram-
+    // diverse gibberish: an in-corpus model rates REPETITIVE gibberish
+    // as likely, so the gibberish fixture must not repeat its bigrams
+    val docs = Seq(
+      (1L, prose + " mail me at a@b.com for more"),   // passes; email scrubbed
+      (2L, "too short"),                              // fails gopher
+      (3L, Seq.fill(40)("spam ham").mkString(" ")),   // fails repetition (top 2-gram)
+      (4L, "qzxjv qkw zzqj qxv wqz jqqx zvq"),        // gibberish (also fails gopher)
+      (5L, prose),
+      (6L, prose)
+    ).toDF("doc_id", "text")
+    // without an LM floor: the rule gates alone
+    val (kept0, _) = CorpusClean.cleanCorpus(docs, "doc_id", "text")
+    val ids0 = kept0.select("doc_id").as[Long].collect().toSet
+    assert(ids0.contains(1L) && !ids0.contains(2L) && !ids0.contains(3L))
+    // with the LM floor between prose and gibberish scores
+    val lm = CorpusClean.lmScore(docs, "doc_id", "text")
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(lm(4L) < lm(1L))
+    val floor = (lm(1L) + lm(4L)) / 2
+    val (kept, report) = CorpusClean.cleanCorpus(docs, "doc_id", "text",
+      minLmScore = Some(floor))
+    val rows = kept.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 6L))
+    val text = rows.head.getAs[String]("text")
+    assert(text.contains("[EMAIL]") && !text.contains("a@b.com"))
+    val rep = report.as[(String, Long)].collect().toMap
+    assert(rep("total") == 6L && rep("kept") == 3L)
+    assert(rep("fail_gopher") >= 1L && rep("fail_repetition") >= 1L
+      && rep("fail_lm") >= 1L)
+  }
+
   test("gopher quality gate works on a stream (stateless projection)") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
