@@ -407,6 +407,19 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // The CCNet deployment shape of the LM scorer: model trained on the
+    // even-id half of the corpus, odd-id half scored under it — unseen
+    // bigrams exercise the Laplace backoff (model-miss → ln(1/(ctx+37)),
+    // context-miss → ln(1/37)), the path quality_lm can't reach.
+    "quality_lm_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.CorpusClean.lmModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.CorpusClean.lmScoreWith(model,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id").limit(500)
+    }),
+
     // Gopher's within-document repetition rules (duplicate lines, top
     // 2-gram coverage, duplicated 5-gram coverage) — the companion to
     // quality_gopher's length/symbol/stopword subset. Every rollup is
@@ -1292,6 +1305,35 @@ private object OracleSql {
         |FROM m
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin.replace("%STOP%", stopList),
+
+    // Train on even ids, score odd ids; COALESCE arms replay
+    // lmScoreWith's backoff exactly (model-miss then context-miss).
+    "quality_lm_apply" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, bg, count(*) AS n FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(generate_series(1, greatest(length(t) - 1, 0)),
+        |                                 i -> substr(t, i, 2))) AS bg
+        |    FROM nt) GROUP BY 1, 2),
+        |tr AS (SELECT bg, sum(n) AS cnt FROM dg WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cc AS (SELECT substr(bg, 1, 1) AS c0, sum(cnt) AS ctx FROM tr GROUP BY 1),
+        |lp AS (
+        |  SELECT bg, ln((cnt + 1.0) / (ctx + 37.0)) AS lp
+        |  FROM tr JOIN cc ON substr(tr.bg, 1, 1) = cc.c0)
+        |SELECT d.doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |       round(sum(n * COALESCE(lp.lp,
+        |               ln(1.0 / (COALESCE(cc2.ctx, 0) + 37.0)))) / sum(n), 6) AS avg_logp
+        |FROM dg d
+        |LEFT JOIN lp USING (bg)
+        |LEFT JOIN cc cc2 ON substr(d.bg, 1, 1) = cc2.c0
+        |WHERE d.doc_id % 2 = 1
+        |GROUP BY 1
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
 
     // Ratios rounded to 6 before threshold booleans (house style); the
     // top-2-gram tie breaks (count desc, gram asc) in both engines.
