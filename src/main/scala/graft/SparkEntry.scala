@@ -615,6 +615,29 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // Weekly cohort retention (the growth-analytics staple): users
+    // grouped by first-seen ISO week, retained(w) = distinct users of
+    // the cohort active w weeks after their first event. ONE user-keyed
+    // shuffle (min-ts + active-day set in the same aggregate; per-user
+    // state bounded by distinct active days) + the tiny
+    // (cohort, offset) rollup — the agg/join/distinct/rollup chain this
+    // replaces was 4 shuffles for the same answer.
+    "events_retention" -> ((s, dir) => {
+      val perUser = Tables.eventsWithTs(s, dir)
+        .groupBy("user_id")
+        .agg(min("ts").as("first_ts"),
+          collect_set(to_date(col("ts"))).as("days"))
+      perUser
+        .select(
+          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+          explode(array_distinct(transform(col("days"),
+            d => floor(datediff(d, to_date(col("first_ts"))) / lit(7.0)))))
+            .as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("retained"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "events_funnel" -> ((s, dir) => {
       // Conversion funnel: of users who signed up, how many purchased
       // *after* their first signup. One pass: conditional min-timestamps
@@ -1587,6 +1610,21 @@ private object OracleSql {
         |FROM documents
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    // Sub-second min(ts) precision differs (Spark truncates to micros)
+    // but only date-level values survive into the output, so the
+    // engines agree; weeks are ISO-Monday in both.
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT DISTINCT e.user_id,
+        |         CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |         CAST(FLOOR(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS retained
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "events_funnel" ->
       """WITH u AS (
