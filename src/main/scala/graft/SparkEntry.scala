@@ -130,6 +130,39 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q_cube" -> ((s, dir) => {
+      // All four grouping sets in one pass (partial agg per set, same
+      // one-shuffle shape as rollup); grouping_id() disambiguates the
+      // NULL grouping markers from genuine NULL data values.
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // 30-day trailing spend per customer: a RANGE frame over event
+      // time (epoch seconds), i.e. the moving aggregate every activity
+      // dashboard needs. One shuffle on the partition key; decimal
+      // accumulation keeps the running sums engine-exact. Peers (equal
+      // timestamps) are all in-frame, so ties can't reorder results.
+      // NTZ has no direct long cast; via TIMESTAMP under the session's
+      // UTC zone = wall-clock epoch seconds, which is DuckDB's epoch().
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("spend_30d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     "q_topn_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
@@ -379,6 +412,15 @@ object SparkEntry {
         "vec_id", "embedding", "label", topN = 20)
     }),
 
+    // SemDeDup (Abbas et al. 2023): per-cluster cosine dedup decision
+    // for EVERY row. tau=0.3 exercises both arms on the synthetic
+    // embeddings (no true near-dups exist there: max cosine 0.47).
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", tau = 0.3)
+        .orderBy("id")
+    }),
+
     // ----- text analysis (training-data pipeline) -----
     "text_metrics" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -468,6 +510,15 @@ object SparkEntry {
         .orderBy(desc("n"), col("term")).limit(50)
     }),
 
+    // Which sources skew the token mix: per-slice unigram KL divergence
+    // vs the corpus distribution. One corpus-scale shuffle (the
+    // map-side-combined (slice, term) count); all later stages run on
+    // aggregated term tables.
+    "corpus_divergence" -> ((s, dir) => {
+      graft.operators.Profile.tokenDivergence(
+        Tables.documents(s, dir), "source", "text")
+    }),
+
     // Test-set decontamination: every 50th doc plays the benchmark set;
     // corpus docs sharing a 5-gram with it are flagged with their
     // overlap count (the anti-join input for a clean training split).
@@ -502,6 +553,16 @@ object SparkEntry {
     "sample_mixture" -> ((s, dir) => {
       graft.operators.TrainExport.mixtureSample(
           Tables.documents(s, dir), "doc_id", "lang", "mix42")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
+    // Fixed-SIZE per-class draw (mixtureSample is the fixed-RATE one):
+    // n smallest md5 keys per class via the bounded top-k Aggregator —
+    // the exchange carries at most n pairs per (task, class), never a
+    // per-class sort of the corpus.
+    "sample_stratified" -> ((s, dir) => {
+      graft.operators.TrainExport.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang", n = 20, seed = "r5")
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
@@ -1020,6 +1081,24 @@ private object OracleSql {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q_cube" ->
+      """SELECT CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INT) AS gid,
+        |       l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(o_totalprice::DECIMAL(18,2)) OVER (
+        |              PARTITION BY o_custkey
+        |              ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
     "q_topn_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1236,6 +1315,17 @@ private object OracleSql {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b
         |LIMIT 20""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id, a.label AS cluster,
+        |       EXISTS (SELECT 1 FROM e b
+        |               WHERE b.label = a.label AND b.vec_id < a.vec_id
+        |                 AND round(list_inner_product(a.v, b.v) /
+        |                       (sqrt(list_inner_product(a.v, a.v)) *
+        |                        sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3) AS is_dup
+        |FROM e a
+        |ORDER BY id""".stripMargin,
 
     "text_metrics" ->
       """WITH base AS (
@@ -1486,6 +1576,24 @@ private object OracleSql {
         |ORDER BY n DESC, term
         |LIMIT 50""".stripMargin,
 
+    "corpus_divergence" ->
+      """WITH toks AS (
+        |  SELECT source AS slice,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            t -> length(t) > 1)) AS term
+        |  FROM documents),
+        |st AS (SELECT slice, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        |stot AS (SELECT slice, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |g AS (SELECT sum(c_st) AS n_c FROM st)
+        |SELECT st.slice, count(*) AS n_terms,
+        |       CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |       round(sum((c_st::DOUBLE / n_s) *
+        |                 ln((c_st::DOUBLE / n_s) / (c_t::DOUBLE / n_c))), 6) AS kl_vs_corpus
+        |FROM st JOIN ct USING (term) JOIN stot USING (slice) CROSS JOIN g
+        |GROUP BY st.slice
+        |ORDER BY slice""".stripMargin,
+
     "decontaminate" ->
       """WITH tk AS (
         |  SELECT doc_id AS id,
@@ -1537,6 +1645,17 @@ private object OracleSql {
         |WHERE c.cnt = m.min_cnt
         |   OR substr(md5('mix42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
         |      < printf('%08x', CAST(FLOOR(min_cnt * 4294967296.0 / cnt) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source
+        |FROM (SELECT doc_id, lang, source,
+        |             row_number() OVER (
+        |               PARTITION BY lang
+        |               ORDER BY substr(md5('r5:' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                        doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 20
         |ORDER BY doc_id""".stripMargin,
 
     // row_number over the md5 permutation key (suffixed with the id so

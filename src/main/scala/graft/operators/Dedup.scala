@@ -329,6 +329,48 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): embeddings are grouped into
+    * clusters (KMeans centroid id in production — the IVF layout's
+    * partition column — or any deterministic blocking column for the
+    * oracle), and within each cluster a row is marked `is_dup` when an
+    * EARLIER member (id order) sits within the cosine threshold `tau`.
+    *
+    * Survivor policy: pair-dominance by id — deterministic and
+    * engine-portable, and strictly at-least-as-aggressive as the
+    * paper's keep-one-per-ε-group (every non-first member of a mutually
+    * similar group has an earlier τ-neighbor). For exact
+    * connected-component survivor semantics compose the pair output of
+    * [[embeddingTopPairs]]/[[embeddingLshPairs]] with [[dupClusters]];
+    * at SemDeDup's operating τ (≈0.95+) ε-groups are near-cliques and
+    * the two policies coincide.
+    *
+    * Scale: ONE co-partitioned self-join per cluster block (on a table
+    * partitioned by `centroid_id` this shuffles nothing that the layout
+    * has not already placed); cluster sizes bound the pair blowup the
+    * same way they bound IVF scan cost — rebalance hot clusters rather
+    * than pay their quadratic corner. Cosines round to 6 before the
+    * threshold compare so the flag is engine-portable. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, tau: Double): DataFrame = {
+    val base = emb.select(col(clusterCol).as("cluster"),
+      col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+    val earlier = base.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    val dupIds = base.join(earlier, "cluster")
+      .filter(col("id_b") < col("id"))
+      .filter(round(VectorFunctions.dot(col("v"), col("v_b")) /
+        (VectorFunctions.l2Norm(col("v")) * VectorFunctions.l2Norm(col("v_b"))),
+        6) >= tau)
+      .select("id").distinct()
+      .withColumn("is_dup", lit(true))
+    base.select("cluster", "id")
+      .join(dupIds, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Top-N most-similar embedding pairs within a blocking column (label
     * or IVF centroid id): the scale-safe cosine near-dup report. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,

@@ -49,4 +49,42 @@ object Profile {
         percentile_approx(col(charsCol), lit(0.95), lit(10000)).as("p95_chars"),
         avg(col("n_tok")).as("avg_tokens"))
       .orderBy(col(langCol))
+
+  /** Per-slice token-distribution divergence: KL(slice ‖ corpus) over
+    * the unigram term distributions, the standard drift/mixture monitor
+    * for a training corpus (which sources are skewing the token mix,
+    * did this month's crawl shift vocabulary). KL is finite by
+    * construction — every slice term is a corpus term, so the corpus
+    * probability in the denominator is never zero.
+    *
+    * Plan shape: ONE corpus-scale shuffle (the (slice, term) count,
+    * map-side combined — the same bound as BM25's tf build); everything
+    * after runs on the aggregated term tables (slice totals, corpus
+    * marginals, a term-keyed join of aggregates, the final per-slice
+    * rollup). Nothing is ever keyed by document, and the corpus total
+    * broadcasts as a 1-row product. Per-term contributions round to 6
+    * AFTER the per-slice sum. */
+  def tokenDivergence(docs: DataFrame, sliceCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(sliceCol).as("slice"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 1)
+      .groupBy("slice", "term").agg(count(lit(1)).as("c_st"))
+    val sliceTot = st.groupBy("slice").agg(sum("c_st").as("n_s"))
+    val corpus = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val corpusTot = st.agg(sum("c_st").as("n_c"))
+    st.join(corpus, "term")
+      .join(sliceTot, "slice")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("slice"), col("term"), col("c_st"),
+        ((col("c_st").cast("double") / col("n_s")) *
+          log((col("c_st").cast("double") / col("n_s")) /
+              (col("c_t").cast("double") / col("n_c")))).as("contrib"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("c_st").as("n_tokens"),
+        round(sum("contrib"), 6).as("kl_vs_corpus"))
+      .orderBy("slice")
+  }
 }

@@ -160,6 +160,42 @@ object TrainExport {
       .drop("_cnt", "_min_cnt")
   }
 
+  /** Deterministic stratified sample: EXACTLY `n` rows per class (fewer
+    * only when the class itself is smaller) — the fixed-size per-class
+    * draw ([[mixtureSample]] is the fixed-RATE counterpart; this is what
+    * "take 10k docs per language for the eval set" needs). The sample is
+    * the n smallest md5-uniform keys per class, ties broken by id, so it
+    * is a pure function of (corpus, seed, n): reproducible, resumable,
+    * engine-portable.
+    *
+    * Scale: a `row_number` window would shuffle and sort EVERY row by
+    * class; this goes through the bounded [[graft.functions.TopKByScore]]
+    * aggregator instead, so map tasks forward at most n (id, key) pairs
+    * per class into the exchange — O(tasks x classes x n), independent
+    * of corpus size — and the winners (classes x n ids, KBs) broadcast
+    * back as a semi-join to fetch the full rows. */
+  def stratifiedSample(docs: DataFrame, idCol: String, labelCol: String,
+                       n: Int, seed: String): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 8 hex chars -> integer in [0, 2^32): numeric order == the hex
+    // key's lexicographic order, exactly what the window oracle sorts by.
+    val keyed = docs.select(col(labelCol).cast("string").as("lbl"),
+        col(idCol).cast("long").as("id"),
+        conv(uniformHexKey(seed, col(idCol)), 16, 10).cast("double").as("key"))
+      .as[(String, Long, Double)]
+    val winners = keyed
+      .groupByKey(_._1)
+      // TopKByScore keeps score DESC; negate so "top n" = n smallest keys
+      .mapValues { case (_, id, k) => ScoredId(id, -k) }
+      .agg(new TopKByScore(n).toColumn.name("top"))
+      .toDF("lbl", "top")
+      .select(explode(col("top.id")).as("_sid"))
+    docs.join(broadcast(winners),
+      col(idCol).cast("long") === col("_sid"), "left_semi")
+  }
+
   /** Write the deterministic training-shard layout for `docs`: global
     * md5-keyed shuffle + round-robin shards via
     * [[deterministicShuffle]], optional GPT-style packing columns over

@@ -239,6 +239,23 @@ class DedupSpec extends SparkSpec {
     assert(out2(1L) && !out2(2L))
   }
 
+  test("semanticDedup: earlier τ-neighbor in the same cluster marks a dup") {
+    // cluster 1: ids 1,2 identical direction (cos=1), id 3 orthogonal;
+    // cluster 2: id 4 parallel to id 1 but in another cluster — never
+    // compared. One decision row per input row.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1), (3L, Seq(0.0, 1.0), 1),
+      (4L, Seq(1.0, 0.0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "label", tau = 0.9)
+      .as[(Long, Int, Boolean)].collect().map { case (id, _, d) => id -> d }.toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+    // keep-first is id-ordered: raising tau above every cosine keeps all
+    val none = Dedup.semanticDedup(emb, "vec_id", "embedding", "label", tau = 1.1)
+      .as[(Long, Int, Boolean)].collect()
+    assert(none.length == 4 && none.forall(!_._3))
+  }
+
   test("simhash: identical token multisets → identical hash") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L) && h(0L) == h(3L))

@@ -48,4 +48,32 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(p95 - e95) <= math.max(2.0, e95 * 0.05), s"$lang p95 $p95 vs $e95")
     }
   }
+
+  test("tokenDivergence: zero for corpus-proportional slices, ln2 for disjoint halves") {
+    import spark.implicits._
+    // both slices have the corpus distribution → KL exactly 0
+    val even = Seq((1L, "aa bb", "s1"), (2L, "aa bb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = Profile.tokenDivergence(even, "source", "text")
+      .select("slice", "kl_vs_corpus").as[(String, Double)].collect().toMap
+    assert(kl0 == Map("s1" -> 0.0, "s2" -> 0.0))
+    // disjoint vocabularies, equal mass: each slice is twice as
+    // concentrated as the corpus → KL = ln 2 per slice
+    val skew = Seq((1L, "aa aa", "s1"), (2L, "bb bb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl2 = Profile.tokenDivergence(skew, "source", "text")
+      .select("slice", "kl_vs_corpus").as[(String, Double)].collect().toMap
+    val ln2 = math.round(math.log(2.0) * 1e6) / 1e6
+    assert(kl2 == Map("s1" -> ln2, "s2" -> ln2))
+  }
+
+  test("tokenDivergence on real docs: non-negative KL, token mass conserved") {
+    val out = Profile.tokenDivergence(docs, "source", "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (s, terms, toks, kl) =>
+      assert(kl >= 0.0, s"$s: KL $kl")
+      assert(terms > 0 && toks >= terms)
+    }
+  }
 }

@@ -108,4 +108,27 @@ class TrainExportSpec extends SparkSpec {
     // the permutation actually shuffles (not identity order)
     assert(rows.sortBy(_._2).map(_._1) != (1L to 333L).toSeq)
   }
+
+  test("stratifiedSample: exactly n per class, window parity, whole class when small") {
+    val d = docs(500) // en 250, de 179, rare 71
+    val got = TrainExport.stratifiedSample(d, "id", "lang", n = 25, seed = "s1")
+      .select("id", "lang").as[(Long, String)].collect().toSeq
+    val perClass = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perClass == Map("en" -> 25, "de" -> 25, "rare" -> 25))
+    // parity with the row_number window formulation it replaces
+    val w = Window.partitionBy("lang").orderBy(
+      lower(substring(md5(concat(lit("s1:"), col("id").cast("string"))), 1, 8)),
+      col("id"))
+    val naive = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 25).select("id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == naive)
+    // deterministic: same seed → same draw
+    val again = TrainExport.stratifiedSample(d, "id", "lang", 25, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+    // n beyond the class size returns the whole class, no more
+    val all = TrainExport.stratifiedSample(d, "id", "lang", 100, "s1")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(all == Map("en" -> 100L, "de" -> 100L, "rare" -> 71L))
+  }
 }
