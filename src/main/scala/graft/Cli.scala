@@ -268,6 +268,21 @@ object Cli {
             spark.stop()
         }
 
+      case "ann-rebalance" =>
+        val name = pos.headOption.getOrElse(
+          fail("usage: ann-rebalance <index> [--max-fraction 0.05]"))
+        Index.locate(warehouse, name) match {
+          case None => fail(s"no index '$name' in $warehouse")
+          case Some(dir) =>
+            val spark = session()
+            val frac = flags.get("max-fraction").map(_.toDouble).getOrElse(0.05)
+            val n = Index.rebalanceIvf(spark, dir, maxFraction = frac)
+            println(
+              if (n == 0) s"ann-rebalance: '$name' already within bounds"
+              else s"ann-rebalance: split $n hot cluster(s) in '$name'")
+            spark.stop()
+        }
+
       case "export" =>
         // Round-trip with the JSONL corpus source (`build --docs x.jsonl`):
         // the reference's native passage storage IS jsonl

@@ -394,6 +394,80 @@ object Index {
     n
   }
 
+  /** Skew repair for the IVF layout: split every cluster holding more
+    * than `maxFraction` of the table into sub-clusters (seeded KMeans
+    * over just that partition's vectors) and rewrite the layout.
+    *
+    * Why this exists: IVF scan cost — and the pair blowup of any
+    * within-cluster operator ([[graft.operators.Dedup.semanticDedup]])
+    * — is bounded by the largest partition. Real corpora drift: a
+    * crawl month dominated by one template, an append stream favoring
+    * one region, and suddenly one centroid owns 30% of the table while
+    * nprobe pruning stops helping. Rebalancing only re-clusters the hot
+    * partitions (cold ones are read and rewritten but never re-fit), so
+    * the KMeans work is proportional to the skew, not the corpus.
+    *
+    * Per-hot-cluster split count = ceil(rows / cap); KMeans children
+    * are not balanced, so a child can land over the cap — rounds repeat
+    * (reseeded) until the layout is within bounds or `maxRounds` is
+    * hit (the escape hatch for a cluster of near-identical vectors,
+    * which no vector-space split can separate). Children get fresh
+    * centroid ids (hot ids retire); the final [[writeIvfLayout]]
+    * recomputes the centroids table from the new partition means and
+    * re-encodes a PQ tier if present, so every dependent tier stays
+    * consistent. Rounds stage through flat dirs because each round's
+    * assignment is computed FROM the previous one (the same lineage
+    * trap as `update`/`appendIvf`); the layout itself is rewritten
+    * exactly once.
+    *
+    * Returns the total number of clusters split across rounds (0 =
+    * layout already within bounds; nothing rewritten). */
+  def rebalanceIvf(spark: SparkSession, dir: String,
+                   maxFraction: Double = 0.05, seed: Long = 42L,
+                   maxRounds: Int = 8): Int = {
+    val ivfPath = s"$dir/embeddings_ivf"
+    var cur = spark.read.parquet(ivfPath)
+    val stagings = scala.collection.mutable.Buffer.empty[String]
+    var splitTotal = 0
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val counts = cur.groupBy("centroid_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // O(K) driver rows
+      val total = counts.map(_._2).sum
+      val cap = math.max(1L, (total * maxFraction).toLong)
+      val hot = counts.filter(_._2 > cap).map(_._1).sorted
+      if (hot.isEmpty) done = true
+      else {
+        var next = counts.map(_._1).max + 1
+        val cold = cur.filter(!col("centroid_id").isin(hot.map(Integer.valueOf): _*))
+        val splits = hot.map { cid =>
+          val rows = counts.find(_._1 == cid).get._2
+          val k = math.max(2, math.ceil(rows.toDouble / cap).toInt)
+          val sub = graft.operators.Knn.ivfAssign(
+              cur.filter(col("centroid_id") === cid).drop("centroid_id"),
+              "embedding", k, seed + round)
+            .withColumn("centroid_id", col("centroid_id") + lit(next))
+          next += k
+          sub
+        }
+        val staging = s"$ivfPath.rebal$round"
+        stagings += staging
+        splits.foldLeft(cold)(_.unionByName(_))
+          .write.mode(SaveMode.Overwrite).parquet(staging)
+        cur = spark.read.parquet(staging)
+        splitTotal += hot.length
+        round += 1
+      }
+    }
+    if (splitTotal > 0) {
+      writeIvfLayout(spark, cur, dir)
+      spark.catalog.refreshByPath(ivfPath)
+    }
+    stagings.foreach(deleteDir(spark, _))
+    splitTotal
+  }
+
   /** Prune (T8, ref `src/cli/prune.rs`): drop the embeddings table; the
     * index answers queries by re-embedding on read (recompute mode). */
   def prune(dir: String): IndexMeta = {

@@ -100,4 +100,48 @@ class IvfSpec extends SparkSpec {
       .as[(String, Double)].collect().toSeq
     assert(ivf == exact)
   }
+
+  test("rebalanceIvf splits hot clusters; rows preserved, exact at full nprobe") {
+    val d = Files.createTempDirectory("graft-rebal").toString + "/idx"
+    val docs = (0 until 80).map(i =>
+        (s"text piece $i about topic ${i % 7} and some filler words", s"r$i.md"))
+      .toDF("text", "source")
+    Index.build(docs, d, new HashEmbedder(16), strategy = "simple")
+    // deliberately skewed layout: ~15/16 of rows in cluster 0
+    val emb = spark.read.parquet(s"$d/embeddings")
+    Index.writeIvfLayout(spark, emb.withColumn("centroid_id",
+      when(abs(hash(col("id"))) % 16 === 0, lit(1)).otherwise(lit(0))), d)
+    val before = spark.read.parquet(s"$d/embeddings_ivf")
+      .groupBy("centroid_id").count().as[(Int, Long)].collect().toMap
+    assert(before.values.max > 60)
+
+    val split = Index.rebalanceIvf(spark, d, maxFraction = 0.2)
+    assert(split >= 1) // cluster 0 was over the 16-row cap
+
+    val after = spark.read.parquet(s"$d/embeddings_ivf")
+    val counts = after.groupBy("centroid_id").count().as[(Int, Long)].collect().toMap
+    // no row lost or duplicated; hot id retired; layout within bounds
+    assert(after.count() == 80)
+    assert(after.select("id").distinct().count() == 80)
+    assert(!counts.contains(0) && counts.size > before.size)
+    assert(counts.values.max <= 16, s"still over cap: $counts")
+    // centroids table tracks the new partition set
+    val cents = spark.read.parquet(s"$d/centroids")
+      .select("centroid_id").distinct().as[Int].collect().toSet
+    assert(cents == counts.keySet)
+    // full-nprobe search over the rebalanced layout is still exact
+    val q = new HashEmbedder(16).embedOne("topic 3 filler")
+    val exact = emb
+      .crossJoin(broadcast(spark.range(1).select(
+        typedLit(q.map(_.toDouble).toSeq).as("qv"))))
+      .select(col("id"),
+        round(graft.functions.VectorFunctions.dot(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), col("id")).limit(5)
+      .as[(String, Double)].collect().toSeq
+    val got = Index.searchIvf(spark, d, q, nprobe = counts.size, k = 5)
+      .as[(String, Double)].collect().toSeq
+    assert(got == exact)
+    // already within bounds: a second call rewrites nothing
+    assert(Index.rebalanceIvf(spark, d, maxFraction = 0.2) == 0)
+  }
 }
