@@ -462,6 +462,20 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Trainable Naive Bayes document classifier (the GPT-3/CCNet
+    // quality-classifier shape, closed-form so train AND apply are
+    // oracle-checked): fit on the even-id half predicting lang, argmax
+    // posterior on the held-out odd-id half.
+    "quality_nb" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.TextClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text")
+      graft.operators.TextClassifier.predict(
+          docs.filter(col("doc_id") % 2 === 1), model, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Gopher's within-document repetition rules (duplicate lines, top
     // 2-gram coverage, duplicated 5-gram coverage) — the companion to
     // quality_gopher's length/symbol/stopword subset. Every rollup is
@@ -1447,6 +1461,48 @@ private object OracleSql {
         |GROUP BY 1
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
+
+    // Multinomial NB, Laplace-smoothed over V+1 slots; a (term, class)
+    // pair with no count row smooths to the same value as the unseen
+    // slot, so the LEFT JOIN's null arm is exactly log_zero.
+    "quality_nb" ->
+      """WITH tt AS (
+        |  SELECT lang AS cls,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            t -> length(t) > 1)) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |nct AS (SELECT cls, term, count(*) AS n FROM tt GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT term) AS v FROM nct),
+        |nc AS (SELECT cls, sum(n) AS n_tot FROM nct GROUP BY 1),
+        |tlp AS (
+        |  SELECT cls, term, ln((n + 1.0) / (n_tot + 1.0 * (v + 1))) AS log_theta
+        |  FROM nct JOIN nc USING (cls) CROSS JOIN v),
+        |dc AS (SELECT lang AS cls, count(*) AS n_docs
+        |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS total FROM dc),
+        |cs AS (
+        |  SELECT cls, ln(n_docs::DOUBLE / total) AS log_prior,
+        |         ln(1.0 / (n_tot + 1.0 * (v + 1))) AS log_zero
+        |  FROM dc CROSS JOIN tot JOIN nc USING (cls) CROSS JOIN v),
+        |test AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            t -> length(t) > 1)) AS term
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |dtf AS (SELECT id, term, count(*) AS tf FROM test GROUP BY 1, 2),
+        |dtot AS (SELECT id, sum(tf) AS ttf FROM dtf GROUP BY 1),
+        |m AS (SELECT id, cls, sum(tf * log_theta) AS s, sum(tf) AS mtf
+        |      FROM dtf JOIN tlp USING (term) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dtot.id, cs.cls,
+        |         round(cs.log_prior + coalesce(m.s, 0) +
+        |               (dtot.ttf - coalesce(m.mtf, 0)) * cs.log_zero, 6) AS score
+        |  FROM dtot CROSS JOIN cs
+        |  LEFT JOIN m ON m.id = dtot.id AND m.cls = cs.cls)
+        |SELECT id AS doc_id, cls AS pred, score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Ratios rounded to 6 before threshold booleans (house style); the
     // top-2-gram tie breaks (count desc, gram asc) in both engines.
