@@ -110,6 +110,39 @@ object Streaming {
       .drop("__fp")
   }
 
+  /** Watermarked stream-stream interval join: each left row pairs with
+    * right rows sharing `keyCol` whose event time falls in
+    * `[leftTs, leftTs + withinMinutes]` — the attribution shape (click
+    * joins the impression that preceded it, purchase joins the signup
+    * within the trial window) as a streaming operator.
+    *
+    * Right-side columns come back `r_`-prefixed (both streams carry
+    * `key`/`ts`-like names; the prefix keeps the join self-describing).
+    *
+    * State stays bounded because BOTH ingredients Spark needs are
+    * present: a watermark on each side, and a time-range join condition
+    * — from these the engine derives how long a buffered row can still
+    * find partners and evicts it once the other side's watermark passes
+    * `ts + within` (left) / `ts` (right). Without the range condition
+    * (or with outer joins lacking watermarks) the state would grow with
+    * the stream; this operator makes the bounded formulation the easy
+    * path. The join itself shuffles both sides on `keyCol`, exactly
+    * like the batch equi-join. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTsCol: String = "ts", rightTsCol: String = "ts",
+                         withinMinutes: Int = 30,
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.columns.foldLeft(right) { (d, c) =>
+      d.withColumnRenamed(c, s"r_$c")
+    }.withWatermark(s"r_$rightTsCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$rightTsCol") >= col(leftTsCol) &&
+        col(s"r_$rightTsCol") <=
+          col(leftTsCol) + expr(s"INTERVAL $withinMinutes MINUTES"))
+  }
+
   /** One user's open session: epoch-micros bounds + event count. */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
 

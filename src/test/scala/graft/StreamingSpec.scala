@@ -225,4 +225,44 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(rows == Set(("00:00", "click", 2L), ("00:05", "view", 1L)))
   }
+
+  test("watermarked stream-stream interval join (attribution shape)") {
+    val root = Files.createTempDirectory("graft-ssjoin").toString
+    // impressions (left) and clicks (right) on the same ad key
+    Seq(
+      ("2024-01-01 00:00:00", "ad1", 100L),
+      ("2024-01-01 00:00:00", "ad2", 101L),
+      ("2024-01-01 02:00:00", "ad3", 102L)) // advances both watermarks
+      .toDF("ts_s", "ad", "imp_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("ad"), col("imp_id"))
+      .coalesce(1).write.parquet(s"$root/imp/f1")
+    Seq(
+      ("2024-01-01 00:10:00", "ad1", 900L), // within 30min of imp 100
+      ("2024-01-01 00:50:00", "ad2", 901L), // too late for imp 101
+      ("2023-12-31 23:50:00", "ad1", 902L), // BEFORE the impression
+      ("2024-01-01 02:00:00", "ad9", 903L))
+      .toDF("ts_s", "ad", "click_id")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("ad"), col("click_id"))
+      .coalesce(1).write.parquet(s"$root/clk/f1")
+
+    val imps = spark.readStream
+      .schema(spark.read.parquet(s"$root/imp/f1").schema)
+      .parquet(s"$root/imp/*")
+    val clicks = spark.readStream
+      .schema(spark.read.parquet(s"$root/clk/f1").schema)
+      .parquet(s"$root/clk/*")
+    val q = Streaming.streamIntervalJoin(imps, clicks, "ad")
+      .select(col("imp_id"), col("r_click_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("ssjoin")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    // only the in-window pair survives: late, early, and unmatched-key
+    // clicks all drop
+    assert(got == Set((100L, 900L)))
+  }
 }
