@@ -524,6 +524,17 @@ object SparkEntry {
         .orderBy(desc("n"), col("term")).limit(50)
     }),
 
+    // First BPE iteration's merge candidates: adjacent-char pair
+    // weights over the word-frequency table (the corpus is touched
+    // once; pair stats run on the aggregated vocab). The iterative
+    // trainer (Bpe.trainMerges) is spec-checked; this declarative
+    // round-1 is the oracle surface.
+    "bpe_pair_stats" -> ((s, dir) => {
+      graft.operators.Bpe.pairStats(
+          graft.operators.Bpe.wordFreqs(Tables.documents(s, dir), "text"))
+        .orderBy(desc("weight"), col("a"), col("b")).limit(50)
+    }),
+
     // Which sources skew the token mix: per-slice unigram KL divergence
     // vs the corpus distribution. One corpus-scale shuffle (the
     // map-side-combined (slice, term) count); all later stages run on
@@ -1630,6 +1641,23 @@ private object OracleSql {
         |FROM t
         |GROUP BY term
         |ORDER BY n DESC, term
+        |LIMIT 50""".stripMargin,
+
+    "bpe_pair_stats" ->
+      """WITH w AS (
+        |  SELECT term AS word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                              t -> length(t) > 1)) AS term
+        |    FROM documents)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+        |  FROM (SELECT word, freq,
+        |               unnest(generate_series(1, length(word) - 1)) AS i
+        |        FROM w))
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS weight
+        |FROM p GROUP BY 1, 2
+        |ORDER BY weight DESC, a, b
         |LIMIT 50""".stripMargin,
 
     "corpus_divergence" ->

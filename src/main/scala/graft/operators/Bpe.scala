@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units"): learn merge
+  * rules from corpus word frequencies.
+  *
+  * Scale shape — the part that matters at 100 TB: the corpus is
+  * touched EXACTLY ONCE ([[wordFreqs]], one tokenize + groupBy shuffle
+  * with map-side combine). Every merge iteration then runs on the
+  * aggregated vocabulary table (|distinct words| rows — millions, not
+  * trillions): a map-only re-segmentation plus one pair-count
+  * aggregate whose argmax row is the ONLY thing the driver sees per
+  * round. This mirrors how single-node BPE trainers operate on word
+  * counts, except the vocab table and the per-round passes stay
+  * distributed.
+  *
+  * Determinism: ties on pair weight break lexicographically, so the
+  * learned merge sequence is a pure function of the corpus. The
+  * round-1 pair statistics are plain relational algebra and are
+  * DuckDB-oracle-checked (`bpe_pair_stats`); the iterative trainer is
+  * spec-checked against the paper's hand-computable example.
+  */
+object Bpe {
+
+  /** Corpus-scale word frequency table — the only pass over the data.
+    * BM25 tokenizer, so "words" match every other text operator here. */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent-CHARACTER pair weights over the vocabulary (= the first
+    * BPE iteration's merge candidates), weighted by word frequency and
+    * counted per occurrence. Declarative, hence oracle-checkable. */
+  def pairStats(freqs: DataFrame): DataFrame =
+    freqs.select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+        "i -> struct(substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("weight"))
+
+  /** Greedy left-to-right application of one merge rule to a symbol
+    * sequence — the standard BPE merge semantics. */
+  def applyMerge(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** A word segmented under a merge list, applied in training order. */
+  def segment(word: String, merges: Seq[(String, String)]): IndexedSeq[String] =
+    merges.foldLeft(word.map(_.toString): IndexedSeq[String]) {
+      case (syms, (a, b)) => applyMerge(syms, a, b)
+    }
+
+  /** Learn up to `numMerges` merge rules from a word-frequency table.
+    * Stops early when no adjacent pair reaches `minFreq`. Each round:
+    * one pair-count aggregate over the vocab (argmax to the driver —
+    * one row) and one map-only re-segmentation. */
+  def trainMerges(freqs: DataFrame, numMerges: Int,
+                  minFreq: Long = 2L): Seq[(String, String)] = {
+    val spark = freqs.sparkSession
+    import spark.implicits._
+    var words: Dataset[(IndexedSeq[String], Long)] = freqs
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString): IndexedSeq[String], f) }
+      .persist()
+    words.count() // materialize before iterating
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < numMerges && !done) {
+      // tuple struct fields are _1/_2; ties break lexicographically
+      val best = words.flatMap { case (syms, f) =>
+        (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), f))
+      }.toDF("pair", "f")
+        .groupBy("pair").agg(sum("f").as("w"))
+        .orderBy(desc("w"), col("pair._1"), col("pair._2"))
+        .limit(1)
+        .select(col("pair._1"), col("pair._2"), col("w"))
+        .as[(String, String, Long)]
+        .collect()
+      best.headOption match {
+        case Some((a, b, w)) if w >= minFreq =>
+          merges += ((a, b))
+          val prev = words
+          words = prev.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+            .persist()
+          words.count()
+          prev.unpersist()
+        case _ => done = true
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+}

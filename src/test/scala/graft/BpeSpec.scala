@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE training checked on the hand-computable example from Sennrich
+  * et al. 2016 (§3.2's low/lower/newest/widest corpus), plus the
+  * invariants any merge list must satisfy. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // low x5, lower x2, newest x6, widest x3 — as documents
+  private lazy val docs = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+    (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    .toDF("text")
+
+  test("wordFreqs counts the classic corpus") {
+    val f = Bpe.wordFreqs(docs, "text").as[(String, Long)].collect().toMap
+    assert(f == Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L))
+  }
+
+  test("pairStats round 1: (e,s) and (s,t) lead at weight 9") {
+    val p = Bpe.pairStats(Bpe.wordFreqs(docs, "text"))
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, w) => (a, b) -> w }.toMap
+    assert(p(("e", "s")) == 9L) // newest 6 + widest 3
+    assert(p(("s", "t")) == 9L)
+    assert(p(("w", "e")) == 8L) // newest 6 + lower 2
+    assert(p(("l", "o")) == 7L) // low 5 + lower 2
+  }
+
+  test("trainMerges learns the paper's sequence with lexicographic ties") {
+    val merges = Bpe.trainMerges(Bpe.wordFreqs(docs, "text"), numMerges = 4)
+    // weight-9 tie (e,s)/(s,t) breaks to (e,s); then (es,t) 9;
+    // then the 7-weight tie (l,o)/(o,w) breaks to (l,o); then (lo,w) 7.
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // segmentation under the merges: concatenation invariant + expected splits
+    assert(Bpe.segment("newest", merges) == IndexedSeq("n", "e", "w", "est"))
+    assert(Bpe.segment("low", merges) == IndexedSeq("low"))
+    assert(Bpe.segment("lowest", merges) == IndexedSeq("low", "est"))
+    for (w <- Seq("low", "lower", "newest", "widest", "unrelated"))
+      assert(Bpe.segment(w, merges).mkString == w)
+  }
+
+  test("trainMerges is deterministic and respects minFreq early stop") {
+    val f = Bpe.wordFreqs(docs, "text")
+    assert(Bpe.trainMerges(f, 4) == Bpe.trainMerges(f, 4))
+    // a floor above every pair weight learns nothing
+    assert(Bpe.trainMerges(f, 4, minFreq = 100L).isEmpty)
+  }
+
+  test("merge list on real testdata: deterministic, round-trip safe") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = Bpe.wordFreqs(real, "text")
+    val merges = Bpe.trainMerges(freqs, numMerges = 10)
+    assert(merges.length == 10)
+    val words = freqs.select("word").as[String].collect().take(50)
+    words.foreach { w =>
+      assert(Bpe.segment(w, merges).mkString == w)
+    }
+  }
+}
