@@ -66,11 +66,15 @@ object Profile {
     * AFTER the per-slice sum. */
   def tokenDivergence(docs: DataFrame, sliceCol: String = "source",
                       textCol: String = "text"): DataFrame = {
+    // Persisted: four consumers (slice totals, corpus marginals, the
+    // corpus total, the contribution join) would otherwise each re-run
+    // the corpus-scale tokenize + shuffle (the BM25-tf persist stance).
     val st = docs
       .select(col(sliceCol).as("slice"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 1)
       .groupBy("slice", "term").agg(count(lit(1)).as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sliceTot = st.groupBy("slice").agg(sum("c_st").as("n_s"))
     val corpus = st.groupBy("term").agg(sum("c_st").as("c_t"))
     val corpusTot = st.agg(sum("c_st").as("n_c"))

@@ -51,7 +51,11 @@ object TextClassifier {
     val toks = docs.select(col(labelCol).cast("string").as("cls"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 1)
+    // Persisted: vocab size, class totals, and the likelihood table all
+    // derive from this count — unpersisted, each would re-tokenize the
+    // training corpus (the BM25-tf persist stance).
     val nct = toks.groupBy("cls", "term").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = nct.agg(countDistinct("term").as("v"))
     val nc = nct.groupBy("cls").agg(sum("n").as("n_tot"))
       .crossJoin(broadcast(vocab))
@@ -76,10 +80,14 @@ object TextClassifier {
     * docs are absent (they carry no evidence to score). */
   def scores(docs: DataFrame, model: NbModel, idCol: String,
              textCol: String): DataFrame = {
+    // Persisted: both the per-doc totals and the model join consume it;
+    // it is the BM25-tf shape (doc × term rows) at the BM25-tf storage
+    // level.
     val docTf = docs.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 1)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docTot = docTf.groupBy("id").agg(sum("tf").as("ttf"))
     val matched = docTf.join(model.termLogProb, "term")
       .groupBy("id", "cls")

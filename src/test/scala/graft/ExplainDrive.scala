@@ -21,7 +21,9 @@ object ExplainDrive {
         "pii_scrub", "decontaminate", "knn_maxsim", "knn_hamming",
         "corpus_top_terms",
         "pack_sequences", "sample_mixture", "shuffle_export",
-        "quality_lm", "quality_repetition")
+        "quality_lm", "quality_repetition",
+        "dedup_semantic", "sample_stratified", "corpus_divergence",
+        "quality_nb", "bpe_pair_stats", "q_cube", "q_window_range")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
