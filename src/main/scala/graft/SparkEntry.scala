@@ -581,6 +581,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
+    // Temperature-reweighted mixture (target class mass ∝ n^alpha):
+    // alpha=0.5 thins common languages less aggressively than the
+    // uniform mixture; same no-full-shuffle plan.
+    "sample_mixture_temp" -> ((s, dir) => {
+      graft.operators.TrainExport.mixtureSampleTemperature(
+          Tables.documents(s, dir), "doc_id", "lang", alpha = 0.5, "t5")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
     // Fixed-SIZE per-class draw (mixtureSample is the fixed-RATE one):
     // n smallest md5 keys per class via the bounded top-k Aggregator —
     // the exchange carries at most n pairs per (task, class), never a
@@ -1729,6 +1738,20 @@ private object OracleSql {
         |WHERE c.cnt = m.min_cnt
         |   OR substr(md5('mix42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
         |      < printf('%08x', CAST(FLOOR(min_cnt * 4294967296.0 / cnt) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
+
+    // rate rounds to 6 before the hex threshold so cross-engine pow
+    // ulps can't flip boundary docs.
+    "sample_mixture_temp" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+        |r AS (SELECT lang, round(power(min_cnt::DOUBLE / cnt, 0.5), 6) AS rate
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.rate >= 1.0
+        |   OR substr(md5('t5:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))
         |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->

@@ -384,36 +384,58 @@ object CorpusClean {
     * are doc-keyed. `minLmScore` NaN-safe: docs absent from lmScore
     * (no bigrams) fail the floor when one is set — an empty doc is not
     * trainable text.
+    *
+    * `classifierKeep` adds the GPT-3-style classifier gate: a trained
+    * [[TextClassifier.NbModel]] plus the class(es) to keep — a doc
+    * passes when its argmax prediction is in the set (token-less docs,
+    * which the classifier cannot score, fail the gate). Train the model
+    * on a labeled reference set (curated vs crawl, wanted language vs
+    * rest) and the gate routes the corpus by it.
     */
   def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50,
-      minLmScore: Option[Double] = None): (DataFrame, DataFrame) = {
+      minLmScore: Option[Double] = None,
+      classifierKeep: Option[(TextClassifier.NbModel, Set[String])] = None)
+      : (DataFrame, DataFrame) = {
     val g = gopherFlags(docs, idCol, textCol, minWords = minWords)
       .select(col("doc_id"), col("passes").as("pass_gopher"))
     val r = repetitionFlags(docs, idCol, textCol)
       .select(col("doc_id"), col("passes").as("pass_repetition"))
     val lm = lmScore(docs, idCol, textCol)
       .select(col("doc_id"), col("avg_logp"))
-    val flagged = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val cls = classifierKeep.map { case (model, _) =>
+      TextClassifier.predict(docs, model, idCol, textCol)
+        .select(col("id").as("doc_id"), col("pred"))
+    }
+    val flagged0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(g, Seq("doc_id"), "left")
       .join(r, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
+    val flagged = cls.fold(flagged0)(c => flagged0.join(c, Seq("doc_id"), "left"))
       .withColumn("pass_gopher", coalesce(col("pass_gopher"), lit(false)))
       .withColumn("pass_repetition", coalesce(col("pass_repetition"), lit(false)))
       .withColumn("pass_lm", minLmScore match {
         case None => lit(true)
         case Some(t) => coalesce(col("avg_logp") >= t, lit(false))
       })
+      .withColumn("pass_classifier", classifierKeep match {
+        case None => lit(true)
+        case Some((_, keep)) =>
+          coalesce(col("pred").isin(keep.toSeq: _*), lit(false))
+      })
       .withColumn("keep",
-        col("pass_gopher") && col("pass_repetition") && col("pass_lm"))
+        col("pass_gopher") && col("pass_repetition") && col("pass_lm") &&
+          col("pass_classifier"))
     val report = flagged.agg(
         count(lit(1)).as("total"),
         sum(when(!col("pass_gopher"), 1L).otherwise(0L)).as("fail_gopher"),
         sum(when(!col("pass_repetition"), 1L).otherwise(0L)).as("fail_repetition"),
         sum(when(!col("pass_lm"), 1L).otherwise(0L)).as("fail_lm"),
+        sum(when(!col("pass_classifier"), 1L).otherwise(0L)).as("fail_classifier"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
-      .selectExpr("stack(5, 'total', total, 'fail_gopher', fail_gopher, " +
+      .selectExpr("stack(6, 'total', total, 'fail_gopher', fail_gopher, " +
         "'fail_repetition', fail_repetition, 'fail_lm', fail_lm, " +
+        "'fail_classifier', fail_classifier, " +
         "'kept', kept) as (rule, n)")
     val kept = piiScrub(flagged.filter(col("keep")), "text",
         keep = Seq("doc_id", "avg_logp"))

@@ -160,6 +160,36 @@ object TrainExport {
       .drop("_cnt", "_min_cnt")
   }
 
+  /** Temperature-reweighted mixture sampling (the GLaM/LLaMA domain
+    * balancing knob, target class mass ∝ n_c^alpha): per-class keep
+    * rate `(n_min / n_c)^(1-alpha)`, so `alpha = 0` reproduces
+    * [[mixtureSample]]'s uniform mixture exactly and `alpha = 1` keeps
+    * the natural distribution (everything). Rates round to 6 decimals
+    * BEFORE the hex-threshold conversion so the keep set is immune to
+    * cross-engine `pow` ulp differences (the one new numeric hazard vs
+    * the uniform case). Plan is identical to [[mixtureSample]]: one
+    * tiny class-count aggregate broadcast back, then a map-side
+    * md5-threshold filter — no full shuffle at any corpus size, and
+    * the kept set is a pure function of (corpus, alpha, seed). */
+  def mixtureSampleTemperature(docs: DataFrame, idCol: String,
+                               labelCol: String, alpha: Double,
+                               seed: String): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = docs.groupBy(col(labelCol)).agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min("_cnt").as("_min_cnt"))
+    val rate = round(
+      pow(col("_min_cnt").cast("double") / col("_cnt"), 1.0 - alpha), 6)
+    val threshold = lower(lpad(hex(
+      floor(rate * lit(4294967296.0)).cast("long")), 8, "0"))
+    docs
+      .join(broadcast(counts), Seq(labelCol))
+      .crossJoin(broadcast(minCnt))
+      // rate == 1 (the rarest class; every class at alpha = 1) keeps
+      // everything — and keeps the threshold under 9 hex digits.
+      .filter(rate >= 1.0 || uniformHexKey(seed, col(idCol)) < threshold)
+      .drop("_cnt", "_min_cnt")
+  }
+
   /** Deterministic stratified sample: EXACTLY `n` rows per class (fewer
     * only when the class itself is smaller) — the fixed-size per-class
     * draw ([[mixtureSample]] is the fixed-RATE counterpart; this is what

@@ -254,6 +254,33 @@ class CorpusCleanSpec extends SparkSpec {
       && rep("fail_lm") >= 1L)
   }
 
+  test("cleanCorpus classifier gate routes by the trained NB prediction") {
+    // second prose-shaped passage with a distinct vocabulary — passes
+    // the gopher/repetition gates but belongs to the "ads" class
+    val adProse =
+      "buy our great new deal today and save big money on every single " +
+      "offer we have in the store this week because prices are low and " +
+      "the best value is waiting for you right now so come on down to " +
+      "the shop and see all of our many fine products for sale here today"
+    val trainSet = Seq(
+      ("the quick brown fox and the lazy dog live in the woods", "good"),
+      ("animals play games all day long with their friends", "good"),
+      ("buy now save money big deal offer sale prices store", "ads"),
+      ("best value products for sale in the shop this week", "ads"))
+      .toDF("text", "label")
+    val model = graft.operators.TextClassifier.train(trainSet, "label", "text")
+    val docs = Seq((1L, prose), (2L, adProse)).toDF("doc_id", "text")
+    // both pass the rule gates without the classifier...
+    val (keptNoGate, _) = CorpusClean.cleanCorpus(docs, "doc_id", "text")
+    assert(keptNoGate.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // ...the gate drops the ad
+    val (kept, report) = CorpusClean.cleanCorpus(docs, "doc_id", "text",
+      classifierKeep = Some((model, Set("good"))))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val rep = report.as[(String, Long)].collect().toMap
+    assert(rep("fail_classifier") == 1L && rep("kept") == 1L)
+  }
+
   test("gopher quality gate works on a stream (stateless projection)") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger

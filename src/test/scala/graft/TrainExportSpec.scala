@@ -109,6 +109,25 @@ class TrainExportSpec extends SparkSpec {
     assert(rows.sortBy(_._2).map(_._1) != (1L to 333L).toSeq)
   }
 
+  test("mixtureSampleTemperature: alpha=0 == uniform mixture, alpha=1 keeps all, monotone") {
+    val d = docs(500)
+    val uniform = TrainExport.mixtureSample(d, "id", "lang", "sA")
+      .select("id").as[Long].collect().toSet
+    val t0 = TrainExport.mixtureSampleTemperature(d, "id", "lang", 0.0, "sA")
+      .select("id").as[Long].collect().toSet
+    assert(t0 == uniform)
+    val t1 = TrainExport.mixtureSampleTemperature(d, "id", "lang", 1.0, "sA")
+      .select("id").as[Long].collect().toSet
+    assert(t1 == (1L to 500L).toSet)
+    // a warmer temperature keeps a superset (same keys, higher thresholds)
+    val tHalf = TrainExport.mixtureSampleTemperature(d, "id", "lang", 0.5, "sA")
+      .select("id").as[Long].collect().toSet
+    assert(t0.subsetOf(tHalf) && tHalf.subsetOf(t1))
+    // rarest class always survives whole
+    val rare = d.filter($"lang" === "rare").select("id").as[Long].collect().toSet
+    assert(rare.subsetOf(tHalf))
+  }
+
   test("stratifiedSample: exactly n per class, window parity, whole class when small") {
     val d = docs(500) // en 250, de 179, rare 71
     val got = TrainExport.stratifiedSample(d, "id", "lang", n = 25, seed = "s1")
