@@ -412,6 +412,15 @@ object SparkEntry {
         "vec_id", "embedding", "label", topN = 20)
     }),
 
+    // Winnowing (Schleimer et al. 2003): partial-overlap candidates via
+    // shared local fingerprints — sliding-min over k-gram hashes, then
+    // the jaccard-style inverted-index join with the hot-key cap on.
+    "dedup_winnow" -> ((s, dir) => {
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxFpDf = 20)
+        .orderBy(desc("shared"), col("id_a"), col("id_b")).limit(100)
+    }),
+
     // SemDeDup (Abbas et al. 2023): per-cluster cosine dedup decision
     // for EVERY row. tau=0.3 exercises both arms on the synthetic
     // embeddings (no true near-dups exist there: max cosine 0.47).
@@ -1349,6 +1358,35 @@ private object OracleSql {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b
         |LIMIT 20""".stripMargin,
+
+    "dedup_winnow" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |shp AS (
+        |  SELECT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |           i -> struct_pack(pos := i,
+        |                  h := CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)))) AS ph
+        |  FROM tk),
+        |sh2 AS (SELECT id, ph.pos AS pos, ph.h AS h FROM shp),
+        |wmin AS (
+        |  SELECT id,
+        |         min(h) OVER (PARTITION BY id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |         count(*) OVER (PARTITION BY id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM sh2),
+        |fps0 AS (SELECT DISTINCT id, fp FROM wmin WHERE wn = 4),
+        |dfc AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
+        |fps AS (SELECT fps0.id, fps0.fp FROM fps0 JOIN dfc USING (fp) WHERE c <= 20),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |      FROM fps a JOIN fps b USING (fp) WHERE a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM p WHERE shared >= 2
+        |ORDER BY shared DESC, id_a, id_b
+        |LIMIT 100""".stripMargin,
 
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -371,6 +371,58 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm): hash every word k-gram, slide a w-window
+    * over the hash sequence, keep each window's minimum. Guarantee:
+    * any shared token run of length ≥ w + k - 1 contributes at least
+    * one shared fingerprint, while only ~2/(w+1) of the hashes are
+    * stored — the local-fingerprint dedup that catches PARTIAL overlap
+    * (a quoted paragraph, a copied function) which whole-doc
+    * fingerprints miss.
+    *
+    * Selection keeps the window min VALUE (the paper's rightmost-min
+    * position refinement only matters when positions survive into the
+    * set; here they don't) — min is associative and engine-portable.
+    * Plan: shingle hashes behind a projection boundary, ONE doc-keyed
+    * window pass (sliding min, frame state = w rows), distinct. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("id"),
+        posexplode(shingles(col(textCol), k)).as(Seq("pos", "s")))
+      .select(col("id"), col("pos"), md5Hash64(col("s")).as("h"))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.select(col("id"),
+        min("h").over(win).as("fp"),
+        count(lit(1)).over(win).as("wn"))
+      .filter(col("wn") === w) // full windows only
+      .select("id", "fp").distinct()
+  }
+
+  /** Pairs sharing at least `minShared` winnow fingerprints — partial-
+    * overlap candidates. Same inverted-index join shape (and hot-key
+    * cap) as [[jaccardPairs]]: the shuffle carries posting lists, never
+    * the all-pairs product; `maxFpDf > 0` drops fingerprints appearing
+    * in more docs than that (boilerplate runs, the quadratic corner). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Long = 2,
+                  maxFpDf: Int = 0): DataFrame = {
+    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps =
+      if (maxFpDf <= 0) fps0
+      else fps0.join(fps0.groupBy("fp").count()
+        .filter(col("count") <= maxFpDf).select("fp"), "fp")
+    val a = fps.select(col("fp"), col("id").as("id_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Top-N most-similar embedding pairs within a blocking column (label
     * or IVF centroid id): the scale-safe cosine near-dup report. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,

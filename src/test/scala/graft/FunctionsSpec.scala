@@ -256,6 +256,33 @@ class DedupSpec extends SparkSpec {
     assert(none.length == 4 && none.forall(!_._3))
   }
 
+  test("winnowing: shared runs >= w+k-1 tokens guarantee a shared fingerprint") {
+    val common = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1 at k=3,w=4
+    val d = Seq(
+      (1L, s"one two three $common four five six seven eight nine"),
+      (2L, s"ten eleven twelve thirteen $common fourteen fifteen sixteen"),
+      (3L, "totally unrelated words about engines and shuffles here today now"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the guarantee: docs 1 and 2 share at least one fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // density: winnowing stores a subset of the k-gram hash count
+    val nShingles = 10 - 2 // doc 3: 10 tokens, k=3
+    assert(fps(3L).size <= nShingles)
+    // identical docs -> identical sets
+    val dup = Seq((1L, "aa bb cc dd ee ff gg"), (2L, "aa bb cc dd ee ff gg"))
+      .toDF("doc_id", "text")
+    val f2 = Dedup.winnowFingerprints(dup, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(f2(1L) == f2(2L))
+    // pairs: the overlapping pair surfaces, the unrelated doc doesn't
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+  }
+
   test("simhash: identical token multisets → identical hash") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L) && h(0L) == h(3L))
