@@ -150,6 +150,29 @@ object CorpusClean {
       .agg(count(lit(1)).as("n_overlap_grams"))
   }
 
+  /** [[decontaminate]] with a Bloom pre-gate, for when the benchmark
+    * gram set outgrows a comfortable broadcast (a full eval-suite
+    * union): build a [[Bloom]] filter over the bench grams (m/64 longs
+    * — KBs — shipped as a literal), drop corpus grams the filter
+    * definitely hasn't seen BEFORE the join, then verify the survivors
+    * exactly against the real gram set. No false negatives means the
+    * result is IDENTICAL to [[decontaminate]] (pinned in spec); the
+    * gate just shrinks the join's corpus-side input to the
+    * false-positive rate. */
+  def decontaminateBloom(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchId: String,
+      benchText: String, n: Int, mBits: Int = 1 << 20,
+      kHashes: Int = 4): DataFrame = {
+    val benchGrams = Dedup.shingleTable(bench, benchId, benchText, n)
+      .select("sh").distinct()
+    val bloom = Bloom.build(benchGrams, "sh", mBits, kHashes)
+    Dedup.shingleTable(corpus, corpusId, corpusText, n)
+      .filter(Bloom.mightContain(col("sh"), bloom, kHashes))
+      .join(broadcast(benchGrams), Seq("sh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_overlap_grams"))
+  }
+
   /** Word n-gram occurrences, one row per position (unlike
     * [[Dedup.shingleTable]], which dedups — repetition rules need the
     * multiset). Token array materialized behind a projection boundary. */

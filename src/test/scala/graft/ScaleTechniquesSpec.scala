@@ -64,3 +64,43 @@ class BucketingSpec extends SparkSpec {
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
 }
+
+/** The declarative Bloom filter: never a false negative, sized-FP-rate
+  * sanity, and result-identity of the Bloom-gated decontamination. */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  import graft.operators.{Bloom, CorpusClean}
+
+  test("no false negatives; false positives within the sized bound") {
+    val members = (1 to 200).map(i => s"member_$i").toDF("v")
+    val words = Bloom.build(members, "v", mBits = 4096, kHashes = 4)
+    assert(words.length == 64)
+    val in = members.filter(Bloom.mightContain(col("v"), words)).count()
+    assert(in == 200) // every member passes — the structural guarantee
+    val nonMembers = (1 to 1000).map(i => s"other_$i").toDF("v")
+    val fp = nonMembers.filter(Bloom.mightContain(col("v"), words)).count()
+    // theoretical fpr at n=200, m=4096, k=4 is ~0.1%; 5% is generous
+    assert(fp <= 50, s"false-positive count $fp out of 1000")
+  }
+
+  test("bloom-gated decontamination is result-identical to the exact pass") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    // bench set: halves of some corpus docs (guaranteed overlaps) plus
+    // clean text (no overlap)
+    val bench = corpus.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("bid"),
+        substring($"text", 1, 120).as("btext"))
+      .union(Seq((9999L, "entirely novel benchmark question about nothing"))
+        .toDF("bid", "btext"))
+    val exact = CorpusClean.decontaminate(
+        corpus, "doc_id", "text", bench, "bid", "btext", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val gated = CorpusClean.decontaminateBloom(
+        corpus, "doc_id", "text", bench, "bid", "btext", n = 5,
+        mBits = 1 << 16, kHashes = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty)
+    assert(gated == exact)
+  }
+}
