@@ -389,8 +389,16 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol).as("id"),
-        posexplode(shingles(col(textCol), k)).as(Seq("pos", "s")))
+    // Token array materialized behind a projection boundary, like
+    // shingleTable: inlining tokens(text) into the transform would
+    // re-run the regex split per element_at (measured 4x here).
+    val toksDf = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val cnt = size(col("toks")) - (k - 1)
+    val grams = when(cnt >= 1,
+      transform(sequence(lit(1), greatest(cnt, lit(1))),
+        i => concat_ws(" ", (0 until k).map(o => element_at(col("toks"), i + o)): _*))
+    ).otherwise(array().cast("array<string>"))
+    val sh = toksDf.select(col("id"), posexplode(grams).as(Seq("pos", "s")))
       .select(col("id"), col("pos"), md5Hash64(col("s")).as("h"))
     val win = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
