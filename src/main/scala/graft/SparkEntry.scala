@@ -609,6 +609,21 @@ object SparkEntry {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): weight every doc by
+    // the hashed-ngram log-likelihood ratio of an English target slice
+    // vs the raw corpus, then draw 100 docs without replacement via
+    // Gumbel top-k. Bucket counts aggregate onto 10k-bounded keys; the
+    // per-doc rollup is the one doc-keyed shuffle (NB-scoring shape).
+    "sample_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.TrainExport.dsirSample(
+          docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text",
+          k = 100, seed = "dsir9", buckets = 10000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic global shuffle + round-robin sharding: reproducible
     // md5-keyed permutation, global position via the distributed prefix
     // sum (row_number without the single-partition window), shard
@@ -1790,6 +1805,47 @@ private object OracleSql {
         |WHERE r.rate >= 1.0
         |   OR substr(md5('t5:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
         |      < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Hashed unigram+bigram buckets (md5 mod 10k), Laplace-smoothed
+    // log-ratio model, per-doc sum rounded to 6, Gumbel key
+    // log_w - ln(-ln(u)) with u = (hash32 + 0.5) / 2^32 — every
+    // ingredient md5/double arithmetic both engines compute identically.
+    "sample_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT id, lang, unnest(list_concat(toks,
+        |           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                          i -> toks[i] || ' ' || toks[i+1]))) AS gram
+        |  FROM tk),
+        |b AS (SELECT id, lang,
+        |             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 10000 AS bkt
+        |      FROM g),
+        |rc AS (SELECT bkt, count(*) AS c_r FROM b GROUP BY 1),
+        |tc AS (SELECT bkt, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY 1),
+        |rt AS (SELECT sum(c_r) AS n_r FROM rc),
+        |tt AS (SELECT sum(c_t) AS n_t FROM tc),
+        |model AS (
+        |  SELECT rc.bkt,
+        |         ln((coalesce(tc.c_t, 0) + 1.0) / (tt.n_t + 10000.0)) -
+        |         ln((rc.c_r + 1.0) / (rt.n_r + 10000.0)) AS lambda
+        |  FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tt CROSS JOIN rt),
+        |db AS (SELECT id, bkt, count(*) AS n_b FROM b GROUP BY 1, 2),
+        |w AS (SELECT id, round(sum(n_b * lambda), 6) AS log_w
+        |      FROM db JOIN model USING (bkt) GROUP BY 1),
+        |sel AS (
+        |  SELECT id AS doc_id, log_w,
+        |         round(log_w - ln(-ln(
+        |           (CAST(('0x' || substr(md5('dsir9:' || CAST(id AS VARCHAR)), 1, 8))
+        |                 AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel
+        |  FROM w
+        |  ORDER BY gumbel DESC, doc_id
+        |  LIMIT 100)
+        |SELECT doc_id, log_w, gumbel FROM sel
         |ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->

@@ -291,4 +291,102 @@ object TrainExport {
       .withColumn("shard", ((col("pos") - 1) % nShards).cast("int"))
       .drop("_one", "_shufkey")
   }
+
+  /** Hashed n-gram feature occurrences for DSIR: one row per unigram
+    * AND word-bigram occurrence (multiset — importance weights count
+    * repetitions), bucketed by md5 mod `buckets`. Token array
+    * materialized behind a projection boundary (the shingleTable
+    * stance — inlining the regex split into the bigram lambda would
+    * re-run it per element_at). */
+  private def hashedGramBuckets(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toksDf = docs.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("toks"))
+    val nBi = size(col("toks")) - 1
+    val bigrams = when(nBi >= 1,
+      transform(sequence(lit(1), greatest(nBi, lit(1))),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    ).otherwise(array().cast("array<string>"))
+    toksDf
+      .select(col("id"), explode(concat(col("toks"), bigrams)).as("gram"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bkt"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw
+    * document by how much likelier its hashed n-gram features are under
+    * a TARGET corpus (the domain you want more of) than under the raw
+    * corpus itself —
+    * `log_w(z) = Σ_buckets n_b(z) · (ln p_target(b) − ln p_raw(b))`,
+    * with unigram+bigram features hashed into `buckets` slots (the
+    * paper's 10k-bucket bag-of-hashed-ngrams model) and Laplace-smoothed
+    * bucket probabilities `(c_b + 1) / (n + buckets)`.
+    *
+    * Returns (id, n_grams, log_w); documents with zero tokens carry no
+    * features and are absent (they can't be scored — route them through
+    * a length rule instead). log_w rounds to 6 AFTER the per-doc sum
+    * (house float-parity style).
+    *
+    * Scale: the two bucket-count tables aggregate corpus-scale gram
+    * streams onto `buckets`-bounded keys (map-side combined, exchange
+    * carries ≤ buckets rows per task); the model join is a broadcast of
+    * `buckets` rows; the per-doc rollup is the one doc-keyed shuffle —
+    * the same (doc, feature) → model-join → rollup shape as NB scoring.
+    * Raw grams feed both the raw counts and the rollup, so they persist
+    * for the query's duration. */
+  def dsirLogWeights(raw: DataFrame, idCol: String, textCol: String,
+                     target: DataFrame, targetTextCol: String,
+                     buckets: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val rawGrams = hashedGramBuckets(raw, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tCnt = hashedGramBuckets(target, idCol, targetTextCol, buckets)
+      .groupBy("bkt").agg(count(lit(1)).as("c_t"))
+    val rCnt = rawGrams.groupBy("bkt").agg(count(lit(1)).as("c_r"))
+    val tTot = tCnt.agg(sum("c_t").as("n_t"))
+    val rTot = rCnt.agg(sum("c_r").as("n_r"))
+    // Every raw gram's bucket is present in rCnt by construction, so a
+    // left join from rCnt covers every bucket a document can hit;
+    // target-absent buckets smooth to the 1/(n_t + buckets) floor.
+    val model = rCnt.join(tCnt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bkt"),
+        (log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) /
+             (col("n_t") + lit(buckets.toDouble))) -
+         log((col("c_r") + lit(1.0)) /
+             (col("n_r") + lit(buckets.toDouble)))).as("lambda"))
+    rawGrams.groupBy("id", "bkt").agg(count(lit(1)).as("n_b"))
+      .join(broadcast(model), "bkt")
+      .groupBy("id")
+      .agg(sum("n_b").as("n_grams"),
+        round(sum(col("n_b") * col("lambda")), 6).as("log_w"))
+  }
+
+  /** DSIR selection: draw `k` documents without replacement with
+    * probability ∝ exp(log_w) via the Gumbel-top-k trick — rank by
+    * `log_w − ln(−ln(u))` with `u` the md5-uniform key in (0,1), take
+    * the k largest. Resampling (not arg-top-k by weight, which the
+    * paper shows collapses onto near-duplicate high-weight docs) keeps
+    * diversity while shifting the sample toward the target domain; the
+    * draw is a pure function of (corpora, seed, k). Keys round to 6
+    * before ranking, ties to smallest id; the rank itself is
+    * TakeOrderedAndProject — k rows per partition to the driver, no
+    * full sort. */
+  def dsirSample(raw: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String, k: Int,
+                 seed: String, buckets: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = dsirLogWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+    // (v + 0.5) / 2^32 keeps u strictly inside (0,1): ln(-ln(u)) is
+    // finite at both ends.
+    val u = (conv(uniformHexKey(seed, col("id")), 16, 10).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    w.select(col("id"), col("log_w"),
+        round(col("log_w") - log(-log(u)), 6).as("gumbel"))
+      .orderBy(desc("gumbel"), col("id"))
+      .limit(k)
+  }
 }

@@ -150,4 +150,52 @@ class TrainExportSpec extends SparkSpec {
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(all == Map("en" -> 100L, "de" -> 100L, "rare" -> 71L))
   }
+
+  private def textDocs(rows: (Long, String)*) = rows.toDF("id", "text")
+
+  test("dsirLogWeights: target == raw gives exactly zero; target-like docs outrank others") {
+    val d = textDocs(
+      1L -> "spark shuffle partition spark shuffle codegen",
+      2L -> "spark partition codegen shuffle spark plan",
+      3L -> "violin sonata allegro violin adagio tempo",
+      4L -> "sonata tempo violin allegro crescendo forte")
+    // identical corpora: every bucket count matches, so every lambda —
+    // hence every log weight — is exactly 0.0, not just approximately
+    val self = TrainExport.dsirLogWeights(d, "id", "text", d, "text")
+      .select("id", "log_w").as[(Long, Double)].collect().toMap
+    assert(self == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+    // target = the spark-flavored half: spark docs must outweigh music docs
+    val w = TrainExport.dsirLogWeights(d, "id", "text",
+        d.filter($"id" <= 2), "text")
+      .select("id", "log_w").as[(Long, Double)].collect().toMap
+    assert(Seq(1L, 2L).map(w).min > Seq(3L, 4L).map(w).max)
+    // zero-token docs carry no features and are absent, not zero-scored
+    val withEmpty = TrainExport.dsirLogWeights(
+        textDocs(1L -> "spark shuffle", 2L -> "???"), "id", "text",
+        textDocs(10L -> "spark"), "text")
+      .select("id").as[Long].collect().toSet
+    assert(withEmpty == Set(1L))
+  }
+
+  test("dsirSample: k rows, deterministic, target-shifted vs uniform") {
+    val d = (1L to 200L).map { i =>
+      val text = if (i % 4 == 0) "spark shuffle partition codegen plan"
+                 else "violin sonata allegro adagio tempo"
+      (i, text)
+    }.toDF("id", "text")
+    val target = d.filter($"id" % 4 === 0) // the spark quarter
+    val got = TrainExport.dsirSample(d, "id", "text", target, "text",
+        k = 40, seed = "g1")
+      .select("id").as[Long].collect().toSeq
+    assert(got.size == 40 && got.distinct.size == 40)
+    // Gumbel resampling ∝ exp(log_w) must over-represent the target
+    // flavor relative to its 25% base rate (the weights separate the
+    // two flavors by a wide margin, so this is not a flaky margin)
+    val sparkShare = got.count(_ % 4 == 0).toDouble / got.size
+    assert(sparkShare > 0.5, s"spark-flavored share $sparkShare")
+    // pure function of (corpora, seed, k)
+    val again = TrainExport.dsirSample(d, "id", "text", target, "text",
+        40, "g1").select("id").as[Long].collect().toSeq
+    assert(again == got)
+  }
 }
