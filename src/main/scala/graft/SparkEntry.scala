@@ -506,6 +506,14 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // CCNet's selection stage: head/middle/tail terciles of the LM
+    // score per language (thresholds broadcast, assignment map-side).
+    "quality_ppl_buckets" -> ((s, dir) => {
+      graft.operators.CorpusClean.perplexityBuckets(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Cross-document repeated 5-grams -> per-doc boilerplate coverage
     // (Lee et al. 2021). One groupBy on the gram + a broadcast join of
     // the (small, head-of-distribution) repeated set back to docs.
@@ -1665,6 +1673,42 @@ private object OracleSql {
         |GROUP BY 1
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
+
+    // The quality_lm scoring CTE + per-language tercile thresholds
+    // (quantile_cont == Spark's interpolated percentile, the
+    // q_percentiles-pinned parity), both rounded to 6 before the
+    // bucket CASE.
+    "quality_ppl_buckets" ->
+      """WITH nt AS (
+        |  SELECT doc_id, lang,
+        |         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(generate_series(1, greatest(length(t) - 1, 0)),
+        |                               i -> substr(t, i, 2))) AS bg
+        |  FROM nt),
+        |dg AS (SELECT doc_id, lang, bg, count(*) AS n FROM g GROUP BY 1, 2, 3),
+        |gc AS (SELECT bg, sum(n) AS cnt FROM dg GROUP BY 1),
+        |cc AS (SELECT substr(bg, 1, 1) AS c0, sum(cnt) AS ctx FROM gc GROUP BY 1),
+        |lp AS (
+        |  SELECT bg, ln((cnt + 1.0) / (ctx + 37.0)) AS lp
+        |  FROM gc JOIN cc ON substr(gc.bg, 1, 1) = cc.c0),
+        |sc AS (
+        |  SELECT dg.doc_id, dg.lang,
+        |         round(sum(n * lp.lp) / sum(n), 6) AS avg_logp
+        |  FROM dg JOIN lp USING (bg)
+        |  GROUP BY 1, 2),
+        |thr AS (
+        |  SELECT lang, round(quantile_cont(avg_logp, 1.0/3.0), 6) AS t1,
+        |         round(quantile_cont(avg_logp, 2.0/3.0), 6) AS t2
+        |  FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang, sc.avg_logp,
+        |       CASE WHEN sc.avg_logp > thr.t2 THEN 'head'
+        |            WHEN sc.avg_logp > thr.t1 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sc JOIN thr USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "boilerplate_ngrams" ->
       """WITH tk AS (

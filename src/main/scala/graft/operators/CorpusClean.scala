@@ -319,6 +319,41 @@ object CorpusClean {
         round(sum(col("n") * col("lp")) / sum("n"), 6).as("avg_logp"))
   }
 
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): split each
+    * language into head / middle / tail terciles of the LM score — the
+    * selection stage after scoring, where a pipeline keeps head(+middle)
+    * for training. Higher `avg_logp` = lower perplexity = head.
+    *
+    * Thresholds are the per-language score terciles, rounded to 6 (like
+    * the scores) before the bucket compare so the assignment is
+    * engine-portable. `exact = true` (default, the oracle tier) uses
+    * interpolated percentiles — per-language sort, O(group) memory;
+    * `exact = false` is the 100 TB tier: `percentile_approx` sketches,
+    * constant state per language, map-side combined (CCNet itself
+    * thresholds from a sample — approximate cuts are the semantic).
+    *
+    * Returns (doc_id, lang, avg_logp, bucket); docs [[lmScore]] can't
+    * score (no bigram) are absent. Plan: the lmScore shape + one id
+    * join to recover the language + a tiny per-language threshold agg
+    * broadcast back — bucket assignment is map-side. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, exact: Boolean = true): DataFrame = {
+    val scored = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+    def cut(p: Double) =
+      if (exact) percentile(col("avg_logp"), lit(p))
+      else percentile_approx(col("avg_logp"), lit(p), lit(10000))
+    val thr = scored.groupBy("lang").agg(
+      round(cut(1.0 / 3.0), 6).as("t1"),
+      round(cut(2.0 / 3.0), 6).as("t2"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("avg_logp") > col("t2"), lit("head"))
+          .when(col("avg_logp") > col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-(doc, bigram) occurrence counts over the normalized text.
     *
     * The char ARRAY is materialized behind a projection boundary (same

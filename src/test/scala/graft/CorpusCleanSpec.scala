@@ -221,6 +221,42 @@ class CorpusCleanSpec extends SparkSpec {
       s"gibberish ${scores(10L)} should score well below prose ${scores(1L)}")
   }
 
+  test("perplexityBuckets: per-language terciles, gibberish in tail, approx == exact here") {
+    // 12 distinct-score docs per language: prose variants for en, token
+    // scrambles for de — scores vary because bigram mixes differ
+    val docs = (1L to 24L).map { i =>
+      val lang = if (i <= 12) "en" else "de"
+      val text = prose.split(" ").drop((i % 12).toInt).mkString(" ")
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = CorpusClean.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(out.size == 24)
+    // terciles: each language splits 4/4/4 (12 docs, distinct scores)
+    val perLangBucket = out.groupBy(r => (r._2, r._4)).view.mapValues(_.size).toMap
+    for (lang <- Seq("en", "de"); b <- Seq("head", "middle", "tail"))
+      assert(perLangBucket.getOrElse((lang, b), 0) == 4, s"$lang/$b: $perLangBucket")
+    // bucket order tracks the score order within each language
+    for (lang <- Seq("en", "de")) {
+      val byBucket = out.filter(_._2 == lang).groupBy(_._4)
+        .view.mapValues(_.map(_._3)).toMap
+      assert(byBucket("head").min > byBucket("middle").max)
+      assert(byBucket("middle").min > byBucket("tail").max)
+    }
+    // the sketch tier agrees exactly at this size (distinct values ≪
+    // the sketch accuracy), so the 100 TB path is pinned to the oracle
+    val approx = CorpusClean.perplexityBuckets(docs, "doc_id", "text",
+        "lang", exact = false)
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(approx == out.toSet)
+    // a gibberish doc joins its language's tail
+    val withGib = docs.union(
+      Seq((99L, "en", "qzxjv qkw zzqj qxv wqz jqqx zvq")).toDF("doc_id", "lang", "text"))
+    val gib = CorpusClean.perplexityBuckets(withGib, "doc_id", "text", "lang")
+      .filter($"doc_id" === 99L).select("bucket").as[String].head()
+    assert(gib == "tail")
+  }
+
   test("cleanCorpus: composed gates, per-rule report, survivors PII-scrubbed") {
     // prose-dominant corpus (the LM is trained in-corpus), bigram-
     // diverse gibberish: an in-corpus model rates REPETITIVE gibberish
