@@ -552,6 +552,30 @@ object SparkEntry {
         .orderBy(desc("weight"), col("a"), col("b")).limit(50)
     }),
 
+    // Tokenizer APPLY: segment every doc under a fixed merge list (the
+    // encode semantics are what's oracle-checked — training is covered
+    // by bpe_pair_stats + BpeSpec). Segmentation runs per DISTINCT
+    // word; occurrences recover subwords through a word-keyed join.
+    "bpe_encode" -> ((s, dir) => {
+      graft.operators.Bpe.encodeDocs(
+          Tables.documents(s, dir), "doc_id", "text", BpeDemoMerges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("tokens_str"))
+        .orderBy("doc_id").limit(500)
+    }),
+
+    // The tokenize→pack composition: sequence packing over REAL BPE
+    // token counts (pack_sequences uses the chars/4 proxy) — encode
+    // feeds the distributed prefix sum directly.
+    "tokenize_pack" -> ((s, dir) => {
+      val enc = graft.operators.Bpe.encodeDocs(
+        Tables.documents(s, dir), "doc_id", "text", BpeDemoMerges)
+      graft.operators.TrainExport.packSequences(
+          enc.select(col("id").as("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = 2048)
+        .orderBy("doc_id")
+    }),
+
     // Which sources skew the token mix: per-slice unigram KL divergence
     // vs the corpus distribution. One corpus-scale shuffle (the
     // map-side-combined (slice, term) count); all later stages run on
@@ -867,6 +891,14 @@ object SparkEntry {
     }),
   )
 
+  /** Fixed merge list shared verbatim by the bpe_encode query and its
+    * oracle: the encode semantics (greedy left-to-right per rule, rules
+    * in order) are what's being checked, so the list itself need not be
+    * corpus-optimal. Later rules reference symbols earlier ones create. */
+  private[graft] val BpeDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t")
+
   def oracleSql: Map[String, String] = OracleSql.all
 }
 
@@ -911,6 +943,17 @@ private object OracleSql {
 
   private val stopList = sqlList(graft.functions.TextFunctions.stopwords)
   private val kwList = sqlList(graft.functions.TextFunctions.codeKeywords)
+
+  /** The bpe_encode oracle's per-word segmentation expression: each
+    * symbol wrapped as `_sym_` (so every rule match is anchored on BOTH
+    * symbol boundaries — a bare separator would let a rule match across
+    * a shared boundary or inside a multi-char symbol), one non-
+    * overlapping left-to-right `replace` per merge rule, which is
+    * exactly the greedy single-pass semantics of Bpe.applyMerge. */
+  private val bpeEncodeExpr: String =
+    SparkEntry.BpeDemoMerges.foldLeft("regexp_replace(word, '(.)', '_\\1_', 'g')") {
+      case (e, (a, b)) => s"replace($e, '_${a}__${b}_', '_${a}${b}_')"
+    }
 
   /** Shared shingle/size/jaccard CTEs over `documents` (3-gram, set
     * semantics) used by the jaccard and minhash oracles. */
@@ -1765,6 +1808,63 @@ private object OracleSql {
         |FROM p GROUP BY 1, 2
         |ORDER BY weight DESC, a, b
         |LIMIT 50""".stripMargin,
+
+    // Segmentation replayed per distinct word via boundary-anchored
+    // replace chains (see bpeEncodeExpr); docs reassemble in position
+    // order.
+    "bpe_encode" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, pos, toks[pos] AS word
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS pos
+        |        FROM tk)),
+        |v AS (SELECT DISTINCT word FROM w),
+        |seg AS (
+        |  SELECT word, string_split(trim($bpeEncodeExpr, '_'), '__') AS subw
+        |  FROM v)
+        |SELECT w.doc_id,
+        |       CAST(sum(len(subw)) AS BIGINT) AS n_tokens,
+        |       string_agg(array_to_string(subw, ' '), ' ' ORDER BY pos) AS tokens_str
+        |FROM w JOIN seg USING (word)
+        |GROUP BY 1
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
+
+    // bpe_encode's count CTEs + the pack window (naive single-partition
+    // cumsum formulation the distributed prefix sum must reproduce).
+    "tokenize_pack" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks[pos] AS word
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS pos
+        |        FROM tk)),
+        |v AS (SELECT DISTINCT word FROM w),
+        |seg AS (
+        |  SELECT word, len(string_split(trim($bpeEncodeExpr, '_'), '__')) AS nw
+        |  FROM v),
+        |t AS (
+        |  SELECT doc_id, CAST(sum(nw) AS BIGINT) AS n_tokens
+        |  FROM w JOIN seg USING (word)
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST(FLOOR(tok_start / 2048.0) AS BIGINT) AS seq_id,
+        |       tok_start % 2048 AS seq_offset
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
 
     "corpus_divergence" ->
       """WITH toks AS (

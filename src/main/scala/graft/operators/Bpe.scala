@@ -64,6 +64,44 @@ object Bpe {
       case (syms, (a, b)) => applyMerge(syms, a, b)
     }
 
+  /** Distributed BPE ENCODE (tokenizer apply): segment every document
+    * into subword tokens under a trained merge list — the
+    * train→encode→pack completion of the tokenizer pipeline
+    * ([[trainMerges]] learns the rules; this applies them; the token
+    * counts feed TrainExport.packSequences with real lengths instead
+    * of the chars/4 proxy).
+    *
+    * Scale shape: the iterative merge loop runs once per DISTINCT word
+    * (the vocabulary table — millions of rows), never per occurrence
+    * (trillions): vocab rows map through [[segment]] with the merge
+    * list in the task closure (KBs), and occurrences recover their
+    * subwords through a word-keyed join (AQE broadcasts the segmented
+    * vocab when it fits). Per-doc reassembly is ONE doc-keyed shuffle;
+    * collect_list order is repaired by sorting on position, so the
+    * result is deterministic under any partitioning.
+    *
+    * Returns (id, tokens array<string>, n_tokens). Words are the BM25
+    * tokens, consistent with every other text operator here.
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = docs.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
+    val segmented = occ.select("word").distinct()
+      .as[String]
+      .map(w => (w, segment(w, merges).toArray))
+      .toDF("word", "subw")
+    occ.join(segmented, "word")
+      .groupBy("id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("subw")))),
+          s => s.getField("subw"))).as("tokens"))
+      .select(col("id"), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Learn up to `numMerges` merge rules from a word-frequency table.
     * Stops early when no adjacent pair reaches `minFreq`. Each round:
     * one pair-count aggregate over the vocab (argmax to the driver —

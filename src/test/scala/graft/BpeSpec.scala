@@ -61,4 +61,38 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.segment(w, merges).mkString == w)
     }
   }
+
+  test("encodeDocs: per-doc subwords match driver-side segment, in document order") {
+    val d = Seq((1L, "newest lowest low"), (2L, "widest newest"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val out = Bpe.encodeDocs(d, "doc_id", "text", merges)
+      .select("id", "tokens", "n_tokens")
+      .as[(Long, Seq[String], Long)].collect()
+      .map { case (k, t, n) => k -> ((t, n)) }.toMap
+    assert(out(1L)._1 == Seq("n", "e", "w", "est", "low", "est", "low"))
+    assert(out(2L)._1 == Seq("w", "i", "d", "est", "n", "e", "w", "est"))
+    assert(out.forall { case (_, (t, n)) => t.size.toLong == n })
+  }
+
+  test("encodeDocs round-trips and shrinks token counts as merges grow") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100)
+    val freqs = Bpe.wordFreqs(real, "text")
+    val merges = Bpe.trainMerges(freqs, numMerges = 10)
+    val enc = Bpe.encodeDocs(real, "doc_id", "text", merges)
+    // concatenating a doc's subwords reproduces its token stream
+    val plain = real.select(col("doc_id").as("id"),
+        concat_ws("", graft.functions.TextFunctions.tokens(col("text"))).as("s"))
+      .as[(Long, String)].collect().toMap
+    val got = enc.select(col("id"), concat_ws("", col("tokens")))
+      .as[(Long, String)].collect().toMap
+    assert(got == plain.filter(_._2.nonEmpty))
+    // more merges → no doc's token count grows
+    val enc0 = Bpe.encodeDocs(real, "doc_id", "text", merges.take(3))
+      .select("id", "n_tokens").as[(Long, Long)].collect().toMap
+    val enc10 = enc.select("id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(enc10.forall { case (id, n) => n <= enc0(id) })
+    assert(enc10.values.sum < enc0.values.sum)
+  }
 }
