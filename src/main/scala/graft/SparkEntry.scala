@@ -585,6 +585,14 @@ object SparkEntry {
         Tables.documents(s, dir), "source", "text")
     }),
 
+    // Embedding-modality drift: per-slice centroid vs corpus centroid
+    // (L2 + cosine). One (slice, dim) aggregate over the exploded
+    // vectors; the corpus centroid derives from the slice sums.
+    "embedding_drift" -> ((s, dir) => {
+      graft.operators.Profile.embeddingDrift(
+        Tables.embeddings(s, dir), "label", "embedding")
+    }),
+
     // Test-set decontamination: every 50th doc plays the benchmark set;
     // corpus docs sharing a 5-gram with it are flagged with their
     // overlap count (the anti-join input for a clean training split).
@@ -1865,6 +1873,24 @@ private object OracleSql {
         |       tok_start % 2048 AS seq_offset
         |FROM c
         |ORDER BY doc_id""".stripMargin,
+
+    // dim is 1-based here, 0-based in Spark — it's only ever a join
+    // key, never output, so the numbering is engine-internal.
+    "embedding_drift" ->
+      """WITH e AS (
+        |  SELECT label AS slice,
+        |         unnest(generate_series(1, len(embedding))) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |sd AS (SELECT slice, dim, sum(x) AS s, count(*) AS n FROM e GROUP BY 1, 2),
+        |cd AS (SELECT dim, sum(s) / sum(n) AS m_c FROM sd GROUP BY 1)
+        |SELECT slice, CAST(max(n) AS BIGINT) AS n_vecs,
+        |       round(sqrt(sum((s/n - m_c) * (s/n - m_c))), 6) AS l2_dist,
+        |       round(sum((s/n) * m_c) /
+        |             (sqrt(sum((s/n) * (s/n))) * sqrt(sum(m_c * m_c))), 6) AS cosine
+        |FROM sd JOIN cd USING (dim)
+        |GROUP BY slice
+        |ORDER BY slice""".stripMargin,
 
     "corpus_divergence" ->
       """WITH toks AS (

@@ -338,9 +338,14 @@ object CorpusClean {
     * broadcast back — bucket assignment is map-side. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, exact: Boolean = true): DataFrame = {
+    // Persisted: the threshold agg and the final bucket join both
+    // consume the scores — without this the whole lmScore pipeline
+    // (two corpus passes) runs twice (the 2c70bd2 stance). Row-per-doc
+    // with 4 narrow columns, so the cache is corpus-row-bounded.
     val scored = lmScore(docs, idCol, textCol)
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
         "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cut(p: Double) =
       if (exact) percentile(col("avg_logp"), lit(p))
       else percentile_approx(col("avg_logp"), lit(p), lit(10000))

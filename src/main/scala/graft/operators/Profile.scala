@@ -64,6 +64,43 @@ object Profile {
     * rollup). Nothing is ever keyed by document, and the corpus total
     * broadcasts as a 1-row product. Per-term contributions round to 6
     * AFTER the per-slice sum. */
+  /** Per-slice embedding drift: each slice's centroid compared to the
+    * corpus centroid (L2 and cosine) — [[tokenDivergence]]'s
+    * counterpart for the embedding modality (did this source's/batch's
+    * representation shift; is an ingest slice degenerate). The corpus
+    * centroid derives from the per-slice sums — aggregate tables, never
+    * a second pass over the vectors.
+    *
+    * Plan shape: ONE corpus-scale (slice, dim) aggregate over the
+    * exploded vectors (map-side combined — state per task ≤ slices ×
+    * dims cells); everything downstream runs on slices × dims rows,
+    * with the dims-row corpus centroid broadcast. Distances round to 6
+    * AFTER the dim sums (house float-parity style).
+    */
+  def embeddingDrift(emb: DataFrame, sliceCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val dims = emb.select(col(sliceCol).as("slice"),
+      posexplode(VectorFunctions.asDouble(col(vecCol))).as(Seq("dim", "x")))
+    // Persisted: the corpus centroid and the slice centroids both read
+    // this aggregate; without it the corpus-scale explode+agg runs
+    // twice. slices x dims rows — tiny.
+    val sd = dims.groupBy("slice", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cd = sd.groupBy("dim")
+      .agg((sum("s") / sum("n")).as("m_c"))
+    val ms = col("s") / col("n")
+    sd.join(broadcast(cd), "dim")
+      .groupBy("slice")
+      .agg(max("n").as("n_vecs"),
+        round(sqrt(sum((ms - col("m_c")) * (ms - col("m_c")))), 6).as("l2_dist"),
+        round(sum(ms * col("m_c")) /
+          (sqrt(sum(ms * ms)) * sqrt(sum(col("m_c") * col("m_c")))), 6)
+          .as("cosine"))
+      .orderBy("slice")
+  }
+
   def tokenDivergence(docs: DataFrame, sliceCol: String = "source",
                       textCol: String = "text"): DataFrame = {
     // Persisted: four consumers (slice totals, corpus marginals, the

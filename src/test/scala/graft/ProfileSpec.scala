@@ -76,4 +76,23 @@ class ProfileSpec extends SparkSpec {
       assert(terms > 0 && toks >= terms)
     }
   }
+
+  test("embeddingDrift: single slice drifts zero; hand-computed two-slice axes") {
+    // one slice: its centroid IS the corpus centroid
+    val one = Seq((1L, "a", Seq(1.0f, 2.0f)), (2L, "a", Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val z = Profile.embeddingDrift(one, "label", "embedding")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(z == Seq(("a", 2L, 0.0, 1.0)))
+    // axis-aligned slices: centroids (1,0) and (0,1), corpus (0.5,0.5);
+    // L2 = sqrt(0.5^2 + 0.5^2), cosine = 0.5 / (1 * sqrt(0.5))
+    val two = Seq((1L, "a", Seq(1.0f, 0.0f)), (2L, "b", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val d = Profile.embeddingDrift(two, "label", "embedding")
+      .as[(String, Long, Double, Double)].collect()
+      .map { case (s, n, l2, cos) => s -> ((n, l2, cos)) }.toMap
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(d("a") == ((1L, r6(math.sqrt(0.5 * 0.5 * 2)), r6(0.5 / math.sqrt(0.5)))))
+    assert(d("b") == d("a").copy()) // symmetric by construction
+  }
 }
