@@ -421,6 +421,19 @@ object SparkEntry {
         .orderBy(desc("shared"), col("id_a"), col("id_b")).limit(100)
     }),
 
+    // Hard-negative mining (contrastive training data): for each
+    // anchor of a "training batch" (every 20th vector), the 5 most
+    // cosine-similar OTHER-label vectors — exact tier as the oracle
+    // formulation; the centroid-blocked production tier is pinned in
+    // KnnSpec.
+    "knn_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Knn.hardNegatives(
+          emb.filter(col("vec_id") % 20 === 0), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("id", "rank")
+    }),
+
     // SemDeDup (Abbas et al. 2023): per-cluster cosine dedup decision
     // for EVERY row. tau=0.3 exercises both arms on the synthetic
     // embeddings (no true near-dups exist there: max cosine 0.47).
@@ -1432,6 +1445,24 @@ private object OracleSql {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b
         |LIMIT 20""".stripMargin,
+
+    "knn_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS id, c.vec_id AS neg_id,
+        |         round(list_inner_product(a.v, c.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
+        |  FROM e a JOIN e c ON a.label <> c.label
+        |  WHERE a.vec_id % 20 = 0),
+        |r AS (
+        |  SELECT id, neg_id, cosine,
+        |         row_number() OVER (PARTITION BY id
+        |                            ORDER BY cosine DESC, neg_id) AS rank
+        |  FROM s)
+        |SELECT id, rank, neg_id, cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY id, rank""".stripMargin,
 
     "dedup_winnow" ->
       """WITH tk AS (

@@ -129,6 +129,60 @@ object Knn {
         col("t.id").as("vec_id"), col("t.score").as("score"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/SBERT data-prep step; Robinson et al. 2021 on why hard
+    * negatives matter): for each anchor vector, the `k` most
+    * cosine-similar candidates carrying a DIFFERENT label — the
+    * "looks the same, isn't" pairs a contrastive loss learns most
+    * from. Anchors and candidates are separate frames because the
+    * realistic shape mines negatives for a training BATCH against the
+    * whole corpus.
+    *
+    * `blockCol = None` scores every cross-label pair — the exact
+    * (oracle) tier, O(|anchors| x |candidates|), fine for batch-sized
+    * anchor sets. Production passes the IVF centroid column: hard
+    * negatives are by definition NEAR the anchor, so centroid-local
+    * search finds them while the join stays co-partitioned on the
+    * layout (the semanticDedup stance); recall vs exact is pinned in
+    * KnnSpec. Cosines round to 6 before ranking with id tie-breaks,
+    * and the per-anchor top-k goes through the bounded [[TopKByScore]]
+    * aggregator — map tasks forward at most k pairs per anchor into
+    * the exchange, never the scored pair table. */
+  def hardNegatives(anchors: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int, blockCol: Option[String] = None): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    val spark = anchors.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame, suffix: String) = {
+      val blk = blockCol.map(col).getOrElse(lit(0))
+      df.select(col(idCol).cast("long").as(s"id$suffix"),
+        col(labelCol).as(s"lbl$suffix"),
+        asDouble(col(vecCol)).as(s"v$suffix"),
+        blk.as("blk"))
+    }
+    val a = prep(anchors, "_a")
+    val c = prep(candidates, "_c")
+    val joined = blockCol match {
+      case Some(_) => a.join(c, "blk")
+      case None    => a.drop("blk").crossJoin(c.drop("blk"))
+    }
+    val scored = joined
+      .filter(col("lbl_a") =!= col("lbl_c"))
+      .select(col("id_a"), col("id_c"),
+        round(dot(col("v_a"), col("v_c")) /
+          (l2Norm(col("v_a")) * l2Norm(col("v_c"))),
+          6).as("cosine"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, cos) => ScoredId(id, cos) }
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("id", "top")
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), (col("pos") + 1).as("rank"),
+        col("t.id").as("neg_id"), col("t.score").as("cosine"))
+  }
+
   /** ColBERT-style late interaction (Khattab & Zaharia 2020, "ColBERT:
     * Efficient and Effective Passage Search..."): a "document" is a
     * GROUP of vectors (its chunks/tokens), the query is a SET of

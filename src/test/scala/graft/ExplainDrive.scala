@@ -23,7 +23,10 @@ object ExplainDrive {
         "pack_sequences", "sample_mixture", "shuffle_export",
         "quality_lm", "quality_repetition",
         "dedup_semantic", "sample_stratified", "corpus_divergence",
-        "quality_nb", "bpe_pair_stats", "q_cube", "q_window_range")
+        "quality_nb", "bpe_pair_stats", "q_cube", "q_window_range",
+        "dedup_winnow", "sample_mixture_temp", "sample_dsir",
+        "quality_ppl_buckets", "bpe_encode", "tokenize_pack",
+        "embedding_drift", "knn_hard_negatives")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

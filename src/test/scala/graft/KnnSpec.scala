@@ -142,4 +142,38 @@ class KnnSpec extends SparkSpec {
     assert(pairs.length == 3) // the three duplicate pairs
     assert(pairs.forall(_._3 == 1.0))
   }
+
+  test("hardNegatives: cross-label only, ranked, single-block == exact, centroid recall") {
+    val anchors = emb.filter($"vec_id" % 20 === 0)
+    val exact = Knn.hardNegatives(anchors, emb, "vec_id", "embedding",
+        "label", k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(exact.nonEmpty)
+    // k rows per anchor, rank dense from 1, scores non-increasing
+    exact.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size))
+      assert(sorted.map(_._4).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+    }
+    // negatives genuinely cross-label
+    val lbl = emb.select($"vec_id", $"label").as[(Long, String)].collect().toMap
+    exact.foreach { case (a, _, n, _) => assert(lbl(a) != lbl(n)) }
+    // a constant block column reproduces the exact tier identically
+    val oneBlock = Knn.hardNegatives(
+        anchors.withColumn("blkc", lit(1)), emb.withColumn("blkc", lit(1)),
+        "vec_id", "embedding", "label", k = 5, blockCol = Some("blkc"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(oneBlock.toSet == exact.toSet)
+    // centroid blocking: meaningful recall of the true hard negatives
+    // (random-ish embeddings make this a floor, not a ceiling)
+    val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 4, seed = 7L)
+    val blocked = Knn.hardNegatives(
+        assigned.join(anchors.select("vec_id"), "vec_id"), assigned,
+        "vec_id", "embedding", "label", k = 5, blockCol = Some("centroid_id"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val recall = (blocked.map(r => (r._1, r._3)).toSet
+      intersect exact.map(r => (r._1, r._3)).toSet).size.toDouble / exact.size
+    info(f"centroid-blocked hard-negative recall = $recall%.2f")
+    assert(recall >= 0.2)
+  }
 }
