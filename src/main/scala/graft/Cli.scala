@@ -329,6 +329,62 @@ object Cli {
         println(s"clean: wrote surviving documents to $out")
         spark.stop()
 
+      case "tokenize" =>
+        // BPE tokenizer pipeline: train merge rules on the corpus (one
+        // corpus pass + vocab-table merge iterations), encode every
+        // document under them, write (id, tokens, n_tokens) parquet
+        // plus the learned merges as _merges.json — the artifact a
+        // training run pins for reproducible re-tokenization.
+        val docsDir = flags.getOrElse("docs", fail(
+          "usage: tokenize --docs <dir|corpus.jsonl> --out <dir> " +
+          "[--merges 200] [--min-freq 2]"))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val spark = session()
+        val docs =
+          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+            FileIngest.readJsonl(spark, docsDir)
+          else FileIngest.readDocuments(spark, docsDir)
+        val merges = graft.operators.Bpe.trainMerges(
+          graft.operators.Bpe.wordFreqs(docs, "text"),
+          numMerges = flags.get("merges").map(_.toInt).getOrElse(200),
+          minFreq = flags.get("min-freq").map(_.toLong).getOrElse(2L))
+        graft.operators.Bpe.encodeDocs(docs, "source", "text", merges)
+          .write.mode("overwrite").parquet(out)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "_merges.json"),
+          graft.util.Json.write(merges.map { case (a, b) => Seq(a, b) })
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"tokenize: learned ${merges.length} merges, " +
+          s"wrote encoded corpus to $out (_merges.json written)")
+        spark.stop()
+
+      case "select-dsir" =>
+        // DSIR target-domain selection: weight the raw corpus by the
+        // hashed-ngram log-likelihood ratio of a target corpus vs the
+        // raw one, Gumbel-top-k draw, write the selected documents.
+        val docsDir = flags.getOrElse("docs", fail(
+          "usage: select-dsir --docs <dir|jsonl> --target <dir|jsonl> " +
+          "--k 1000 --out <dir> [--seed dsir] [--buckets 10000]"))
+        val targetDir = flags.getOrElse("target", fail("--target required"))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val k = flags.get("k").map(_.toInt).getOrElse(
+          fail("--k <rows> required"))
+        val spark = session()
+        def load(d: String) =
+          if (d.endsWith(".jsonl") || d.endsWith(".jsonl.gz"))
+            FileIngest.readJsonl(spark, d)
+          else FileIngest.readDocuments(spark, d)
+        val raw = load(docsDir)
+        val drawn = graft.operators.TrainExport.dsirSample(
+          raw, "source", "text", load(targetDir), "text", k,
+          seed = flags.getOrElse("seed", "dsir"),
+          buckets = flags.get("buckets").map(_.toInt).getOrElse(10000))
+        val ids = drawn.select(org.apache.spark.sql.functions.col("id"))
+        raw.join(ids, raw("source") === ids("id"), "left_semi")
+          .write.mode("overwrite").parquet(out)
+        println(s"select-dsir: wrote $k selected documents to $out")
+        spark.stop()
+
       case "export-training" =>
         // Training-run export (TrainExport): deterministic md5-keyed
         // shuffle into round-robin shards, written partitionBy(shard) —

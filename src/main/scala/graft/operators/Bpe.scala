@@ -110,12 +110,19 @@ object Bpe {
                   minFreq: Long = 2L): Seq[(String, String)] = {
     val spark = freqs.sparkSession
     import spark.implicits._
+    // localCheckpoint (eager), NOT persist: each round derives from the
+    // previous round's Dataset, and a persist-only loop accumulates the
+    // whole map-chain in the ANALYZED PLAN — at tens of rounds Catalyst
+    // re-analysis of that chain OOMs the driver before any job runs
+    // (measured at 20 rounds / 2 GB). Checkpointing truncates lineage
+    // to the materialized blocks each round; the superseded rounds'
+    // blocks (vocab-scale, MBs) are reclaimed by the ContextCleaner
+    // once their Dataset references drop out of scope.
     var words: Dataset[(IndexedSeq[String], Long)] = freqs
       .select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString): IndexedSeq[String], f) }
-      .persist()
-    words.count() // materialize before iterating
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -132,15 +139,11 @@ object Bpe {
       best.headOption match {
         case Some((a, b, w)) if w >= minFreq =>
           merges += ((a, b))
-          val prev = words
-          words = prev.map { case (syms, f) => (applyMerge(syms, a, b), f) }
-            .persist()
-          words.count()
-          prev.unpersist()
+          words = words.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+            .localCheckpoint()
         case _ => done = true
       }
     }
-    words.unpersist()
     merges.toSeq
   }
 }

@@ -301,7 +301,9 @@ object TrainExport {
   private def hashedGramBuckets(docs: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val toksDf = docs.select(col(idCol).cast("long").as("id"),
+    // id keeps its natural type: long doc ids and string source ids
+    // both hash identically through uniformHexKey's string cast.
+    val toksDf = docs.select(col(idCol).as("id"),
       tokens(col(textCol)).as("toks"))
     val nBi = size(col("toks")) - 1
     val bigrams = when(nBi >= 1,
