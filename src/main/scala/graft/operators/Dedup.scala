@@ -233,10 +233,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nmin"))
+      // localCheckpoint, not persist: each round derives from the last,
+      // and an un-truncated label lineage grows the analyzed plan per
+      // round (the trainMerges driver-OOM pattern) — plus the old code
+      // left every round's persisted table in the cache. Checkpointing
+      // truncates the plan; superseded rounds' blocks are reclaimed by
+      // the ContextCleaner when their references drop.
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
       labels = next
