@@ -115,7 +115,10 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail("usage: graft.Cli <build|search|ask|react|update|prune|list|remove|serve|mcp|config> ...")
+    if (args.isEmpty) fail(
+      "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
+      "|compact|export|clean|tokenize|select-dsir|export-training" +
+      "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
       case "build" | "update" =>

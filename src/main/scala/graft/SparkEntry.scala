@@ -434,6 +434,16 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // Cross-document span REMOVAL (Lee et al. 2021 at winnow-window
+    // granularity): spans whose fingerprint appears in >1 doc are cut
+    // from every doc except the smallest-id owner; documents are
+    // edited, not dropped.
+    "dedup_span_removal" -> ((s, dir) => {
+      Dedup.removeSharedSpans(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): per-cluster cosine dedup decision
     // for EVERY row. tau=0.3 exercises both arms on the synthetic
     // embeddings (no true near-dups exist there: max cosine 0.47).
@@ -1492,6 +1502,54 @@ private object OracleSql {
         |SELECT id_a, id_b, shared FROM p WHERE shared >= 2
         |ORDER BY shared DESC, id_a, id_b
         |LIMIT 100""".stripMargin,
+
+    // The winnow window CTEs with positions kept; ownership = min id
+    // among the ≥2 distinct docs carrying the fingerprint; marks =
+    // each non-owner window's token span [pos, pos+5] (w+k-2 = 5 at
+    // k=3, w=4); string_agg skips NULLed (removed) words.
+    "dedup_span_removal" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |shp AS (
+        |  SELECT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |           i -> struct_pack(pos := i,
+        |                  h := CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)))) AS ph
+        |  FROM tk),
+        |sh2 AS (SELECT id, ph.pos AS pos, ph.h AS h FROM shp),
+        |wmin AS (
+        |  SELECT id, pos,
+        |         min(h) OVER (PARTITION BY id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |         count(*) OVER (PARTITION BY id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM sh2),
+        |wins AS (SELECT id, pos, fp FROM wmin WHERE wn = 4),
+        |own AS (
+        |  SELECT fp, min(id) AS owner
+        |  FROM (SELECT DISTINCT id, fp FROM wins)
+        |  GROUP BY fp HAVING count(*) >= 2),
+        |marks AS (
+        |  SELECT DISTINCT id, tpos FROM (
+        |    SELECT w.id, unnest(generate_series(w.pos, w.pos + 5)) AS tpos
+        |    FROM wins w JOIN own o USING (fp) WHERE w.id <> o.owner)),
+        |toks2 AS (
+        |  SELECT id, pos AS tpos, toks[pos] AS word
+        |  FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS pos
+        |        FROM tk)),
+        |j AS (
+        |  SELECT t.id, t.tpos, t.word, m.tpos IS NOT NULL AS rm
+        |  FROM toks2 t LEFT JOIN marks m ON t.id = m.id AND t.tpos = m.tpos)
+        |SELECT id AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rm THEN NULL ELSE word END, ' '
+        |                           ORDER BY tpos), '') AS text_deduped
+        |FROM j GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -392,8 +392,12 @@ object Dedup {
     * set; here they don't) — min is associative and engine-portable.
     * Plan: shingle hashes behind a projection boundary, ONE doc-keyed
     * window pass (sliding min, frame state = w rows), distinct. */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame = {
+  /** Winnowing window INSTANCES: one row per full w-window of k-gram
+    * hashes, carrying the window's start position (0-based shingle =
+    * token index) and its min hash. [[winnowFingerprints]] is the
+    * distinct (id, fp) view; [[removeSharedSpans]] needs the positions. */
+  private[graft] def winnowWindows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Token array materialized behind a projection boundary, like
     // shingleTable: inlining tokens(text) into the transform would
@@ -408,11 +412,66 @@ object Dedup {
       .select(col("id"), col("pos"), md5Hash64(col("s")).as("h"))
     val win = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
-    sh.select(col("id"),
+    sh.select(col("id"), col("pos"),
         min("h").over(win).as("fp"),
         count(lit(1)).over(win).as("wn"))
       .filter(col("wn") === w) // full windows only
-      .select("id", "fp").distinct()
+      .select("id", "pos", "fp")
+  }
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    winnowWindows(docs, idCol, textCol, k, w).select("id", "fp").distinct()
+
+  /** Cross-document span REMOVAL (the dedup that edits documents
+    * instead of dropping them — Lee et al. 2021's "deduplicating
+    * training data makes language models better", approximated at
+    * winnowing-window granularity): every span whose winnow fingerprint
+    * appears in more than one document is removed from every document
+    * EXCEPT the one with the smallest id (keep-first). Catches the
+    * quoted paragraph / copied license header that whole-doc dedup
+    * can't touch without discarding the whole document.
+    *
+    * Granularity caveat, by design: spans are fingerprint WINDOWS
+    * (w+k-1 tokens), so a shared run is removed to within w+k-2 tokens
+    * of its true edges, and a window straddling a run edge can take up
+    * to w+k-2 unshared tokens with it. Within-doc repetition is NOT
+    * removed (ownership counts distinct docs) — that's
+    * CorpusClean.repetitionFlags' job.
+    *
+    * Plan shape: the winnow window pass (1 doc-keyed window), an
+    * fp-keyed ownership aggregate, an fp-keyed join back (LINEAR in
+    * window instances — no pair join, so hot boilerplate fps are fine
+    * here, unlike winnowPairs), a bounded mark explosion (≤ w+k-1
+    * tokens per marked window), and one doc-keyed reassembly. Returns
+    * (id, n_tokens, n_kept, text_deduped). */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, w: Int = 4): DataFrame = {
+    val span = w + k - 2 // window at pos covers tokens [pos, pos+span]
+    // Persisted: ownership and mark generation both read the windows.
+    val wins = winnowWindows(docs, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owners = wins.select("id", "fp").distinct()
+      .groupBy("fp")
+      .agg(min("id").as("owner"), countDistinct("id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("fp", "owner")
+    val marks = wins.join(owners, "fp")
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(span))).as("tpos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("tpos", "word")))
+    toks
+      .join(marks.withColumn("_rm", lit(true)), Seq("id", "tpos"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_rm").isNull, 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_rm").isNull, struct(col("tpos"), col("word"))))),
+          s => s.getField("word"))).as("text_deduped"))
   }
 
   /** Pairs sharing at least `minShared` winnow fingerprints — partial-

@@ -283,6 +283,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
   }
 
+  test("removeSharedSpans: non-owner loses the shared run, owner and bystander untouched") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens ≥ w+k-1
+    val d = Seq(
+      (1L, s"one two three $common four five six seven eight nine"),
+      (2L, s"ten eleven twelve thirteen $common fourteen fifteen sixteen"),
+      (3L, "totally unrelated words about engines and shuffles here today now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(d, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // owner (smallest id) keeps everything
+    assert(out(1L)._1 == out(1L)._2)
+    assert(out(1L)._3.contains("alpha beta gamma"))
+    // non-owner loses the shared run (window-granular: the whole common
+    // run's interior fingerprints are shared, so its tokens go)
+    assert(out(2L)._2 < out(2L)._1)
+    assert(!out(2L)._3.contains("gamma delta epsilon"))
+    // the unrelated doc is untouched, text round-trips token-joined
+    assert(out(3L)._1 == out(3L)._2)
+    assert(out(3L)._3 == "totally unrelated words about engines and shuffles here today now")
+    // WITHIN-doc repetition is not ownership: a doc repeating its own
+    // span (no other doc has it) keeps both copies
+    val selfRep = Seq((7L, "aa bb cc dd ee ff aa bb cc dd ee ff"),
+        (8L, "unrelated prose tokens entirely distinct from that run"))
+      .toDF("doc_id", "text")
+    val sr = Dedup.removeSharedSpans(selfRep, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(sr(7L) == "aa bb cc dd ee ff aa bb cc dd ee ff")
+  }
+
   test("simhash: identical token multisets → identical hash") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L) && h(0L) == h(3L))
