@@ -26,7 +26,7 @@ object ExplainDrive {
         "quality_nb", "bpe_pair_stats", "q_cube", "q_window_range",
         "dedup_winnow", "sample_mixture_temp", "sample_dsir",
         "quality_ppl_buckets", "bpe_encode", "tokenize_pack",
-        "embedding_drift", "knn_hard_negatives")
+        "embedding_drift", "knn_hard_negatives", "dedup_span_removal")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
