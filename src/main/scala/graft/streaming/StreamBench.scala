@@ -146,11 +146,36 @@ object StreamBench {
       gapMinutes = 30, watermark = "10 minutes").toDF()
   }
 
+  /** Stream-stream interval join ([[Streaming.streamIntervalJoin]]).
+    * One rate source split by value parity into impressions and
+    * clicks (clicks shifted +5 min, inside the 30 min attribution
+    * window); 10 min of event time per batch under a 1 h watermark, so
+    * each side buffers a few batches of rows and then evicts — the
+    * measurement covers buffer+match+evict, not unbounded growth.
+    * `rowsPerBatch/4` distinct keys keep match amplification modest
+    * (a few joined rows per key per batch). */
+  def intervalJoinWorkload(spark: SparkSession, rowsPerBatch: Long,
+                           partitions: Int): DataFrame = {
+    val keys = math.max(rowsPerBatch / 4, 1)
+    val src = rateSource(spark, rowsPerBatch, advanceMs = 600000L, partitions)
+      .select(col("timestamp").as("ts"), col("value"))
+    val impressions = src.filter(pmod(col("value"), lit(2)) === 0)
+      .select(pmod(col("value"), lit(keys)).cast("string").as("key"),
+        col("ts"), col("value").as("imp_id"))
+    val clicks = src.filter(pmod(col("value"), lit(2)) === 1)
+      .select(pmod(col("value") - 1, lit(keys)).cast("string").as("key"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("ts"),
+        col("value").as("click_id"))
+    Streaming.streamIntervalJoin(impressions, clicks, "key",
+      withinMinutes = 30, watermark = "1 hour")
+  }
+
   def workloads(spark: SparkSession, rowsPerBatch: Long,
                 partitions: Int): Seq[(String, DataFrame)] = Seq(
     "dedup_stream" -> dedupWorkload(spark, rowsPerBatch, partitions),
     "window_counts" -> windowWorkload(spark, rowsPerBatch, partitions),
-    "sessionize_stream" -> sessionizeWorkload(spark, rowsPerBatch, partitions))
+    "sessionize_stream" -> sessionizeWorkload(spark, rowsPerBatch, partitions),
+    "interval_join" -> intervalJoinWorkload(spark, rowsPerBatch, partitions))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
