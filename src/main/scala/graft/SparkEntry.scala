@@ -587,6 +587,18 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Token-ID encoding: the trainer-consumable output. Vocab = base
+    // chars + one symbol per merge, a pure function of the merge list;
+    // the id lookup is a zero-shuffle literal-map transform.
+    "bpe_encode_ids" -> ((s, dir) => {
+      graft.operators.Bpe.encodeDocsIds(
+          Tables.documents(s, dir), "doc_id", "text", BpeDemoMerges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          concat_ws(" ", transform(col("token_ids"), i => i.cast("string")))
+            .as("ids_str"))
+        .orderBy("doc_id").limit(500)
+    }),
+
     // The tokenize→pack composition: sequence packing over REAL BPE
     // token counts (pack_sequences uses the chars/4 proxy) — encode
     // feeds the distributed prefix sum directly.
@@ -985,6 +997,12 @@ private object OracleSql {
     SparkEntry.BpeDemoMerges.foldLeft("regexp_replace(word, '(.)', '_\\1_', 'g')") {
       case (e, (a, b)) => s"replace($e, '_${a}__${b}_', '_${a}${b}_')"
     }
+
+  /** The induced vocab as SQL VALUES rows — same pure function of the
+    * merge list the Scala side uses (Bpe.vocab). */
+  private val bpeVocabValues: String =
+    graft.operators.Bpe.vocab(SparkEntry.BpeDemoMerges)
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
 
   /** Shared shingle/size/jaccard CTEs over `documents` (3-gram, set
     * semantics) used by the jaccard and minhash oracles. */
@@ -1927,6 +1945,41 @@ private object OracleSql {
         |       CAST(sum(len(subw)) AS BIGINT) AS n_tokens,
         |       string_agg(array_to_string(subw, ' '), ' ' ORDER BY pos) AS tokens_str
         |FROM w JOIN seg USING (word)
+        |GROUP BY 1
+        |ORDER BY doc_id
+        |LIMIT 500""".stripMargin,
+
+    // bpe_encode's segmentation CTEs + the vocab as a literal VALUES
+    // table reconstructed from the same merge-list constant.
+    "bpe_encode_ids" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, pos, toks[pos] AS word
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS pos
+        |        FROM tk)),
+        |v AS (SELECT DISTINCT word FROM w),
+        |seg AS (
+        |  SELECT word, string_split(trim($bpeEncodeExpr, '_'), '__') AS subw
+        |  FROM v),
+        |voc(tok, tid) AS (VALUES $bpeVocabValues),
+        |st AS (
+        |  SELECT word, spos, subw[spos] AS tok
+        |  FROM (SELECT word, subw,
+        |               unnest(generate_series(1, len(subw))) AS spos
+        |        FROM seg)),
+        |wid AS (
+        |  SELECT word, count(*) AS nw,
+        |         string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY spos) AS ids
+        |  FROM st JOIN voc USING (tok)
+        |  GROUP BY word)
+        |SELECT w.doc_id,
+        |       CAST(sum(nw) AS BIGINT) AS n_tokens,
+        |       string_agg(ids, ' ' ORDER BY pos) AS ids_str
+        |FROM w JOIN wid USING (word)
         |GROUP BY 1
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,

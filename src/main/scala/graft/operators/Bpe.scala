@@ -102,6 +102,34 @@ object Bpe {
         size(col("tokens")).cast("long").as("n_tokens"))
   }
 
+  /** The 36 single characters the BM25 tokenizer can emit. */
+  val BaseAlphabet: IndexedSeq[String] =
+    ("abcdefghijklmnopqrstuvwxyz0123456789").map(_.toString)
+
+  /** The vocabulary a merge list induces, as (token, id): ids 0–35 are
+    * the base characters, 36+i is merge i's joined symbol. A pure
+    * function of the merge list — any engine (or the oracle SQL) can
+    * reconstruct it from `_merges.json` alone, and every subword
+    * [[segment]] can produce is in it by construction (segmentation
+    * only ever yields base chars or merge results). */
+  def vocab(merges: Seq[(String, String)]): Seq[(String, Int)] =
+    (BaseAlphabet ++ merges.map { case (a, b) => a + b })
+      .zipWithIndex.map { case (t, i) => (t, i) }
+
+  /** [[encodeDocs]] + token-ID lookup: the trainer-consumable output
+    * (id, token_ids ARRAY<INT>, n_tokens). The vocab ships as a literal
+    * map expression (≤ 36 + merges entries — KBs), so the id lookup is
+    * a zero-shuffle map over the encoded frame. */
+  def encodeDocsIds(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val vmap = map(vocab(merges).flatMap { case (t, i) =>
+      Seq(lit(t), lit(i)) }: _*)
+    encodeDocs(docs, idCol, textCol, merges)
+      .select(col("id"),
+        transform(col("tokens"), t => element_at(vmap, t)).as("token_ids"),
+        col("n_tokens"))
+  }
+
   /** Learn up to `numMerges` merge rules from a word-frequency table.
     * Stops early when no adjacent pair reaches `minFreq`. Each round:
     * one pair-count aggregate over the vocab (argmax to the driver —

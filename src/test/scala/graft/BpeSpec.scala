@@ -75,6 +75,22 @@ class BpeSpec extends SparkSpec {
     assert(out.forall { case (_, (t, n)) => t.size.toLong == n })
   }
 
+  test("vocab/encodeDocsIds: every subword resolvable, ids round-trip through the vocab") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val voc = Bpe.vocab(merges)
+    assert(voc.size == 36 + 4)
+    assert(voc.take(2) == Seq(("a", 0), ("b", 1)))
+    assert(voc.takeRight(2) == Seq(("lo", 38), ("low", 39)))
+    val byId = voc.map(_.swap).toMap
+    val d = Seq((1L, "newest lowest low"), (2L, "widest newest"))
+      .toDF("doc_id", "text")
+    val ids = Bpe.encodeDocsIds(d, "doc_id", "text", merges)
+      .select("id", "token_ids").as[(Long, Seq[Int])].collect().toMap
+    // decode through the vocab reproduces the subword stream
+    assert(ids(1L).map(byId) == Seq("n", "e", "w", "est", "low", "est", "low"))
+    assert(ids.values.flatten.forall(i => i >= 0 && i < voc.size))
+  }
+
   test("encodeDocs round-trips and shrinks token counts as merges grow") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 100)
