@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filter.MetadataFilterDsl
@@ -57,6 +57,25 @@ object SparkEntry {
       graft.pipeline.Index.writePqLayout(s, out, cb, idCol = "vec_id")
     }
     out
+  }
+
+  /** Deterministic multi-line restructuring of the single-line
+    * synthetic documents: lines of 10 whitespace words, with a
+    * terminal '.' appended iff the line's first word sorts before "n"
+    * (≈ half the lines). The line-granular queries (quality_c4,
+    * dedup_lines) run on this so the C4 rules have real line structure
+    * to act on; the oracle rebuilds byte-identical text in SQL
+    * (OracleSql.linifiedCtes). */
+  private def linified(text: Column): Column = {
+    val ws = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nLines = ceil(size(ws) / lit(10.0)).cast("int")
+    val lines = when(size(ws) > 0,
+      transform(sequence(lit(0), greatest(nLines - 1, lit(0))),
+        i => concat(
+          array_join(slice(ws, i * 10 + 1, lit(10)), " "),
+          when(element_at(ws, i * 10 + 1) < "n", lit(".")).otherwise(lit("")))))
+      .otherwise(array().cast("array<string>"))
+    array_join(lines, "\n")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,6 +160,20 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // Wide-format rollup: status columns pivoted out of rows. Values
+      // are given explicitly, so the plan is ONE aggregate pass (no
+      // extra distinct-values job + no collect) — the pivot becomes
+      // conditional aggregation, same shuffle shape as q1_agg.
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .select(col("o_orderpriority"), col("F").as("total_f"),
+          col("O").as("total_o"), col("P").as("total_p"))
+        .orderBy("o_orderpriority")
     }),
 
     "q_window_range" -> ((s, dir) => {
@@ -238,6 +271,29 @@ object SparkEntry {
           graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
       Knn.batchTopKAgg(emb, queries, k = 5)
         .orderBy("qid", "rank")
+    }),
+
+    // Retrieval-quality evaluation (the TREC metrics harness over the
+    // retrieval operators' own output): every 20th vector queries the
+    // corpus, same-label others are the relevant set, and
+    // Eval.retrievalMetrics reads recall/precision/MRR/nDCG@10 per
+    // query. Eval-side joins/aggs are all qid-keyed and Q×k-sized.
+    "eval_retrieval" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"),
+          VectorFunctions.asDouble(col("embedding")).as("qv"))
+      val results = Knn.batchTopKAgg(emb, queries, k = 10)
+      val qrels = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"))
+        .join(emb.select(col("vec_id").as("rel_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("qid") =!= col("rel_id"))
+        .select(col("qid"), col("rel_id").as("vec_id"))
+      graft.operators.Eval.retrievalMetrics(results, qrels, k = 10,
+          docCol = "vec_id")
+        .orderBy("qid")
     }),
 
     "knn_quantized" -> ((s, dir) => {
@@ -516,6 +572,35 @@ object SparkEntry {
       graft.operators.CorpusClean.repetitionFlags(
           Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id").limit(500)
+    }),
+
+    // C4's line-level cleaning rules (Raffel et al. 2020 §2.2) over the
+    // deterministically linified corpus: terminal-punctuation + word
+    // count + blocklist per line, block-phrase / brace / min-kept-lines
+    // per doc. Blocklists use corpus vocabulary ("dup" lines, the
+    // "slow slow" phrase) so both rule arms fire on real data. Pure
+    // zero-shuffle projection.
+    "quality_c4" -> ((s, dir) => {
+      graft.operators.CorpusClean.c4LineFlags(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), linified(col("text")).as("text")),
+          "doc_id", "text",
+          minLineWords = 5, minKeptLines = 3,
+          lineBlocklist = Seq("dup"), docBlockPhrases = Seq("slow slow"))
+        .orderBy("doc_id").limit(500)
+    }),
+
+    // Exact line-granular cross-document dedup (C4's repeated-span
+    // discard at line granularity): each repeated line survives only at
+    // its first (doc, pos) occurrence. Linear plan — ownership agg +
+    // key join back, no pair join.
+    "dedup_lines" -> ((s, dir) => {
+      Dedup.dedupLines(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), linified(col("text")).as("text")),
+          "doc_id", "text", minWords = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // Char-bigram LM quality score (CCNet's perplexity filter without
@@ -1004,6 +1089,25 @@ private object OracleSql {
     graft.operators.Bpe.vocab(SparkEntry.BpeDemoMerges)
       .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
 
+  /** CTEs rebuilding SparkEntry.linified's deterministic line
+    * structure in SQL — `lnf` = (doc_id, lines) with lines of 10
+    * whitespace words, '.' appended iff the first word sorts before
+    * 'n'. Shared by the line-granular oracles (quality_c4,
+    * dedup_lines). */
+  private val linifiedCtes =
+    """tkw AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |lnf AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(ws) > 0 THEN
+      |           list_transform(generate_series(0, CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1),
+      |             i -> array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ') ||
+      |                  CASE WHEN ws[i*10 + 1] < 'n' THEN '.' ELSE '' END)
+      |         ELSE []::VARCHAR[] END AS lines
+      |  FROM tkw)""".stripMargin
+
   /** Shared shingle/size/jaccard CTEs over `documents` (3-gram, set
     * semantics) used by the jaccard and minhash oracles. */
   private val shingleCtes =
@@ -1246,6 +1350,18 @@ private object OracleSql {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |                     THEN o_totalprice::DECIMAL(18,2) END) AS DOUBLE) AS total_f,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |                     THEN o_totalprice::DECIMAL(18,2) END) AS DOUBLE) AS total_o,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |                     THEN o_totalprice::DECIMAL(18,2) END) AS DOUBLE) AS total_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
@@ -1806,6 +1922,58 @@ private object OracleSql {
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
 
+    // C4 line rules over the linified corpus; every rule is a
+    // substring/regex test, so flags and the rebuilt text_clean are
+    // byte-exactly reproducible.
+    "quality_c4" ->
+      s"""WITH $linifiedCtes,
+         |fl AS (
+         |  SELECT doc_id, lines,
+         |         list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$$')
+         |           AND len(list_filter(string_split_regex(l, '\\s+'), w -> length(w) > 0)) >= 5
+         |           AND NOT contains(lower(l), 'dup')) AS kept,
+         |         array_to_string(lines, chr(10)) AS text2
+         |  FROM lnf)
+         |SELECT doc_id,
+         |       CAST(len(lines) AS BIGINT) AS n_lines,
+         |       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+         |       contains(lower(text2), 'slow slow') AS has_block_phrase,
+         |       contains(text2, '{') AS has_brace,
+         |       NOT contains(lower(text2), 'slow slow') AND NOT contains(text2, '{')
+         |         AND len(kept) >= 3 AS keep_doc
+         |FROM fl
+         |ORDER BY doc_id
+         |LIMIT 500""".stripMargin,
+
+    // First-occurrence line dedup: rank occurrences of each line key by
+    // (doc, pos); rn > 1 is removed. string_agg skips NULLed lines,
+    // mirroring concat_ws.
+    "dedup_lines" ->
+      s"""WITH $linifiedCtes,
+         |ex AS (
+         |  SELECT doc_id AS id, pos, lines[pos] AS line
+         |  FROM (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS pos
+         |        FROM lnf)),
+         |keyed AS (
+         |  SELECT id, pos, line,
+         |         len(list_filter(string_split_regex(line, '\\s+'), w -> length(w) > 0)) >= 3 AS participates,
+         |         md5(trim(line)) AS key
+         |  FROM ex),
+         |occ AS (
+         |  SELECT id, pos,
+         |         row_number() OVER (PARTITION BY key ORDER BY id, pos) AS rn
+         |  FROM keyed WHERE participates),
+         |j AS (
+         |  SELECT k.id, k.pos, k.line, coalesce(o.rn > 1, FALSE) AS rm
+         |  FROM keyed k LEFT JOIN occ o ON k.id = o.id AND k.pos = o.pos)
+         |SELECT id AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN rm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, chr(10) ORDER BY pos), '') AS text_deduped
+         |FROM j GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
     // Sum order inside a doc's rollup is engine-dependent, so avg_logp
     // rounds to 6 (error ~1e-14 at these magnitudes); ln itself matches
     // within that rounding (same stance as the BM25 idf oracles).
@@ -2320,6 +2488,52 @@ private object OracleSql {
         |FROM ranked
         |WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    // Replays the batch top-10 (knn_batch_agg's ranking, score rounded
+    // to 6 with vec_id tie-break, so ranked lists are engine-identical)
+    // then computes the metrics. log2 is spelled ln(2)/ln(x) in both
+    // engines; DCG/ideal-DCG ratios round to 6 after the sums.
+    "eval_retrieval" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 20 = 0),
+        |scored AS (
+        |  SELECT q.qid, q.ql, e.vec_id, e.label,
+        |         round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+        |  FROM embeddings e CROSS JOIN q),
+        |res AS (
+        |  SELECT * FROM (
+        |    SELECT qid, ql, vec_id, label,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY score DESC, vec_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 10),
+        |nrel AS (
+        |  SELECT q.qid, count(*) AS n_rel
+        |  FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.qid
+        |  GROUP BY q.qid),
+        |hits AS (
+        |  SELECT qid, count(*) AS n_hits, min(rank) AS fr,
+        |         sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+        |  FROM res WHERE label = ql AND vec_id <> qid
+        |  GROUP BY qid)
+        |SELECT b.qid,
+        |       coalesce(n.n_rel, 0) AS n_rel,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 6) AS precision_k,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN coalesce(h.n_hits, 0)::DOUBLE / n.n_rel
+        |                  ELSE 0.0 END, 6) AS recall_k,
+        |       round(coalesce(1.0 / h.fr, 0.0), 6) AS rr,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN coalesce(h.dcg, 0.0) /
+        |                       list_sum(list_transform(
+        |                         generate_series(1, greatest(least(n.n_rel, 10), 1)),
+        |                         i -> ln(2.0) / ln(i + 1.0)))
+        |                  ELSE 0.0 END, 6) AS ndcg
+        |FROM (SELECT DISTINCT qid FROM res) b
+        |LEFT JOIN nrel n USING (qid)
+        |LEFT JOIN hits h USING (qid)
+        |ORDER BY qid""".stripMargin,
 
     "knn_quantized" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

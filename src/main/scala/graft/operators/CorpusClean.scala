@@ -507,6 +507,63 @@ object CorpusClean {
     (kept, report)
   }
 
+  /** C4's line-level cleaning pass (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2 — the rules that turned Common Crawl into C4),
+    * the missing granularity between the document-level Gopher rules
+    * and the token-level span removal: lines are KEPT only when they
+    *
+    *  - end in terminal punctuation (`.` `!` `?` `"`) after trimming,
+    *  - contain at least `minLineWords` whitespace words, and
+    *  - contain none of `lineBlocklist` as a lowercase substring (C4's
+    *    "any line with the word Javascript").
+    *
+    * Documents are then flagged (not silently dropped — the caller owns
+    * the policy, as with [[gopherFlags]]): `has_block_phrase` when any
+    * of `docBlockPhrases` occurs anywhere in the lowercased text (C4's
+    * "lorem ipsum" rule), `has_brace` when a `{` survives (C4 drops
+    * code pages), and `keep_doc` = no phrase ∧ no brace ∧ at least
+    * `minKeptLines` surviving lines (C4's 3-sentence floor, at line
+    * granularity).
+    *
+    * Returns (doc_id, n_lines, n_kept_lines, text_clean, has_block_phrase,
+    * has_brace, keep_doc) where `text_clean` re-joins kept lines with
+    * `\n`. Pure per-row projection — array lambdas over a split, zero
+    * shuffles, safe as the first pass over 100 TB of crawl text. All
+    * rules are substring/regex tests, so the operator is byte-exactly
+    * reproducible in the DuckDB oracle.
+    */
+  def c4LineFlags(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      lineBlocklist: Seq[String] = Seq("javascript"),
+      docBlockPhrases: Seq[String] = Seq("lorem ipsum"),
+      dropBraces: Boolean = true): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def lineWords(l: Column) = size(filter(split(l, "\\s+"), w => length(w) > 0))
+    def lineKeep(l: Column): Column = {
+      val blocked = lineBlocklist
+        .map(b => lower(l).contains(b))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      trim(l).rlike("[.!?\"]$") && lineWords(l) >= minLineWords && !blocked
+    }
+    val kept = filter(lines, lineKeep(_))
+    val hasPhrase = docBlockPhrases
+      .map(p => lower(col(textCol)).contains(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val hasBrace = col(textCol).contains("{")
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        array_join(kept, "\n").as("text_clean"),
+        hasPhrase.as("has_block_phrase"),
+        hasBrace.as("has_brace"))
+      .withColumn("keep_doc",
+        !col("has_block_phrase") &&
+          (if (dropBraces) !col("has_brace") else lit(true)) &&
+          col("n_kept_lines") >= minKeptLines)
+  }
+
   /** PII patterns: engine-portable (Java regex ∩ RE2) so the DuckDB
     * oracle applies the byte-identical scrub. Order matters — emails
     * contain dots and digits, so they are scrubbed before phones/IPs. */

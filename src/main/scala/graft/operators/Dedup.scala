@@ -474,6 +474,57 @@ object Dedup {
           s => s.getField("word"))).as("text_deduped"))
   }
 
+  /** Exact line-granular dedup across documents (C4's "discard all but
+    * one of any three-sentence span occurring more than once", Raffel
+    * et al. 2020 §2.2, at the line unit the crawl actually ships):
+    * every line whose trimmed content also occurs elsewhere in the
+    * corpus is removed from all documents except its FIRST occurrence
+    * in (doc id, line position) order. Complements
+    * [[removeSharedSpans]]: this is the exact tier (byte-identical
+    * lines only), winnowing is the approximate tier (shared token runs
+    * inside differing lines).
+    *
+    * Lines with fewer than `minWords` whitespace words do not
+    * participate (headers, bullets, blank separators are structure, not
+    * duplicated prose — removing every second occurrence of "" would
+    * shred formatting).
+    *
+    * Plan shape, LINEAR end-to-end (no pair join, so a boilerplate
+    * line in a million docs costs one ownership row joined a million
+    * times, never a million² pair table): one posexplode, one
+    * line-keyed ownership aggregate (`min(struct(id, pos))` — the
+    * first-occurrence rule as a single struct-min, map-side combined),
+    * one key join back, one doc-keyed reassembly. Hash key = md5 of the
+    * trimmed line, so the shuffle carries 16-byte keys, not line text.
+    *
+    * Returns (id, n_lines, n_kept, text_deduped). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minWords: Int = 3): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val keyed = lines.select(col("id"), col("pos"), col("line"),
+      (size(filter(split(col("line"), "\\s+"), w => length(w) > 0)) >= minWords)
+        .as("participates"),
+      md5(trim(col("line"))).as("key"))
+    val owners = keyed.filter(col("participates"))
+      .groupBy("key")
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2) // unique lines never need the join row
+      .select(col("key"), col("first.id").as("own_id"), col("first.pos").as("own_pos"))
+    keyed
+      .join(owners, Seq("key"), "left")
+      .withColumn("_rm", col("participates") && col("own_id").isNotNull &&
+        !(col("id") === col("own_id") && col("pos") === col("own_pos")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(!col("_rm"), 1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(!col("_rm"), struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text_deduped"))
+  }
+
   /** Pairs sharing at least `minShared` winnow fingerprints — partial-
     * overlap candidates. Same inverted-index join shape (and hot-key
     * cap) as [[jaccardPairs]]: the shuffle carries posting lists, never

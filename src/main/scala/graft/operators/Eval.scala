@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation: the metrics harness that closes the
+  * loop on the ANN tiers (IVF / PQ / Hamming / hybrid). The reference
+  * validates recall ad hoc in its test suite (`tests/` compares ANN
+  * hits against brute force); a data-engine user needs the same
+  * measurement as a first-class, corpus-scale operator — run the exact
+  * tier once as ground truth, any approximate tier as the candidate,
+  * and read recall/MRR/nDCG per query.
+  *
+  * Inputs are the standard TREC shapes:
+  *  - `results`: one row per retrieved candidate, (qid, doc, rank)
+  *    with rank 1-based and engine-deterministic (the Knn operators
+  *    round scores to 6 decimals and tie-break on id for exactly this
+  *    reason);
+  *  - `qrels`: binary relevance pairs (qid, doc).
+  *
+  * Metrics at cutoff k, one row per query in `results`:
+  *  - `n_rel` — relevant set size (0 when the query has no qrels);
+  *  - `n_hits` — relevant docs retrieved at rank <= k;
+  *  - `precision_k` = n_hits / k, `recall_k` = n_hits / n_rel;
+  *  - `rr` — reciprocal rank of the first relevant hit (MRR's
+  *    per-query term);
+  *  - `ndcg` — binary-gain nDCG@k: DCG = Σ 1/log2(rank+1) over
+  *    relevant hits, ideal DCG = the same sum over ranks 1..min(n_rel,
+  *    k). Log base 2 is computed as ln(2)/ln(rank+1) in BOTH engines
+  *    (identical double ops), and every ratio rounds to 6 decimals, so
+  *    the operator is DuckDB-oracle-checkable.
+  *
+  * Scale: eval frames are Q×k and Q×|rel| rows — qid-keyed joins and
+  * aggregates with map-side combine throughout, never corpus-scale.
+  * Aggregating over a 100 TB corpus happens upstream in the retrieval
+  * operators; this pass touches only their outputs.
+  */
+object Eval {
+
+  private def log2inv(rank: Column): Column =
+    lit(math.log(2.0)) / log(rank.cast("double") + 1.0)
+
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+      qidCol: String = "qid", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    val res = results.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+        col(rankCol).as("rank"))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(col(qidCol).as("qid"), col(docCol).as("doc"))
+      .distinct()
+    val relCounts = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = res.join(rel, Seq("qid", "doc"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        min("rank").as("first_rel_rank"),
+        sum(log2inv(col("rank"))).as("dcg"))
+    val idealDcg = aggregate(
+      sequence(lit(1), greatest(least(col("n_rel"), lit(k)), lit(1))),
+      lit(0.0), (acc, i) => acc + log2inv(i))
+    res.select("qid").distinct()
+      .join(relCounts, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("precision_k"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+            coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_rel"))
+          .otherwise(0.0), 6).as("recall_k"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
+          .as("rr"),
+        round(when(coalesce(col("n_rel"), lit(0L)) > 0,
+            coalesce(col("dcg"), lit(0.0)) / idealDcg)
+          .otherwise(0.0), 6).as("ndcg"))
+  }
+}

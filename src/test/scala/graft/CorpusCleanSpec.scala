@@ -339,13 +339,58 @@ class CorpusCleanSpec extends SparkSpec {
     assert(kept === Seq(1L))
   }
 
+  test("c4LineFlags: per-line keep rules (punctuation, word count, blocklist)") {
+    val docs = Seq(
+      (1L, "this first line ends with terminal punctuation properly.\n" +
+        "this line has no terminal punctuation at all\n" +
+        "too short here.\n" +
+        "enable javascript to view this content please now.\n" +
+        "a closing quoted line of decent length indeed.\"")).toDF("doc_id", "text")
+    val r = CorpusClean.c4LineFlags(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_lines") === 5L)
+    // kept: line 1 (ends '.', 8 words) and line 5 (ends '"');
+    // dropped: no-punct, 3-word, and javascript lines
+    assert(r.getAs[Long]("n_kept_lines") === 2L)
+    assert(r.getAs[String]("text_clean") ===
+      "this first line ends with terminal punctuation properly.\n" +
+        "a closing quoted line of decent length indeed.\"")
+  }
+
+  test("c4LineFlags: document-level flags (block phrase, braces, min kept lines)") {
+    val good = (1 to 4).map(i =>
+      s"sentence number $i has plenty of words and ends well.").mkString("\n")
+    val docs = Seq(
+      (1L, good),                                        // keep_doc
+      (2L, good + "\nsome Lorem Ipsum filler got pasted here."), // phrase → drop
+      (3L, good + "\nfunction f() { return 0; }"),       // brace → drop
+      (4L, "only one good line survives this document.\nno punct here\nshort.")
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.c4LineFlags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep_doc"))
+    assert(byId(2L).getAs[Boolean]("has_block_phrase") &&
+      !byId(2L).getAs[Boolean]("keep_doc"))
+    assert(byId(3L).getAs[Boolean]("has_brace") &&
+      !byId(3L).getAs[Boolean]("keep_doc"))
+    // fewer than minKeptLines surviving lines → dropped
+    assert(byId(4L).getAs[Long]("n_kept_lines") === 1L)
+    assert(!byId(4L).getAs[Boolean]("keep_doc"))
+    // dropBraces = false keeps the code doc
+    val lax = CorpusClean.c4LineFlags(docs, "doc_id", "text", dropBraces = false)
+      .filter(col("doc_id") === 3L).collect().head
+    assert(lax.getAs[Boolean]("keep_doc"))
+  }
+
   test("cleaning passes are zero-shuffle projections (scale contract)") {
     val docs = Seq((1L, prose)).toDF("doc_id", "text")
-    // gopherFlags and piiScrub must not introduce an Exchange: they are
-    // the first pass over 100 TB and run at scan parallelism.
+    // gopherFlags, piiScrub and c4LineFlags must not introduce an
+    // Exchange: they are the first pass over 100 TB and run at scan
+    // parallelism.
     for (df <- Seq(
         CorpusClean.gopherFlags(docs, "doc_id", "text"),
-        CorpusClean.piiScrub(docs, "text", keep = Seq("doc_id")))) {
+        CorpusClean.piiScrub(docs, "text", keep = Seq("doc_id")),
+        CorpusClean.c4LineFlags(docs, "doc_id", "text"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     }

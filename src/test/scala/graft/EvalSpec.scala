@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Eval
+
+/** Retrieval-metrics harness: hand-computed values on a tiny run,
+  * cutoff semantics, and the degenerate arms (perfect ranking, no
+  * relevant docs, no hits). */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+  private def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("retrievalMetrics: hand-computed metrics at a cutoff") {
+    // q1: relevant {b, d, e}; retrieved a,b,c,d — at k=3 only b@2 counts
+    // q2: perfect two-hit ranking → recall 1, rr 1, ndcg 1
+    // q3: has results but no qrels → all zeros, n_rel 0
+    val results = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4),
+      (2L, "x", 1), (2L, "y", 2),
+      (3L, "z", 1)
+    ).toDF("qid", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, "b"), (1L, "d"), (1L, "e"),
+      (2L, "x"), (2L, "y")
+    ).toDF("qid", "doc_id")
+
+    val out = Eval.retrievalMetrics(results, qrels, k = 3)
+      .orderBy("qid")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val byQ = out.map(r => r._1 -> r).toMap
+
+    // q1: n_rel=3, hits=1 (b at rank 2; d is beyond the cutoff)
+    val (_, n1, h1, p1, rec1, rr1, ndcg1) = byQ(1L)
+    assert((n1, h1) === ((3L, 1L)))
+    assert(p1 === r6(1.0 / 3))
+    assert(rec1 === r6(1.0 / 3))
+    assert(rr1 === 0.5)
+    val idcg1 = (1 to 3).map(i => 1.0 / log2(i + 1.0)).sum
+    assert(math.abs(ndcg1 - (1.0 / log2(3.0)) / idcg1) < 2e-6)
+
+    // q2: dcg == ideal dcg → exactly 1.0 after rounding
+    val (_, n2, h2, p2, rec2, rr2, ndcg2) = byQ(2L)
+    assert((n2, h2) === ((2L, 2L)))
+    assert(p2 === r6(2.0 / 3))
+    assert((rec2, rr2, ndcg2) === ((1.0, 1.0, 1.0)))
+
+    // q3: no qrels → zeros (not nulls, not missing)
+    assert(byQ(3L) === ((3L, 0L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrievalMetrics: relevant docs exist but none retrieved") {
+    val results = Seq((1L, "a", 1), (1L, "b", 2)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq((1L, "z")).toDF("qid", "doc_id")
+    val m = Eval.retrievalMetrics(results, qrels, k = 10)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().head
+    assert(m === ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrievalMetrics: duplicate qrel rows don't inflate n_rel") {
+    val results = Seq((1L, "a", 1)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq((1L, "a"), (1L, "a"), (1L, "b")).toDF("qid", "doc_id")
+    val m = Eval.retrievalMetrics(results, qrels, k = 5)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect().head
+    assert(m._2 === 2L) // n_rel deduplicated
+    assert(m._3 === 1L)
+    assert(m._5 === 0.5) // recall 1/2
+  }
+}

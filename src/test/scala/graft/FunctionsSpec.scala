@@ -365,6 +365,49 @@ class DedupSpec extends SparkSpec {
       s"second pass should converge: $removed2 vs $removed1")
   }
 
+  test("dedupLines: repeated lines survive only at their first (doc, pos) occurrence") {
+    val boiler = "all rights reserved by the original author"
+    val d = Seq(
+      (1L, s"unique opening line here\n$boiler\nmore unique prose follows"),
+      (2L, s"$boiler\ndifferent body text entirely"),
+      (3L, "no shared content in this document at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text", minWords = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns the boilerplate line (smallest doc id) — untouched
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L)
+    assert(out(1L)._3.contains(boiler))
+    // doc 2 loses it but keeps its own line, joined back with \n intact
+    assert(out(2L) == ((2L, 1L, "different body text entirely")))
+    // untouched doc round-trips byte-identically
+    assert(out(3L) == ((1L, 1L, "no shared content in this document at all")))
+  }
+
+  test("dedupLines: short lines don't participate; within-doc repeats are removed") {
+    val d = Seq(
+      // "---" (< minWords) repeats everywhere but is structure, not prose
+      (1L, "---\nthe same long sentence appears twice in here\n---\nthe same long sentence appears twice in here"),
+      (2L, "---\nsome other content lives here instead"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(d, "doc_id", "text", minWords = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // within-doc second occurrence removed (C4 semantics: corpus-wide
+    // first occurrence only), both "---" separators kept
+    assert(out(1L)._1 == 4L && out(1L)._2 == 3L)
+    assert(out(1L)._3 ==
+      "---\nthe same long sentence appears twice in here\n---")
+    assert(out(2L)._3 == "---\nsome other content lives here instead")
+    // ordering of kept lines preserved under a permuted input
+    val ord = Dedup.dedupLines(
+        Seq((5L, "first line stays put\nsecond line stays put\nthird line stays put"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(ord._4 ==
+      "first line stays put\nsecond line stays put\nthird line stays put")
+  }
+
   test("simhash: identical token multisets → identical hash") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(h(0L) == h(1L) && h(0L) == h(3L))
