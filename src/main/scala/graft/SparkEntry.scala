@@ -529,6 +529,24 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // Canonical text normalization (NFC + control strip + whitespace
+    // canonicalization — the pass crawled text gets before any byte-
+    // comparing operator). The ASCII corpus would make NFC a no-op, so
+    // a suffix with a decomposed accent, a BEL control, tab runs and
+    // blank-line spam is appended in BOTH engines — every normalization
+    // arm fires on every row. NfcNormalize is a codegen'd Catalyst
+    // expression: the whole pipeline fuses into one projection.
+    "text_normalize" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      // "cafe" + combining acute (decomposed e-acute), BEL between x
+      // and y, tab before z, blank-line and space spam around it all
+      val suffix = "\n\n\n  cafe\u0301  x\u0007y\tz  "
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        normalizeText(concat(col("text"), lit(suffix))).as("text_norm"))
+        .orderBy("doc_id").limit(200)
+    }),
+
     // ----- corpus cleaning (pretraining-data pipeline) -----
     // Gopher document-quality rules: zero-shuffle per-row projection.
     "quality_gopher" -> ((s, dir) => {
@@ -1749,6 +1767,24 @@ private object OracleSql {
         |            ELSE 'und' END AS lang_pred,
         |       fp
         |FROM h
+        |ORDER BY doc_id
+        |LIMIT 200""".stripMargin,
+
+    // The same normalization pipeline in DuckDB: nfc_normalize + the
+    // identical RE2/Java-compatible replaces in the same order. The
+    // suffix (decomposed accent / BEL / tabs / blank-line spam) is
+    // rebuilt from chr() calls so the oracle JSON stays control-free.
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         nfc_normalize(text || chr(10) || chr(10) || chr(10) ||
+        |                       '  cafe' || chr(769) || '  x' || chr(7) || 'y' ||
+        |                       chr(9) || 'z  '),
+        |         '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |         '[ \t]+', ' ', 'g'),
+        |         '[ ]*\n[ ]*', chr(10), 'g'),
+        |         '\n{3,}', chr(10) || chr(10), 'g')) AS text_norm
+        |FROM documents
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
 

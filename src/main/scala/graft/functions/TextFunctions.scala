@@ -157,4 +157,37 @@ object TextFunctions {
     * 64-row explode + bit ops — no UDF, fully distributed and
     * SQL-reproducible. Returns the plan fragment; see Dedup.simhash. */
   def tokenHash(text: Column): Column = md5Hash64(explode(tokens(text)))
+
+  /** Unicode NFC canonical composition (see
+    * [[graft.functions.expressions.NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.expressions.NfcNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** Canonical text cleanup for crawled corpora (the normalization
+    * pass that runs before fingerprints/shingles/BM25 terms compare
+    * bytes), in a fixed documented order:
+    *
+    *  1. Unicode NFC (composed and decomposed spellings unify);
+    *  2. strip C0 control chars + DEL, KEEPING `\t` and `\n`
+    *     (`[\x00-\x08\x0B-\x1F\x7F]`);
+    *  3. collapse runs of spaces/tabs to one space;
+    *  4. trim spaces around newlines (line-edge whitespace);
+    *  5. collapse 3+ consecutive newlines to exactly two (paragraph
+    *     break survives, blank-line spam doesn't);
+    *  6. trim the ends.
+    *
+    * Every step is a codegen'd string expression (NFC included), so the
+    * whole pipeline is one fused zero-shuffle projection; each regex is
+    * in the Java-regex ∩ RE2 subset, so DuckDB reproduces the output
+    * byte-identically (`nfc_normalize` + the same replaces). */
+  def normalizeText(text: Column): Column = {
+    val nfc = nfcNormalize(text)
+    val noCtrl = regexp_replace(nfc, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtrl, "[ \\t]+", " ")
+    val lineEdges = regexp_replace(oneSpace, "[ ]*\\n[ ]*", "\n")
+    val paragraphs = regexp_replace(lineEdges, "\\n{3,}", "\n\n")
+    trim(paragraphs)
+  }
 }

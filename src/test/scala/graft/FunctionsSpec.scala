@@ -137,6 +137,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("nfcNormalize: decomposed composes; fingerprints then unify") {
+    val df = Seq(("caf\u00e9", "cafe\u0301")).toDF("a", "b") // composed vs decomposed
+    // raw bytes differ, NFC forms are identical
+    assert(!df.select(col("a") === col("b")).as[Boolean].collect().head)
+    assert(df.select(TextFunctions.nfcNormalize(col("a")) ===
+      TextFunctions.nfcNormalize(col("b"))).as[Boolean].collect().head)
+    // the downstream byte-comparing key agrees after normalization
+    assert(df.select(TextFunctions.fingerprint(TextFunctions.nfcNormalize(col("a"))) ===
+      TextFunctions.fingerprint(TextFunctions.nfcNormalize(col("b"))))
+      .as[Boolean].collect().head)
+  }
+
+  test("normalizeText: control strip, whitespace canon, paragraph collapse, idempotent") {
+    val raw = "  ab\t\tc  \n   line two   \n\n\n\n\nlast  "
+    val out = Seq(raw).toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).as[String].collect().head
+    assert(out == "ab c\nline two\n\nlast")
+    // idempotence: normalizing normalized text is the identity
+    val again = Seq(out).toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).as[String].collect().head
+    assert(again == out)
+    // zero-shuffle contract and codegen: the pipeline is one projection
+    val df = Seq(raw).toDF("t").select(TextFunctions.normalizeText(col("t")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
 
 class EmbedderSpec extends SparkSpec {
