@@ -547,6 +547,27 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // URL canonicalization + registered-domain extraction (the layer
+    // between a WARC crawl and URL-dedup / domain-mixing). Three URL
+    // shapes constructed deterministically per doc_id: case/port/www/
+    // tracking-param/fragment junk, a two-level ccTLD suffix, and a
+    // deep subdomain with a trailing slash — every canonicalization arm
+    // fires. Pure zero-shuffle projection.
+    "url_canonical" -> ((s, dir) => {
+      import graft.functions.UrlFunctions._
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Path/"),
+            col("doc_id"), lit("/?utm_source=feed&b=2&a=1#sec")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://"), col("source"), lit(".co.uk/path?z=9&y=8")))
+        .otherwise(concat(lit("https://sub."), col("source"), lit(".example.com/a/b/")))
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          canonicalizeUrl(url).as("url_canon"),
+          urlDomain(url).as("domain"))
+        .orderBy("doc_id").limit(300)
+    }),
+
     // ----- corpus cleaning (pretraining-data pipeline) -----
     // Gopher document-quality rules: zero-shuffle per-row projection.
     "quality_gopher" -> ((s, dir) => {
@@ -1787,6 +1808,46 @@ private object OracleSql {
         |FROM documents
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    // The same URL pipeline in SQL: identical RE2/Java-compatible part
+    // regexes, list_filter/list_sort for the query params, negative
+    // label indexing for the registered domain.
+    "url_canonical" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id || '/?utm_source=feed&b=2&a=1#sec'
+         |         WHEN doc_id % 3 = 1 THEN 'http://' || source || '.co.uk/path?z=9&y=8'
+         |         ELSE 'https://sub.' || source || '.example.com/a/b/' END AS url
+         |  FROM documents),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+         |      ':(80|443)$$', ''), '^www\\.', '') AS host,
+         |    regexp_replace(regexp_extract(trim(url),
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '') AS path,
+         |    array_to_string(list_sort(list_filter(
+         |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+         |      p -> length(p) > 0 AND NOT regexp_matches(p,
+         |        '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))), '&') AS q
+         |  FROM u),
+         |canon AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(scheme) = 0 THEN ''
+         |         ELSE scheme || '://' || host || path ||
+         |              CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END END AS url_canon,
+         |    string_split(host, '.') AS labels
+         |  FROM parts)
+         |SELECT doc_id, url_canon,
+         |  CASE WHEN len(labels) <= 1 THEN array_to_string(labels, '.')
+         |       WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1]) IN %SUFFIX%
+         |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         |       ELSE labels[-2] || '.' || labels[-1] END AS domain
+         |FROM canon
+         |ORDER BY doc_id
+         |LIMIT 300""".stripMargin
+        .replace("%SUFFIX%", sqlList(graft.functions.UrlFunctions.TwoLevelSuffixes)),
 
     // Ratios are rounded to 6 decimals BEFORE threshold comparison in
     // both engines (CorpusClean.gopherFlags does the same), so boolean

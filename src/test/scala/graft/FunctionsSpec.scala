@@ -166,6 +166,43 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.UrlFunctions._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("canonicalizeUrl: case, www, default port, fragment, tracking params, param order") {
+    // presentation variants of one page all collapse to one canonical form
+    val variants = canon(
+      "HTTP://WWW.Example.COM:80/News/today?utm_source=x&b=2&a=1#top",
+      "http://example.com/News/today/?a=1&b=2",
+      "http://example.com/News/today?b=2&a=1&fbclid=zzz")
+    assert(variants.distinct === Seq("http://example.com/News/today?a=1&b=2"))
+    // path case preserved; https 443 stripped; empty query → no '?'
+    assert(canon("https://Host.Net:443/CaseSensitive/Path") ===
+      Seq("https://host.net/CaseSensitive/Path"))
+    assert(canon("https://a.org/x?utm_campaign=only") === Seq("https://a.org/x"))
+    // no scheme → empty (junk URI filter contract)
+    assert(canon("not a url") === Seq(""))
+  }
+
+  test("registeredDomain: plain TLDs, two-level suffixes, bare hosts") {
+    val hosts = Seq("sub.deep.example.com", "bbc.co.uk", "a.b.com.au",
+      "example.org", "localhost").toDF("h")
+    val out = hosts.select(registeredDomain(col("h"))).as[String].collect().toSeq
+    assert(out === Seq("example.com", "bbc.co.uk", "b.com.au",
+      "example.org", "localhost"))
+  }
+
+  test("url functions are zero-shuffle projections") {
+    val df = Seq("http://a.com/x").toDF("u")
+      .select(canonicalizeUrl(col("u")), urlDomain(col("u")))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
+
 class EmbedderSpec extends SparkSpec {
 
   test("hash embedder: deterministic, unit norm, fixed dims") {
