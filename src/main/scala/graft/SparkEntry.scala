@@ -458,6 +458,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Fuzzy decontamination: corpus docs near-duplicating a benchmark
+    // doc (cross-corpus MinHash-LSH + true-Jaccard verify; broadcast
+    // bench side). The "benchmark" is every 40th doc truncated to 80%
+    // of its words — the paraphrased/truncated leakage exact n-gram
+    // decontamination misses.
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val bench = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(slice(ws, lit(1), ceil(size(ws) * lit(0.8)).cast("int")), " ")
+            .as("text"))
+      Dedup.minhashDecontaminate(docs, "doc_id", "text",
+          bench, "bench_id", "text",
+          n = 3, numHashes = 8, bandSize = 2, minJ = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id").limit(100)
@@ -1597,6 +1615,66 @@ private object OracleSql {
          |SELECT jac.id_a, jac.id_b, jac.jaccard
          |FROM jac JOIN cand USING (id_a, id_b)
          |WHERE jaccard >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Cross-corpus variant of the dedup_minhash machinery: the A side
+    // reuses the shared shingle CTEs, the B side rebuilds them over the
+    // truncated bench docs (0.8 is forced to DOUBLE — DuckDB would
+    // otherwise do exact DECIMAL arithmetic where Spark does IEEE
+    // doubles, and ceil could land differently).
+    "decontaminate_fuzzy" ->
+      s"""WITH $shingleCtes,
+         |bench AS (
+         |  SELECT doc_id AS bid,
+         |         array_to_string(list_slice(ws, 1,
+         |           CAST(ceil(len(ws) * 0.8::DOUBLE) AS BIGINT)), ' ') AS text
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws
+         |        FROM documents WHERE doc_id % 40 = 0)),
+         |tkb AS (
+         |  SELECT bid,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     t -> length(t) > 1) AS toks
+         |  FROM bench),
+         |shb AS (
+         |  SELECT DISTINCT bid,
+         |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+         |  FROM tkb),
+         |siga AS (
+         |  SELECT id, seed,
+         |         min(((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647) AS minh
+         |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)
+         |  CROSS JOIN range(0, 8) r(seed)
+         |  GROUP BY id, seed),
+         |sigb AS (
+         |  SELECT bid, seed,
+         |         min(((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647) AS minh
+         |  FROM (SELECT bid, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM shb)
+         |  CROSS JOIN range(0, 8) r(seed)
+         |  GROUP BY bid, seed),
+         |bandsa AS (
+         |  SELECT id, seed // 2 AS band, min(minh) AS b_lo, max(minh) AS b_hi
+         |  FROM siga GROUP BY 1, 2),
+         |bandsb AS (
+         |  SELECT bid, seed // 2 AS band, min(minh) AS b_lo, max(minh) AS b_hi
+         |  FROM sigb GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.bid AS id_b
+         |  FROM bandsa a JOIN bandsb b USING (band, b_lo, b_hi)),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.id = c.id_a
+         |  JOIN shb sb ON sb.bid = c.id_b AND sb.s = sa.s
+         |  GROUP BY 1, 2),
+         |szb AS (SELECT bid, count(*) AS sz FROM shb GROUP BY 1)
+         |SELECT i.id_a, i.id_b,
+         |       round(i.inter / (sza.sz + szb.sz - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sz sza ON i.id_a = sza.id
+         |JOIN szb ON i.id_b = szb.bid
+         |WHERE round(i.inter / (sza.sz + szb.sz - i.inter), 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->

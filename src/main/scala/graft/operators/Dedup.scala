@@ -174,13 +174,85 @@ object Dedup {
     val bandStructs = (0 until numBands).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize)
         .map(s => element_at(col("sig"), s + 1))
-      struct(least(cols: _*).as("b_lo"), greatest(cols: _*).as("b_hi"))
+      // least/greatest require >= 2 args; a 1-hash band is its own key
+      val (lo, hi) =
+        if (cols.size == 1) (cols.head, cols.head)
+        else (least(cols: _*), greatest(cols: _*))
+      struct(lo.as("b_lo"), hi.as("b_hi"))
     }
     val bands = wide.select(col("id"),
       posexplode(array(bandStructs: _*)).as(Seq("band", "bs")))
       .select(col("id"), col("band"), col("bs.b_lo"), col("bs.b_hi"))
     val cands = selfJoinPairs(bands, Seq("band", "b_lo", "b_hi"))
     verifyJaccard(pairIntersections(cands, sh), sh, minJ)
+  }
+
+  /** Fuzzy decontamination: corpus documents NEAR-duplicating an eval/
+    * benchmark document (cross-corpus MinHash-LSH + true-Jaccard
+    * verify). [[graft.operators.CorpusClean.decontaminate]] catches
+    * exact n-gram overlap (the GPT-3 appendix-C pass); this tier
+    * catches the paraphrased/truncated/reformatted leakage that exact
+    * grams miss — the overlap audit newer model reports run against
+    * their pretraining corpora.
+    *
+    * Plan shape: signatures on BOTH sides are the zero-shuffle
+    * [[graft.functions.expressions.MinHashSig]] map; the band join
+    * BROADCASTS the bench side (eval suites are MBs against a 100 TB
+    * corpus — the corpus never shuffles by band); verification
+    * restricts the corpus shingle table to candidate docs with a semi-
+    * join before the (broadcast) bench-shingle intersection join, so
+    * post-candidate cost is O(candidate docs), not O(corpus).
+    *
+    * Returns (id_a = corpus doc, id_b = bench doc, jaccard >= minJ). */
+  def minhashDecontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 3, numHashes: Int = 16, bandSize: Int = 4,
+      minJ: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    val numBands = numHashes / bandSize
+    def bandsOf(df: DataFrame, id: String, text: String, idOut: String): DataFrame = {
+      val wide = df.select(col(id).as(idOut),
+          GraftColumnBridge.column(graft.functions.expressions.MinHashSig(
+            GraftColumnBridge.expression(col(text)), n, numHashes)).as("sig"))
+        .filter(col("sig").isNotNull)
+      val bandStructs = (0 until numBands).map { b =>
+        val cols = (b * bandSize until (b + 1) * bandSize)
+          .map(s => element_at(col("sig"), s + 1))
+        // least/greatest require >= 2 args; a 1-hash band is its own key
+        val (lo, hi) =
+          if (cols.size == 1) (cols.head, cols.head)
+          else (least(cols: _*), greatest(cols: _*))
+        struct(lo.as("b_lo"), hi.as("b_hi"))
+      }
+      wide.select(col(idOut), posexplode(array(bandStructs: _*)).as(Seq("band", "bs")))
+        .select(col(idOut), col("band"), col("bs.b_lo"), col("bs.b_hi"))
+    }
+    val cands = bandsOf(corpus, corpusId, corpusText, "id_a")
+      .join(broadcast(bandsOf(bench, benchId, benchText, "id_b")),
+        Seq("band", "b_lo", "b_hi"))
+      .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Corpus shingles restricted to candidate docs BEFORE any join work;
+    // the bench shingle table is eval-sized and broadcasts.
+    val shA = shingleTable(corpus, corpusId, corpusText, n)
+      .join(cands.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = shingleTable(bench, benchId, benchText, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = cands
+      .join(shA.withColumnRenamed("id", "id_a"), "id_a")
+      .join(broadcast(shB.select(col("id").as("id_b"), col("sh"))), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val szA = shA.groupBy("id").agg(count(lit(1)).as("sz"))
+    val szB = shB.groupBy("id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(szA.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(broadcast(szB.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
   }
 
   /** Distinct (id_a < id_b) pairs sharing any value of the key columns. */

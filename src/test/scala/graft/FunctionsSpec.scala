@@ -429,6 +429,30 @@ class DedupSpec extends SparkSpec {
       s"second pass should converge: $removed2 vs $removed1")
   }
 
+  test("minhashDecontaminate: truncated and exact bench copies found, unrelated not") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),                                   // leaked verbatim
+      (2L, base.split(" ").take(16).mkString(" ")), // leaked truncated
+      (3L, "completely different prose about spark plans and shuffles " +
+        "with many engine specific words inside here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, base),
+      (200L, "unrelated benchmark question about chemistry and reactions today"))
+      .toDF("bench_id", "text")
+    val out = Dedup.minhashDecontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "text", n = 3, numHashes = 8, bandSize = 1, minJ = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // verbatim leak: jaccard exactly 1.0 against its bench twin
+    assert(out.exists(p => p._1 == 1L && p._2 == 100L && p._3 == 1.0))
+    // truncated leak: found with partial jaccard strictly inside (0,1)
+    val trunc = out.find(p => p._1 == 2L && p._2 == 100L)
+    assert(trunc.isDefined && trunc.get._3 > 0.3 && trunc.get._3 < 1.0)
+    // the unrelated corpus doc and unrelated bench doc pair with nothing
+    assert(!out.exists(p => p._1 == 3L || p._2 == 200L))
+  }
+
   test("dedupLines: repeated lines survive only at their first (doc, pos) occurrence") {
     val boiler = "all rights reserved by the original author"
     val d = Seq(
