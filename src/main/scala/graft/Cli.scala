@@ -91,7 +91,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -131,9 +131,16 @@ object Cli {
         val chunkOverlap = flags.get("chunk-overlap").map(_.toInt)
           .getOrElse(config.build.chunkOverlap)
         val spark = session()
-        // --docs may be a directory tree OR a JSONL corpus file
+        // --docs may be a directory tree, a JSONL corpus file, or a
+        // WET/WARC crawl path (file or directory; --wet forces it for
+        // paths the extension check can't classify)
+        def isWet(p: String) = flags.contains("wet") ||
+          Seq(".wet", ".warc", ".wet.gz", ".warc.gz").exists(p.endsWith)
         val docs =
-          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+          if (isWet(docsDir))
+            graft.sources.WarcIngest.readWet(spark, docsDir)
+              .select("text", "source")
+          else if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
             FileIngest.readJsonl(spark, docsDir)
           else FileIngest.readDocuments(spark, docsDir,
             // full decoder chain: .pdf -> PdfText, .html -> HTML-to-text,

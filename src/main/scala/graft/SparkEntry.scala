@@ -647,6 +647,18 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Curriculum ordering: short-to-long schedule (n_chars as the
+    // difficulty score), 3 quantile strata, deterministic md5 shuffle
+    // within each stratum, global position from the distributed prefix
+    // sum — one range-partition shuffle total.
+    "curriculum_order" -> ((s, dir) => {
+      graft.operators.TrainExport.curriculumOrder(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", buckets = 3, seed = "curr5")
+        .select("doc_id", "n_chars", "bucket", "pos")
+        .orderBy("pos")
+    }),
+
     // Exact line-granular cross-document dedup (C4's repeated-span
     // discard at line granularity): each repeated line survives only at
     // its first (doc, pos) occurrence. Linear plan — ownership agg +
@@ -2120,6 +2132,32 @@ private object OracleSql {
          |FROM fl
          |ORDER BY doc_id
          |LIMIT 500""".stripMargin,
+
+    // quantile_cont == Spark's interpolated percentile (q_percentiles-
+    // pinned parity); q literals forced DOUBLE (DuckDB would parse
+    // 1.0/3 as DECIMAL); thresholds and scores round to 6 before the
+    // bucket CASE; pos replayed as row_number over the same composite
+    // (padded bucket, md5 key, id) string key the prefix sum orders by.
+    "curriculum_order" ->
+      """WITH th AS (
+        |  SELECT round(quantile_cont(n_chars, 0.3333333333333333::DOUBLE), 6) AS t1,
+        |         round(quantile_cont(n_chars, 0.6666666666666666::DOUBLE), 6) AS t2
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(CASE WHEN round(n_chars::DOUBLE, 6) > t2 THEN 2
+        |                   WHEN round(n_chars::DOUBLE, 6) > t1 THEN 1
+        |                   ELSE 0 END AS INT) AS bucket
+        |  FROM documents, th),
+        |k AS (
+        |  SELECT doc_id, n_chars, bucket,
+        |         lpad(bucket::VARCHAR, 4, '0') || ':' ||
+        |         lower(substr(md5('curr5:' || doc_id), 1, 8)) || ':' || doc_id AS ck
+        |  FROM b)
+        |SELECT doc_id, n_chars, bucket,
+        |       CAST(row_number() OVER (ORDER BY ck) AS BIGINT) AS pos
+        |FROM k
+        |ORDER BY pos""".stripMargin,
 
     // First-occurrence line dedup: rank occurrences of each line key by
     // (doc, pos); rn > 1 is removed. string_agg skips NULLed lines,

@@ -292,6 +292,40 @@ object TrainExport {
       .drop("_one", "_shufkey")
   }
 
+  /** Curriculum ordering (Bengio et al. 2009's easy-to-hard schedule,
+    * as LLM pipelines apply it to data: train on the "easy" stratum
+    * first, harden over time): documents are cut into `buckets` score
+    * quantile strata (exact interpolated percentiles — one tiny agg,
+    * thresholds broadcast; scores and cuts round to 6 before compare,
+    * the perplexityBuckets stance) and laid out bucket-by-ascending-
+    * score with a deterministic md5 shuffle WITHIN each bucket (the
+    * schedule orders strata, not documents — intra-stratum order must
+    * still be an unbiased shuffle, and a resumable/reproducible one).
+    *
+    * Score polarity is the caller's: pass length for a short-to-long
+    * curriculum, negated LM score for clean-to-noisy.
+    *
+    * Plan: threshold agg (broadcast back) + the ONE range-partition
+    * shuffle of the distributed prefix sum — same total cost as
+    * [[deterministicShuffle]]. Returns input + (bucket, pos), pos
+    * 1-based over the (bucket, shuffle-key) total order. */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+                      buckets: Int = 3, seed: String = "curriculum"): DataFrame = {
+    require(buckets > 1, s"need >= 2 buckets, got $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val ths = broadcast(docs.agg(
+      array(qs.map(q => round(percentile(col(scoreCol), lit(q)), 6)): _*).as("_ths")))
+    val keyed = docs.crossJoin(ths)
+      .withColumn("_r", round(col(scoreCol).cast("double"), 6))
+      .withColumn("bucket",
+        size(filter(col("_ths"), t => col("_r") > t)).cast("int"))
+      .withColumn("_ck", concat(
+        lpad(col("bucket").cast("string"), 4, "0"), lit(":"),
+        uniformHexKey(seed, col(idCol)), lit(":"), col(idCol).cast("string")))
+    withGlobalPrefixSum(keyed.withColumn("_one", lit(1L)), "_ck", "_one", "pos")
+      .drop("_one", "_ck", "_ths", "_r")
+  }
+
   /** Hashed n-gram feature occurrences for DSIR: one row per unigram
     * AND word-bigram occurrence (multiset — importance weights count
     * repetitions), bucketed by md5 mod `buckets`. Token array

@@ -198,4 +198,28 @@ class TrainExportSpec extends SparkSpec {
         40, "g1").select("id").as[Long].collect().toSeq
     assert(again == got)
   }
+
+  test("curriculumOrder: strata by score quantiles, shuffled within, total order") {
+    val d = (1L to 9L).map(i => (i, i * 10L)).toDF("id", "score")
+    val out = TrainExport.curriculumOrder(d, "id", "score", buckets = 3,
+        seed = "t1")
+      .select("id", "bucket", "pos").as[(Long, Int, Long)].collect()
+      .sortBy(_._3)
+    // thresholds are interpolated terciles of 10..90: 36.67 / 63.33
+    val bucketOf = out.map(r => r._1 -> r._2).toMap
+    assert(Seq(1L, 2L, 3L).forall(bucketOf(_) == 0))
+    assert(Seq(4L, 5L, 6L).forall(bucketOf(_) == 1))
+    assert(Seq(7L, 8L, 9L).forall(bucketOf(_) == 2))
+    // pos is 1..n and strictly stratified: every bucket-b row precedes
+    // every bucket-(b+1) row
+    assert(out.map(_._3).toSeq == (1L to 9L))
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted)
+    // deterministic, and intra-bucket order is the md5 shuffle (id
+    // order would only coincide if md5 sorted ids — it doesn't here)
+    val again = TrainExport.curriculumOrder(d, "id", "score", 3, "t1")
+      .select("id", "bucket", "pos").as[(Long, Int, Long)].collect().sortBy(_._3)
+    assert(again.toSeq == out.toSeq)
+    assert(out.filter(_._2 == 0).map(_._1).toSeq != Seq(1L, 2L, 3L) ||
+      out.filter(_._2 == 1).map(_._1).toSeq != Seq(4L, 5L, 6L))
+  }
 }
