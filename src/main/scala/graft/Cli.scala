@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.embedding.{EmbeddingProvider, HashEmbedder}
-import graft.llm.SimulatedLlm
 import graft.pipeline.Index
 import graft.serve.SearchServer
 import graft.sources.FileIngest
@@ -68,6 +67,15 @@ object Cli {
         s"unknown [embedding].provider '$other' (supported: hash, http)")
     }
   }
+
+  /** LLM dispatch from config `[llm]` (ref `src/llm/mod.rs:33-54`);
+    * default stays the offline simulator so ask/react work with zero
+    * setup, exactly like the embedding side's hash default. */
+  private def llmProvider: graft.llm.LlmProvider =
+    graft.llm.LlmProvider.create(
+      config.llm.provider,
+      config.llm.model.getOrElse("simulated"),
+      baseUrl = config.llm.baseUrl)
 
   private def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -220,8 +228,9 @@ object Cli {
         // one provider for the whole session — re-evaluating the def per
         // question would re-run the HTTP dim probe on every turn
         val prov = provider
+        val llm = llmProvider
         def answer(q: String): String = graft.llm.Rag.ask(
-          spark, dir, q, prov, new SimulatedLlm("cli"), topK = topK)
+          spark, dir, q, prov, llm, topK = topK)
         question.foreach(q => println(answer(q)))
         if (question.isEmpty || flags.contains("interactive")) {
           val hist = java.nio.file.Paths.get(warehouse, ".ask_history")
@@ -239,7 +248,7 @@ object Cli {
         val dir = Index.locate(warehouse, name).getOrElse(fail(s"no index '$name' in $warehouse"))
         val spark = session()
         val agent = new graft.llm.ReactAgent(spark, dir, provider,
-          new SimulatedLlm("cli"),
+          llmProvider,
           topK = flags.get("top-k").map(_.toInt).getOrElse(3),
           maxSteps = flags.get("max-steps").map(_.toInt).getOrElse(5))
         println(agent.run(question))

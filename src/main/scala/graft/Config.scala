@@ -25,9 +25,18 @@ final case class BuildConfig(
     maxFileSizeKb: Long = 1024,
     fileTypes: Option[Seq[String]] = None)
 
+/** `[llm]` section (ref `src/llm/mod.rs:11-17` LlmType): provider is
+  * one of simulated/openai/ollama/anthropic; api keys come from env
+  * vars, never the file. */
+final case class LlmConfig(
+    provider: String = "simulated",
+    model: Option[String] = None,
+    baseUrl: Option[String] = None)
+
 final case class Config(
     embedding: EmbeddingConfig = EmbeddingConfig(),
-    build: BuildConfig = BuildConfig())
+    build: BuildConfig = BuildConfig(),
+    llm: LlmConfig = LlmConfig())
 
 object Config {
 
@@ -64,7 +73,11 @@ object Config {
         chunkOverlap = int("build", "chunk_overlap").getOrElse(128),
         // stays Long end-to-end: a multi-TB cap must not wrap through Int
         maxFileSizeKb = long("build", "max_file_size_kb").getOrElse(1024L),
-        fileTypes = arr("build", "file_types")))
+        fileTypes = arr("build", "file_types")),
+      llm = LlmConfig(
+        provider = str("llm", "provider").getOrElse("simulated"),
+        model = str("llm", "model"),
+        baseUrl = str("llm", "base_url")))
   }
 
   /** `section -> key -> value` where value is String | Long | Boolean |
@@ -139,7 +152,10 @@ object Config {
        |chunk_size = ${c.build.chunkSize}
        |chunk_overlap = ${c.build.chunkOverlap}
        |max_file_size_kb = ${c.build.maxFileSizeKb}
-       |$types""".stripMargin
+       |$types
+       |[llm]
+       |provider = "${c.llm.provider}"
+       |${c.llm.model.map(m => "model = \"" + m + "\"\n").getOrElse("")}""".stripMargin
   }
 
   val exampleToml: String =
@@ -157,6 +173,11 @@ object Config {
       |chunk_overlap = 128
       |max_file_size_kb = 1024
       |# file_types = ["md", "txt", "rs", "scala"]
+      |
+      |[llm]
+      |provider = "simulated"  # or openai / ollama / anthropic
+      |# model = "gpt-4o-mini"
+      |# base_url = "http://localhost:11434"  # keys via $OPENAI_API_KEY / $ANTHROPIC_API_KEY
       |""".stripMargin
 
   /** Write the example config; refuses to overwrite unless forced. */

@@ -17,6 +17,42 @@ trait LlmProvider extends Serializable {
   def generate(prompt: String): String
 }
 
+object LlmProvider {
+
+  /** Provider dispatch mirroring the reference's `LlmType` factory
+    * (`src/llm/mod.rs:33-54`), with the same env-var fallbacks:
+    * OpenAI key from $OPENAI_API_KEY, base URL from $OPENAI_BASE_URL
+    * (openai.rs); Ollama host from $GRAFT_OLLAMA_HOST then
+    * $OLLAMA_HOST then localhost:11434 (ollama.rs, whose app-specific
+    * var is LEANN_OLLAMA_HOST); Anthropic key from $ANTHROPIC_API_KEY.
+    */
+  def create(providerType: String, modelName: String,
+             baseUrl: Option[String] = None,
+             apiKey: Option[String] = None): LlmProvider =
+    providerType match {
+      case "simulated" => new SimulatedLlm(modelName)
+      case "openai" =>
+        val key = apiKey.orElse(sys.env.get("OPENAI_API_KEY"))
+        require(key.isDefined || baseUrl.isDefined,
+          "OpenAI provider needs an api key ($OPENAI_API_KEY) or an explicit base_url")
+        new OpenAiLlm(modelName,
+          baseUrl.orElse(sys.env.get("OPENAI_BASE_URL"))
+            .getOrElse("https://api.openai.com/v1"),
+          apiKey = key)
+      case "ollama" =>
+        new OllamaLlm(modelName,
+          host = baseUrl.orElse(sys.env.get("GRAFT_OLLAMA_HOST"))
+            .orElse(sys.env.get("OLLAMA_HOST"))
+            .getOrElse("http://localhost:11434"))
+      case "anthropic" =>
+        new AnthropicLlm(modelName,
+          baseUrl = baseUrl.getOrElse("https://api.anthropic.com"),
+          apiKey = apiKey.orElse(sys.env.get("ANTHROPIC_API_KEY")))
+      case other => throw new IllegalArgumentException(
+        s"unknown llm provider '$other' (supported: simulated, openai, ollama, anthropic)")
+    }
+}
+
 /** Deterministic canned-response provider (ref simulated.rs:17-56):
   * echoes the question found after "Question:" and acknowledges context
   * when the prompt carries retrieved passages. */

@@ -26,11 +26,18 @@ class ConfigSpec extends AnyFunSuite {
         |chunk_overlap = 20
         |max_file_size_kb = 2048
         |file_types = ["md", "scala"]
+        |
+        |[llm]
+        |provider = "ollama"
+        |model = "llama3"
+        |base_url = "http://gpu-box:11434"
         |""".stripMargin)
     assert(c.embedding.dims == 32 && c.embedding.batchSize.contains(50))
     assert(c.build.chunkSize == 100 && c.build.chunkOverlap == 20)
     assert(c.build.maxFileSizeKb == 2048L)
     assert(c.build.fileTypes.contains(Seq("md", "scala")))
+    assert(c.llm.provider == "ollama" && c.llm.model.contains("llama3"))
+    assert(c.llm.baseUrl.contains("http://gpu-box:11434"))
   }
 
   test("partial file keeps defaults for unset keys; '#' inside strings kept") {
