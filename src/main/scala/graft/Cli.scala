@@ -401,7 +401,11 @@ object Cli {
         val ids = drawn.select(org.apache.spark.sql.functions.col("id"))
         raw.join(ids, raw("source") === ids("id"), "left_semi")
           .write.mode("overwrite").parquet(out)
-        println(s"select-dsir: wrote $k selected documents to $out")
+        // report the COUNT actually written, not k: duplicate source
+        // URIs or a corpus smaller than k make them differ
+        val written = spark.read.parquet(out).count()
+        println(s"select-dsir: wrote $written selected documents to $out" +
+          (if (written != k) s" (requested $k)" else ""))
         spark.stop()
 
       case "export-training" =>

@@ -577,7 +577,9 @@ object SparkEntry {
           concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Path/"),
             col("doc_id"), lit("/?utm_source=feed&b=2&a=1#sec")))
         .when(col("doc_id") % 3 === 1,
-          concat(lit("http://"), col("source"), lit(".co.uk/path?z=9&y=8")))
+          // non-default port: kept in the canonical URL, stripped from
+          // the registered domain (the r6 ADVICE port-fragmentation fix)
+          concat(lit("http://"), col("source"), lit(".co.uk:8080/path?z=9&y=8")))
         .otherwise(concat(lit("https://sub."), col("source"), lit(".example.com/a/b/")))
       Tables.documents(s, dir).select(
           col("doc_id"),
@@ -1906,7 +1908,7 @@ private object OracleSql {
       s"""WITH u AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || doc_id || '/?utm_source=feed&b=2&a=1#sec'
-         |         WHEN doc_id % 3 = 1 THEN 'http://' || source || '.co.uk/path?z=9&y=8'
+         |         WHEN doc_id % 3 = 1 THEN 'http://' || source || '.co.uk:8080/path?z=9&y=8'
          |         ELSE 'https://sub.' || source || '.example.com/a/b/' END AS url
          |  FROM documents),
          |parts AS (
@@ -1927,7 +1929,7 @@ private object OracleSql {
          |    CASE WHEN length(scheme) = 0 THEN ''
          |         ELSE scheme || '://' || host || path ||
          |              CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END END AS url_canon,
-         |    string_split(host, '.') AS labels
+         |    string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS labels
          |  FROM parts)
          |SELECT doc_id, url_canon,
          |  CASE WHEN len(labels) <= 1 THEN array_to_string(labels, '.')
@@ -2743,7 +2745,7 @@ private object OracleSql {
         |                         generate_series(1, greatest(least(n.n_rel, 10), 1)),
         |                         i -> ln(2.0) / ln(i + 1.0)))
         |                  ELSE 0.0 END, 6) AS ndcg
-        |FROM (SELECT DISTINCT qid FROM res) b
+        |FROM (SELECT DISTINCT qid FROM scored UNION SELECT qid FROM nrel) b
         |LEFT JOIN nrel n USING (qid)
         |LEFT JOIN hits h USING (qid)
         |ORDER BY qid""".stripMargin,

@@ -75,12 +75,16 @@ object UrlFunctions {
     * (`bbc.co.uk` → `bbc.co.uk`, `sub.a.example.com` → `example.com`).
     * Hosts with fewer labels (e.g. `localhost`) pass through. */
   def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    // A host may still carry a non-default port (urlHost strips only
+    // :80/:443) — drop any :<digits> suffix so `example.com:8080`
+    // doesn't fragment domain statistics away from `example.com`.
+    val bare = regexp_replace(host, ":[0-9]+$", "")
+    val labels = split(bare, "\\.")
     val n = size(labels)
     val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val lastThree = concat_ws(".",
       element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    when(n <= 1, host)
+    when(n <= 1, bare)
       .when(n >= 3 && lastTwo.isin(TwoLevelSuffixes: _*), lastThree)
       .otherwise(lastTwo)
   }

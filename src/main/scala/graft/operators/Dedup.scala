@@ -27,6 +27,29 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Deferred-release persist for intermediates that must stay lazy
+    * (they back a returned frame, so an in-function try/finally would
+    * unpersist before the caller's action runs) but whose plan loses
+    * measurably to localCheckpoint (corpus-scale block writes). Each
+    * operator holds at most ONE cached intermediate: registering a new
+    * one unpersists the previous call's, so a long-lived session's
+    * cache stays bounded instead of accumulating per query. Explicit
+    * drain for request boundaries: [[releaseCaches]]. */
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def holdCached(key: String, df: DataFrame): DataFrame = {
+    val prev = held.put(key, df)
+    if (prev != null && (prev ne df)) { prev.unpersist(); () }
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release every deferred-release intermediate (idempotent; call at
+    * request boundaries in long-lived sessions). */
+  def releaseCaches(): Unit = {
+    held.values.forEach(df => { df.unpersist(); () })
+    held.clear()
+  }
+
   /** Exact duplicate groups keyed by the whitespace/case-insensitive
     * content fingerprint. `n_dups > 1` marks a group to collapse;
     * `keep_id` is the canonical survivor (min id). */
@@ -85,9 +108,13 @@ object Dedup {
     * full-set sizes would systematically underestimate). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
-    // Persisted: the shingle plan feeds both join sides plus the sizes agg.
-    val sh0 = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized once (feeds both join sides plus the sizes agg) via
+    // localCheckpoint, not persist: a CacheManager persist with no
+    // matching unpersist outlives the query — blocks accumulate across
+    // queries in a long-lived session — while checkpoint blocks are
+    // reclaimed by the ContextCleaner when the result frame drops (the
+    // connectedComponents stance).
+    val sh0 = shingleTable(docs, idCol, textCol, n).localCheckpoint()
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
@@ -158,8 +185,8 @@ object Dedup {
     * doc), independent of corpus-wide shingle collisions. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist — see jaccardPairs (unpersist hygiene).
+    val sh = shingleTable(docs, idCol, textCol, n).localCheckpoint()
     // Signatures via the single-pass MinHashSig expression: a pure map
     // over the docs scan (zero shuffle), where the aggregation
     // formulation (minhashSignaturesWide — kept as the parity oracle in
@@ -232,14 +259,15 @@ object Dedup {
       .join(broadcast(bandsOf(bench, benchId, benchText, "id_b")),
         Seq("band", "b_lo", "b_hi"))
       .select("id_a", "id_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist — see jaccardPairs (unpersist hygiene)
+      .localCheckpoint()
     // Corpus shingles restricted to candidate docs BEFORE any join work;
     // the bench shingle table is eval-sized and broadcasts.
     val shA = shingleTable(corpus, corpusId, corpusText, n)
       .join(cands.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val shB = shingleTable(bench, benchId, benchText, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val inter = cands
       .join(shA.withColumnRenamed("id", "id_a"), "id_a")
       .join(broadcast(shB.select(col("id").as("id_b"), col("sh"))), Seq("id_b", "sh"))
@@ -300,6 +328,7 @@ object Dedup {
       .withColumn("component", col("id"))
     var converged = false
     var i = 0
+    try {
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -321,7 +350,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
+    // finally, not fall-through: an exception mid-loop must not leave
+    // the edge table cached for the rest of the session
+    } finally { edges.unpersist(); () }
     labels
   }
 
@@ -520,9 +551,13 @@ object Dedup {
   def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, w: Int = 4): DataFrame = {
     val span = w + k - 2 // window at pos covers tokens [pos, pos+span]
-    // Persisted: ownership and mark generation both read the windows.
-    val wins = winnowWindows(docs, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Ownership and mark generation both read the windows. The window
+    // table must stay a LAZY persist (measured: localCheckpoint's
+    // eager corpus-scale block write runs ~3x this query; recomputing
+    // the window pass per branch ~4x) — deferred release via
+    // holdCached keeps the session cache bounded at one entry.
+    val wins = holdCached("removeSharedSpans",
+      winnowWindows(docs, idCol, textCol, k, w))
     val owners = wins.select("id", "fp").distinct()
       .groupBy("fp")
       .agg(min("id").as("owner"), countDistinct("id").as("nd"))
@@ -605,8 +640,8 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4, minShared: Long = 2,
                   maxFpDf: Int = 0): DataFrame = {
-    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist — see jaccardPairs (unpersist hygiene)
+    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w).localCheckpoint()
     val fps =
       if (maxFpDf <= 0) fps0
       else fps0.join(fps0.groupBy("fp").count()

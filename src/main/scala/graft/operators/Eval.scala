@@ -43,9 +43,9 @@ object Eval {
   def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
       qidCol: String = "qid", docCol: String = "doc_id",
       rankCol: String = "rank"): DataFrame = {
-    val res = results.select(col(qidCol).as("qid"), col(docCol).as("doc"),
-        col(rankCol).as("rank"))
-      .filter(col("rank") <= k)
+    val allRes = results.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+      col(rankCol).as("rank"))
+    val res = allRes.filter(col("rank") <= k)
     val rel = qrels.select(col(qidCol).as("qid"), col(docCol).as("doc"))
       .distinct()
     val relCounts = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
@@ -57,7 +57,11 @@ object Eval {
     val idealDcg = aggregate(
       sequence(lit(1), greatest(least(col("n_rel"), lit(k)), lit(1))),
       lit(0.0), (acc, i) => acc + log2inv(i))
-    res.select("qid").distinct()
+    // The qid universe is qrels ∪ results BEFORE the rank cutoff: a
+    // query that retrieved nothing in the top k (or nothing at all)
+    // must score 0, not vanish — deriving the universe from rank≤k
+    // rows would bias every macro-average upward.
+    allRes.select("qid").union(rel.select("qid")).distinct()
       .join(relCounts, Seq("qid"), "left")
       .join(hits, Seq("qid"), "left")
       .select(

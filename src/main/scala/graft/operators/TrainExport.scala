@@ -211,8 +211,16 @@ object TrainExport {
     import spark.implicits._
     // 8 hex chars -> integer in [0, 2^32): numeric order == the hex
     // key's lexicographic order, exactly what the window oracle sorts by.
+    // The long cast must be guarded: a non-numeric string id casts to
+    // NULL, and an unguarded plan would silently return an EMPTY sample
+    // (every ScoredId row dropped by the encoder) instead of failing.
+    val castId = col(idCol).cast("long")
     val keyed = docs.select(col(labelCol).cast("string").as("lbl"),
-        col(idCol).cast("long").as("id"),
+        when(castId.isNull, raise_error(concat(
+            lit(s"stratifiedSample: id column '$idCol' value '"),
+            col(idCol).cast("string"),
+            lit("' is not castable to long (string ids are not supported)"))))
+          .otherwise(castId).as("id"),
         conv(uniformHexKey(seed, col(idCol)), 16, 10).cast("double").as("key"))
       .as[(String, Long, Double)]
     val winners = keyed

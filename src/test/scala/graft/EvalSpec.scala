@@ -58,6 +58,21 @@ class EvalSpec extends SparkSpec {
     assert(m === ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("retrievalMetrics: a query beyond the cutoff or with no results scores 0, not missing (r6 ADVICE fix)") {
+    // q1 retrieved only past the cutoff; q2 is in qrels with NO result
+    // rows at all; q3 is healthy. All three must appear — dropping the
+    // zero-scoring queries would bias every macro-average upward.
+    val results = Seq((1L, "a", 11), (3L, "x", 1)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq((1L, "a"), (2L, "b"), (3L, "x")).toDF("qid", "doc_id")
+    val m = Eval.retrievalMetrics(results, qrels, k = 10)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L) === ((1L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    assert(m(2L) === ((2L, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+    assert(m(3L)._7 === 1.0) // the healthy query still scores
+  }
+
   test("retrievalMetrics: duplicate qrel rows don't inflate n_rel") {
     val results = Seq((1L, "a", 1)).toDF("qid", "doc_id", "rank")
     val qrels = Seq((1L, "a"), (1L, "a"), (1L, "b")).toDF("qid", "doc_id")

@@ -196,6 +196,20 @@ class UrlFunctionsSpec extends SparkSpec {
       "example.org", "localhost"))
   }
 
+  test("registeredDomain strips non-default ports (r6 ADVICE fix)") {
+    // urlHost strips only :80/:443, so a host reaching registeredDomain
+    // can still carry a port — it must not fragment domain statistics.
+    val hosts = Seq("example.com:8080", "sub.example.com:9443",
+      "bbc.co.uk:3000", "localhost:9000").toDF("h")
+    val out = hosts.select(registeredDomain(col("h"))).as[String].collect().toSeq
+    assert(out === Seq("example.com", "example.com", "bbc.co.uk", "localhost"))
+    // and through the URL path: non-default port kept in canon, not domain
+    val viaUrl = Seq("http://shop.example.com:8080/x?b=1").toDF("u")
+      .select(canonicalizeUrl(col("u")), urlDomain(col("u")))
+      .as[(String, String)].head()
+    assert(viaUrl == ("http://shop.example.com:8080/x?b=1", "example.com"))
+  }
+
   test("url functions are zero-shuffle projections") {
     val df = Seq("http://a.com/x").toDF("u")
       .select(canonicalizeUrl(col("u")), urlDomain(col("u")))
@@ -262,6 +276,32 @@ class DedupSpec extends SparkSpec {
     val d = Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9)
       .as[(Long, Long, Double)].collect().toSet
     assert(d.contains((0L, 1L, 1.0)))
+  }
+
+  test("dedup operators leave no unbounded SQL-cache growth (r6 ADVICE fix)") {
+    // In a long-lived session (serve, bench loop) an unreleased
+    // Dataset.persist accumulates CacheManager blocks forever. The
+    // intermediates now go through localCheckpoint (ContextCleaner-
+    // reclaimed), try/finally-unpersisted loop caches, or the
+    // deferred-release holdCached registry (≤ 1 live entry per
+    // operator, drained by releaseCaches).
+    Dedup.releaseCaches()
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 10).count()
+    Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9).count()
+    Dedup.winnowPairs(docs, "doc_id", "text").count()
+    Dedup.minhashDecontaminate(docs, "doc_id", "text",
+      docs.limit(1), "doc_id", "text").count()
+    Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a Dedup operator left a persisted plan in the SQL cache")
+    // removeSharedSpans defers release: repeated calls hold ONE entry
+    // (each call frees the previous call's windows), not one per call
+    Dedup.removeSharedSpans(docs, "doc_id", "text").count()
+    Dedup.removeSharedSpans(docs, "doc_id", "text", k = 3, w = 5).count()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    Dedup.releaseCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseCaches must drain the deferred-release registry")
   }
 
   test("connected components: chains merge, singletons keep own label") {

@@ -151,6 +151,27 @@ class TrainExportSpec extends SparkSpec {
     assert(all == Map("en" -> 100L, "de" -> 100L, "rare" -> 71L))
   }
 
+  test("stratifiedSample: non-numeric string ids fail loudly, never an empty sample (r6 ADVICE fix)") {
+    val d = Seq(("a.md#0", "en"), ("b.md#1", "en"), ("c.md#2", "de"))
+      .toDF("id", "lang")
+    val e = intercept[Exception] {
+      TrainExport.stratifiedSample(d, "id", "lang", n = 1, seed = "s").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // ANSI mode (the Spark 4 default) rejects the cast itself
+    // (CAST_INVALID_INPUT); with ANSI off the cast yields NULL and the
+    // raise_error guard fires. Either way: loud, never empty.
+    assert(messages(e).exists(m =>
+      m.contains("not castable to long") || m.contains("CAST_INVALID_INPUT")))
+    // numeric STRING ids still work (cast succeeds)
+    val ok = TrainExport.stratifiedSample(
+        Seq(("10", "en"), ("11", "en"), ("12", "de")).toDF("id", "lang"),
+        "id", "lang", n = 1, seed = "s")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(ok == Map("en" -> 1L, "de" -> 1L))
+  }
+
   private def textDocs(rows: (Long, String)*) = rows.toDF("id", "text")
 
   test("dsirLogWeights: target == raw gives exactly zero; target-like docs outrank others") {
