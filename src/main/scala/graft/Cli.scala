@@ -60,11 +60,29 @@ object Cli {
           config.embedding.baseUrl.getOrElse("http://localhost:8080/v1"),
           apiKey = sys.env.get("GRAFT_EMBED_API_KEY"),
           dims = dims)
+      case "ollama" =>
+        // $GRAFT_EMBED_DIMS wins; else the reference's per-model
+        // defaults (ollama.rs:41-48); dims = 0 forces a probe
+        new graft.embedding.OllamaEmbedder(
+          config.embedding.model.getOrElse("nomic-embed-text"),
+          host = config.embedding.baseUrl
+            .getOrElse(graft.embedding.OllamaEmbedder.defaultHost),
+          dimsIn = sys.env.get("GRAFT_EMBED_DIMS").map(_.toInt).getOrElse(-1))
+      case "gemini" =>
+        new graft.embedding.GeminiEmbedder(
+          config.embedding.model.getOrElse("text-embedding-004"),
+          apiKey = sys.env.get("GRAFT_EMBED_API_KEY")
+            .orElse(sys.env.get("GEMINI_API_KEY"))
+            .getOrElse(fail("gemini embedding provider needs " +
+              "$GRAFT_EMBED_API_KEY or $GEMINI_API_KEY")),
+          baseUrl = config.embedding.baseUrl
+            .getOrElse("https://generativelanguage.googleapis.com"),
+          dimsIn = sys.env.get("GRAFT_EMBED_DIMS").map(_.toInt).getOrElse(0))
       case "hash" => new HashEmbedder(dims)
       // an unknown provider must not silently build an index with
       // meaningless hash vectors
       case other => fail(
-        s"unknown [embedding].provider '$other' (supported: hash, http)")
+        s"unknown [embedding].provider '$other' (supported: hash, http, ollama, gemini)")
     }
   }
 
