@@ -661,6 +661,25 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // Curriculum → packing composition: the training-export chain laid
+    // out easy-to-hard. packSequences' order key is the curriculum
+    // position, so sequence boundaries follow the schedule, not doc id
+    // (the tokenize_pack precedent for operator composition). Two
+    // range-partition shuffles total (curriculum's + packing's prefix
+    // sums); the id join back is curriculum-output-sized.
+    "curriculum_pack" -> ((s, dir) => {
+      val curr = graft.operators.TrainExport.curriculumOrder(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", buckets = 3, seed = "curr5")
+      val toks = curr.select(col("pos"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_tokens"))
+      graft.operators.TrainExport.packSequences(
+          toks, "pos", "n_tokens", budget = 2048)
+        .join(curr.select("pos", "doc_id", "bucket"), "pos")
+        .select("pos", "doc_id", "bucket", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("pos")
+    }),
+
     // Exact line-granular cross-document dedup (C4's repeated-span
     // discard at line granularity): each repeated line survives only at
     // its first (doc, pos) occurrence. Linear plan — ownership agg +
@@ -2159,6 +2178,44 @@ private object OracleSql {
         |SELECT doc_id, n_chars, bucket,
         |       CAST(row_number() OVER (ORDER BY ck) AS BIGINT) AS pos
         |FROM k
+        |ORDER BY pos""".stripMargin,
+
+    // The curriculum_order CTEs + the pack_sequences cumsum, with the
+    // window ordered by curriculum position instead of doc id.
+    "curriculum_pack" ->
+      """WITH th AS (
+        |  SELECT round(quantile_cont(n_chars, 0.3333333333333333::DOUBLE), 6) AS t1,
+        |         round(quantile_cont(n_chars, 0.6666666666666666::DOUBLE), 6) AS t2
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(CASE WHEN round(n_chars::DOUBLE, 6) > t2 THEN 2
+        |                   WHEN round(n_chars::DOUBLE, 6) > t1 THEN 1
+        |                   ELSE 0 END AS INT) AS bucket
+        |  FROM documents, th),
+        |k AS (
+        |  SELECT doc_id, n_chars, bucket,
+        |         lpad(bucket::VARCHAR, 4, '0') || ':' ||
+        |         lower(substr(md5('curr5:' || doc_id), 1, 8)) || ':' || doc_id AS ck
+        |  FROM b),
+        |o AS (
+        |  SELECT doc_id, n_chars, bucket,
+        |         CAST(row_number() OVER (ORDER BY ck) AS BIGINT) AS pos
+        |  FROM k),
+        |t AS (
+        |  SELECT pos, doc_id, bucket,
+        |         CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_tokens
+        |  FROM o),
+        |c AS (
+        |  SELECT pos, doc_id, bucket, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT pos, doc_id, bucket, n_tokens,
+        |       CAST(FLOOR(tok_start / 2048.0) AS BIGINT) AS seq_id,
+        |       tok_start % 2048 AS seq_offset
+        |FROM c
         |ORDER BY pos""".stripMargin,
 
     // First-occurrence line dedup: rank occurrences of each line key by

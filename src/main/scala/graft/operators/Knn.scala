@@ -300,6 +300,13 @@ object Knn {
   def mmrRerank(emb: DataFrame, query: DataFrame, k: Int, fetchK: Int,
                 lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && fetchK >= k, s"need fetchK >= k >= 1, got k=$k fetchK=$fetchK")
+    // The greedy loop is the documented k-BOUNDED driver scalar: it
+    // collects fetchK vectors and runs O(fetchK·k) driver work. Guard
+    // the bound so a caller can't silently turn it into a driver-side
+    // corpus scan.
+    require(fetchK <= 10000,
+      s"mmrRerank is a driver-bounded re-rank; fetchK=$fetchK exceeds the " +
+      "10000-candidate bound (raise k-bounded retrieval upstream instead)")
     val spark = emb.sparkSession
     import spark.implicits._
     def r6(d: Double): Double =

@@ -16,13 +16,20 @@ import java.util.zip.Inflater
   *    syntax (nested parens, `\\`-escapes incl. octal and line
   *    continuations) and hex strings `<...>`;
   *  - `Td`/`TD`/`T*`/`ET` break lines, so paragraphs keep boundaries
-  *    for the chunker.
+  *    for the chunker;
+  *  - **ToUnicode CMaps** (r7): font objects carrying `/ToUnicode`
+  *    refs get their bfchar/bfrange CMaps parsed (both the range and
+  *    array forms, multi-char UTF-16BE targets); content-stream `Tf`
+  *    operators switch the active font, and strings shown under a
+  *    CMapped font decode as 2-byte CIDs through the map — the
+  *    Identity-H composite-font path most real-world non-Latin PDFs
+  *    use. Unmapped codes are dropped rather than emitted as garbage.
   *
   * Honest limitations (documented, matching the "skip unreadable"
-  * ingest stance): no ToUnicode CMap handling — bytes decode as
-  * Latin-1, so PDFs using identity-encoded composite fonts extract as
-  * garbage and should be filtered by downstream quality scoring; no
-  * encrypted PDFs (skipped); no cross-reference parsing (streams are
+  * ingest stance): no embedded-CMap-file lookups beyond ToUnicode (a
+  * font with Identity-H but NO ToUnicode still extracts as Latin-1
+  * garbage for downstream quality filters to drop); no encrypted PDFs
+  * (skipped); no cross-reference parsing (objects and streams are
   * found by scanning, which also tolerates mildly corrupt files).
   */
 object PdfText {
@@ -32,6 +39,7 @@ object PdfText {
     if (bytes.length < 5 || new String(bytes, 0, 5, "ISO-8859-1") != "%PDF-")
       return None
     val raw = new String(bytes, "ISO-8859-1") // byte-preserving view
+    val fontCmaps = resolveFontCmaps(raw, bytes)
     val out = new StringBuilder
     var from = 0
     var found = true
@@ -39,43 +47,13 @@ object PdfText {
       raw.indexOf("stream", from) match {
         case -1 => found = false
         case s =>
-          // Find the OUTER dictionary open: scan backward balancing
-          // << / >> so a nested dict (e.g. /DecodeParms << ... >>)
-          // can't hide the stream's /Filter from us.
-          val dictStart = {
-            var i = s - 1
-            var depth = 0
-            var found = -1
-            while (i > 0 && found < 0) {
-              if (raw.charAt(i - 1) == '>' && raw.charAt(i) == '>') { depth += 1; i -= 2 }
-              else if (raw.charAt(i - 1) == '<' && raw.charAt(i) == '<') {
-                depth -= 1
-                if (depth == 0) found = i - 1
-                i -= 2
-              } else i -= 1
-            }
-            found
-          }
-          val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
-          // stream data starts after "stream" + EOL (spec: CRLF or LF)
-          var dataStart = s + "stream".length
-          if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
-          if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-          val e = raw.indexOf("endstream", dataStart)
-          if (e < 0) { found = false }
-          else {
-            val flate = dict.contains("/FlateDecode")
-            val otherFilter = dict.contains("/Filter") && !flate
-            if (!otherFilter) {
-              val data = java.util.Arrays.copyOfRange(bytes, dataStart, e)
-              val content =
-                if (flate) inflate(data).map(b => new String(b, "ISO-8859-1"))
-                else Some(new String(data, "ISO-8859-1"))
+          streamAt(raw, bytes, s) match {
+            case None => found = false
+            case Some(St(_, content, end)) =>
               content.filter(c => c.contains("Tj") || c.contains("TJ"))
-                .map(contentText).filter(_.nonEmpty)
+                .map(contentText(_, fontCmaps)).filter(_.nonEmpty)
                 .foreach { t => out ++= t; out += '\n' }
-            }
-            from = e + "endstream".length
+              from = end
           }
       }
     }
@@ -85,6 +63,153 @@ object PdfText {
       .replaceAll("\\n{2,}", "\n")
       .trim
     if (text.isEmpty) None else Some(text)
+  }
+
+  /** One located stream: its dictionary, decoded content (None when an
+    * unsupported filter or corrupt deflate), and scan-resume offset. */
+  private final case class St(dict: String, content: Option[String], end: Int)
+
+  /** Decode the stream whose `stream` keyword starts at `s`; returns
+    * None only when no `endstream` follows (scan must stop). */
+  private def streamAt(raw: String, bytes: Array[Byte], s: Int): Option[St] = {
+    // Find the OUTER dictionary open: scan backward balancing << / >>
+    // so a nested dict (e.g. /DecodeParms << ... >>) can't hide the
+    // stream's /Filter from us.
+    val dictStart = {
+      var i = s - 1
+      var depth = 0
+      var found = -1
+      while (i > 0 && found < 0) {
+        if (raw.charAt(i - 1) == '>' && raw.charAt(i) == '>') { depth += 1; i -= 2 }
+        else if (raw.charAt(i - 1) == '<' && raw.charAt(i) == '<') {
+          depth -= 1
+          if (depth == 0) found = i - 1
+          i -= 2
+        } else i -= 1
+      }
+      found
+    }
+    val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
+    // stream data starts after "stream" + EOL (spec: CRLF or LF)
+    var dataStart = s + "stream".length
+    if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+    val e = raw.indexOf("endstream", dataStart)
+    if (e < 0) None
+    else {
+      val flate = dict.contains("/FlateDecode")
+      val otherFilter = dict.contains("/Filter") && !flate
+      val content =
+        if (otherFilter) None
+        else {
+          val data = java.util.Arrays.copyOfRange(bytes, dataStart, e)
+          if (flate) inflate(data).map(b => new String(b, "ISO-8859-1"))
+          else Some(new String(data, "ISO-8859-1"))
+        }
+      Some(St(dict, content, e + "endstream".length))
+    }
+  }
+
+  // ---- ToUnicode CMap resolution --------------------------------------
+
+  private val ObjRe = """(?s)(\d+)\s+\d+\s+obj(.*?)endobj""".r
+  private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+  private val FontResRe = """(?s)/Font\s*<<(.*?)>>""".r
+  private val FontResRefRe = """/Font\s+(\d+)\s+\d+\s+R""".r
+  private val NameRefRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** Map content-stream font resource names (the `/F1` of `/F1 12 Tf`)
+    * to their parsed ToUnicode CMaps. Objects are found by scanning
+    * (no xref); names colliding across pages keep the last mapping —
+    * writers reuse names consistently in practice. */
+  private def resolveFontCmaps(raw: String,
+                               bytes: Array[Byte]): Map[String, Map[Int, String]] = {
+    if (!raw.contains("/ToUnicode")) return Map.empty
+    val objBodies: Map[Int, (Int, String)] = // objNum -> (bodyStart, body)
+      ObjRe.findAllMatchIn(raw)
+        .map(m => m.group(1).toInt -> (m.start(2), m.group(2))).toMap
+    // CMap stream per object number (decoded lazily, memoized)
+    val cmapCache = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    def cmapOf(objNum: Int): Map[Int, String] =
+      cmapCache.getOrElseUpdate(objNum, {
+        objBodies.get(objNum).flatMap { case (bodyStart, body) =>
+          val rel = body.indexOf("stream")
+          if (rel < 0) None
+          else streamAt(raw, bytes, bodyStart + rel).flatMap(_.content)
+        }.filter(c => c.contains("beginbfchar") || c.contains("beginbfrange"))
+          .map(parseCmap).getOrElse(Map.empty)
+      })
+    def fontCmap(fontObj: Int): Map[Int, String] =
+      objBodies.get(fontObj)
+        .flatMap(b => ToUnicodeRe.findFirstMatchIn(b._2))
+        .map(m => cmapOf(m.group(1).toInt))
+        .getOrElse(Map.empty)
+    // /Font resource dicts: inline << /F1 5 0 R >> or an indirect ref
+    val inline = FontResRe.findAllMatchIn(raw).map(_.group(1))
+    val indirect = FontResRefRe.findAllMatchIn(raw)
+      .flatMap(m => objBodies.get(m.group(1).toInt).map(_._2))
+    (inline ++ indirect).flatMap { resDict =>
+      NameRefRe.findAllMatchIn(resDict).map { p =>
+        p.group(1) -> fontCmap(p.group(2).toInt)
+      }
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** Parse a ToUnicode CMap's bfchar/bfrange sections into
+    * CID → string (UTF-16BE targets, possibly multi-char). */
+  private[sources] def parseCmap(cs: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    def utf16(hex: String): String = {
+      // 4-hex-digit UTF-16BE code units; a bare 2-digit byte is a char
+      val h = if (hex.length % 4 == 2) "00" + hex else hex
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb += Integer.parseInt(h.substring(i, i + 4), 16).toChar
+        i += 4
+      }
+      sb.result()
+    }
+    val hexRe = """<([0-9A-Fa-f]+)>""".r
+    for (sec <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cs)) {
+      val toks = hexRe.findAllMatchIn(sec.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => out(Integer.parseInt(src, 16)) = utf16(dst)
+        case _ =>
+      }
+    }
+    for (sec <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cs)) {
+      // two forms: <lo> <hi> <dstStart>  |  <lo> <hi> [<d0> <d1> ...]
+      val body = sec.group(1)
+      val tripleRe =
+        """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<([0-9A-Fa-f]+)>|\[([^\]]*)\])""".r
+      for (m <- tripleRe.findAllMatchIn(body)) {
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        if (m.group(4) != null) {
+          val dst = m.group(4)
+          // increment applies to the LAST code unit (the spec's rule)
+          val base = utf16(dst)
+          var c = lo
+          while (c <= hi) {
+            val off = c - lo
+            out(c) =
+              if (base.isEmpty) ""
+              else base.init + (base.last + off).toChar
+            c += 1
+          }
+        } else {
+          val dsts = hexRe.findAllMatchIn(m.group(5)).map(_.group(1)).toSeq
+          var c = lo
+          var i = 0
+          while (c <= hi && i < dsts.length) {
+            out(c) = utf16(dsts(i))
+            c += 1; i += 1
+          }
+        }
+      }
+    }
+    out.toMap
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -104,29 +229,51 @@ object PdfText {
     } finally inf.end()
   }
 
-  /** Pull shown text out of one content stream. */
-  private[sources] def contentText(cs: String): String = {
+  /** Pull shown text out of one content stream. `fontCmaps` maps font
+    * resource names to ToUnicode CMaps; strings shown while a CMapped
+    * font is selected (`/F1 12 Tf`) decode as 2-byte CIDs. */
+  private[sources] def contentText(
+      cs: String,
+      fontCmaps: Map[String, Map[Int, String]] = Map.empty): String = {
     val out = new StringBuilder
     // strings accumulated since the last operator, flushed on Tj/TJ/'/"
     var pending = new StringBuilder
     var i = 0
     val n = cs.length
+    var lastName = ""                         // most recent /Name token
+    var cmap: Map[Int, String] = null         // active font's ToUnicode
+
+    /** Append one shown string's raw byte values (as chars 0-255),
+      * decoding through the active CMap when one is selected. */
+    def appendString(b: StringBuilder): Unit =
+      if (cmap == null) pending ++= b
+      else {
+        var k = 0
+        while (k + 2 <= b.length) {
+          val cid = (b.charAt(k) << 8) | b.charAt(k + 1)
+          cmap.get(cid).foreach(pending ++= _)
+          k += 2
+        }
+        if (k < b.length) // odd trailing byte: try a 1-byte code
+          cmap.get(b.charAt(k).toInt).foreach(pending ++= _)
+      }
 
     def parseLiteral(): Unit = { // at '(' on entry
+      val str = new StringBuilder
       i += 1
       var depth = 1
       while (i < n && depth > 0) {
         cs.charAt(i) match {
           case '\\' if i + 1 < n =>
             cs.charAt(i + 1) match {
-              case 'n' => pending += '\n'; i += 2
-              case 'r' => pending += '\r'; i += 2
-              case 't' => pending += '\t'; i += 2
-              case 'b' => pending += '\b'; i += 2
-              case 'f' => pending += '\f'; i += 2
-              case '(' => pending += '('; i += 2
-              case ')' => pending += ')'; i += 2
-              case '\\' => pending += '\\'; i += 2
+              case 'n' => str += '\n'; i += 2
+              case 'r' => str += '\r'; i += 2
+              case 't' => str += '\t'; i += 2
+              case 'b' => str += '\b'; i += 2
+              case 'f' => str += '\f'; i += 2
+              case '(' => str += '('; i += 2
+              case ')' => str += ')'; i += 2
+              case '\\' => str += '\\'; i += 2
               case '\n' => i += 2 // line continuation
               case '\r' => i += 2; if (i < n && cs.charAt(i) == '\n') i += 1
               case d if d >= '0' && d <= '7' =>
@@ -134,17 +281,18 @@ object PdfText {
                 while (k < 3 && i < n && cs.charAt(i) >= '0' && cs.charAt(i) <= '7') {
                   v = v * 8 + (cs.charAt(i) - '0'); i += 1; k += 1
                 }
-                pending += v.toChar
-              case other => pending += other; i += 2
+                str += v.toChar
+              case other => str += other; i += 2
             }
-          case '(' => depth += 1; pending += '('; i += 1
+          case '(' => depth += 1; str += '('; i += 1
           case ')' =>
             depth -= 1
-            if (depth > 0) pending += ')'
+            if (depth > 0) str += ')'
             i += 1
-          case c => pending += c; i += 1
+          case c => str += c; i += 1
         }
       }
+      appendString(str)
     }
 
     def parseHex(): Unit = { // at '<' (not '<<') on entry
@@ -157,11 +305,13 @@ object PdfText {
       }
       i += 1 // '>'
       val h = if (hex.length % 2 == 1) hex.toString + "0" else hex.toString
+      val str = new StringBuilder
       var k = 0
       while (k + 2 <= h.length) {
-        pending += Integer.parseInt(h.substring(k, k + 2), 16).toChar
+        str += Integer.parseInt(h.substring(k, k + 2), 16).toChar
         k += 2
       }
+      appendString(str)
     }
 
     def flush(newline: Boolean): Unit = {
@@ -169,15 +319,26 @@ object PdfText {
       if (newline && out.nonEmpty && out.last != '\n') out += '\n'
     }
 
+    def isDelim(c: Char): Boolean =
+      c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
     while (i < n) {
       cs.charAt(i) match {
         case '(' => parseLiteral()
         case '<' if i + 1 < n && cs.charAt(i + 1) == '<' => i += 2 // dict
         case '<' => parseHex()
+        case '/' =>
+          val start = i + 1
+          i += 1
+          while (i < n && !isDelim(cs.charAt(i))) i += 1
+          lastName = cs.substring(start, i)
         case 'T' if i + 1 < n =>
           cs.charAt(i + 1) match {
             case 'j' | 'J' => flush(newline = false); i += 2 // Tj / TJ show
             case 'd' | 'D' | '*' => flush(newline = true); i += 2 // moves
+            case 'f' => // font select: /F1 12 Tf
+              cmap = fontCmaps.getOrElse(lastName, null)
+              i += 2
             case _ => i += 1
           }
         case '\'' | '"' => flush(newline = true); i += 1 // show-with-move

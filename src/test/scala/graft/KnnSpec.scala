@@ -56,6 +56,16 @@ class KnnSpec extends SparkSpec {
     assert(again == mmr)
   }
 
+  test("mmr rerank guards its driver bound (fetchK <= 10000)") {
+    val q = Knn.queryVector(emb, 0L)
+    val e = intercept[IllegalArgumentException](
+      Knn.mmrRerank(emb, q, k = 10, fetchK = 10001))
+    assert(e.getMessage.contains("driver-bounded"))
+    // at the bound itself the call is legal
+    Knn.mmrRerank(emb, q, k = 1, fetchK = 10000)
+    ()
+  }
+
   test("kmeans ivf assignment: deterministic, k clusters, prunable") {
     val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 8)
     val clusters = assigned.select("centroid_id").distinct().as[Int].collect().toSet

@@ -85,6 +85,80 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(pdf("garbage not deflate".getBytes, flate = true)).isEmpty)
   }
 
+  /** A two-font PDF: /F1 is an Identity-H composite font with a
+    * ToUnicode CMap (in a flate or plain stream), /F2 has none. */
+  private def compositePdf(content: String, cmap: String,
+                           flateCmap: Boolean): Array[Byte] = {
+    val cb = content.getBytes(StandardCharsets.ISO_8859_1)
+    val mb = if (flateCmap) deflate(cmap) else cmap.getBytes(StandardCharsets.ISO_8859_1)
+    val mf = if (flateCmap) " /Filter /FlateDecode" else ""
+    val head =
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> /Contents 4 0 R >> endobj
+         |5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /ToUnicode 6 0 R >> endobj
+         |7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+         |6 0 obj << /Length ${mb.length}$mf >>
+         |stream
+         |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1) ++ mb ++
+        "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    val body =
+      s"""4 0 obj << /Length ${cb.length} >>
+         |stream
+         |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1) ++ cb ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    head ++ body
+  }
+
+  private val toUnicodeCmap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin begincmap
+      |1 begincodespacerange <0000> <FFFF> endcodespacerange
+      |3 beginbfchar
+      |<0001> <041F>
+      |<0002> <0440>
+      |<0007> <00470072>
+      |endbfchar
+      |2 beginbfrange
+      |<0010> <0019> <0030>
+      |<0020> <0022> [<0058> <0059> <005A>]
+      |endbfrange
+      |endcmap end end""".stripMargin
+
+  test("Identity-H + ToUnicode CMap: CIDs decode to Unicode (r6 VERDICT #8)") {
+    // <0001><0002> -> Пр (bfchar), <0007> -> Gr (multi-char target),
+    // <001000110019> -> 019 (bfrange increment), <002000210022> -> XYZ
+    // (bfrange array form); the /F2 string must stay Latin-1.
+    val content =
+      """BT
+        |/F1 12 Tf <00010002> Tj
+        |0 -14 Td <0007> Tj
+        |0 -14 Td <001000110019> Tj
+        |0 -14 Td <002000210022> Tj
+        |0 -14 Td /F2 12 Tf (plain latin) Tj
+        |ET""".stripMargin
+    for (flateCmap <- Seq(false, true)) {
+      val text = PdfText.extract(compositePdf(content, toUnicodeCmap, flateCmap)).get
+      val lines = text.linesIterator.toSeq
+      assert(lines.contains("Пр"), s"got: $lines") // Пр
+      assert(lines.contains("Gr"))
+      assert(lines.contains("019"))
+      assert(lines.contains("XYZ"))
+      assert(lines.contains("plain latin")) // font switch back works
+    }
+  }
+
+  test("ToUnicode literal strings and unmapped CIDs: decoded vs dropped") {
+    // literal-string bytes under a CMapped font are 2-byte CIDs too
+    // (octal escapes = CIDs 0001 0002); an unmapped CID (0999) is
+    // dropped, never emitted as Latin-1 garbage
+    val content =
+      "BT /F1 12 Tf (\\000\\001\\000\\002) Tj 0 -14 Td <0999> Tj 0 -14 Td <0001> Tj ET"
+    val text = PdfText.extract(compositePdf(content, toUnicodeCmap, flateCmap = false)).get
+    assert(text.linesIterator.toSeq == Seq("Пр", "П"))
+  }
+
   test("pdf files flow through readDocuments into chunks (S3 end-to-end)") {
     val root = Files.createTempDirectory("graft-pdf")
     Files.write(root.resolve("doc.pdf"),

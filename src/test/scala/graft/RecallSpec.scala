@@ -69,8 +69,22 @@ class RecallSpec extends SparkSpec {
     val r2 = recallAt(2)
     val r8 = recallAt(8)
     info(f"declarative KMeans-IVF recall@10: nprobe=2 -> $r2%.2f, nprobe=8 -> $r8%.2f")
+    // HARD regression gate (r6 VERDICT): the KMeans layout has measured
+    // recall@10 = 1.0 at nprobe 2/8 since round 2 — an IVF/PQ change
+    // that trades recall for speed must fail here, not ship silently.
+    assert(r2 >= 0.9,
+      f"KMeans-IVF recall@10 at nprobe=2 regressed to $r2%.2f (gate: 0.9)")
     assert(r8 == 1.0)       // probing all clusters recovers exact
-    assert(r2 > 0.0)
+    // The gate is sensitive: an intentionally bad layout (random label
+    // blocking, no cluster structure) measures well below it at the
+    // same probe fraction — so a layout regression cannot hide.
+    val degraded = queryIds.map { q =>
+      val exact = topIds(Knn.exactTopK(emb, Knn.queryVector(emb, q), k))
+      val approx = topIds(Knn.ivfTopK(emb, Knn.queryVector(emb, q), "label", 2, k))
+      (exact intersect approx).size.toDouble / k
+    }.sum / queryIds.size
+    info(f"induced-drop check (random-label layout, nprobe=2): $degraded%.2f")
+    assert(degraded < 0.9, "the degraded layout should fail the gate")
   }
 
   test("quantized search recall@10 vs exact is near-perfect") {
