@@ -109,12 +109,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
     // Materialized once (feeds both join sides plus the sizes agg) via
-    // localCheckpoint, not persist: a CacheManager persist with no
-    // matching unpersist outlives the query — blocks accumulate across
-    // queries in a long-lived session — while checkpoint blocks are
-    // reclaimed by the ContextCleaner when the result frame drops (the
-    // connectedComponents stance).
-    val sh0 = shingleTable(docs, idCol, textCol, n).localCheckpoint()
+    // the deferred-release registry: a bare persist with no matching
+    // unpersist outlives the query and accumulates blocks across a
+    // long-lived session, while holdCached bounds it to one live entry
+    // and stays visible to CacheManager clears (localCheckpoint blocks
+    // are not, so a bench/serve loop can't release them — measured as a
+    // cross-query slowdown in the full sweep).
+    val sh0 = holdCached("jaccardPairs.shingles",
+      shingleTable(docs, idCol, textCol, n))
     val sh =
       if (maxShingleDf <= 0) sh0
       else {
@@ -185,8 +187,9 @@ object Dedup {
     * doc), independent of corpus-wide shingle collisions. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, numHashes: Int, bandSize: Int, minJ: Double): DataFrame = {
-    // localCheckpoint, not persist — see jaccardPairs (unpersist hygiene).
-    val sh = shingleTable(docs, idCol, textCol, n).localCheckpoint()
+    // deferred-release persist — see jaccardPairs (unpersist hygiene)
+    val sh = holdCached("minhashDedup.shingles",
+      shingleTable(docs, idCol, textCol, n))
     // Signatures via the single-pass MinHashSig expression: a pure map
     // over the docs scan (zero shuffle), where the aggregation
     // formulation (minhashSignaturesWide — kept as the parity oracle in
@@ -259,16 +262,16 @@ object Dedup {
       .join(broadcast(bandsOf(bench, benchId, benchText, "id_b")),
         Seq("band", "b_lo", "b_hi"))
       .select("id_a", "id_b").distinct()
-      // localCheckpoint, not persist — see jaccardPairs (unpersist hygiene)
-      .localCheckpoint()
+    // deferred-release persists — see jaccardPairs (unpersist hygiene)
+    val candsC = holdCached("minhashDecontaminate.cands", cands)
     // Corpus shingles restricted to candidate docs BEFORE any join work;
     // the bench shingle table is eval-sized and broadcasts.
-    val shA = shingleTable(corpus, corpusId, corpusText, n)
-      .join(cands.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi")
-      .localCheckpoint()
-    val shB = shingleTable(bench, benchId, benchText, n)
-      .localCheckpoint()
-    val inter = cands
+    val shA = holdCached("minhashDecontaminate.shA",
+      shingleTable(corpus, corpusId, corpusText, n)
+        .join(candsC.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi"))
+    val shB = holdCached("minhashDecontaminate.shB",
+      shingleTable(bench, benchId, benchText, n))
+    val inter = candsC
       .join(shA.withColumnRenamed("id", "id_a"), "id_a")
       .join(broadcast(shB.select(col("id").as("id_b"), col("sh"))), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
@@ -640,8 +643,9 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4, minShared: Long = 2,
                   maxFpDf: Int = 0): DataFrame = {
-    // localCheckpoint, not persist — see jaccardPairs (unpersist hygiene)
-    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w).localCheckpoint()
+    // deferred-release persist — see jaccardPairs (unpersist hygiene)
+    val fps0 = holdCached("winnowPairs.fps",
+      winnowFingerprints(docs, idCol, textCol, k, w))
     val fps =
       if (maxFpDf <= 0) fps0
       else fps0.join(fps0.groupBy("fp").count()

@@ -280,25 +280,28 @@ class DedupSpec extends SparkSpec {
 
   test("dedup operators leave no unbounded SQL-cache growth (r6 ADVICE fix)") {
     // In a long-lived session (serve, bench loop) an unreleased
-    // Dataset.persist accumulates CacheManager blocks forever. The
-    // intermediates now go through localCheckpoint (ContextCleaner-
-    // reclaimed), try/finally-unpersisted loop caches, or the
-    // deferred-release holdCached registry (≤ 1 live entry per
-    // operator, drained by releaseCaches).
+    // Dataset.persist accumulates CacheManager blocks forever. Every
+    // multiply-read intermediate now goes through the deferred-release
+    // holdCached registry: at most ONE live entry per operator key
+    // (each call frees the previous call's), all drained by
+    // releaseCaches — and, unlike localCheckpoint blocks, visible to
+    // a session-level cache clear.
+    def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
     Dedup.releaseCaches()
-    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 10).count()
-    Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9).count()
-    Dedup.winnowPairs(docs, "doc_id", "text").count()
-    Dedup.minhashDecontaminate(docs, "doc_id", "text",
-      docs.limit(1), "doc_id", "text").count()
-    Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b")).count()
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "a Dedup operator left a persisted plan in the SQL cache")
-    // removeSharedSpans defers release: repeated calls hold ONE entry
-    // (each call frees the previous call's windows), not one per call
-    Dedup.removeSharedSpans(docs, "doc_id", "text").count()
-    Dedup.removeSharedSpans(docs, "doc_id", "text", k = 3, w = 5).count()
-    assert(!spark.sharedState.cacheManager.isEmpty)
+    def runAll(): Unit = {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 10).count()
+      Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9).count()
+      Dedup.winnowPairs(docs, "doc_id", "text").count()
+      Dedup.removeSharedSpans(docs, "doc_id", "text").count()
+      Dedup.minhashDecontaminate(docs, "doc_id", "text",
+        docs.limit(1), "doc_id", "text").count()
+      Dedup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b")).count()
+    }
+    runAll()
+    val afterOnce = persistedRdds
+    runAll() // a second pass must re-use the keys, not stack new blocks
+    assert(persistedRdds <= afterOnce,
+      s"repeated dedup calls grew the persisted-RDD set: $afterOnce -> $persistedRdds")
     Dedup.releaseCaches()
     assert(spark.sharedState.cacheManager.isEmpty,
       "releaseCaches must drain the deferred-release registry")
