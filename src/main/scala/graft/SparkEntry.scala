@@ -666,16 +666,16 @@ object SparkEntry {
     // position, so sequence boundaries follow the schedule, not doc id
     // (the tokenize_pack precedent for operator composition). Two
     // range-partition shuffles total (curriculum's + packing's prefix
-    // sums); the id join back is curriculum-output-sized.
+    // sums); doc_id/bucket ride through packing as passenger columns —
+    // no join back, the curriculum computes exactly once.
     "curriculum_pack" -> ((s, dir) => {
       val curr = graft.operators.TrainExport.curriculumOrder(
           Tables.documents(s, dir).select("doc_id", "n_chars"),
           "doc_id", "n_chars", buckets = 3, seed = "curr5")
-      val toks = curr.select(col("pos"),
-        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_tokens"))
+        .select(col("pos"), col("doc_id"), col("bucket"),
+          ceil(col("n_chars") / lit(4.0)).cast("long").as("n_tokens"))
       graft.operators.TrainExport.packSequences(
-          toks, "pos", "n_tokens", budget = 2048)
-        .join(curr.select("pos", "doc_id", "bucket"), "pos")
+          curr, "pos", "n_tokens", budget = 2048)
         .select("pos", "doc_id", "bucket", "n_tokens", "seq_id", "seq_offset")
         .orderBy("pos")
     }),

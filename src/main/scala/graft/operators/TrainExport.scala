@@ -121,13 +121,15 @@ object TrainExport {
   def packSequences(docs: DataFrame, idCol: String, tokCol: String,
                     budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    withGlobalPrefixSum(docs.select(col(idCol), col(tokCol)),
-        idCol, tokCol, "_cum")
-      .select(col(idCol), col(tokCol),
-        (col("_cum") - col(tokCol)).as("_start"))
-      .select(col(idCol), col(tokCol),
-        floor(col("_start") / lit(budget.toDouble)).as("seq_id"),
-        (col("_start") % budget).as("seq_offset"))
+    // Passenger columns ride through (the prefix sum preserves the full
+    // row), so composed pipelines — curriculum_pack, writeTrainingShards
+    // — never need a join back on the order key, which would recompute
+    // the upstream lineage a second time.
+    withGlobalPrefixSum(docs, idCol, tokCol, "_cum")
+      .withColumn("_start", col("_cum") - col(tokCol))
+      .withColumn("seq_id", floor(col("_start") / lit(budget.toDouble)))
+      .withColumn("seq_offset", col("_start") % budget)
+      .drop("_cum", "_start")
   }
 
   /** Mixture-balanced downsampling: keep every document of the rarest
@@ -253,12 +255,10 @@ object TrainExport {
     val laid = packBudget match {
       case None => shuffled
       case Some(b) =>
+        // passenger columns ride through packSequences — no join back
         val toks = ceil(length(col(textCol)) / lit(4.0)).cast("long")
-        val packed = packSequences(
-          shuffled.withColumn("n_tokens", toks), "pos", "n_tokens", b)
-        shuffled.join(
-          packed.select(col("pos"), col("seq_id"), col("seq_offset")),
-          Seq("pos"))
+        packSequences(shuffled.withColumn("n_tokens", toks),
+          "pos", "n_tokens", b).drop("n_tokens")
     }
     laid.write.mode("overwrite").partitionBy("shard").parquet(out)
     val perShard = docs.sparkSession.read.parquet(out)
