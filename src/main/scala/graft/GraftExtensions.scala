@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
     e.injectFunction(GraftExtensions.simhashDescriptor)
     e.injectFunction(GraftExtensions.minhashDescriptor)
+    e.injectFunction(GraftExtensions.quantizeDescriptor)
+    e.injectFunction(GraftExtensions.dequantizeDescriptor)
+    e.injectFunction(GraftExtensions.signLshDescriptor)
+    e.injectFunction(GraftExtensions.nfcDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ()
@@ -78,6 +82,70 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.expressions.MinHashSig].getName, "minhash_sig"),
       buildMinhash)
 
+  private def castVec(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    Cast(e, ArrayType(DoubleType))
+  }
+
+  private def buildQuantize(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"quantize_int8 expects 1 argument, got ${args.length}")
+    graft.functions.expressions.QuantizeInt8(castVec(args.head))
+  }
+
+  private def buildDequantize(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"dequantize_int8 expects 1 argument, got ${args.length}")
+    graft.functions.expressions.DequantizeInt8(args.head)
+  }
+
+  private def buildSignLsh(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(args.length == 3 || args.length == 4,
+      s"sign_lsh64 expects (vec, dims, bits[, seed]), got ${args.length} args")
+    (args(1), args(2), args.drop(3).headOption) match {
+      case (Literal(d: Int, _), Literal(b: Int, _), seedLit) =>
+        val seed = seedLit match {
+          case None => 42L
+          case Some(Literal(s: Int, _)) => s.toLong
+          case Some(Literal(s: Long, _)) => s
+          case other => throw new IllegalArgumentException(
+            s"sign_lsh64 seed must be an integer literal, got $other")
+        }
+        graft.functions.expressions.SignLsh64(castVec(args.head), d, b, seed)
+      case other => throw new IllegalArgumentException(
+        s"sign_lsh64 dims/bits must be integer literals, got $other")
+    }
+  }
+
+  private def buildNfc(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"nfc_normalize expects 1 argument, got ${args.length}")
+    graft.functions.expressions.NfcNormalize(args.head)
+  }
+
+  private[graft] val quantizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[graft.functions.expressions.QuantizeInt8].getName, "quantize_int8"),
+      buildQuantize)
+
+  private[graft] val dequantizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dequantize_int8"),
+      new ExpressionInfo(classOf[graft.functions.expressions.DequantizeInt8].getName, "dequantize_int8"),
+      buildDequantize)
+
+  private[graft] val signLshDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sign_lsh64"),
+      new ExpressionInfo(classOf[graft.functions.expressions.SignLsh64].getName, "sign_lsh64"),
+      buildSignLsh)
+
+  private[graft] val nfcDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.expressions.NfcNormalize].getName, "nfc_normalize"),
+      buildNfc)
+
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -86,6 +154,14 @@ object GraftExtensions {
       FunctionIdentifier("simhash64"), simhashDescriptor._2, buildSimhash _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), minhashDescriptor._2, buildMinhash _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("quantize_int8"), quantizeDescriptor._2, buildQuantize _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dequantize_int8"), dequantizeDescriptor._2, buildDequantize _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sign_lsh64"), signLshDescriptor._2, buildSignLsh _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"), nfcDescriptor._2, buildNfc _)
     val rule = graft.plans.IvfTopKRewrite(spark)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfTopKRewrite]))
       spark.experimental.extraOptimizations =

@@ -27,6 +27,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(1)) // fewer than n tokens -> no shingles -> NULL
   }
 
+  test("quantize/dequantize, sign_lsh64, nfc_normalize are callable from SQL (r7)") {
+    GraftExtensions.install(spark)
+    // quantize → dequantize round-trip matches the Column formulation
+    val vec = Seq(0.5, -1.0, 0.25)
+    Seq(Tuple1(vec)).toDF("v").createOrReplaceTempView("vecs_ext_q")
+    val viaSql = spark.sql(
+      "SELECT dequantize_int8(quantize_int8(v)) AS dq FROM vecs_ext_q")
+      .as[Seq[Double]].collect().head
+    val viaCol = Seq(Tuple1(vec)).toDF("v")
+      .select(graft.functions.VectorFunctions.dequantizeInt8(
+        graft.functions.VectorFunctions.quantizeInt8($"v")).as("dq"))
+      .as[Seq[Double]].collect().head
+    assert(viaSql == viaCol)
+    // sign_lsh64 matches the expression with the same knobs (seed arm too)
+    val sqlKey = spark.sql("SELECT sign_lsh64(v, 3, 16) AS k, " +
+      "sign_lsh64(v, 3, 16, 42) AS k42 FROM vecs_ext_q").head()
+    assert(sqlKey.getLong(0) == sqlKey.getLong(1)) // default seed = 42
+    // nfc_normalize composes the decomposed accent (e + combining acute)
+    Seq("Cafe\u0301").toDF("s").createOrReplaceTempView("nfc_ext")
+    val n = spark.sql("SELECT nfc_normalize(s) AS s FROM nfc_ext")
+      .as[String].collect().head
+    assert(n == "Caf\u00e9")
+  }
+
   test("class registration (spark.sql.extensions) injects the optimizer rule") {
     import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
     val e = new SparkSessionExtensions
