@@ -458,6 +458,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup-method eval harness: precision/recall/F1 of the banded
+    // MinHash tier and the winnowing tier against the capped exact
+    // Jaccard ground truth — the dedup ladder's eval_retrieval. The
+    // corpus-scale work is the three dedup operators; the metric pass
+    // touches only their pair outputs.
+    "dedup_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, minJ = 0.5, maxShingleDf = 20)
+      val minhash = Dedup.minhashDedup(docs, "doc_id", "text",
+        n = 3, numHashes = 8, bandSize = 2, minJ = 0.5)
+      val winnow = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxFpDf = 20)
+      graft.operators.Eval.pairMetrics("minhash", minhash, truth)
+        .union(graft.operators.Eval.pairMetrics("winnow", winnow, truth))
+        .orderBy("method")
+    }),
+
     // Fuzzy decontamination: corpus docs near-duplicating a benchmark
     // doc (cross-corpus MinHash-LSH + true-Jaccard verify; broadcast
     // bench side). The "benchmark" is every 40th doc truncated to 80%
@@ -1649,6 +1667,98 @@ private object OracleSql {
          |FROM jac JOIN cand USING (id_a, id_b)
          |WHERE jaccard >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // The three pair generators replayed (capped jaccard = truth,
+    // banded minhash with uncapped verify, winnow fingerprint pairs),
+    // then scalar-subquery counts per method; f1 computed FROM the
+    // rounded precision/recall exactly as pairMetrics does.
+    // "precision" is quoted — bare, DuckDB reads it as the DOUBLE
+    // PRECISION type keyword.
+    "dedup_eval" ->
+      s"""WITH $shingleCtes,
+         |tr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT p.id_a, p.id_b,
+         |           round(p.inter / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+         |    FROM (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |          FROM (SELECT sh.id, sh.s FROM sh
+         |                JOIN (SELECT s, count(*) AS shdf FROM sh GROUP BY 1) d
+         |                  USING (s) WHERE d.shdf <= 20) a
+         |          JOIN (SELECT sh.id, sh.s FROM sh
+         |                JOIN (SELECT s, count(*) AS shdf FROM sh GROUP BY 1) d
+         |                  USING (s) WHERE d.shdf <= 20) b USING (s)
+         |          WHERE a.id < b.id GROUP BY 1, 2) p
+         |    JOIN (SELECT id, count(*) AS sz FROM
+         |            (SELECT sh.id, sh.s FROM sh
+         |             JOIN (SELECT s, count(*) AS shdf FROM sh GROUP BY 1) d
+         |               USING (s) WHERE d.shdf <= 20)
+         |          GROUP BY 1) sa ON p.id_a = sa.id
+         |    JOIN (SELECT id, count(*) AS sz FROM
+         |            (SELECT sh.id, sh.s FROM sh
+         |             JOIN (SELECT s, count(*) AS shdf FROM sh GROUP BY 1) d
+         |               USING (s) WHERE d.shdf <= 20)
+         |          GROUP BY 1) sb ON p.id_b = sb.id)
+         |  WHERE jaccard >= 0.5),
+         |sig AS (
+         |  SELECT id, seed,
+         |         min(((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647) AS minh
+         |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)
+         |  CROSS JOIN range(0, 8) r(seed)
+         |  GROUP BY id, seed),
+         |bands AS (
+         |  SELECT id, seed // 2 AS band, min(minh) AS b_lo, max(minh) AS b_hi
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b USING (band, b_lo, b_hi)
+         |  WHERE a.id < b.id),
+         |mh AS (
+         |  SELECT jac.id_a, jac.id_b
+         |  FROM jac JOIN cand USING (id_a, id_b)
+         |  WHERE jaccard >= 0.5),
+         |shp AS (
+         |  SELECT id,
+         |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |           i -> struct_pack(pos := i,
+         |                  h := CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)))) AS ph
+         |  FROM tk),
+         |sh2 AS (SELECT id, ph.pos AS pos, ph.h AS h FROM shp),
+         |wmin AS (
+         |  SELECT id,
+         |         min(h) OVER (PARTITION BY id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |         count(*) OVER (PARTITION BY id ORDER BY pos
+         |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM sh2),
+         |fps0 AS (SELECT DISTINCT id, fp FROM wmin WHERE wn = 4),
+         |dfc AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
+         |fps AS (SELECT fps0.id, fps0.fp FROM fps0 JOIN dfc USING (fp) WHERE c <= 20),
+         |wp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+         |    FROM fps a JOIN fps b USING (fp) WHERE a.id < b.id GROUP BY 1, 2)
+         |  WHERE shared >= 2),
+         |m AS (
+         |  SELECT 'minhash' AS method,
+         |         (SELECT count(*) FROM tr) AS n_truth,
+         |         (SELECT count(*) FROM mh) AS n_cand,
+         |         (SELECT count(*) FROM mh JOIN tr USING (id_a, id_b)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'winnow',
+         |         (SELECT count(*) FROM tr),
+         |         (SELECT count(*) FROM wp),
+         |         (SELECT count(*) FROM wp JOIN tr USING (id_a, id_b))),
+         |pr AS (
+         |  SELECT method, n_truth, n_cand, n_hit,
+         |         round(CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand ELSE 0.0 END, 6) AS "precision",
+         |         round(CASE WHEN n_truth > 0 THEN n_hit::DOUBLE / n_truth ELSE 0.0 END, 6) AS recall
+         |  FROM m)
+         |SELECT method, n_truth, n_cand, n_hit, "precision", recall,
+         |       round(CASE WHEN "precision" + recall > 0
+         |                  THEN 2.0 * "precision" * recall / ("precision" + recall)
+         |                  ELSE 0.0 END, 6) AS f1
+         |FROM pr
+         |ORDER BY method""".stripMargin,
 
     // Cross-corpus variant of the dedup_minhash machinery: the A side
     // reuses the shared shingle CTEs, the B side rebuilds them over the

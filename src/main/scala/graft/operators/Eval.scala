@@ -79,4 +79,40 @@ object Eval {
             coalesce(col("dcg"), lit(0.0)) / idealDcg)
           .otherwise(0.0), 6).as("ndcg"))
   }
+
+  /** Pair-set quality of an approximate dedup method against exact
+    * ground truth — the dedup ladder's counterpart of
+    * [[retrievalMetrics]] (run exact Jaccard once as truth, any
+    * banded/fingerprint tier as the candidate, read precision/recall).
+    * Both inputs are (id_a, id_b) pair frames; orientation and
+    * duplicates are normalized before comparison. One summary row:
+    * (method, n_truth, n_cand, n_hit, precision, recall, f1), ratios
+    * rounded to 6 (f1 computed FROM the rounded precision/recall so
+    * any md5-capable engine replays it exactly).
+    *
+    * Scale: pair frames are report-sized (the corpus-scale work
+    * happened in the dedup operator being measured); the semi-join and
+    * count aggregates here touch only those outputs. */
+  def pairMetrics(method: String, candidates: DataFrame, truth: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+      least(col(idA), col(idB)).as("a"),
+      greatest(col(idA), col(idB)).as("b")).distinct()
+    val c = norm(candidates)
+    val t = norm(truth)
+    val counts = t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(c.join(t, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+    val p = round(when(col("n_cand") > 0,
+      col("n_hit").cast("double") / col("n_cand")).otherwise(0.0), 6)
+    val r = round(when(col("n_truth") > 0,
+      col("n_hit").cast("double") / col("n_truth")).otherwise(0.0), 6)
+    counts.select(lit(method).as("method"),
+        col("n_truth"), col("n_cand"), col("n_hit"),
+        p.as("precision"), r.as("recall"))
+      .withColumn("f1", round(when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall"))).otherwise(0.0), 6))
+  }
 }

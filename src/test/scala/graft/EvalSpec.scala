@@ -73,6 +73,21 @@ class EvalSpec extends SparkSpec {
     assert(m(3L)._7 === 1.0) // the healthy query still scores
   }
 
+  test("pairMetrics: hand-computed precision/recall/F1, orientation + dup normalization") {
+    // truth {12, 13, 24}; candidates {12 (reversed), 12 (dup), 24, 35}
+    // -> n_cand 3, hits 2: precision 2/3, recall 2/3, f1 = 2pr/(p+r)
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val cand = Seq((2L, 1L), (1L, 2L), (2L, 4L), (3L, 5L)).toDF("id_a", "id_b")
+    val m = Eval.pairMetrics("mh", cand, truth)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().head
+    val p = BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m === (("mh", 3L, 3L, 2L, p, p, p))) // p == r -> f1 == p
+    // empty candidate set: all-zero ratios, not NaN/missing
+    val z = Eval.pairMetrics("none", truth.limit(0), truth)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(z === (("none", 3L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("retrievalMetrics: duplicate qrel rows don't inflate n_rel") {
     val results = Seq((1L, "a", 1)).toDF("qid", "doc_id", "rank")
     val qrels = Seq((1L, "a"), (1L, "a"), (1L, "b")).toDF("qid", "doc_id")
