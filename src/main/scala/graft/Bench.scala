@@ -37,11 +37,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up (untimed): touch the inputs, trigger codegen/JIT once.
+    // Each warm-up is individually fallible: a broken table loader must
+    // cost only the queries that use it (they fail per-query below with
+    // -1.0 sentinels), never void the whole round's record — an
+    // unguarded warm-up crash here is exactly what zeroed BENCH_r07.
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $label FAILED (continuing): ${e.getMessage}")
+      }
     Seq("lineitem", "documents", "embeddings").foreach { t =>
-      Tables.load(spark, sfDir, t).count()
+      warm(t)(Tables.load(spark, sfDir, t).count())
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.eventsWithTs(spark, sfDir).count()
+    warm("eventsWithTs")(Tables.eventsWithTs(spark, sfDir).count())
 
     // Local-iteration escape hatch: run a subset by name. The driver
     // never sets this — full-suite totals stay comparable.

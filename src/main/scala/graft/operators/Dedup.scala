@@ -44,11 +44,18 @@ object Dedup {
   }
 
   /** Release every deferred-release intermediate (idempotent; call at
-    * request boundaries in long-lived sessions). */
+    * request boundaries in long-lived sessions — the serving layer
+    * drains after every request/tool-call so an endpoint that reaches a
+    * dedup operator can't pin corpus-scale cache blocks between
+    * requests). */
   def releaseCaches(): Unit = {
     held.values.forEach(df => { df.unpersist(); () })
     held.clear()
   }
+
+  /** Live deferred-release entries (test/observability hook for the
+    * request-boundary drain contract). */
+  def heldCount: Int = held.size
 
   /** Exact duplicate groups keyed by the whitespace/case-insensitive
     * content fingerprint. `n_dups > 1` marks a group to collapse;

@@ -121,7 +121,7 @@ final class McpServer(spark: SparkSession, warehouse: String,
       case Some(m: Map[String, Any] @unchecked) => m
       case _ => Map.empty[String, Any]
     }
-    name match {
+    try name match {
       case "search" =>
         try textContent(doSearch(args), isError = false)
         catch { case e: Exception =>
@@ -132,6 +132,12 @@ final class McpServer(spark: SparkSession, warehouse: String,
           textContent(s"Error listing indexes: ${e.getMessage}", isError = true) }
       case other =>
         textContent(s"Unknown tool: $other", isError = true)
+    } finally {
+      // Tool-call boundary: drain the dedup deferred-release registry —
+      // same contract as SearchServer's per-request drain, so a
+      // long-lived MCP session never pins one call's corpus-scale cache
+      // blocks into the next.
+      graft.operators.Dedup.releaseCaches()
     }
   }
 

@@ -66,7 +66,7 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
 
   server.createContext("/search", (ex: HttpExchange) => {
     if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-    else {
+    else try {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       jsonStr(body, "query") match {
         case None => respond(ex, 400, """{"error":"missing query"}""")
@@ -88,6 +88,12 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
             case e: Exception => respond(ex, 500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
           }
       }
+    } finally {
+      // Request boundary: drain the dedup deferred-release registry so a
+      // long-lived server never pins a request's corpus-scale cache
+      // blocks past its response (Dedup.holdCached holds one live
+      // intermediate per callsite by design between calls).
+      graft.operators.Dedup.releaseCaches()
     }
   })
 

@@ -101,6 +101,27 @@ class McpServerSpec extends SparkSpec {
     assert(text.contains("## Available Indexes") && text.contains("- notes"))
   }
 
+  test("tools/call boundary drains the dedup deferred-release registry") {
+    // Same contract as SearchServer: a long-lived MCP session must not
+    // pin one tool call's corpus-scale cached intermediates into the
+    // next — including when the tool itself errors.
+    def seed(): Unit = {
+      val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+      graft.operators.Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9).count()
+      assert(graft.operators.Dedup.heldCount > 0, "seed should populate the registry")
+    }
+    seed()
+    call("""{"jsonrpc":"2.0","id":20,"method":"tools/call",""" +
+      """"params":{"name":"list_indexes","arguments":{}}}""")
+    assert(graft.operators.Dedup.heldCount == 0,
+      "a completed tools/call must drain the dedup cache registry")
+    seed()
+    call("""{"jsonrpc":"2.0","id":21,"method":"tools/call",""" +
+      """"params":{"name":"search","arguments":{}}}""") // missing query -> tool error
+    assert(graft.operators.Dedup.heldCount == 0,
+      "the drain must run when the tool call errors too")
+  }
+
   test("unknown method is a -32601 error; bad JSON is -32700") {
     val e1 = call("""{"jsonrpc":"2.0","id":7,"method":"prompts/list"}""")
     assert(e1("error").asInstanceOf[Map[String, Any]]("code") == -32601L)

@@ -52,4 +52,40 @@ class ServerSpec extends SparkSpec {
       assert(http("POST", s"$base/search", Some("{}"))._1 == 400)
     } finally srv.stop()
   }
+
+  test("search request boundary drains the dedup deferred-release registry") {
+    // Simulate an earlier request cycle having reached a dedup operator
+    // (holdCached keeps ONE live intermediate per callsite between
+    // calls); the NEXT request's completion must drain it — both on the
+    // success path and on the 400 path.
+    val wh = Files.createTempDirectory("graft-serve-drain").toString
+    val provider = new HashEmbedder(16)
+    Index.build(Seq(("draining cached dedup state", "a.md")).toDF("text", "source"),
+      s"$wh/main", provider, strategy = "simple")
+    val srv = new SearchServer(spark, wh, "main", provider)
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.boundPort}"
+    try {
+      def seed(): Unit = {
+        val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+        graft.operators.Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9).count()
+        assert(graft.operators.Dedup.heldCount > 0, "seed should populate the registry")
+      }
+      // The response is visible to the client before the handler thread
+      // reaches its finally-drain, so poll briefly instead of asserting
+      // instantaneously.
+      def drained(): Boolean = {
+        val deadline = System.nanoTime() + 5e9.toLong
+        while (graft.operators.Dedup.heldCount > 0 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        graft.operators.Dedup.heldCount == 0
+      }
+      seed()
+      assert(http("POST", s"$base/search", Some("""{"query":"draining"}"""))._1 == 200)
+      assert(drained(), "a completed /search request must drain the dedup cache registry")
+      seed()
+      assert(http("POST", s"$base/search", Some("{}"))._1 == 400)
+      assert(drained(), "the drain must run on error responses too")
+    } finally srv.stop()
+  }
 }
