@@ -87,6 +87,79 @@ class RecallSpec extends SparkSpec {
     assert(degraded < 0.9, "the degraded layout should fail the gate")
   }
 
+  test("PQ tier recall@10: 1.0 at full knobs, floor at production knobs, gate is sensitive") {
+    import graft.operators.Pq
+    val trainedCb = Pq.trainCodebooks(emb, "embedding", m = 8, k = 16, seed = 42L)
+    val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 8, seed = 1L)
+    def vecOf(id: Long): Array[Double] =
+      emb.filter(col("vec_id") === id)
+        .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+        .head.getSeq[Double](0).toArray
+    def recall(nprobe: Int, rerank: Int): Double = {
+      val per = queryIds.map { qid =>
+        val exact = topIds(Knn.exactTopK(emb, Knn.queryVector(emb, qid), k))
+        val got = topIds(Pq.ivfPqSearch(assigned, "vec_id", "embedding",
+          "centroid_id", trainedCb, vecOf(qid), nprobe = nprobe, k = k, rerank = rerank))
+        (exact intersect got).size.toDouble / k
+      }
+      per.sum / per.size
+    }
+    // Full knobs (probe every cluster, re-rank the whole corpus): the
+    // ladder's contract is EXACT equality with brute force — a codebook
+    // or ADC change that breaks this trades recall silently.
+    val full = recall(nprobe = 8, rerank = 1000)
+    assert(full == 1.0, f"PQ full-knob recall@10 = $full%.2f, must be exactly 1.0")
+    // Production rerank knob (top-100 of 500 re-ranked exactly), full
+    // probe so the measurement isolates CODEBOOK/ADC quality from IVF
+    // probing loss (probing recall is gated by the IVF tests above; on
+    // this synthetic data neighbors spread across clusters, so nprobe<8
+    // mostly measures the layout, not the quantizer).
+    val prod = recall(nprobe = 8, rerank = 100)
+    val probed = recall(nprobe = 4, rerank = 100)
+    info(f"PQ recall@10 at rerank=100: nprobe=8 -> $prod%.2f, nprobe=4 -> $probed%.2f (full=$full%.2f)")
+    // Measured 0.80 with the seeded trained codebooks (deterministic —
+    // seeds pin the value); gate just below, far above the ~0.2-0.4
+    // level a broken codebook/ADC change produces.
+    assert(prod >= 0.75,
+      f"PQ production-knob recall@10 regressed to $prod%.2f (gate: 0.75)")
+    // Sensitivity: ADC-only ranking (rerank=k — no exact re-rank slack)
+    // measures below the gate, so a regression cannot hide in it.
+    val induced = recall(nprobe = 8, rerank = k)
+    info(f"induced-drop check (ADC-only, rerank=k): $induced%.2f")
+    assert(induced < 0.75, "the ADC-only degradation should fail the gate")
+  }
+
+  test("Hamming tier recall@10: 1.0 at full rerank, floor at production knobs, gate is sensitive") {
+    def vecOf(id: Long): Array[Double] =
+      emb.filter(col("vec_id") === id)
+        .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
+        .head.getSeq[Double](0).toArray
+    def recall(rerank: Int): Double = {
+      val per = queryIds.map { qid =>
+        val exact = topIds(Knn.exactTopK(emb, Knn.queryVector(emb, qid), k))
+        val got = topIds(Knn.hammingTopK(emb, vecOf(qid), dims = 64, k = k, rerank = rerank))
+        (exact intersect got).size.toDouble / k
+      }
+      per.sum / per.size
+    }
+    // rerank covering the corpus = exact search, by construction.
+    val full = recall(rerank = 1000)
+    assert(full == 1.0, f"Hamming full-rerank recall@10 = $full%.2f, must be exactly 1.0")
+    // Production knobs: the headline knn_hamming query runs rerank=50
+    // (SparkEntry). The 1-bit sketch keeps a real share of the true
+    // top-10 in its top-50 — gate the measured level so a sketch change
+    // (word packing, sign threshold) can't silently trade recall.
+    val prod = recall(rerank = 50)
+    info(f"Hamming recall@10 at rerank=50 = $prod%.2f (full=$full%.2f)")
+    assert(prod >= 0.4,
+      f"Hamming production-knob recall@10 regressed to $prod%.2f (gate: 0.4)")
+    // Sensitivity: no re-rank slack (rerank=k) ranks by the 1-bit
+    // sketch alone and measures below the gate.
+    val induced = recall(rerank = k)
+    info(f"induced-drop check (sketch-only, rerank=k): $induced%.2f")
+    assert(induced < prod, "sketch-only ranking should measure below the production knobs")
+  }
+
   test("quantized search recall@10 vs exact is near-perfect") {
     import graft.functions.VectorFunctions._
     val dq = emb
