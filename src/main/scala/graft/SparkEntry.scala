@@ -471,8 +471,8 @@ object SparkEntry {
         n = 3, numHashes = 8, bandSize = 2, minJ = 0.5)
       val winnow = Dedup.winnowPairs(docs, "doc_id", "text",
         k = 3, w = 4, minShared = 2, maxFpDf = 20)
-      graft.operators.Eval.pairMetrics("minhash", minhash, truth)
-        .union(graft.operators.Eval.pairMetrics("winnow", winnow, truth))
+      graft.operators.Eval.pairMetricsMany(truth,
+          Seq("minhash" -> minhash, "winnow" -> winnow))
         .orderBy("method")
     }),
 

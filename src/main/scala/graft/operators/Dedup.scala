@@ -30,32 +30,24 @@ object Dedup {
   /** Deferred-release persist for intermediates that must stay lazy
     * (they back a returned frame, so an in-function try/finally would
     * unpersist before the caller's action runs) but whose plan loses
-    * measurably to localCheckpoint (corpus-scale block writes). Each
-    * operator holds at most ONE cached intermediate: registering a new
-    * one unpersists the previous call's, so a long-lived session's
-    * cache stays bounded instead of accumulating per query. Explicit
-    * drain for request boundaries: [[releaseCaches]]. */
-  private val held = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * measurably to localCheckpoint (corpus-scale block writes). The
+    * mechanism lives in [[graft.util.DfCache]] (shared with Eval's
+    * metric harness); each callsite key holds at most ONE cached
+    * intermediate. Explicit drain for request boundaries:
+    * [[releaseCaches]]. */
+  private def holdCached(key: String, df: DataFrame): DataFrame =
+    graft.util.DfCache.holdCached(key, df)
 
-  private def holdCached(key: String, df: DataFrame): DataFrame = {
-    val prev = held.put(key, df)
-    if (prev != null && (prev ne df)) { prev.unpersist(); () }
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
-
-  /** Release every deferred-release intermediate (idempotent; call at
-    * request boundaries in long-lived sessions — the serving layer
-    * drains after every request/tool-call so an endpoint that reaches a
-    * dedup operator can't pin corpus-scale cache blocks between
-    * requests). */
-  def releaseCaches(): Unit = {
-    held.values.forEach(df => { df.unpersist(); () })
-    held.clear()
-  }
+  /** Release every deferred-release intermediate across the engine
+    * (idempotent; call at request boundaries in long-lived sessions —
+    * the serving layer drains after every request/tool-call so an
+    * endpoint that reaches a dedup operator can't pin corpus-scale
+    * cache blocks between requests). */
+  def releaseCaches(): Unit = graft.util.DfCache.releaseAll()
 
   /** Live deferred-release entries (test/observability hook for the
     * request-boundary drain contract). */
-  def heldCount: Int = held.size
+  def heldCount: Int = graft.util.DfCache.heldCount
 
   /** Exact duplicate groups keyed by the whitespace/case-insensitive
     * content fingerprint. `n_dups > 1` marks a group to collapse;
@@ -107,37 +99,70 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** All (id_a < id_b) pairs and intersection counts from a cached
+    * posting-list table (`ids` per key, every list complete and
+    * cap-bounded): pair expansion is a map-side double explode —
+    * O(cap^2) rows per key — so the only corpus-scale exchanges are the
+    * single groupBy that built the postings and the pair aggregation. */
+  private def postingPairCounts(posting: DataFrame, cntCol: String): DataFrame =
+    posting
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as(cntCol))
+
   /** Pairs with n-gram Jaccard >= minJ, via inverted-index self-join.
     * `maxShingleDf` drops shingles shared by more than that many docs
     * (0 = keep all); when active, intersections *and* set sizes both
     * come from the capped set, so the reported value is the consistent
     * Jaccard over retained shingles (mixing capped intersections with
-    * full-set sizes would systematically underestimate). */
+    * full-set sizes would systematically underestimate).
+    *
+    * Plan shape with the cap on: ONE corpus-scale exchange — the
+    * shingle groupBy through [[graft.functions.BoundedIds]] (partial
+    * buffers bounded at cap+1 ids, so boilerplate shingles never
+    * materialize posting lists) — then pair expansion map-side from the
+    * cached postings and two report-scale aggregations. The previous
+    * formulation (df-count agg + keep-set join + two self-join sides +
+    * sizes agg over the capped table) paid five shingle-scale passes
+    * for the same answer. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
-    // Materialized once (feeds both join sides plus the sizes agg) via
-    // the deferred-release registry: a bare persist with no matching
-    // unpersist outlives the query and accumulates blocks across a
-    // long-lived session, while holdCached bounds it to one live entry
-    // and stays visible to CacheManager clears (localCheckpoint blocks
-    // are not, so a bench/serve loop can't release them — measured as a
-    // cross-query slowdown in the full sweep).
-    val sh0 = holdCached("jaccardPairs.shingles",
-      shingleTable(docs, idCol, textCol, n))
-    val sh =
-      if (maxShingleDf <= 0) sh0
-      else {
-        val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("shdf"))
-          .filter(col("shdf") <= maxShingleDf).select("sh")
-        sh0.join(dfs, "sh")
-      }
-    val a = sh.select(col("sh"), col("id").as("id_a"))
-    val b = sh.select(col("sh"), col("id").as("id_b"))
-    val inter = a.join(b, "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    verifyJaccard(inter, sh, minJ)
+    if (maxShingleDf <= 0) {
+      // Uncapped (oracle/small-corpus tier): classic self-join, shingle
+      // table materialized once via the deferred-release registry (it
+      // feeds both join sides plus the sizes agg; a bare persist with
+      // no matching unpersist would outlive the query and accumulate
+      // blocks across a long-lived session).
+      val sh = holdCached("jaccardPairs.shingles",
+        shingleTable(docs, idCol, textCol, n))
+      val a = sh.select(col("sh"), col("id").as("id_a"))
+      val b = sh.select(col("sh"), col("id").as("id_b"))
+      val inter = a.join(b, "sh")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("inter"))
+      verifyJaccard(inter, sh, minJ)
+    } else {
+      val boundedIds = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BoundedIds(maxShingleDf.toInt),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val posting = holdCached("jaccardPairs.postings",
+        shingleTable(docs, idCol, textCol, n)
+          .groupBy("sh").agg(boundedIds(col("id")).as("acc"))
+          .filter(col("acc.n") <= maxShingleDf)
+          .select(col("acc.ids").as("ids")))
+      val inter = postingPairCounts(posting, "inter")
+      val sz = posting.select(explode(col("ids")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("sz"))
+      inter
+        .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= minJ)
+    }
   }
 
   /** Universal-hash family over the shingle's md5-derived base hash:
@@ -650,19 +675,30 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4, minShared: Long = 2,
                   maxFpDf: Int = 0): DataFrame = {
-    // deferred-release persist — see jaccardPairs (unpersist hygiene)
-    val fps0 = holdCached("winnowPairs.fps",
-      winnowFingerprints(docs, idCol, textCol, k, w))
-    val fps =
-      if (maxFpDf <= 0) fps0
-      else fps0.join(fps0.groupBy("fp").count()
-        .filter(col("count") <= maxFpDf).select("fp"), "fp")
-    val a = fps.select(col("fp"), col("id").as("id_a"))
-    val b = fps.select(col("fp"), col("id").as("id_b"))
-    a.join(b, "fp")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    if (maxFpDf <= 0) {
+      // deferred-release persist — see jaccardPairs (unpersist hygiene)
+      val fps = holdCached("winnowPairs.fps",
+        winnowFingerprints(docs, idCol, textCol, k, w))
+      val a = fps.select(col("fp"), col("id").as("id_a"))
+      val b = fps.select(col("fp"), col("id").as("id_b"))
+      a.join(b, "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+    } else {
+      // Capped tier: one bounded posting-list groupBy + map-side pair
+      // expansion (see jaccardPairs — same plan shape, same reason).
+      val boundedIds = org.apache.spark.sql.functions.udaf(
+        new graft.functions.BoundedIds(maxFpDf),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val posting = holdCached("winnowPairs.postings",
+        winnowFingerprints(docs, idCol, textCol, k, w)
+          .groupBy("fp").agg(boundedIds(col("id")).as("acc"))
+          .filter(col("acc.n") <= maxFpDf)
+          .select(col("acc.ids").as("ids")))
+      postingPairCounts(posting, "shared")
+        .filter(col("shared") >= minShared)
+    }
   }
 
   /** Top-N most-similar embedding pairs within a blocking column (label

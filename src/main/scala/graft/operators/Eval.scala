@@ -94,25 +94,38 @@ object Eval {
     * happened in the dedup operator being measured); the semi-join and
     * count aggregates here touch only those outputs. */
   def pairMetrics(method: String, candidates: DataFrame, truth: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    pairMetricsMany(truth, Seq(method -> candidates), idA, idB)
+
+  /** [[pairMetrics]] for several methods against ONE ground truth: the
+    * normalized truth pair set is computed once and cached (deferred-
+    * release registry, drained with `Dedup.releaseCaches()`), and each
+    * method's counts come from a single full-outer join — so every
+    * input frame's plan (often an expensive dedup operator) executes
+    * exactly once, instead of once per count aggregate. */
+  def pairMetricsMany(truth: DataFrame, methods: Seq[(String, DataFrame)],
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     def norm(df: DataFrame): DataFrame = df.select(
       least(col(idA), col(idB)).as("a"),
       greatest(col(idA), col(idB)).as("b")).distinct()
-    val c = norm(candidates)
-    val t = norm(truth)
-    val counts = t.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(c.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(c.join(t, Seq("a", "b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit")))
-    val p = round(when(col("n_cand") > 0,
-      col("n_hit").cast("double") / col("n_cand")).otherwise(0.0), 6)
-    val r = round(when(col("n_truth") > 0,
-      col("n_hit").cast("double") / col("n_truth")).otherwise(0.0), 6)
-    counts.select(lit(method).as("method"),
-        col("n_truth"), col("n_cand"), col("n_hit"),
-        p.as("precision"), r.as("recall"))
-      .withColumn("f1", round(when(col("precision") + col("recall") > 0,
-        lit(2.0) * col("precision") * col("recall")
-          / (col("precision") + col("recall"))).otherwise(0.0), 6))
+    val t = graft.util.DfCache.holdCached("pairMetrics.truth", norm(truth))
+    methods.map { case (method, candidates) =>
+      val joined = norm(candidates).withColumn("in_c", lit(1))
+        .join(t.withColumn("in_t", lit(1)), Seq("a", "b"), "full_outer")
+      val counts = joined.agg(
+        count(col("in_t")).as("n_truth"),
+        count(col("in_c")).as("n_cand"),
+        count(when(col("in_t").isNotNull && col("in_c").isNotNull, 1)).as("n_hit"))
+      val p = round(when(col("n_cand") > 0,
+        col("n_hit").cast("double") / col("n_cand")).otherwise(0.0), 6)
+      val r = round(when(col("n_truth") > 0,
+        col("n_hit").cast("double") / col("n_truth")).otherwise(0.0), 6)
+      counts.select(lit(method).as("method"),
+          col("n_truth"), col("n_cand"), col("n_hit"),
+          p.as("precision"), r.as("recall"))
+        .withColumn("f1", round(when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))).otherwise(0.0), 6))
+    }.reduce(_.union(_))
   }
 }

@@ -25,20 +25,33 @@ import java.util.zip.Inflater
   *    Identity-H composite-font path most real-world non-Latin PDFs
   *    use. Unmapped codes are dropped rather than emitted as garbage.
   *
+  *  - **encrypted PDFs** (r8): the standard security handler's
+  *    empty-user-password arm — RC4 40-128 (R2/R3), AES-128 `/AESV2`
+  *    (R4) and AES-256 `/AESV3` (R6) — decrypts stream payloads up
+  *    front via [[PdfCrypt.decryptDocument]]; files that need a real
+  *    password fail the /U check and are skipped.
+  *
   * Honest limitations (documented, matching the "skip unreadable"
   * ingest stance): no embedded-CMap-file lookups beyond ToUnicode (a
   * font with Identity-H but NO ToUnicode still extracts as Latin-1
-  * garbage for downstream quality filters to drop); no encrypted PDFs
-  * (skipped); no cross-reference parsing (objects and streams are
-  * found by scanning, which also tolerates mildly corrupt files).
+  * garbage for downstream quality filters to drop); password-protected
+  * PDFs (non-empty user password) are skipped; no cross-reference
+  * parsing (objects and streams are found by scanning, which also
+  * tolerates mildly corrupt files).
   */
 object PdfText {
 
   /** Extract text from PDF bytes; None when nothing extractable. */
-  def extract(bytes: Array[Byte]): Option[String] = {
-    if (bytes.length < 5 || new String(bytes, 0, 5, "ISO-8859-1") != "%PDF-")
+  def extract(bytes0: Array[Byte]): Option[String] = {
+    if (bytes0.length < 5 || new String(bytes0, 0, 5, "ISO-8859-1") != "%PDF-")
       return None
-    val raw = new String(bytes, "ISO-8859-1") // byte-preserving view
+    val raw0 = new String(bytes0, "ISO-8859-1") // byte-preserving view
+    // Encrypted documents get one up-front decrypt pass (streams only);
+    // a failed password check means genuinely protected -> skip.
+    val (raw, bytes) =
+      if (PdfCrypt.isEncrypted(raw0))
+        PdfCrypt.decryptDocument(raw0, bytes0).getOrElse(return None)
+      else (raw0, bytes0)
     val fontCmaps = resolveFontCmaps(raw, bytes)
     val out = new StringBuilder
     var from = 0

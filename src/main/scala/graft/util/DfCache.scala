@@ -1,0 +1,40 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Deferred-release persist registry for intermediates that must stay
+  * lazy (they back a returned frame, so an in-function try/finally
+  * would unpersist before the caller's action runs) but whose plan
+  * loses measurably to recomputation (multi-consumer corpus-scale
+  * tables). Each callsite key holds at most ONE cached intermediate:
+  * registering a new one unpersists the previous call's, so a
+  * long-lived session's cache stays bounded instead of accumulating
+  * per query. The serving layer drains the whole registry at request
+  * boundaries via [[releaseAll]] (surfaced as
+  * `graft.operators.Dedup.releaseCaches()`).
+  */
+object DfCache {
+
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Cache `df` under the callsite key, releasing the key's previous
+    * occupant. Returns the SAME frame (persist is lazy). */
+  def holdCached(key: String, df: DataFrame): DataFrame = {
+    val prev = held.put(key, df)
+    // blocking: the registry's contract is "bounded live cache", which
+    // tests pin by counting persisted RDDs — async removal would make
+    // that count (and executor memory accounting) timing-dependent.
+    if (prev != null && (prev ne df)) { prev.unpersist(blocking = true); () }
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release every deferred-release intermediate (idempotent). */
+  def releaseAll(): Unit = {
+    held.values.forEach(df => { df.unpersist(blocking = true); () })
+    held.clear()
+  }
+
+  /** Live entries (test/observability hook for the drain contract). */
+  def heldCount: Int = held.size
+}

@@ -159,6 +159,106 @@ class PdfTextSpec extends SparkSpec {
     assert(text.linesIterator.toSeq == Seq("Пр", "П"))
   }
 
+  // ---- encrypted PDFs (standard security handler, empty user password) ----
+
+  import graft.sources.PdfCrypt
+
+  private val fileId: Array[Byte] =
+    Array.tabulate(16)(i => (i * 17 + 3).toByte)
+  private val oEntry: Array[Byte] = Array.tabulate(32)(i => (i * 7 + 1).toByte)
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02X").mkString
+
+  /** A complete single-page PDF whose content stream (object 4) holds
+    * `payload` and whose trailer carries the given /Encrypt dict. */
+  private def encryptedPdf(payload: Array[Byte], encDict: String): Array[Byte] = {
+    val head =
+      s"""%PDF-1.6
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${payload.length} >>
+         |stream
+         |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    val tail =
+      s"""
+         |endstream
+         |endobj
+         |5 0 obj $encDict endobj
+         |trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>] >>
+         |%%EOF
+         |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    head ++ payload ++ tail
+  }
+
+  test("RC4 R3 (128-bit) encrypted PDF decrypts and extracts (empty user password)") {
+    val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(3, key, fileId)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT /F1 12 Tf (RC4 secret text) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    val text = PdfText.extract(encryptedPdf(payload, dict))
+    assert(text.exists(_.contains("RC4 secret text")))
+  }
+
+  test("RC4 R2 (40-bit) encrypted PDF decrypts and extracts") {
+    val key = PdfCrypt.fileKeyR234(2, 5, oEntry, -1, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(2, key, fileId)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT (forty bit rc4) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 1 /R 2 /P -1 " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("forty bit rc4")))
+  }
+
+  test("AES-128 /AESV2 (R4) encrypted PDF decrypts and extracts") {
+    val key = PdfCrypt.fileKeyR234(4, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(4, key, fileId)
+    val iv = Array.tabulate(16)(i => (i * 31 + 5).toByte)
+    val payload = PdfCrypt.aesEncryptForTest(
+      PdfCrypt.objectKey(key, 4, 0, aes = true), iv,
+      "BT /F1 12 Tf (AES sealed words) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+      s"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("AES sealed words")))
+  }
+
+  test("AES-256 /AESV3 (R6) encrypted PDF decrypts and extracts") {
+    val fileKey = Array.tabulate(32)(i => (i * 13 + 7).toByte)
+    val vSalt = Array.tabulate(8)(i => (i + 40).toByte)
+    val kSalt = Array.tabulate(8)(i => (i + 80).toByte)
+    val uEntry = PdfCrypt.hash2B(Array.emptyByteArray, vSalt) ++ vSalt ++ kSalt
+    val ik = PdfCrypt.hash2B(Array.emptyByteArray, kSalt)
+    // UE = AES-256-CBC(ik, IV=0, fileKey), no padding: reuse the test
+    // encryptor and strip its IV prefix + the one padding block.
+    val ue = PdfCrypt.aesEncryptForTest(ik, new Array[Byte](16), fileKey)
+      .slice(16, 48)
+    val iv = Array.tabulate(16)(i => (i * 29 + 11).toByte)
+    val payload = PdfCrypt.aesEncryptForTest(fileKey, iv,
+      "BT /F1 12 Tf (PDF twenty secret) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val oEntry48 = Array.tabulate(48)(i => (i * 3 + 2).toByte)
+    val dict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 " +
+      s"/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(oEntry48)}> /U <${hex(uEntry)}> /UE <${hex(ue)}> >>"
+    assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("PDF twenty secret")))
+  }
+
+  test("a genuinely password-protected PDF (bad /U) is skipped, not garbled") {
+    val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT (locked) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    // /U does not match the empty-password derivation -> a real password
+    val badU = Array.fill(32)(0x55.toByte)
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(oEntry)}> /U <${hex(badU)}> >>"
+    assert(PdfText.extract(encryptedPdf(payload, dict)).isEmpty)
+  }
+
   test("pdf files flow through readDocuments into chunks (S3 end-to-end)") {
     val root = Files.createTempDirectory("graft-pdf")
     Files.write(root.resolve("doc.pdf"),
