@@ -247,6 +247,20 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("PDF twenty secret")))
   }
 
+  test("V4 container with RC4 crypt filter (/CFM /V2) decrypts and extracts") {
+    // R4 is a container revision: the crypt filter can still be RC4
+    // (/V2) rather than AES — per-object keys then omit the sAlT bytes.
+    val key = PdfCrypt.fileKeyR234(4, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(4, key, fileId)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT (v4 rc4 filter) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+      s"/CF << /StdCF << /CFM /V2 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("v4 rc4 filter")))
+  }
+
   test("a genuinely password-protected PDF (bad /U) is skipped, not garbled") {
     val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
     val payload = PdfCrypt.rc4(
