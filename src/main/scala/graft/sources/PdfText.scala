@@ -30,6 +30,11 @@ import java.util.zip.Inflater
   *    (R4) and AES-256 `/AESV3` (R6) — decrypts stream payloads up
   *    front via [[PdfCrypt.decryptDocument]]; files that need a real
   *    password fail the /U check and are skipped.
+  *  - **compressed object streams** (r8): `/Type /ObjStm` streams are
+  *    inflated and their objects spliced into the scan view, so font /
+  *    resource dicts that PDF 1.5+ writers pack there still feed the
+  *    ToUnicode resolution (the spec forbids nested streams, so
+  *    content extraction itself is unaffected).
   *
   * Honest limitations (documented, matching the "skip unreadable"
   * ingest stance): no embedded-CMap-file lookups beyond ToUnicode (a
@@ -48,10 +53,15 @@ object PdfText {
     val raw0 = new String(bytes0, "ISO-8859-1") // byte-preserving view
     // Encrypted documents get one up-front decrypt pass (streams only);
     // a failed password check means genuinely protected -> skip.
-    val (raw, bytes) =
+    val (raw1, bytes1) =
       if (PdfCrypt.isEncrypted(raw0))
         PdfCrypt.decryptDocument(raw0, bytes0).getOrElse(return None)
       else (raw0, bytes0)
+    // PDF 1.5+ compressed object streams hold most font/resource dicts;
+    // splice their objects into the scan view so /ToUnicode resolution
+    // sees them (content streams can't live inside an ObjStm, so the
+    // text scan itself is unaffected).
+    val (raw, bytes) = expandObjectStreams(raw1, bytes1)
     val fontCmaps = resolveFontCmaps(raw, bytes)
     val out = new StringBuilder
     var from = 0
@@ -120,6 +130,61 @@ object PdfText {
           else Some(new String(data, "ISO-8859-1"))
         }
       Some(St(dict, content, e + "endstream".length))
+    }
+  }
+
+  // ---- compressed object streams (PDF 1.5 /ObjStm) --------------------
+
+  private val IntPairRe = """(\d+)\s+(\d+)""".r
+
+  /** Inflate every `/Type /ObjStm` stream and append its contained
+    * objects to the document view as synthetic `n 0 obj ... endobj`
+    * text (same bytes appended to both the string and byte views, so
+    * downstream offset arithmetic stays aligned). The ObjStm header is
+    * `/N` pairs of `objnum offset` ints; object i's body spans
+    * `/First + offset_i` until the next offset. Objects inside an
+    * ObjStm are dictionaries/arrays only (the spec forbids nested
+    * streams), so this feeds the font/CMap reference scan without
+    * touching content-stream extraction. */
+  private def expandObjectStreams(raw: String, bytes: Array[Byte]): (String, Array[Byte]) = {
+    if (!raw.contains("/ObjStm")) return (raw, bytes)
+    val synthetic = new StringBuilder
+    var from = 0
+    var scanning = true
+    while (scanning) {
+      raw.indexOf("stream", from) match {
+        case -1 => scanning = false
+        case s =>
+          streamAt(raw, bytes, s) match {
+            case None => scanning = false
+            case Some(St(dict, content, end)) =>
+              if (dict.contains("/ObjStm")) {
+                for {
+                  c <- content
+                  n <- """/N\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+                  first <- """/First\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+                  if first <= c.length
+                } {
+                  val pairs = IntPairRe.findAllMatchIn(c.substring(0, first))
+                    .map(m => (m.group(1).toInt, m.group(2).toInt)).take(n).toVector
+                  pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
+                    val start = first + off
+                    val stop =
+                      if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, c.length)
+                      else c.length
+                    if (start >= 0 && start <= stop)
+                      synthetic ++= s"\n$objNum 0 obj ${c.substring(start, stop)} endobj\n"
+                  }
+                }
+              }
+              from = end
+          }
+      }
+    }
+    if (synthetic.isEmpty) (raw, bytes)
+    else {
+      val raw2 = raw + synthetic.result()
+      (raw2, bytes ++ synthetic.result().getBytes("ISO-8859-1"))
     }
   }
 

@@ -159,6 +159,42 @@ class PdfTextSpec extends SparkSpec {
     assert(text.linesIterator.toSeq == Seq("Пр", "П"))
   }
 
+  test("font dicts inside a compressed /ObjStm still resolve ToUnicode (PDF 1.5)") {
+    // Writers since PDF 1.5 put page/font/resource DICTS in compressed
+    // object streams; only the content stream and the CMap stream stay
+    // top-level. Without ObjStm expansion the font scan never sees
+    // /ToUnicode and CIDs are dropped.
+    val content = "BT /F1 12 Tf <00010002> Tj ET"
+    val cb = content.getBytes(StandardCharsets.ISO_8859_1)
+    // objects 3 (page w/ font resources) and 5 (the Type0 font) live in
+    // the ObjStm; 6 is the CMap stream, 4 the content stream.
+    val obj3 = "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+    val obj5 = "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 6 0 R >>"
+    val header = s"3 0 5 ${obj3.length + 1}"
+    val first = header.length + 1
+    val stmBody = s"$header\n$obj3 $obj5"
+    val stm = deflate(stmBody)
+    val mb = toUnicodeCmap.getBytes(StandardCharsets.ISO_8859_1)
+    val doc =
+      (s"""%PDF-1.5
+          |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+          |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+          |8 0 obj << /Type /ObjStm /N 2 /First $first /Length ${stm.length} /Filter /FlateDecode >>
+          |stream
+          |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1) ++ stm ++
+        "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1) ++
+        s"""6 0 obj << /Length ${mb.length} >>
+           |stream
+           |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1) ++ mb ++
+        "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1) ++
+        s"""4 0 obj << /Length ${cb.length} >>
+           |stream
+           |""".stripMargin.getBytes(StandardCharsets.ISO_8859_1) ++ cb ++
+        "\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
+    val text = PdfText.extract(doc)
+    assert(text.contains("Пр"), s"got $text")
+  }
+
   // ---- encrypted PDFs (standard security handler, empty user password) ----
 
   import graft.sources.PdfCrypt
