@@ -253,7 +253,11 @@ object PdfCrypt {
     r match {
       case 2 | 3 | 4 =>
         val p = intParam(encDict, "P").getOrElse(return None)
+        // spec range 40-128 bits; clamp so a mangled /Length can't
+        // produce a zero-length RC4 key (division by zero) or an
+        // oversized MD5 take
         val keyLen = intParam(encDict, "Length").map(_ / 8).getOrElse(5)
+          .max(1).min(16)
         val encryptMetadata = !encDict.contains("/EncryptMetadata false")
         val aes = r == 4 && encDict.contains("/AESV2")
         // R4 without AESV2 or V2 RC4 is still RC4; /Identity StmF would
@@ -286,7 +290,17 @@ object PdfCrypt {
     * dictionaries, operators, the /Encrypt object itself — pass through
     * untouched, so [[PdfText]]'s scanning pipeline needs no changes).
     * None when the password check fails or nothing decrypts. */
-  def decryptDocument(raw: String, bytes: Array[Byte]): Option[(String, Array[Byte])] = {
+  def decryptDocument(raw: String, bytes: Array[Byte]): Option[(String, Array[Byte])] = try {
+    decryptDocumentUnsafe(raw, bytes)
+  } catch {
+    // A corrupt/hostile encrypt dictionary (bad key material lengths,
+    // cipher parameter errors) means unreadable, not a crash — the
+    // ingest stance is skip, same as the reference's failed
+    // pdf_extract::extract_text.
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  private def decryptDocumentUnsafe(raw: String, bytes: Array[Byte]): Option[(String, Array[Byte])] = {
     val info = authenticate(raw).getOrElse(return None)
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     var copied = 0

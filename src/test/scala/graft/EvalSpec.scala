@@ -88,6 +88,25 @@ class EvalSpec extends SparkSpec {
     assert(z === (("none", 3L, 0L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("pairMetricsMany: several methods share one cached truth, per-method rows") {
+    val truth = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val perfect = truth
+    val partial = Seq((2L, 1L), (9L, 8L)).toDF("id_a", "id_b") // 1 hit of 2
+    val rows = Eval.pairMetricsMany(truth,
+        Seq("perfect" -> perfect, "partial" -> partial))
+      .orderBy("method")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows(0) === (("partial", 3L, 2L, 1L, 0.5,
+      BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.4)))
+    assert(rows(1) === (("perfect", 3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    // the shared truth is held in the deferred-release registry and
+    // drains with the rest
+    assert(graft.operators.Dedup.heldCount > 0)
+    graft.operators.Dedup.releaseCaches()
+    assert(graft.operators.Dedup.heldCount == 0)
+  }
+
   test("retrievalMetrics: duplicate qrel rows don't inflate n_rel") {
     val results = Seq((1L, "a", 1)).toDF("qid", "doc_id", "rank")
     val qrels = Seq((1L, "a"), (1L, "a"), (1L, "b")).toDF("qid", "doc_id")

@@ -309,6 +309,44 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(encryptedPdf(payload, dict)).isEmpty)
   }
 
+  test("corrupt encrypted/ObjStm inputs are skipped or partially read, never thrown") {
+    val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(3, key, fileId)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT (fuzz base) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    val good = encryptedPdf(payload, dict)
+    // Truncations at every byte boundary region + targeted corruptions:
+    // extraction may return text or None but must never throw.
+    val cases = Seq(
+      good.take(20), good.take(good.length / 2), good.take(good.length - 3),
+      good ++ good, // doubled document
+      new String(good, StandardCharsets.ISO_8859_1)
+        .replace("/Length 128", "/Length abc").getBytes(StandardCharsets.ISO_8859_1),
+      new String(good, StandardCharsets.ISO_8859_1)
+        .replace("/R 3", "/R 99").getBytes(StandardCharsets.ISO_8859_1),
+      new String(good, StandardCharsets.ISO_8859_1)
+        .replace(s"/O <${hex(oEntry)}>", "/O ()").getBytes(StandardCharsets.ISO_8859_1),
+      // ObjStm with a /First pointing past the stream body
+      ("%PDF-1.5\n8 0 obj << /Type /ObjStm /N 2 /First 9999 /Length 4 >>\n" +
+        "stream\nabcd\nendstream\nendobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1),
+      // ObjStm whose header is garbage
+      ("%PDF-1.5\n8 0 obj << /Type /ObjStm /N 2 /First 5 /Length 9 >>\n" +
+        "stream\nxx yy zz\nendstream\nendobj\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1))
+    cases.zipWithIndex.foreach { case (c, i) =>
+      PdfText.extract(c) // must not throw
+      ()
+    }
+    // deterministic byte flips across the whole good document
+    (0 until good.length by 37).foreach { pos =>
+      val mutated = good.clone()
+      mutated(pos) = (mutated(pos) ^ 0x5A).toByte
+      PdfText.extract(mutated) // must not throw
+    }
+  }
+
   test("pdf files flow through readDocuments into chunks (S3 end-to-end)") {
     val root = Files.createTempDirectory("graft-pdf")
     Files.write(root.resolve("doc.pdf"),
