@@ -162,6 +162,11 @@ object GraftExtensions {
       FunctionIdentifier("sign_lsh64"), signLshDescriptor._2, buildSignLsh _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"), nfcDescriptor._2, buildNfc _)
+    // Aggregators register per-session through the UDF registry (the
+    // FunctionRegistry path above is for expression builders). Default
+    // cap 20 — SQL callers needing another cap register their own.
+    spark.udf.register("bounded_ids_20", org.apache.spark.sql.functions.udaf(
+      new graft.functions.BoundedIds(20), org.apache.spark.sql.Encoders.scalaLong))
     val rule = graft.plans.IvfTopKRewrite(spark)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.IvfTopKRewrite]))
       spark.experimental.extraOptimizations =

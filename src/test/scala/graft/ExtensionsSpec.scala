@@ -51,6 +51,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == "Caf\u00e9")
   }
 
+  test("bounded_ids_20 udaf is callable from SQL (r8 posting-list primitive)") {
+    GraftExtensions.install(spark)
+    Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("k", "id")
+      .createOrReplaceTempView("posting_ext")
+    val rows = spark.sql(
+      "SELECT k, bounded_ids_20(id) AS acc FROM posting_ext GROUP BY k ORDER BY k")
+      .select($"k", $"acc.ids", $"acc.n")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSet, r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", Set(1L, 2L), 2L), ("b", Set(9L), 1L)))
+  }
+
   test("class registration (spark.sql.extensions) injects the optimizer rule") {
     import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
     val e = new SparkSessionExtensions
