@@ -42,6 +42,17 @@ object PdfCrypt {
   /** True when the document carries an /Encrypt dictionary reference. */
   def isEncrypted(raw: String): Boolean = EncRefRe.findFirstIn(raw).isDefined
 
+  /** True when the /Encrypt reference resolves to an actual /Standard
+    * security-handler dictionary — distinguishes a really-encrypted
+    * document (skip when we can't open it) from an unencrypted one that
+    * merely CONTAINS the `/Encrypt n g R` byte pattern, e.g. inside a
+    * content stream (proceed as plaintext). */
+  def hasStandardEncryptDict(raw: String): Boolean =
+    EncRefRe.findAllMatchIn(raw).exists { m =>
+      (s"""(?s)${m.group(1)}\\s+${m.group(2)}\\s+obj(.*?)endobj""").r
+        .findFirstMatchIn(raw).exists(_.group(1).contains("/Standard"))
+    }
+
   // ---- dictionary parsing ---------------------------------------------
 
   private val EncRefRe = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
@@ -49,10 +60,12 @@ object PdfCrypt {
     (s"""/$name\\s+(-?\\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
 
   /** A PDF string value for key material: literal `(...)` with escapes
-    * or hex `<...>`, returned as raw bytes. */
+    * or hex `<...>`, returned as raw bytes. The name match is
+    * boundary-aware — `/U` must not match the prefix of `/UE` (real
+    * dicts order those keys either way). */
   private def strParam(dict: String, name: String): Option[Array[Byte]] = {
-    val at = dict.indexOf(s"/$name")
-    if (at < 0) return None
+    val at = ("/" + java.util.regex.Pattern.quote(name) + "(?![0-9A-Za-z])").r
+      .findFirstMatchIn(dict).map(_.start).getOrElse(return None)
     var i = at + name.length + 1
     while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
     if (i >= dict.length) None
@@ -242,11 +255,14 @@ object PdfCrypt {
     * None when the file is truly password-protected / an unsupported
     * revision. */
   private[graft] def authenticate(raw: String): Option[EncryptInfo] = {
-    val encDict = EncRefRe.findFirstMatchIn(raw).flatMap { m =>
-      val head = (s"""(?s)${m.group(1)}\\s+${m.group(2)}\\s+obj(.*?)endobj""").r
-      head.findFirstMatchIn(raw).map(_.group(1))
-    }.getOrElse(return None)
-    if (!encDict.contains("/Standard")) return None
+    // Try every /Encrypt reference and keep the first that resolves to
+    // a /Standard dict — a spurious `/Encrypt n g R` byte pattern
+    // earlier in the file (content stream text) must not shadow the
+    // real trailer entry.
+    val encDict = EncRefRe.findAllMatchIn(raw).flatMap { m =>
+      (s"""(?s)${m.group(1)}\\s+${m.group(2)}\\s+obj(.*?)endobj""").r
+        .findFirstMatchIn(raw).map(_.group(1))
+    }.find(_.contains("/Standard")).getOrElse(return None)
     val r = intParam(encDict, "R").getOrElse(return None)
     val o = strParam(encDict, "O").getOrElse(return None)
     val u = strParam(encDict, "U").getOrElse(return None)

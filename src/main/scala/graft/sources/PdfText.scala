@@ -52,10 +52,16 @@ object PdfText {
       return None
     val raw0 = new String(bytes0, "ISO-8859-1") // byte-preserving view
     // Encrypted documents get one up-front decrypt pass (streams only);
-    // a failed password check means genuinely protected -> skip.
+    // a failed password check on a REAL /Standard encrypt dict means
+    // genuinely protected -> skip. A document that merely contains the
+    // `/Encrypt n g R` byte pattern (e.g. in a content stream) but has
+    // no such dict proceeds as plaintext.
     val (raw1, bytes1) =
       if (PdfCrypt.isEncrypted(raw0))
-        PdfCrypt.decryptDocument(raw0, bytes0).getOrElse(return None)
+        PdfCrypt.decryptDocument(raw0, bytes0).getOrElse {
+          if (PdfCrypt.hasStandardEncryptDict(raw0)) return None
+          (raw0, bytes0)
+        }
       else (raw0, bytes0)
     // PDF 1.5+ compressed object streams hold most font/resource dicts;
     // splice their objects into the scan view so /ToUnicode resolution

@@ -309,6 +309,28 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(encryptedPdf(payload, dict)).isEmpty)
   }
 
+  test("R6 dict with /UE listed before /U still authenticates (key order varies)") {
+    val fileKey = Array.tabulate(32)(i => (i * 13 + 7).toByte)
+    val vSalt = Array.tabulate(8)(i => (i + 40).toByte)
+    val kSalt = Array.tabulate(8)(i => (i + 80).toByte)
+    val uEntry = PdfCrypt.hash2B(Array.emptyByteArray, vSalt) ++ vSalt ++ kSalt
+    val ik = PdfCrypt.hash2B(Array.emptyByteArray, kSalt)
+    val ue = PdfCrypt.aesEncryptForTest(ik, new Array[Byte](16), fileKey).slice(16, 48)
+    val iv = Array.tabulate(16)(i => (i * 29 + 11).toByte)
+    val payload = PdfCrypt.aesEncryptForTest(fileKey, iv,
+      "BT (ue first ordering) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val oEntry48 = Array.tabulate(48)(i => (i * 3 + 2).toByte)
+    val dict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      s"/UE <${hex(ue)}> /U <${hex(uEntry)}> /O <${hex(oEntry48)}> >>" // UE before U
+    assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("ue first ordering")))
+  }
+
+  test("an unencrypted PDF merely MENTIONING /Encrypt n g R still extracts") {
+    val content = "BT (see /Encrypt 9 0 R for details) Tj ET"
+    val text = PdfText.extract(pdf(content.getBytes(StandardCharsets.ISO_8859_1), flate = false))
+    assert(text.exists(_.contains("see /Encrypt 9 0 R for details")))
+  }
+
   test("corrupt encrypted/ObjStm inputs are skipped or partially read, never thrown") {
     val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
     val u = PdfCrypt.computeU(3, key, fileId)
