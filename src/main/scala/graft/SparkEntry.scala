@@ -59,6 +59,14 @@ object SparkEntry {
     out
   }
 
+  /** The IVF layout extended with the persisted 1-bit sketch tier. */
+  private def binaryLayoutDir(s: SparkSession, dir: String): String = {
+    val out = ivfLayoutDir(s, dir)
+    if (!new java.io.File(s"$out/binary_sigs/_SUCCESS").exists())
+      graft.pipeline.Index.writeBinaryLayout(s, out, dims = 64, idCol = "vec_id")
+    out
+  }
+
   /** Deterministic multi-line restructuring of the single-line
     * synthetic documents: lines of 10 whitespace words, with a
     * terminal '.' appended iff the line's first word sorts before "n"
@@ -363,6 +371,22 @@ object SparkEntry {
         .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
         .head.getSeq[Double](0).toArray
       graft.operators.Knn.hammingTopK(emb, q, dims = 64, k = 10, rerank = 50)
+    }),
+
+    // The PRODUCTION read path over the persisted 1-bit tier: sketch
+    // words stored at build time (8 bytes/vector at 64 dims), so the
+    // candidate scan is integer xor+popcount over the binary_sigs
+    // table only; floats are touched just for the exact re-rank.
+    // knn_hamming above measures sketch-on-the-fly (the build cost);
+    // this measures what a query against a standing index pays.
+    // Shares knn_hamming's oracle shape (the stored words equal the
+    // recomputed ones by construction).
+    "knn_hamming_stored" -> ((s, dir) => {
+      val out = binaryLayoutDir(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.pipeline.Index.searchBinary(s, out, qv,
+        dims = 64, k = 10, rerank = 50, idCol = "vec_id")
     }),
 
     // The PRODUCTION read path over the persisted PQ tier: stored
@@ -3024,6 +3048,36 @@ private object OracleSql {
     // (positive BIGINT range, no signed-shift edge); integer Hamming
     // sims make the candidate cut deterministic without rounding.
     "knn_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |sig AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |         CAST(list_sum(list_transform(range(33, 65),
+        |           i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM e),
+        |qs AS (
+        |  SELECT CAST(list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS qw0,
+        |         CAST(list_sum(list_transform(range(33, 65),
+        |           i -> CASE WHEN qv[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS qw1
+        |  FROM q),
+        |cand AS (
+        |  SELECT s.vec_id,
+        |         64 - (bit_count(xor(s.w0, qs.qw0)) + bit_count(xor(s.w1, qs.qw1))) AS hs
+        |  FROM sig s, qs
+        |  ORDER BY hs DESC, s.vec_id
+        |  LIMIT 50)
+        |SELECT e.vec_id, round(list_inner_product(e.v, q.qv), 6) AS score
+        |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Stored 1-bit tier: identical math to knn_hamming (the persisted
+    // words equal the recomputed ones by construction), so the oracle
+    // recomputes sketches from the float table.
+    "knn_hamming_stored" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
         |sig AS (

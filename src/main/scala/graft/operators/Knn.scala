@@ -205,13 +205,13 @@ object Knn {
     * `i - w*32` set when `v[i] > 0`. Words stay in the positive BIGINT
     * range (no 1<<63 signed-shift edge), so the DuckDB oracle builds
     * bit-identical words. */
-  private def binaryWord(v: Column, dims: Int, w: Int): Column =
+  private[graft] def binaryWord(v: Column, dims: Int, w: Int): Column =
     ((w * 32) until math.min(dims, (w + 1) * 32))
       .map(i => when(element_at(v, i + 1) > 0, lit(1L << (i - w * 32))).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Driver-side twin of [[binaryWord]] for the query vector. */
-  private def packWords(q: Array[Double], dims: Int): Array[Long] =
+  private[graft] def packWords(q: Array[Double], dims: Int): Array[Long] =
     Array.tabulate((dims + 31) / 32) { w =>
       ((w * 32) until math.min(dims, (w + 1) * 32))
         .foldLeft(0L)((acc, i) => if (q(i) > 0) acc | (1L << (i - w * 32)) else acc)

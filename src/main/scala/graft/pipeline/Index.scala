@@ -903,6 +903,59 @@ object Index {
       .limit(k)
   }
 
+  /** Persist the 1-bit tier: axis-sign sketch words (`w0..wN`, 64 dims
+    * -> 2 BIGINTs = 8 bytes/vector) computed ONCE at build time, so the
+    * candidate scan of [[searchBinary]] reads 1/32 of the int8 tier's
+    * bytes and never touches a float. Stored next to the IVF/PQ tiers
+    * (partitioned by `centroid_id` when the layout exists) — the
+    * bottom rung of the compression ladder float -> int8 -> PQ ->
+    * binary, now with the same stored/production split as PQ
+    * (knn_hamming measures sketch-on-the-fly; this tier is what a
+    * standing index pays per query). */
+  def writeBinaryLayout(spark: SparkSession, dir: String, dims: Int,
+                        idCol: String = "id"): Unit = {
+    import graft.operators.Knn
+    val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
+    val emb = spark.read.parquet(
+      if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
+    val words = (dims + 31) / 32
+    val v = VectorFunctions.asDouble(col("embedding"))
+    val sigCols = (0 until words).map(w => Knn.binaryWord(v, dims, w).as(s"w$w"))
+    val sigs = emb.select(
+      (Seq(col(idCol)) ++ sigCols ++
+        (if (haveIvf) Seq(col("centroid_id")) else Nil)): _*)
+    val w = sigs.write.mode(SaveMode.Overwrite)
+    (if (haveIvf) w.partitionBy("centroid_id") else w).parquet(s"$dir/binary_sigs")
+  }
+
+  /** ANN search over the stored 1-bit tier: scan ONLY the sketch words
+    * (integer xor+popcount per row), keep the Hamming top-`rerank`
+    * (deterministic: integer sims, id tie-break), then exact re-rank
+    * those ids against the float table — identical to exact search when
+    * `rerank` covers the corpus, same contract as [[searchPq]]. */
+  def searchBinary(spark: SparkSession, dir: String, queryVec: Array[Float],
+                   dims: Int, k: Int, rerank: Int,
+                   idCol: String = "id"): DataFrame = {
+    import graft.operators.Knn
+    val q = queryVec.map(_.toDouble)
+    val qw = Knn.packWords(q, dims)
+    val words = (dims + 31) / 32
+    val sim = lit(dims) - (0 until words)
+      .map(w => bit_count(col(s"w$w").bitwiseXOR(lit(qw(w)))))
+      .reduce(_ + _)
+    val cand = spark.read.parquet(s"$dir/binary_sigs")
+      .select(col(idCol), sim.as("hs"))
+      .orderBy(desc("hs"), col(idCol)).limit(rerank)
+      .select(col(idCol))
+    val haveIvf = tableExists(spark, s"$dir/embeddings_ivf")
+    spark.read.parquet(if (haveIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings")
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(VectorFunctions.dot(col("embedding"), typedLit(q.toSeq)), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-extension build statistics (A7, ref `src/cli/build.rs:290-308`:
     * ext → (files, chunks)): one distributed groupBy over the stored
     * passages — files counts distinct sources per extension, chunks the

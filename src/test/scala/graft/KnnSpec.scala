@@ -123,6 +123,29 @@ class KnnSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("expected >= 64")))
   }
 
+  test("stored binary tier == on-the-fly hammingTopK at the same knobs") {
+    import java.nio.file.Files
+    import graft.pipeline.Index
+    val d = Files.createTempDirectory("graft-binsig").toString + "/idx"
+    emb.select(col("vec_id"), col("embedding")).write.parquet(s"$d/embeddings")
+    Index.writeBinaryLayout(spark, d, dims = 64, idCol = "vec_id")
+    val qf = emb.filter(col("vec_id") === 7L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val qd = qf.map(_.toDouble)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // stored sketches must reproduce the on-the-fly tier exactly...
+    val stored = rows(Index.searchBinary(spark, d, qf, dims = 64, k = 10,
+      rerank = 50, idCol = "vec_id"))
+    val fly = rows(Knn.hammingTopK(emb, qd, dims = 64, k = 10, rerank = 50))
+    assert(stored == fly)
+    // ...and at full rerank the ladder bottoms out at exact search
+    val full = rows(Index.searchBinary(spark, d, qf, dims = 64, k = 10,
+      rerank = 100000, idCol = "vec_id"))
+    val exact = rows(Knn.exactTopK(emb, Knn.queryVector(emb, 7L), 10))
+    assert(full == exact)
+  }
+
   test("hamming tier: full rerank is exact; binary candidates carry real recall") {
     val q = emb.filter(col("vec_id") === 7L)
       .select(graft.functions.VectorFunctions.asDouble(col("embedding")))
