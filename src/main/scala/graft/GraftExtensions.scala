@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.nfcDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // NOTE: bounded_ids_20 (an Aggregator udaf) registers only through
+    // install(spark) — SparkSessionExtensions' injectFunction path takes
+    // expression builders, and a udaf needs a live session's UDF
+    // registry. spark.sql.extensions users call install() once at
+    // session start for the full surface.
     ()
   }
 }
