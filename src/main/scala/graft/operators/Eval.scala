@@ -105,6 +105,8 @@ object Eval {
     * exactly once, instead of once per count aggregate. */
   def pairMetricsMany(truth: DataFrame, methods: Seq[(String, DataFrame)],
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    require(methods.nonEmpty,
+      "pairMetricsMany needs at least one (method, candidates) entry")
     def norm(df: DataFrame): DataFrame = df.select(
       least(col(idA), col(idB)).as("a"),
       greatest(col(idA), col(idB)).as("b")).distinct()

@@ -42,16 +42,27 @@ object PdfCrypt {
   /** True when the document carries an /Encrypt dictionary reference. */
   def isEncrypted(raw: String): Boolean = EncRefRe.findFirstIn(raw).isDefined
 
+  /** Resolve the /Encrypt reference to the body of an actual /Standard
+    * security-handler object. Shared by [[authenticate]] and
+    * [[hasStandardEncryptDict]] so the skip-vs-plaintext decision can
+    * never diverge from the decrypt attempt. Every `/Encrypt n g R`
+    * byte pattern is tried (a spurious one in content must not shadow
+    * the trailer's), and the object-header match is digit-bounded —
+    * without `(?<!\d)`, looking for `5 0 obj` would happily match
+    * inside `15 0 obj` and resolve the wrong object. */
+  private def resolveEncryptDict(raw: String): Option[String] =
+    EncRefRe.findAllMatchIn(raw).flatMap { m =>
+      (s"""(?s)(?<!\\d)${m.group(1)}\\s+${m.group(2)}\\s+obj(.*?)endobj""").r
+        .findFirstMatchIn(raw).map(_.group(1))
+    }.find(_.contains("/Standard"))
+
   /** True when the /Encrypt reference resolves to an actual /Standard
     * security-handler dictionary — distinguishes a really-encrypted
     * document (skip when we can't open it) from an unencrypted one that
     * merely CONTAINS the `/Encrypt n g R` byte pattern, e.g. inside a
     * content stream (proceed as plaintext). */
   def hasStandardEncryptDict(raw: String): Boolean =
-    EncRefRe.findAllMatchIn(raw).exists { m =>
-      (s"""(?s)${m.group(1)}\\s+${m.group(2)}\\s+obj(.*?)endobj""").r
-        .findFirstMatchIn(raw).exists(_.group(1).contains("/Standard"))
-    }
+    resolveEncryptDict(raw).isDefined
 
   // ---- dictionary parsing ---------------------------------------------
 
@@ -94,6 +105,9 @@ object PdfCrypt {
                 v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
               }
               out.write(v)
+            case '\n' => i += 2 // line continuation: backslash-EOL emits nothing
+            case '\r' =>
+              i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
             case c => out.write(c); i += 2
           }
         case '(' => depth += 1; out.write('('); i += 1
@@ -117,13 +131,20 @@ object PdfCrypt {
   }
 
   /** First element of the trailer /ID array (raw bytes); R<=4 key
-    * derivation consumes it. */
+    * derivation consumes it. Both spec-legal string forms are parsed —
+    * hex `<...>` and literal `(...)` — by reading the element that
+    * starts DIRECTLY after the `[` (scanning ahead for the next '<'
+    * anywhere in the file would latch onto an unrelated `<<`). */
   private def firstFileId(raw: String): Array[Byte] =
     """/ID\s*\[""".r.findFirstMatchIn(raw).map { m =>
-      hexBytes(raw, raw.indexOf('<', m.end) match {
-        case -1 => return Array.emptyByteArray
-        case p => p
-      })
+      var i = m.end
+      while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+      if (i >= raw.length) Array.emptyByteArray
+      else raw.charAt(i) match {
+        case '<' => hexBytes(raw, i)
+        case '(' => literalBytes(raw, i)
+        case _ => Array.emptyByteArray
+      }
     }.getOrElse(Array.emptyByteArray)
 
   // ---- primitives ------------------------------------------------------
@@ -255,14 +276,7 @@ object PdfCrypt {
     * None when the file is truly password-protected / an unsupported
     * revision. */
   private[graft] def authenticate(raw: String): Option[EncryptInfo] = {
-    // Try every /Encrypt reference and keep the first that resolves to
-    // a /Standard dict — a spurious `/Encrypt n g R` byte pattern
-    // earlier in the file (content stream text) must not shadow the
-    // real trailer entry.
-    val encDict = EncRefRe.findAllMatchIn(raw).flatMap { m =>
-      (s"""(?s)${m.group(1)}\\s+${m.group(2)}\\s+obj(.*?)endobj""").r
-        .findFirstMatchIn(raw).map(_.group(1))
-    }.find(_.contains("/Standard")).getOrElse(return None)
+    val encDict = resolveEncryptDict(raw).getOrElse(return None)
     val r = intParam(encDict, "R").getOrElse(return None)
     val o = strParam(encDict, "O").getOrElse(return None)
     val u = strParam(encDict, "U").getOrElse(return None)

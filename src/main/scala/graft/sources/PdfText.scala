@@ -99,8 +99,12 @@ object PdfText {
   private final case class St(dict: String, content: Option[String], end: Int)
 
   /** Decode the stream whose `stream` keyword starts at `s`; returns
-    * None only when no `endstream` follows (scan must stop). */
-  private def streamAt(raw: String, bytes: Array[Byte], s: Int): Option[St] = {
+    * None only when no `endstream` follows (scan must stop).
+    * `decodeIf` gates the (inflate) work on the already-located dict —
+    * passes that only need SOME streams (the ObjStm expansion) skip
+    * decompressing every other payload. */
+  private def streamAt(raw: String, bytes: Array[Byte], s: Int,
+                       decodeIf: String => Boolean = _ => true): Option[St] = {
     // Find the OUTER dictionary open: scan backward balancing << / >>
     // so a nested dict (e.g. /DecodeParms << ... >>) can't hide the
     // stream's /Filter from us.
@@ -129,7 +133,7 @@ object PdfText {
       val flate = dict.contains("/FlateDecode")
       val otherFilter = dict.contains("/Filter") && !flate
       val content =
-        if (otherFilter) None
+        if (otherFilter || !decodeIf(dict)) None
         else {
           val data = java.util.Arrays.copyOfRange(bytes, dataStart, e)
           if (flate) inflate(data).map(b => new String(b, "ISO-8859-1"))
@@ -161,7 +165,7 @@ object PdfText {
       raw.indexOf("stream", from) match {
         case -1 => scanning = false
         case s =>
-          streamAt(raw, bytes, s) match {
+          streamAt(raw, bytes, s, decodeIf = _.contains("/ObjStm")) match {
             case None => scanning = false
             case Some(St(dict, content, end)) =>
               if (dict.contains("/ObjStm")) {

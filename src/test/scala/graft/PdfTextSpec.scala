@@ -331,6 +331,49 @@ class PdfTextSpec extends SparkSpec {
     assert(text.exists(_.contains("see /Encrypt 9 0 R for details")))
   }
 
+  test("'15 0 obj' earlier in the file cannot shadow '/Encrypt 5 0 R' resolution") {
+    // Without a digit boundary, the object-header regex for `5 0 obj`
+    // matches INSIDE `15 0 obj`; the resolved body has no /Standard,
+    // and the encrypted file would pass through as plaintext ciphertext
+    // garbage — the worst failure mode the /U-skip exists to prevent.
+    val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(3, key, fileId)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT (shadow proof) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    val doc = new String(encryptedPdf(payload, dict), StandardCharsets.ISO_8859_1)
+      .replace("%PDF-1.6\n",
+        "%PDF-1.6\n15 0 obj << /Type /Metadata >> endobj\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(doc).exists(_.contains("shadow proof")))
+  }
+
+  test("literal-string /ID and backslash-EOL continuations in key material parse") {
+    // Same RC4 R3 document, but /ID written as literal strings and /O
+    // as a literal with a line continuation — both spec-legal forms.
+    val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(3, key, fileId)
+    val payload = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 4, 0, aes = false),
+      "BT (literal forms) Tj ET".getBytes(StandardCharsets.ISO_8859_1))
+    def lit(b: Array[Byte]): String = "(" + b.map { x =>
+      f"\\${x & 0xFF}%03o" // octal-escape every byte: always spec-legal
+    }.mkString + ")"
+    // split the /O literal across lines with a backslash continuation —
+    // at an escape boundary (1 + 4*10: each octal escape is 4 chars)
+    val oLit = lit(oEntry)
+    val oWrapped = oLit.substring(0, 41) + "\\\n" + oLit.substring(41)
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O $oWrapped /U <${hex(u)}> >>"
+    val doc = new String(encryptedPdf(payload, dict), StandardCharsets.ISO_8859_1)
+      .replace(s"/ID [<${hex(fileId)}> <${hex(fileId)}>]",
+        s"/ID [${lit(fileId)} ${lit(fileId)}]")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(doc).exists(_.contains("literal forms")))
+  }
+
   test("corrupt encrypted/ObjStm inputs are skipped or partially read, never thrown") {
     val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
     val u = PdfCrypt.computeU(3, key, fileId)
