@@ -41,9 +41,12 @@ object Bench {
     // cost only the queries that use it (they fail per-query below with
     // -1.0 sentinels), never void the whole round's record — an
     // unguarded warm-up crash here is exactly what zeroed BENCH_r07.
+    // NonFatal only: a broken loader is survivable, a broken JVM
+    // (OutOfMemoryError, etc.) is not — let fatal errors abort the round
+    // rather than produce numbers from a compromised process.
     def warm(label: String)(body: => Unit): Unit =
       try body catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warm-up $label FAILED (continuing): ${e.getMessage}")
       }
     Seq("lineitem", "documents", "embeddings").foreach { t =>
@@ -115,13 +118,21 @@ object Bench {
     // (this is exactly what voided the round-3 bench record).
     val runsJson = runs.map(qJson).mkString("[", ",", "]")
     val sidecar = s"""{"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n":$nRuns}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_runs.json"),
-        sidecar.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // sidecar is best-effort
+    def writeFile(path: String, body: String): Unit =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => () } // sidecars are best-effort
+    writeFile("bench_runs.json", sidecar)
     System.err.println(s"[bench] raw runs: $sidecar")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(medians)},"failed":$failed,"sf":"$sfDir"}""")
+    val resultLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(medians)},"failed":$failed,"sf":"$sfDir"}"""
+    // The stdout line travels through a tail-capture harvester that has
+    // truncated it before (r3, r8's null `parsed`); the same line written
+    // whole to a file is the durable machine-readable record.
+    writeFile("bench_medians.json", resultLine)
+    println(resultLine)
     spark.stop()
   }
 }

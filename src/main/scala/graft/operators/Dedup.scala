@@ -126,9 +126,16 @@ object Dedup {
     * cached postings and two report-scale aggregations. The previous
     * formulation (df-count agg + keep-set join + two self-join sides +
     * sizes agg over the capped table) paid five shingle-scale passes
-    * for the same answer. */
+    * for the same answer.
+    *
+    * Capped-tier id contract: the [[graft.functions.BoundedIds]]
+    * aggregator binds `idCol` to a LONG encoder, so `maxShingleDf > 0`
+    * requires a numeric id column (non-numeric ids fail analysis; use
+    * the uncapped tier or dense-rank string ids to Long first). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJ: Double, maxShingleDf: Long = 0L): DataFrame = {
+    require(maxShingleDf <= Int.MaxValue,
+      s"maxShingleDf must fit in Int (posting lists are cap-bounded in memory): $maxShingleDf")
     if (maxShingleDf <= 0) {
       // Uncapped (oracle/small-corpus tier): classic self-join, shingle
       // table materialized once via the deferred-release registry (it
@@ -671,7 +678,9 @@ object Dedup {
     * overlap candidates. Same inverted-index join shape (and hot-key
     * cap) as [[jaccardPairs]]: the shuffle carries posting lists, never
     * the all-pairs product; `maxFpDf > 0` drops fingerprints appearing
-    * in more docs than that (boilerplate runs, the quadratic corner). */
+    * in more docs than that (boilerplate runs, the quadratic corner).
+    * Capped-tier id contract: same as [[jaccardPairs]] — `maxFpDf > 0`
+    * requires a numeric (Long-castable) id column. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4, minShared: Long = 2,
                   maxFpDf: Int = 0): DataFrame = {

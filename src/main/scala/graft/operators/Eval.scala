@@ -110,7 +110,12 @@ object Eval {
     def norm(df: DataFrame): DataFrame = df.select(
       least(col(idA), col(idB)).as("a"),
       greatest(col(idA), col(idB)).as("b")).distinct()
-    val t = graft.util.DfCache.holdCached("pairMetrics.truth", norm(truth))
+    // Key the cache by the truth plan's semantic hash: two concurrent
+    // calls with different truths must not evict each other mid-lineage
+    // (same truth still shares one entry, so repeat calls stay cheap).
+    val nt = norm(truth)
+    val t = graft.util.DfCache.holdCached(
+      s"pairMetrics.truth.${nt.queryExecution.analyzed.semanticHash()}", nt)
     methods.map { case (method, candidates) =>
       val joined = norm(candidates).withColumn("in_c", lit(1))
         .join(t.withColumn("in_t", lit(1)), Seq("a", "b"), "full_outer")

@@ -271,6 +271,11 @@ object PdfCrypt {
   // ---- document-level decryption --------------------------------------
 
   private val ObjHeadRe = """(?s)(\d+)\s+(\d+)\s+obj""".r
+  // V4/V5 dicts can route streams through the Identity crypt filter
+  // (plaintext streams); "decrypting" those garbles every one.
+  private val IdentityStmFRe = """/StmF\s*/Identity""".r
+  // Cross-reference streams are never encrypted (ISO 32000 §7.5.8.2).
+  private val XrefTypeRe = """/Type\s*/XRef""".r
 
   /** Authenticate the empty user password and return the file key, or
     * None when the file is truly password-protected / an unsupported
@@ -290,8 +295,9 @@ object PdfCrypt {
           .max(1).min(16)
         val encryptMetadata = !encDict.contains("/EncryptMetadata false")
         val aes = r == 4 && encDict.contains("/AESV2")
-        // R4 without AESV2 or V2 RC4 is still RC4; /Identity StmF would
-        // mean plaintext streams — rare enough to treat as unsupported.
+        // R4 with neither /AESV2 nor /V2 is an unknown crypt filter
+        // method — skip. (/StmF /Identity — plaintext streams — is
+        // handled upstream in decryptDocumentUnsafe for any V4/V5 dict.)
         if (r == 4 && !aes && !encDict.contains("/V2")) return None
         val id0 = firstFileId(raw)
         val key = fileKeyR234(r, keyLen, o, p, id0, encryptMetadata)
@@ -331,13 +337,20 @@ object PdfCrypt {
   }
 
   private def decryptDocumentUnsafe(raw: String, bytes: Array[Byte]): Option[(String, Array[Byte])] = {
+    // /StmF /Identity: stream payloads are already plaintext — pass the
+    // document through untouched (no key needed to read it).
+    if (resolveEncryptDict(raw).exists(d => IdentityStmFRe.findFirstIn(d).isDefined))
+      return Some((raw, bytes))
     val info = authenticate(raw).getOrElse(return None)
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     var copied = 0
     for (m <- ObjHeadRe.findAllMatchIn(raw)) {
       val objEnd = raw.indexOf("endobj", m.end)
       val s = raw.indexOf("stream", m.end)
-      if (objEnd >= 0 && s >= 0 && s < objEnd) {
+      // Skip /Type /XRef stream objects: spec-unencrypted regardless of
+      // the handler, so decrypting them would only produce noise.
+      if (objEnd >= 0 && s >= 0 && s < objEnd &&
+          XrefTypeRe.findFirstIn(raw.substring(m.end, s)).isEmpty) {
         var dataStart = s + "stream".length
         if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1

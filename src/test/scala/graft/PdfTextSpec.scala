@@ -297,6 +297,19 @@ class PdfTextSpec extends SparkSpec {
     assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("v4 rc4 filter")))
   }
 
+  test("V4 dict with /StmF /Identity passes plaintext streams through (r8 ADVICE)") {
+    // Identity crypt filter for streams: the payload is NOT ciphertext.
+    // Decrypting it would garble every stream — the document must pass
+    // through untouched and extract as plaintext.
+    val key = PdfCrypt.fileKeyR234(4, 16, oEntry, -44, fileId, encryptMetadata = true)
+    val u = PdfCrypt.computeU(4, key, fileId)
+    val payload = "BT (identity stmf plaintext) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val dict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+      s"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /Identity /StrF /StdCF " +
+      s"/O <${hex(oEntry)}> /U <${hex(u)}> >>"
+    assert(PdfText.extract(encryptedPdf(payload, dict)).exists(_.contains("identity stmf plaintext")))
+  }
+
   test("a genuinely password-protected PDF (bad /U) is skipped, not garbled") {
     val key = PdfCrypt.fileKeyR234(3, 16, oEntry, -44, fileId, encryptMetadata = true)
     val payload = PdfCrypt.rc4(
