@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dequantizeDescriptor)
     e.injectFunction(GraftExtensions.signLshDescriptor)
     e.injectFunction(GraftExtensions.nfcDescriptor)
+    e.injectFunction(GraftExtensions.phashDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // NOTE: bounded_ids_20 (an Aggregator udaf) registers only through
@@ -127,6 +128,11 @@ object GraftExtensions {
     graft.functions.expressions.NfcNormalize(args.head)
   }
 
+  private def buildPhash(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"phash64 expects 1 argument, got ${args.length}")
+    graft.functions.expressions.PHash64(args.head)
+  }
+
   private[graft] val quantizeDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("quantize_int8"),
@@ -151,6 +157,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.expressions.NfcNormalize].getName, "nfc_normalize"),
       buildNfc)
 
+  private[graft] val phashDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[graft.functions.expressions.PHash64].getName, "phash64"),
+      buildPhash)
+
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -167,6 +179,8 @@ object GraftExtensions {
       FunctionIdentifier("sign_lsh64"), signLshDescriptor._2, buildSignLsh _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"), nfcDescriptor._2, buildNfc _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("phash64"), phashDescriptor._2, buildPhash _)
     // Aggregators register per-session through the UDF registry (the
     // FunctionRegistry path above is for expression builders). Default
     // cap 20 — SQL callers needing another cap register their own.

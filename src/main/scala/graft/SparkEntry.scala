@@ -523,6 +523,32 @@ object SparkEntry {
         .orderBy("id").limit(100)
     }),
 
+    // Image near-dup tier: perceptual dHash (PHash64 expression) +
+    // the banded Hamming pair join shared with the simhash tier. The
+    // media fixture is generated IN the plan from md5 pixel arithmetic
+    // (9x8 grayscale PNGs; 25 groups x 8 one-pixel variants), so the
+    // oracle can replay the exact pixel values and dHash bit fold in
+    // SQL while Spark runs the full encode -> ImageIO decode -> hash
+    // path — the lossless round-trip is precisely what's under test.
+    "dedup_phash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val g = (col("doc_id") % 25).cast("string")
+      val variant = floor(col("doc_id") / 25).cast("long")
+      val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
+        .cast("long") % 72
+      val pixels = transform(sequence(lit(0L), lit(71L)), i => {
+        val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
+          i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
+        when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
+      })
+      val media = docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
+      Multimodal.phashPairs(media, "id", "content", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_embed" -> ((s, dir) => {
       Dedup.embeddingTopPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", topN = 20)
@@ -1863,6 +1889,44 @@ private object OracleSql {
         |GROUP BY id
         |ORDER BY id
         |LIMIT 100""".stripMargin,
+
+    // Replays dedup_phash's full arithmetic: the fixture pixels (md5
+    // values, one perturbed position per group), the dHash bit fold
+    // (bit r*8+c set iff the right neighbor of cell (r,c) is brighter)
+    // and the Hamming filter. Spark's path additionally round-trips the
+    // pixels through PNG encode + ImageIO decode — lossless, so the
+    // hashes must agree bit-for-bit. The oracle pair join is the full
+    // cross product (200 docs — fine at oracle scale) while Spark's is
+    // banded; banding is complete for dist <= 3, so the results match
+    // exactly. Bit 63 can't be built as 1<<63 in DuckDB (overflow
+    // check); the CASE supplies the min-long constant directly.
+    "dedup_phash" ->
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        |px AS (
+        |  SELECT d.doc_id, t.i,
+        |    CASE WHEN t.i = CAST(('0x' || substr(md5('pxpos:' || (d.doc_id % 25)), 1, 4)) AS BIGINT) % 72
+        |         THEN (CAST(('0x' || substr(md5('px:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 256
+        |               + (d.doc_id // 25) * 37) % 256
+        |         ELSE CAST(('0x' || substr(md5('px:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 256
+        |    END AS v
+        |  FROM docs d CROSS JOIN generate_series(0, 71) t(i)),
+        |bits AS (
+        |  SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 9 < 8),
+        |ph AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bit = 0 THEN 0
+        |                       WHEN k = 63 THEN -9223372036854775807 - 1
+        |                       ELSE (1::BIGINT << k) END) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.phash, b.phash)) AS dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

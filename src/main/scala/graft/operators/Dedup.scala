@@ -442,23 +442,42 @@ object Dedup {
   /** Hamming distance between two simhash columns (popcount of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate
-    * generation blocks on 4 x 15-bit simhash segments (a pair within
-    * Hamming distance 3 of a 60-bit hash must agree on at least one of
-    * 4 segments), so the join is banded, not quadratic. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
-    val sig = simhash(docs, idCol, textCol)
-    val segs = docs.sparkSession.range(4).select(col("id").cast("int").as("seg"))
+  /** Banded Hamming near-dup pairs from an already-fingerprinted
+    * `(id, <sigCol>)` frame: candidates block on `nBands` segments of
+    * `segBits` bits each (pigeonhole: a pair within Hamming distance
+    * `nBands - 1` must agree on at least one segment), then the exact
+    * popcount-of-xor distance verifies — banded, never quadratic, and
+    * the exchange carries 8-byte signatures only. Complete for
+    * `maxDist <= nBands - 1`; callers wanting a larger radius must
+    * raise `nBands`. Shared by [[simhashPairs]] (4 x 15-bit segments of
+    * a 60-bit text simhash) and [[Multimodal.phashPairs]] (4 x 16-bit
+    * segments of a 64-bit image dHash). */
+  private[graft] def hammingBandedPairs(sig: DataFrame, sigCol: String,
+      segBits: Int, nBands: Int, maxDist: Int): DataFrame = {
+    require(maxDist <= nBands - 1,
+      s"banding with $nBands segments is only complete for dist <= ${nBands - 1}, got maxDist=$maxDist")
+    val segs = sig.sparkSession.range(nBands).select(col("id").cast("int").as("seg"))
+    val mask = (1L << segBits) - 1
+    // arithmetic shiftright is safe under the mask even for a negative
+    // 64-bit signature (sign-extension bits are masked off)
     val banded = sig.crossJoin(broadcast(segs))
-      .withColumn("segval", expr("shiftright(simhash, seg * 15) & 32767"))
-    val l = banded.select(col("seg"), col("segval"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("seg"), col("segval"), col("id").as("id_b"), col("simhash").as("sh_b"))
+      .withColumn("segval", expr(s"shiftright($sigCol, seg * $segBits) & $mask"))
+    val l = banded.select(col("seg"), col("segval"), col("id").as("id_a"), col(sigCol).as("sh_a"))
+    val r = banded.select(col("seg"), col("segval"), col("id").as("id_b"), col(sigCol).as("sh_b"))
     l.join(r, Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate
+    * generation blocks on 4 x 15-bit simhash segments (a pair within
+    * Hamming distance 3 of a 60-bit hash must agree on at least one of
+    * 4 segments), so the join is banded, not quadratic. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame =
+    hammingBandedPairs(simhash(docs, idCol, textCol), "simhash",
+      segBits = 15, nBands = 4, maxDist = maxDist)
 
   /** Embedding near-dup pairs via random-hyperplane LSH bucketing:
     * vectors sharing a `bits`-bit sign signature are candidates, then

@@ -188,4 +188,51 @@ object Multimodal {
     when(nFrames >= 1,
       sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyN)))
       .otherwise(array().cast("array<int>"))
+
+  // ---- perceptual near-dup tier (image dHash) -------------------------
+
+  /** 64-bit perceptual difference hash of an encoded-image column (the
+    * [[graft.functions.expressions.PHash64]] expression): NULL for
+    * undecodable bytes. A pure map — zero shuffle at any corpus size. */
+  def phash64(content: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.PHash64(
+      GraftColumnBridge.expression(content)))
+  }
+
+  /** Image near-dup pairs: dHash fingerprints + the banded Hamming
+    * join shared with the text SimHash tier
+    * ([[Dedup.hammingBandedPairs]], here 4 x 16-bit segments of the
+    * 64-bit hash — complete for `maxDist <= 3`). The only exchange in
+    * the plan carries (id, 8-byte signature) rows; pixels never
+    * shuffle. Undecodable rows are absent, mirroring SimHash's
+    * token-less docs. Returns (id_a, id_b, dist). */
+  def phashPairs(media: DataFrame, idCol: String, contentCol: String,
+                 maxDist: Int = 3): DataFrame = {
+    val sig = media.select(col(idCol).as("id"), phash64(col(contentCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+    Dedup.hammingBandedPairs(sig, "phash", segBits = 16, nBands = 4, maxDist = maxDist)
+  }
+
+  /** Deterministic grayscale PNG from a row-major pixel array (values
+    * 0..255): the oracle-checkable media fixture. Written as 24-bit RGB
+    * with r=g=b=v so the PNG round-trip and the integer luminance both
+    * return exactly `v` — a pixel function expressed in md5 arithmetic
+    * can then be replayed by any SQL engine and compared against the
+    * full encode → ImageIO decode → dHash path. */
+  def grayPng(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel count ${pixels.length} != ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < pixels.length) {
+      val v = pixels(i) & 0xff
+      img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 }

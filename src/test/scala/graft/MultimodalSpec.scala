@@ -106,4 +106,88 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1) == Seq(0))
     assert(r(2) == Seq.empty)
   }
+
+  // ---- perceptual hash (dHash) near-dup tier --------------------------
+
+  /** Independent dHash reference: a straight re-derivation of the spec
+    * ("bit r*8+c set iff grid[r][c+1] > grid[r][c]") so the expression
+    * is checked against the definition, not against itself. */
+  private def refDhash(grid: Seq[Int]): Long =
+    (for (r <- 0 until 8; c <- 0 until 8
+          if grid(r * 9 + c + 1) > grid(r * 9 + c))
+      yield 1L << (r * 8 + c)).foldLeft(0L)(_ | _)
+
+  /** Deterministic pseudo-random pixels (values 0..255). */
+  private def pix(seed: Int, n: Int): Array[Int] =
+    Array.tabulate(n)(i => math.floorMod(seed * 2654435761L.toInt + i * 40503, 256))
+
+  test("phash64: PNG round-trip of a 9x8 image hashes to the reference dHash") {
+    val grids = Seq(pix(1, 72), pix(2, 72), pix(3, 72))
+    val df = grids.zipWithIndex
+      .map { case (g, i) => (i.toLong, Multimodal.grayPng(g, 9, 8)) }
+      .toDF("id", "content")
+    val got = df.select(col("id"), Multimodal.phash64(col("content")).as("ph"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == grids.map(g => refDhash(g.toSeq)))
+  }
+
+  test("phash64: block-averaged upscale hashes identically to the 9x8 original") {
+    // 36x32 with constant 4x4 blocks == the 9x8 block values: the
+    // integer block-average must reduce it to exactly the same grid.
+    val grid = pix(7, 72)
+    val big = Array.tabulate(36 * 32) { i =>
+      val (x, y) = (i % 36, i / 36)
+      grid((y / 4) * 9 + (x / 4))
+    }
+    val df = Seq(
+      (0L, Multimodal.grayPng(grid, 9, 8)),
+      (1L, Multimodal.grayPng(big, 36, 32))).toDF("id", "content")
+    val hs = df.select(Multimodal.phash64(col("content"))).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) == refDhash(grid))
+  }
+
+  test("phash64: corrupt bytes and sub-grid images are absent, not errors") {
+    val df = Seq(
+      (0L, "definitely not a png".getBytes("UTF-8")),
+      (1L, Multimodal.grayPng(pix(4, 16), 4, 4)), // smaller than the 9x8 grid
+      (2L, Multimodal.grayPng(pix(5, 72), 9, 8)))
+      .toDF("id", "content")
+    val ok = df.select(col("id"), Multimodal.phash64(col("content")).as("ph"))
+      .filter(col("ph").isNotNull).as[(Long, Long)].collect()
+    assert(ok.map(_._1).toSeq == Seq(2L))
+  }
+
+  test("phashPairs: near-identical images pair, distinct images don't") {
+    val base = pix(11, 72)
+    // one-block edit: +25 luminance on a single cell flips at most 2
+    // dHash bits (its two adjacent comparisons)
+    val variant = base.updated(31, math.min(base(31) + 25, 255))
+    val distinct = pix(99, 72)
+    // render at different sizes: near-dup detection must survive resize
+    def up(g: Array[Int], fx: Int, fy: Int): Array[Int] =
+      Array.tabulate(9 * fx * 8 * fy) { i =>
+        val (x, y) = (i % (9 * fx), i / (9 * fx))
+        g((y / fy) * 9 + x / fx)
+      }
+    val df = Seq(
+      (0L, Multimodal.grayPng(base, 9, 8)),
+      (1L, Multimodal.grayPng(up(variant, 4, 4), 36, 32)),
+      (2L, Multimodal.grayPng(distinct, 9, 8)),
+      (3L, "corrupt".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val pairs = Multimodal.phashPairs(df, "id", "content", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(pairs.head._3 <= 2)
+  }
+
+  test("phash64 is callable from SQL via GraftExtensions") {
+    GraftExtensions.install(spark)
+    val df = Seq((0L, Multimodal.grayPng(pix(6, 72), 9, 8))).toDF("id", "content")
+    df.createOrReplaceTempView("phash_media")
+    val viaSql = spark.sql("SELECT phash64(content) AS ph FROM phash_media")
+      .as[Long].head()
+    assert(viaSql == refDhash(pix(6, 72)))
+  }
 }
