@@ -51,15 +51,71 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(f, 4, minFreq = 100L).isEmpty)
   }
 
-  test("merge list on real testdata: deterministic, round-trip safe") {
+  test("batched trainMerges ≡ one-merge-per-round on the Sennrich example (r8 VERDICT #3)") {
+    val f = Bpe.wordFreqs(docs, "text")
+    // batchCap=1 IS classic sequential training; the default batched
+    // trainer must learn the identical sequence (the prefix rule only
+    // groups provably-safe merges)
+    assert(Bpe.trainMerges(f, 4) == Bpe.trainMerges(f, 4, batchCap = 1))
+    assert(Bpe.trainMerges(f, 4, batchCap = 1) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("selectBatch: prefix rule stops at conflicts and trims boundary ties") {
+    // disjoint prefix, conflict on shared symbol stops the scan
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 9L), ("c", "d", 8L), ("b", "e", 7L), ("f", "g", 6L)), 10)
+      == IndexedSeq(("a", "b", 9L), ("c", "d", 8L)))
+    // a pair whose symbol equals an earlier CONCATENATION conflicts too
+    // (the merge mints new instances of that symbol mid-batch)
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 9L), ("ab", "c", 8L), ("d", "e", 7L)), 10)
+      == IndexedSeq(("a", "b", 9L)))
+    // boundary weight tie trims back (rivals are only bounded strictly
+    // below the first excluded weight)
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 9L), ("c", "d", 7L), ("a", "e", 7L)), 10)
+      == IndexedSeq(("a", "b", 9L)))
+    // the head pair alone is always a valid (sequential) step
+    assert(Bpe.selectBatch(IndexedSeq(("a", "b", 9L), ("b", "c", 9L)), 10)
+      == IndexedSeq(("a", "b", 9L)))
+  }
+
+  test("trainMergesRelaxed: deterministic, documented Sennrich divergence, round-trip safe") {
+    val f = Bpe.wordFreqs(docs, "text")
+    val relaxed = Bpe.trainMergesRelaxed(f, 4)
+    assert(relaxed == Bpe.trainMergesRelaxed(f, 4))
+    // the documented divergence: round 1's skip-scan takes the top-3
+    // disjoint pairs — (i,d) enters before (es,t) can exist
+    assert(relaxed == Seq(("e", "s"), ("l", "o"), ("i", "d"), ("es", "t")))
+    // still a valid BPE merge list: segmentation round-trips
+    for (w <- Seq("low", "lower", "newest", "widest", "unrelated"))
+      assert(Bpe.segment(w, relaxed).mkString == w)
+  }
+
+  test("merge list on real testdata: deterministic, round-trip safe, batched ≡ sequential") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val freqs = Bpe.wordFreqs(real, "text")
-    val merges = Bpe.trainMerges(freqs, numMerges = 10)
+    val (merges, rounds) = Bpe.trainMergesWithRounds(freqs, numMerges = 10)
     assert(merges.length == 10)
+    // exactness on the fixture corpus, not just the textbook example
+    assert(merges == Bpe.trainMerges(freqs, numMerges = 10, batchCap = 1))
+    assert(rounds <= 10)
     val words = freqs.select("word").as[String].collect().take(50)
     words.foreach { w =>
       assert(Bpe.segment(w, merges).mkString == w)
     }
+  }
+
+  test("trainMergesRelaxed cuts rounds >= 5x on the fixture corpus") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = Bpe.wordFreqs(real, "text")
+    val (merges, rounds) = Bpe.trainMergesWithRounds(freqs, numMerges = 20, relaxed = true)
+    // sequential training is one round per merge by construction, so
+    // the drop is merges.length / rounds (measured 3 rounds for 20)
+    assert(merges.length == 20)
+    assert(rounds * 5 <= merges.length,
+      s"expected >=5x round reduction, got ${merges.length} merges in $rounds rounds")
+    // relaxed output is still round-trip safe on real words
+    val words = freqs.select("word").as[String].collect().take(50)
+    words.foreach(w => assert(Bpe.segment(w, merges).mkString == w))
   }
 
   test("encodeDocs: per-doc subwords match driver-side segment, in document order") {
