@@ -364,6 +364,10 @@ object Cli {
         report.collect().foreach(r =>
           println(f"  ${r.getString(0)}%-16s ${r.getLong(1)}%8d"))
         println(s"clean: wrote surviving documents to $out")
+        // Drain the deferred-release persist registry (lmScore et al.)
+        // like Server/McpServer do — a REPL driving Cli.run repeatedly
+        // must not accumulate one live cache entry per callsite.
+        graft.operators.Dedup.releaseCaches()
         spark.stop()
 
       case "tokenize" =>
@@ -393,6 +397,7 @@ object Cli {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         println(s"tokenize: learned ${merges.length} merges, " +
           s"wrote encoded corpus to $out (_merges.json written)")
+        graft.operators.Dedup.releaseCaches() // see clean
         spark.stop()
 
       case "select-dsir" =>
