@@ -78,11 +78,20 @@ object Cli {
           baseUrl = config.embedding.baseUrl
             .getOrElse("https://generativelanguage.googleapis.com"),
           dimsIn = sys.env.get("GRAFT_EMBED_DIMS").map(_.toInt).getOrElse(0))
+      case "local" | "bert" =>
+        // in-process BERT inference from a local checkpoint directory
+        // (ref candle.rs:36-42: config.json + tokenizer.json + safetensors)
+        val dir = config.embedding.modelPath
+          .getOrElse(fail("local embedding provider needs [embedding].model_path " +
+            "(directory with config.json, tokenizer.json|vocab.txt, model.safetensors)"))
+        val name = config.embedding.model.getOrElse("local-bert")
+        new graft.embedding.BertEmbedder(dir, name,
+          normalize = graft.embedding.BertEmbedder.normalizeFor(name))
       case "hash" => new HashEmbedder(dims)
       // an unknown provider must not silently build an index with
       // meaningless hash vectors
       case other => fail(
-        s"unknown [embedding].provider '$other' (supported: hash, http, ollama, gemini)")
+        s"unknown [embedding].provider '$other' (supported: hash, http, ollama, gemini, local)")
     }
   }
 

@@ -17,7 +17,10 @@ final case class EmbeddingConfig(
     dims: Int = 64,
     batchSize: Option[Int] = None,
     model: Option[String] = None,
-    baseUrl: Option[String] = None)
+    baseUrl: Option[String] = None,
+    // provider = "local": directory holding config.json + tokenizer.json
+    // (or vocab.txt) + model.safetensors (ref candle.rs:36-42 model_path)
+    modelPath: Option[String] = None)
 
 final case class BuildConfig(
     chunkSize: Int = 256,
@@ -67,7 +70,8 @@ object Config {
         dims = int("embedding", "dims").getOrElse(64),
         batchSize = int("embedding", "batch_size"),
         model = str("embedding", "model"),
-        baseUrl = str("embedding", "base_url")),
+        baseUrl = str("embedding", "base_url"),
+        modelPath = str("embedding", "model_path")),
       build = BuildConfig(
         chunkSize = int("build", "chunk_size").getOrElse(256),
         chunkOverlap = int("build", "chunk_overlap").getOrElse(128),
@@ -162,10 +166,11 @@ object Config {
     """# graft configuration (see: graft.Cli config show)
       |
       |[embedding]
-      |provider = "hash"     # or "http": OpenAI-compatible endpoint
+      |provider = "hash"     # or http / ollama / gemini / local
       |dims = 64             # 0 with provider="http" = auto-probe
       |# model = "text-embedding-3-small"
       |# base_url = "http://localhost:8080/v1"   # $GRAFT_EMBED_API_KEY for auth
+      |# model_path = "/models/all-MiniLM-L6-v2" # provider="local": safetensors dir
       |# batch_size = 100
       |
       |[build]
