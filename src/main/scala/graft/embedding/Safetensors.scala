@@ -31,6 +31,11 @@ object Safetensors {
   }
 
   def read(path: Path): Map[String, Tensor] = {
+    // whole-file read bounds this at 2 GB — every BERT-family embedding
+    // checkpoint is far under it (base ≈ 0.4 GB); fail with the limit
+    // named instead of an opaque OOM/negative-size error
+    require(Files.size(path) <= Int.MaxValue,
+      s"$path is ${Files.size(path)} bytes; this reader supports checkpoints up to 2 GB")
     val bytes = Files.readAllBytes(path)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 8, s"safetensors file too short: ${bytes.length} bytes")
@@ -136,6 +141,8 @@ object Safetensors {
       off += bytes
     }
     val headerJson = Json.write(header.result()).getBytes(StandardCharsets.UTF_8)
+    require(8L + headerJson.length + off <= Int.MaxValue,
+      s"tensor payload ${off} bytes exceeds this writer's 2 GB bound")
     val buf = ByteBuffer.allocate(8 + headerJson.length + off.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putLong(headerJson.length.toLong)

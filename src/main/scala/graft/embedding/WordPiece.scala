@@ -36,6 +36,7 @@ final class WordPiece(vocab: Map[String, Int], val lowercase: Boolean,
     * single sequences). */
   def encode(text: String, maxLen: Int): Array[Int] = {
     require(clsId >= 0 && sepId >= 0, "vocab needs [CLS] and [SEP] for encode()")
+    require(maxLen >= 2, s"maxLen $maxLen cannot fit [CLS]+[SEP]")
     val pieces = tokenize(text)
     val body = math.min(pieces.length, maxLen - 2)
     val out = new Array[Int](body + 2)
@@ -90,7 +91,11 @@ final class WordPiece(vocab: Map[String, Int], val lowercase: Boolean,
     val normed =
       if (!lowercase && !stripAccents) cleaned.result()
       else {
-        val lowered = if (lowercase) cleaned.result().toLowerCase else cleaned.result()
+        // Locale.ROOT: a tr_TR default locale would fold I → dotless ı,
+        // silently changing token ids between hosts
+        val lowered =
+          if (lowercase) cleaned.result().toLowerCase(java.util.Locale.ROOT)
+          else cleaned.result()
         if (stripAccents || lowercase) { // BERT strips accents whenever lowercasing
           val nfd = java.text.Normalizer.normalize(lowered, java.text.Normalizer.Form.NFD)
           nfd.filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)

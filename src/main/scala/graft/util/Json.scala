@@ -5,7 +5,7 @@ package graft.util
   * [[SearchServer]] don't suffice). Values map to plain Scala types:
   * `Map[String, Any]`, `List[Any]`, `String`, `Long` (integral numbers,
   * so JSON-RPC ids round-trip exactly), `Double`, `Boolean`, `null`.
-  * No dependencies; objects preserve insertion order via `ListMap`.
+  * No dependencies; objects preserve insertion order via `VectorMap`.
   */
 object Json {
 
@@ -103,7 +103,10 @@ object Json {
 
     private def obj(): Map[String, Any] = {
       expect('{'); skipWs()
-      var m = scala.collection.immutable.ListMap.empty[String, Any]
+      // VectorMap, not ListMap: both preserve insertion order, but
+      // ListMap's O(n) insert made a 30k-key object (a real
+      // tokenizer.json vocab) take seconds to parse
+      var m = scala.collection.immutable.VectorMap.empty[String, Any]
       if (!eof && s.charAt(pos) == '}') { pos += 1; return m }
       var done = false
       while (!done) {
