@@ -633,6 +633,33 @@ object SparkEntry {
         .orderBy("doc_id").limit(200)
     }),
 
+    // HTML → text extraction (the layer between a WARC crawl's raw
+    // payloads and every text operator). A deterministic page is built
+    // around each document's text — entity-bearing title, style/script/
+    // comment noise (the script body contains a bare '<' that would
+    // break naive tag-stripping), block structure, links — then
+    // title/body/links are extracted. Pure zero-shuffle regexp_replace
+    // chain; the oracle SQL is GENERATED from the same stage lists
+    // (HtmlFunctions.htmlToTextSql), so engines cannot drift silently.
+    "text_html_extract" -> ((s, dir) => {
+      import graft.functions.HtmlFunctions._
+      val html = concat(
+        lit("<html><head><title> Doc "), col("doc_id"),
+        lit(" &amp; notes </title><style>p { color: red }</style></head>"),
+        lit("<body><!-- nav bar --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script>var x = 1 < 2;</script>"),
+        lit("<a href=\"https://example.com/a?b=1\">A</a> &lt;end&gt;</body></html>"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        htmlTitle(html).as("title"),
+        htmlToText(html).as("body_text"),
+        // joined, not array-typed: the driver compare sorts column
+        // values, and array cells defeat the hash path
+        concat_ws("|", htmlLinks(html)).as("links"))
+        .orderBy("doc_id").limit(200)
+    }),
+
     // URL canonicalization + registered-domain extraction (the layer
     // between a WARC crawl and URL-dedup / domain-mixing). Three URL
     // shapes constructed deterministically per doc_id: case/port/www/
@@ -2117,6 +2144,25 @@ private object OracleSql {
         |FROM documents
         |ORDER BY doc_id
         |LIMIT 200""".stripMargin,
+
+    // The extraction chain in SQL is generated from HtmlFunctions'
+    // stage lists (same patterns, same order, same replacements — chr()
+    // for the newline so the oracle JSON stays control-free).
+    "text_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title> Doc ' || doc_id || ' &amp; notes </title><style>p { color: red }</style></head>' ||
+         |    '<body><!-- nav bar --><h1>Doc ' || doc_id || '</h1><p>' || text ||
+         |    '</p><script>var x = 1 < 2;</script>' ||
+         |    '<a href="https://example.com/a?b=1">A</a> &lt;end&gt;</body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |       ${graft.functions.HtmlFunctions.htmlTitleSql("html")} AS title,
+         |       ${graft.functions.HtmlFunctions.htmlToTextSql("html")} AS body_text,
+         |       array_to_string(regexp_extract_all(html, '(?i)href\\s*=\\s*"([^"]*)"', 1), '|') AS links
+         |FROM h
+         |ORDER BY doc_id
+         |LIMIT 200""".stripMargin,
 
     // The same URL pipeline in SQL: identical RE2/Java-compatible part
     // regexes, list_filter/list_sort for the query params, negative
