@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.signLshDescriptor)
     e.injectFunction(GraftExtensions.nfcDescriptor)
     e.injectFunction(GraftExtensions.phashDescriptor)
+    e.injectFunction(GraftExtensions.audioFpDescriptor)
     e.injectOptimizerRule(graft.plans.IvfTopKRewrite(_))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // NOTE: bounded_ids_20 (an Aggregator udaf) registers only through
@@ -133,6 +134,11 @@ object GraftExtensions {
     graft.functions.expressions.PHash64(args.head)
   }
 
+  private def buildAudioFp(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"audio_fp64 expects 1 argument, got ${args.length}")
+    graft.functions.expressions.AudioFp64(args.head)
+  }
+
   private[graft] val quantizeDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("quantize_int8"),
@@ -163,6 +169,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.expressions.PHash64].getName, "phash64"),
       buildPhash)
 
+  private[graft] val audioFpDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("audio_fp64"),
+      new ExpressionInfo(classOf[graft.functions.expressions.AudioFp64].getName, "audio_fp64"),
+      buildAudioFp)
+
   /** Register on an already-built session. */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -181,6 +193,8 @@ object GraftExtensions {
       FunctionIdentifier("nfc_normalize"), nfcDescriptor._2, buildNfc _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("phash64"), phashDescriptor._2, buildPhash _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("audio_fp64"), audioFpDescriptor._2, buildAudioFp _)
     // Aggregators register per-session through the UDF registry (the
     // FunctionRegistry path above is for expression builders). Default
     // cap 20 — SQL callers needing another cap register their own.

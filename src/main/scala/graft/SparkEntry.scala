@@ -549,6 +549,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio near-dup tier: banded-energy fingerprint (AudioFp64
+    // expression, the Haitsma-Kalker sign-of-energy-delta bit rule
+    // over time-domain block energies) + the same banded Hamming pair
+    // join as phash/simhash. The media fixture is generated IN the
+    // plan from md5 sample arithmetic (1296-sample 16-bit PCM WAVs; 25
+    // groups x 8 one-sample variants), so the oracle can replay the
+    // exact samples, block energies and sign bits in SQL while Spark
+    // runs the full WAV encode -> AudioSystem decode -> fingerprint
+    // path — the lossless PCM round-trip is precisely what's under
+    // test.
+    "dedup_audio" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val wavUdf = udf((sm: Seq[Int]) => Multimodal.pcmWav(sm.toArray))
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val g = (col("doc_id") % 25).cast("string")
+      val variant = floor(col("doc_id") / 25).cast("long")
+      val ppos = conv(substring(md5(concat(lit("aupos:"), g)), 1, 4), 16, 10)
+        .cast("long") % 1296
+      val samples = transform(sequence(lit(0L), lit(1295L)), i => {
+        val base = conv(substring(md5(concat(lit("au:"), g, lit(":"),
+          i.cast("string"))), 1, 4), 16, 10).cast("long") % 4001
+        (when(i === ppos, (base + variant * 1237) % 4001).otherwise(base)
+          - 2000).cast("int")
+      })
+      val media = docs.select(col("doc_id").as("id"), wavUdf(samples).as("content"))
+      Multimodal.audioFpPairs(media, "id", "content", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_embed" -> ((s, dir) => {
       Dedup.embeddingTopPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", topN = 20)
@@ -1953,6 +1983,53 @@ private object OracleSql {
         |       bit_count(xor(a.phash, b.phash)) AS dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays dedup_audio's full arithmetic: the fixture samples (md5
+    // values in [-2000, 2000], one perturbed position per group), the
+    // 9x9 block energies (n = 1296 is divisible by 81, so the block
+    // index is simply i // 16 on both sides), the Haitsma-Kalker sign
+    // bits (bit (f-1)*8+b set iff the band-delta grew vs the previous
+    // frame) and the Hamming filter. Spark's path additionally
+    // round-trips the samples through WAV encode + AudioSystem decode
+    // — lossless 16-bit PCM, so the fingerprints must agree
+    // bit-for-bit. The oracle pair join is the full cross product (200
+    // docs — fine at oracle scale) while Spark's is banded; banding is
+    // complete for dist <= 3, so the results match exactly. Bit 63
+    // can't be built as 1<<63 in DuckDB (overflow check); the CASE
+    // supplies the min-long constant directly.
+    "dedup_audio" ->
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        |smp AS (
+        |  SELECT d.doc_id, t.i,
+        |    CASE WHEN t.i = CAST(('0x' || substr(md5('aupos:' || (d.doc_id % 25)), 1, 4)) AS BIGINT) % 1296
+        |         THEN (CAST(('0x' || substr(md5('au:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 4001
+        |               + (d.doc_id // 25) * 1237) % 4001 - 2000
+        |         ELSE CAST(('0x' || substr(md5('au:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 4001 - 2000
+        |    END AS s
+        |  FROM docs d CROSS JOIN generate_series(0, 1295) t(i)),
+        |en AS (
+        |  SELECT doc_id, i // 16 AS k, sum(s * s) AS e FROM smp GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT a.doc_id, a.k // 9 AS f, a.k % 9 AS b, a.e - n.e AS d
+        |  FROM en a JOIN en n ON n.doc_id = a.doc_id AND n.k = a.k + 1
+        |  WHERE a.k % 9 < 8),
+        |bits AS (
+        |  SELECT c.doc_id, (c.f - 1) * 8 + c.b AS k,
+        |         CASE WHEN c.d > p.d THEN 1 ELSE 0 END AS bit
+        |  FROM dd c JOIN dd p ON p.doc_id = c.doc_id AND p.f = c.f - 1 AND p.b = c.b
+        |  WHERE c.f >= 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bit = 0 THEN 0
+        |                       WHEN k = 63 THEN -9223372036854775807 - 1
+        |                       ELSE (1::BIGINT << k) END) AS BIGINT) AS afp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.afp, b.afp)) AS dist
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embed" ->

@@ -214,6 +214,60 @@ object Multimodal {
     Dedup.hammingBandedPairs(sig, "phash", segBits = 16, nBands = 4, maxDist = maxDist)
   }
 
+  // ---- audio near-dup tier (banded-energy fingerprint) ----------------
+
+  /** 64-bit audio fingerprint of an encoded-WAV column (the
+    * [[graft.functions.expressions.AudioFp64]] expression — the
+    * Haitsma-Kalker sign-of-energy-delta bit rule over a 9x9
+    * time-domain block grid): NULL for undecodable bytes or non-16-bit
+    * / non-mono streams. A pure map — zero shuffle at any corpus
+    * size. */
+  def audioFp64(content: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.AudioFp64(
+      GraftColumnBridge.expression(content)))
+  }
+
+  /** Audio near-dup pairs: banded-energy fingerprints + the banded
+    * Hamming join shared with the text SimHash and image dHash tiers
+    * ([[Dedup.hammingBandedPairs]], 4 x 16-bit segments — complete for
+    * `maxDist <= 3`). The only exchange in the plan carries (id,
+    * 8-byte signature) rows; PCM never shuffles. Undecodable rows are
+    * absent. Returns (id_a, id_b, dist). */
+  def audioFpPairs(media: DataFrame, idCol: String, contentCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sig = media.select(col(idCol).as("id"), audioFp64(col(contentCol)).as("afp"))
+      .filter(col("afp").isNotNull)
+    Dedup.hammingBandedPairs(sig, "afp", segBits = 16, nBands = 4, maxDist = maxDist)
+  }
+
+  /** Deterministic 16-bit signed PCM mono WAV (little-endian) from a
+    * sample array: the oracle-checkable audio fixture. 16-bit PCM
+    * round-trips losslessly through `AudioSystem`, so a fingerprint
+    * expressed in md5 arithmetic can be replayed by any SQL engine and
+    * compared against the full encode -> decode -> fingerprint path
+    * (the audio analog of [[grayPng]]). */
+  def pcmWav(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= Short.MinValue && v <= Short.MaxValue,
+        s"sample $v outside 16-bit range")
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic grayscale PNG from a row-major pixel array (values
     * 0..255): the oracle-checkable media fixture. Written as 24-bit RGB
     * with r=g=b=v so the PNG round-trip and the integer luminance both

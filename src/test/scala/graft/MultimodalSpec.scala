@@ -190,4 +190,92 @@ class MultimodalSpec extends SparkSpec {
       .as[Long].head()
     assert(viaSql == refDhash(pix(6, 72)))
   }
+
+  // ---- audio fingerprint near-dup tier --------------------------------
+
+  /** Independent fingerprint reference: a straight re-derivation of
+    * the spec (block (f,b) covers [(f*9+b)*n/81, (f*9+b+1)*n/81),
+    * E = sum of squares, bit (f-1)*8+b set iff the band-delta grew vs
+    * the previous frame) so the expression is checked against the
+    * definition, not against itself. */
+  private def refAudioFp(s: Seq[Int]): Long = {
+    val n = s.length
+    val e = Array.tabulate(81) { k =>
+      ((k.toLong * n / 81).toInt until ((k + 1).toLong * n / 81).toInt)
+        .map(i => s(i).toLong * s(i)).sum
+    }
+    (for (f <- 1 until 9; b <- 0 until 8
+          if (e(f * 9 + b) - e(f * 9 + b + 1)) >
+            (e((f - 1) * 9 + b) - e((f - 1) * 9 + b + 1)))
+      yield 1L << ((f - 1) * 8 + b)).foldLeft(0L)(_ | _)
+  }
+
+  /** Deterministic pseudo-random samples in [-2000, 2000]. */
+  private def aud(seed: Int, n: Int): Array[Int] =
+    Array.tabulate(n)(i => math.floorMod(seed * 2654435761L.toInt + i * 40503, 4001) - 2000)
+
+  test("audio_fp64: WAV round-trip fingerprints to the reference derivation") {
+    // 1296 (divisible by 81) and 1000 (ragged block boundaries)
+    val signals = Seq(aud(1, 1296), aud(2, 1296), aud(3, 1000))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, Multimodal.pcmWav(s)) }
+      .toDF("id", "content")
+    val got = df.select(col("id"), Multimodal.audioFp64(col("content")).as("fp"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == signals.map(s => refAudioFp(s.toSeq)))
+  }
+
+  test("audio_fp64: corrupt, non-mono, 8-bit and too-short inputs are absent") {
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](200)), fmt8, 200),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    val fmtStereo = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val outSt = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](800)), fmtStereo, 200),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, outSt)
+    val df = Seq(
+      (0L, "definitely not a wav".getBytes("UTF-8")),
+      (1L, out8.toByteArray),                       // 8-bit
+      (2L, outSt.toByteArray),                      // stereo
+      (3L, Multimodal.pcmWav(aud(4, 80))),          // < 81 samples
+      (4L, Multimodal.pcmWav(aud(5, 81))))          // exactly the minimum
+      .toDF("id", "content")
+    val ok = df.select(col("id"), Multimodal.audioFp64(col("content")).as("fp"))
+      .filter(col("fp").isNotNull).as[(Long, Long)].collect()
+    assert(ok.map(_._1).toSeq == Seq(4L))
+    assert(ok.head._2 == refAudioFp(aud(5, 81).toSeq))
+  }
+
+  test("audioFpPairs: near-identical audio pairs, distinct audio doesn't") {
+    val base = aud(11, 1296)
+    // one-sample edit inside block (frame 0, band 8): that energy only
+    // feeds bit (1,7) through the previous-frame term, so the variant
+    // is within Hamming distance 1 of the original
+    val variant = base.updated(130, math.min(base(130) + 900, 2000))
+    val distinct = aud(99, 1296)
+    val df = Seq(
+      (0L, Multimodal.pcmWav(base)),
+      (1L, Multimodal.pcmWav(variant)),
+      (2L, Multimodal.pcmWav(distinct)),
+      (3L, "corrupt".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val pairs = Multimodal.audioFpPairs(df, "id", "content", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(pairs.head._3 <= 1)
+  }
+
+  test("audio_fp64 is callable from SQL via GraftExtensions") {
+    GraftExtensions.install(spark)
+    val df = Seq((0L, Multimodal.pcmWav(aud(6, 1296)))).toDF("id", "content")
+    df.createOrReplaceTempView("audio_media")
+    val viaSql = spark.sql("SELECT audio_fp64(content) AS fp FROM audio_media")
+      .as[Long].head()
+    assert(viaSql == refAudioFp(aud(6, 1296).toSeq))
+  }
 }
