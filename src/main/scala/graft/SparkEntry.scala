@@ -579,6 +579,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Video container metadata: the Mp4Meta ISO BMFF box parser behind
+    // Multimodal.decode's video arm. Fixture MP4s (ftyp + moov/mvhd +
+    // video/audio traks) are generated IN the plan from doc_id + md5
+    // arithmetic, so the oracle can recompute the expected metadata
+    // (incl. the duration*1000/timescale integer division) in SQL
+    // while Spark runs the full box encode -> parse path.
+    "multimodal_video" -> ((s, dir) => {
+      import graft.operators.{Multimodal, Mp4Meta}
+      val mp4Udf = udf((ts: Long, dur: Long, w: Int, h: Int, n: Long, audio: Boolean) =>
+        Mp4Meta.minimalMp4(ts, dur, w, h, n, audio))
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val ts = lit(1000L) + (col("doc_id") % 7) * 250L
+      val dur = conv(substring(md5(concat(lit("vd:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+      val w = (lit(160) + (col("doc_id") % 16) * 16).cast("int")
+      val h = (lit(90) + (col("doc_id") % 9) * 30).cast("int")
+      val n = conv(substring(md5(concat(lit("vs:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10000
+      val audio = (col("doc_id") % 2) === 0
+      val media = docs.select(col("doc_id").as("media_id"),
+        lit("video").as("media_type"),
+        mp4Udf(ts, dur, w, h, n, audio).as("content"))
+      Multimodal.decode(media)
+        .select(col("media_id").as("id"), col("decoded"), col("width"),
+          col("height"), col("n_frames"), col("duration_ms"))
+        .orderBy("id")
+    }),
+
     "dedup_embed" -> ((s, dir) => {
       Dedup.embeddingTopPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", topN = 20)
@@ -2031,6 +2060,21 @@ private object OracleSql {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.afp, b.afp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recomputes multimodal_video's fixture metadata directly: Spark's
+    // values went through MP4 box encode + the Mp4Meta parser, so the
+    // match proves the container round-trip (incl. 16.16 fixed-point
+    // dims and the duration*1000/timescale integer division).
+    "multimodal_video" ->
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200)
+        |SELECT doc_id AS id, true AS decoded,
+        |       CAST(160 + (doc_id % 16) * 16 AS INT) AS width,
+        |       CAST(90 + (doc_id % 9) * 30 AS INT) AS height,
+        |       CAST(CAST(('0x' || substr(md5('vs:' || doc_id), 1, 4)) AS BIGINT) % 10000 AS INT) AS n_frames,
+        |       CAST(('0x' || substr(md5('vd:' || doc_id), 1, 4)) AS BIGINT) * 1000
+        |         // (1000 + (doc_id % 7) * 250) AS duration_ms
+        |FROM docs ORDER BY id""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -68,15 +68,18 @@ object Multimodal {
       decoded: Boolean, width: Int, height: Int, n_frames: Int,
       sample_rate: Int, duration_ms: Long, feature: Array[Float])
 
-  /** Real decode where the JDK has a codec, stub elsewhere — one
-    * batched partition-local pass, `decoded` flagging which arm ran.
-    * Images: `ImageIO` (PNG/JPEG/BMP/GIF) — real dimensions plus a
-    * 16-bin luminance histogram from the actual pixels (downsampled to
-    * ≤64x64 via stride so a 10-megapixel image costs the same as a
+  /** Real decode where the JVM can parse the container, stub elsewhere
+    * — one batched partition-local pass, `decoded` flagging which arm
+    * ran. Images: `ImageIO` (PNG/JPEG/BMP/GIF) — real dimensions plus
+    * a 16-bin luminance histogram from the actual pixels (downsampled
+    * to ≤64x64 via stride so a 10-megapixel image costs the same as a
     * thumbnail). Audio: WAV headers via `AudioSystem` — real sample
-    * rate and duration. Anything else (video containers, unsupported
-    * codecs, corrupt bytes): the [[decodeStub]] properties, never a
-    * task failure. */
+    * rate and duration. Video: real ISO BMFF box metadata via
+    * [[Mp4Meta]] (movie duration, video-track dimensions and sample
+    * count — no frame decode; the frame work stays in a codec worker
+    * stage). Anything else (non-BMFF video, unsupported codecs,
+    * corrupt bytes): the [[decodeStub]] properties, never a task
+    * failure. */
   def decode(media: DataFrame, batchSize: Int = 32): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -141,6 +144,19 @@ object Multimodal {
           DecodedMediaFull(id, mt, decoded = true, width = 0, height = 0,
             n_frames = 1, sample_rate = rate, duration_ms = durMs,
             feature = byteFeature16(bytes))
+        case "video" =>
+          // real ISO BMFF (MP4/MOV) container metadata — no frame
+          // decode, just the public box structure (Mp4Meta); non-BMFF
+          // containers fall through to the stub
+          Mp4Meta.parse(bytes) match {
+            case Some(info) =>
+              DecodedMediaFull(id, mt, decoded = true,
+                width = info.width, height = info.height,
+                n_frames = math.min(info.videoSamples, Int.MaxValue.toLong).toInt,
+                sample_rate = 0, duration_ms = info.durationMs,
+                feature = byteFeature16(bytes))
+            case None => stubbed
+          }
         case _ => stubbed
       }
     } catch {
