@@ -446,29 +446,57 @@ object Dedup {
     * `(id, <sigCol>)` frame: candidates block on `nBands` segments of
     * `segBits` bits each (pigeonhole: a pair within Hamming distance
     * `nBands - 1` must agree on at least one segment), then the exact
-    * popcount-of-xor distance verifies — banded, never quadratic, and
-    * the exchange carries 8-byte signatures only. Complete for
-    * `maxDist <= nBands - 1`; callers wanting a larger radius must
-    * raise `nBands`. Shared by [[simhashPairs]] (4 x 15-bit segments of
-    * a 60-bit text simhash) and [[Multimodal.phashPairs]] (4 x 16-bit
-    * segments of a 64-bit image dHash). */
+    * popcount-of-xor distance verifies — banded, never quadratic in
+    * the JOIN, and the exchanges carry 8-byte signatures only.
+    * Complete for `maxDist <= nBands - 1`; callers wanting a larger
+    * radius must raise `nBands`. Shared by [[simhashPairs]] (4 x
+    * 15-bit segments of a 60-bit text simhash),
+    * [[Multimodal.phashPairs]] (4 x 16-bit segments of a 64-bit image
+    * dHash) and [[Multimodal.audioFpPairs]].
+    *
+    * Skew posture (the r8 BoundedIds lesson applied to the Hamming
+    * family): the banded self-join runs over DISTINCT signatures, so a
+    * flood of identical fingerprints — byte-identical images, blank
+    * pages, boilerplate docs, the common case at crawl scale —
+    * collapses to ONE row per band before the join (the groupBy's
+    * map-side combine absorbs the hot key) instead of an n^2 candidate
+    * bucket. The class-level candidate set is also deduped on 16-byte
+    * signature pairs, not id pairs — orders of magnitude smaller under
+    * duplication. Class pairs then expand back to id pairs via two
+    * sig-keyed joins whose volume is proportional to the TRUE pair
+    * output (inherent to the pairs contract; a hot true-dup class is
+    * AQE-splittable there, and callers wanting linear output under
+    * mass duplication should collapse exact dups first — [[exactGroups]]
+    * — exactly as the reference pipelines do). */
   private[graft] def hammingBandedPairs(sig: DataFrame, sigCol: String,
       segBits: Int, nBands: Int, maxDist: Int): DataFrame = {
     require(maxDist <= nBands - 1,
       s"banding with $nBands segments is only complete for dist <= ${nBands - 1}, got maxDist=$maxDist")
     val segs = sig.sparkSession.range(nBands).select(col("id").cast("int").as("seg"))
     val mask = (1L << segBits) - 1
+    val distinctSigs = sig.select(col(sigCol)).distinct()
     // arithmetic shiftright is safe under the mask even for a negative
     // 64-bit signature (sign-extension bits are masked off)
-    val banded = sig.crossJoin(broadcast(segs))
+    val banded = distinctSigs.crossJoin(broadcast(segs))
       .withColumn("segval", expr(s"shiftright($sigCol, seg * $segBits) & $mask"))
-    val l = banded.select(col("seg"), col("segval"), col("id").as("id_a"), col(sigCol).as("sh_a"))
-    val r = banded.select(col("seg"), col("segval"), col("id").as("id_b"), col(sigCol).as("sh_b"))
-    l.join(r, Seq("seg", "segval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("dist"))
-      .distinct()
+    val l = banded.select(col("seg"), col("segval"), col(sigCol).as("sig_a"))
+    val r = banded.select(col("seg"), col("segval"), col(sigCol).as("sig_b"))
+    // canonical class pair (sig_a <= sig_b); == carries the
+    // identical-signature (dist 0) classes
+    val classPairs = l.join(r, Seq("seg", "segval"))
+      .filter(col("sig_a") <= col("sig_b"))
+      .select(col("sig_a"), col("sig_b")).distinct()
+      .withColumn("dist", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
+    val a = sig.select(col("id").as("ia"), col(sigCol).as("sig_a"))
+    val b = sig.select(col("id").as("ib"), col(sigCol).as("sig_b"))
+    // Cross-class pairs appear exactly once in the product (an id has
+    // one signature), so least/greatest normalization introduces no
+    // duplicates; intra-class products keep one orientation via ia < ib.
+    classPairs.join(a, Seq("sig_a")).join(b, Seq("sig_b"))
+      .filter(col("sig_a") =!= col("sig_b") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist. Candidate

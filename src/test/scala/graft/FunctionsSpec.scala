@@ -606,4 +606,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(r._1 == r._2 && r._1 != 0L)
   }
+
+  test("hammingBandedPairs: identical-signature floods stay complete (class-level join)") {
+    // A flood of identical fingerprints (the crawl-scale common case
+    // the distinct-signature rewrite targets): 50 ids share sig A,
+    // 3 share sig B at distance 2 from A, 2 sit far away at C.
+    val sigA = 0x0f0f0f0f0f0f0f0fL
+    val sigB = sigA ^ 3L            // dist 2
+    val sigC = 0x123456789abcdefL   // far from both
+    val rows = (0L until 50L).map((_, sigA)) ++
+      (100L until 103L).map((_, sigB)) ++ Seq((200L, sigC), (201L, sigC))
+    val df = rows.toDF("id", "sig")
+    val pairs = Dedup.hammingBandedPairs(df, "sig", segBits = 16, nBands = 4, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force reference over the same rows
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(pairs == want)
+    assert(want.count(_._3 == 0) == 50 * 49 / 2 + 3 + 1) // intra-class
+    assert(want.count(_._3 == 2) == 50 * 3)              // A x B
+    // the far-away class pairs only within itself
+    assert(want.filter(p => p._1 >= 200L || p._2 >= 200L) == Set((200L, 201L, 0)))
+  }
 }
