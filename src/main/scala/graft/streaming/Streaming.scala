@@ -110,6 +110,29 @@ object Streaming {
       .drop("__fp")
   }
 
+  /** Watermarked streaming NEAR-dedup: like [[dedupStream]] but keyed
+    * on the 60-bit SimHash fingerprint (the
+    * [[graft.functions.expressions.SimHash64]] expression) instead of
+    * the exact md5 — docs whose token multisets coincide (reordered
+    * boilerplate, shuffled sentence fragments, whitespace/punctuation
+    * noise) collapse to one survivor in-stream, where the exact tier
+    * would pass them all through. Same state bound as [[dedupStream]]:
+    * one 8-byte key per distinct fingerprint inside the watermark
+    * horizon, evicted as event time advances. Token-less docs carry a
+    * NULL fingerprint and are passed through untouched (NULL never
+    * becomes a hot dedup key — the batch tier's stance). */
+  def dedupNearStream(docs: DataFrame, textCol: String = "text",
+                      tsCol: String = "ts", watermark: String = "1 hour",
+                      bits: Int = 60): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sh = GraftColumnBridge.column(graft.functions.expressions.SimHash64(
+      GraftColumnBridge.expression(col(textCol)), bits))
+    val marked = docs.withWatermark(tsCol, watermark).withColumn("__sh", sh)
+    val deduped = marked.filter(col("__sh").isNotNull)
+      .dropDuplicatesWithinWatermark("__sh")
+    deduped.unionByName(marked.filter(col("__sh").isNull)).drop("__sh")
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with
     * right rows sharing `keyCol` whose event time falls in
     * `[leftTs, leftTs + withinMinutes]` — the attribution shape (click

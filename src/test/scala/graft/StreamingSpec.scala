@@ -153,6 +153,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set("a.md", "c.md"))
   }
 
+  test("streaming NEAR-dedup keys on the simhash fingerprint") {
+    val root = Files.createTempDirectory("graft-sndedup").toString
+    Seq(
+      ("2024-01-01 00:00:00", "the quick brown fox jumps", "a.md"),
+      // same token multiset, different order: near-dup the exact tier
+      // would pass through
+      ("2024-01-01 00:10:00", "jumps fox brown the quick", "b.md"),
+      ("2024-01-01 00:20:00", "completely different words here", "c.md"),
+      ("2024-01-01 00:30:00", "", "empty.md")) // NULL fingerprint: passes through
+      .toDF("ts_s", "text", "source")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("text"), col("source"))
+      .coalesce(1).write.parquet(s"$root/in/f1")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/f1").schema)
+      .parquet(s"$root/in/*")
+    val q = Streaming.dedupNearStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("sndedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("sndedup").select("source").as[String].collect().toSet
+    assert(got == Set("a.md", "c.md", "empty.md"))
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState)") {
     val root = Files.createTempDirectory("graft-sess").toString
     def ev(ts: String, user: String, id: Long) = (ts, user, id)
