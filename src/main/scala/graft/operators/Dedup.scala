@@ -507,6 +507,48 @@ object Dedup {
     hammingBandedPairs(simhash(docs, idCol, textCol), "simhash",
       segBits = 15, nBands = 4, maxDist = maxDist)
 
+  /** Hamming near-dup CLUSTERS with linear output under mass
+    * duplication — the scale path next to [[hammingBandedPairs]]'s
+    * pairs contract. A cluster of m identical fingerprints is m(m-1)/2
+    * rows as pairs but m rows as ownership; this formulation never
+    * materializes the intra-class pair table:
+    *
+    *  1. collapse identical signatures to (sig, rep = min id) — one
+    *     map-side-combined groupBy, skew-free under any flood;
+    *  2. banded pairs + min-label connected components over CLASS REPS
+    *     only (one row per distinct signature — graph size is
+    *     signature diversity, not corpus size);
+    *  3. members join their rep's component back (linear; singleton
+    *     classes keep their rep as component).
+    *
+    * Equivalent to `connectedComponents(hammingBandedPairs(...))` —
+    * class members are mutually at distance 0 and connect to exactly
+    * the classes their signature is near, so the component sets and
+    * min-id labels coincide (pinned by the parity spec). Returns
+    * (id, component, keep) with component = min id of the cluster. */
+  private[graft] def hammingClusters(sig: DataFrame, sigCol: String,
+      segBits: Int, nBands: Int, maxDist: Int, maxIter: Int = 10): DataFrame = {
+    val s = sig.select(col("id"), col(sigCol).as("__sig"))
+    val reps = s.groupBy("__sig").agg(min(col("id")).as("rep"))
+    val classPairs = hammingBandedPairs(
+      reps.select(col("rep").as("id"), col("__sig").as(sigCol)),
+      sigCol, segBits, nBands, maxDist)
+    val comps = connectedComponents(classPairs.select("id_a", "id_b"), maxIter)
+      .withColumnRenamed("id", "rep")
+    s.join(reps, Seq("__sig"))
+      .join(comps, Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("rep")).as("component"))
+      .withColumn("keep", col("component") === col("id"))
+  }
+
+  /** SimHash near-dup clusters (linear-output ownership; see
+    * [[hammingClusters]]): (id, component, keep). */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int): DataFrame =
+    hammingClusters(simhash(docs, idCol, textCol), "simhash",
+      segBits = 15, nBands = 4, maxDist = maxDist)
+
   /** Embedding near-dup pairs via random-hyperplane LSH bucketing:
     * vectors sharing a `bits`-bit sign signature are candidates, then
     * exact cosine verifies. The bucket join replaces the all-pairs

@@ -257,6 +257,25 @@ object Multimodal {
     Dedup.hammingBandedPairs(sig, "afp", segBits = 16, nBands = 4, maxDist = maxDist)
   }
 
+  /** Image near-dup clusters (linear-output ownership under mass
+    * duplication; see [[Dedup.hammingClusters]]): (id, component,
+    * keep) with component = min id of the near-dup cluster. */
+  def phashClusters(media: DataFrame, idCol: String, contentCol: String,
+                    maxDist: Int = 3): DataFrame = {
+    val sig = media.select(col(idCol).as("id"), phash64(col(contentCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+    Dedup.hammingClusters(sig, "phash", segBits = 16, nBands = 4, maxDist = maxDist)
+  }
+
+  /** Audio near-dup clusters (linear-output ownership; see
+    * [[Dedup.hammingClusters]]): (id, component, keep). */
+  def audioFpClusters(media: DataFrame, idCol: String, contentCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sig = media.select(col(idCol).as("id"), audioFp64(col(contentCol)).as("afp"))
+      .filter(col("afp").isNotNull)
+    Dedup.hammingClusters(sig, "afp", segBits = 16, nBands = 4, maxDist = maxDist)
+  }
+
   /** Deterministic 16-bit signed PCM mono WAV (little-endian) from a
     * sample array: the oracle-checkable audio fixture. 16-bit PCM
     * round-trips losslessly through `AudioSystem`, so a fingerprint

@@ -630,4 +630,33 @@ class DedupSpec extends SparkSpec {
     // the far-away class pairs only within itself
     assert(want.filter(p => p._1 >= 200L || p._2 >= 200L) == Set((200L, 201L, 0)))
   }
+
+  test("hammingClusters == connectedComponents over the pair expansion (linear path parity)") {
+    // chain A -(2)- B -(2)- C with identical-sig floods on A and B,
+    // plus an isolated class D: component labels and memberships must
+    // match the quadratic pairs->CC formulation exactly.
+    val sigA = 0x00ff00ff00ff00ffL
+    val sigB = sigA ^ 3L               // dist 2 from A
+    val sigC = sigB ^ 0x30L            // dist 2 from B, 4 from A (B bridges)
+    val sigD = 0x5a5a5a5a5a5a5a5aL
+    val rows = (0L until 40L).map((_, sigA)) ++
+      (100L until 130L).map((_, sigB)) ++ Seq((300L, sigC)) ++
+      (400L until 403L).map((_, sigD))
+    val df = rows.toDF("id", "sig")
+    val viaClusters = Dedup.hammingClusters(df, "sig", 16, 4, maxDist = 3)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    val viaPairs = Dedup.connectedComponents(
+      Dedup.hammingBandedPairs(df, "sig", 16, 4, maxDist = 3).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // pair-level CC only labels edge-connected nodes; clusters labels all
+    assert(viaClusters.size == rows.size)
+    viaPairs.foreach { case (id, comp) => assert(viaClusters(id) == comp) }
+    // A+B+C one cluster labeled 0; D its own labeled 400
+    assert(viaClusters(300L) == 0L)
+    assert(viaClusters(129L) == 0L)
+    assert((400L until 403L).forall(viaClusters(_) == 400L))
+    val keep = Dedup.hammingClusters(df, "sig", 16, 4, maxDist = 3)
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(keep == Set(0L, 400L))
+  }
 }
