@@ -549,6 +549,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Linear-output near-dup CLUSTERING over the same phash fixture:
+    // identical sigs collapse to class reps, min-label CC runs over
+    // class reps only, members join the component back
+    // (Dedup.hammingClusters). The oracle replays the fingerprints and
+    // the pair graph, then runs EIGHT rounds of min-label propagation
+    // in chained CTEs — exact because the fixture's pair graph is
+    // SF-independent (first 200 doc_ids + md5 arithmetic) and its
+    // cluster diameter is bounded by the 8-variant group size.
+    "dedup_phash_clusters" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val g = (col("doc_id") % 25).cast("string")
+      val variant = floor(col("doc_id") / 25).cast("long")
+      val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
+        .cast("long") % 72
+      val pixels = transform(sequence(lit(0L), lit(71L)), i => {
+        val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
+          i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
+        when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
+      })
+      val media = docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
+      Multimodal.phashClusters(media, "id", "content", maxDist = 3)
+        .orderBy("id")
+    }),
+
     // Audio near-dup tier: banded-energy fingerprint (AudioFp64
     // expression, the Haitsma-Kalker sign-of-energy-delta bit rule
     // over time-domain block energies) + the same banded Hamming pair
@@ -2013,6 +2040,78 @@ private object OracleSql {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays dedup_phash's fingerprints + pair graph, then resolves
+    // connected components by EIGHT rounds of min-label propagation in
+    // chained CTEs — exact because the fixture's pair graph is
+    // SF-independent (first 200 doc_ids, md5 arithmetic) and cluster
+    // diameter is bounded by the 8-variant group size, so the labels
+    // are at fixpoint by round 8. Spark runs the class-level CC
+    // (hammingClusters); labels coincide because class reps are class
+    // minima and the min over reps is the min over members.
+    "dedup_phash_clusters" ->
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        |px AS (
+        |  SELECT d.doc_id, t.i,
+        |    CASE WHEN t.i = CAST(('0x' || substr(md5('pxpos:' || (d.doc_id % 25)), 1, 4)) AS BIGINT) % 72
+        |         THEN (CAST(('0x' || substr(md5('px:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 256
+        |               + (d.doc_id // 25) * 37) % 256
+        |         ELSE CAST(('0x' || substr(md5('px:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 256
+        |    END AS v
+        |  FROM docs d CROSS JOIN generate_series(0, 71) t(i)),
+        |bits AS (
+        |  SELECT a.doc_id, (a.i // 9) * 8 + (a.i % 9) AS k,
+        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 9 < 8),
+        |ph AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bit = 0 THEN 0
+        |                       WHEN k = 63 THEN -9223372036854775807 - 1
+        |                       ELSE (1::BIGINT << k) END) AS BIGINT) AS phash
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |n0 AS (SELECT doc_id AS id, doc_id AS comp FROM ph),
+        |n1 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n0 n LEFT JOIN e ON e.s = n.id LEFT JOIN n0 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n2 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n1 n LEFT JOIN e ON e.s = n.id LEFT JOIN n1 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n3 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n2 n LEFT JOIN e ON e.s = n.id LEFT JOIN n2 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n4 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n3 n LEFT JOIN e ON e.s = n.id LEFT JOIN n3 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n5 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n4 n LEFT JOIN e ON e.s = n.id LEFT JOIN n4 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n6 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n5 n LEFT JOIN e ON e.s = n.id LEFT JOIN n5 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n7 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n6 n LEFT JOIN e ON e.s = n.id LEFT JOIN n6 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n8 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n7 n LEFT JOIN e ON e.s = n.id LEFT JOIN n7 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp)
+        |SELECT id, comp AS component, (comp = id) AS keep
+        |FROM n8 ORDER BY id""".stripMargin,
 
     // Replays dedup_audio's full arithmetic: the fixture samples (md5
     // values in [-2000, 2000], one perturbed position per group), the

@@ -98,6 +98,26 @@ class Mp4MetaSpec extends SparkSpec {
     }
   }
 
+  test("property: minimalMp4 -> parse round-trips arbitrary parameters") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val params = for {
+      ts <- Gen.chooseNum(1L, 1000000L)
+      dur <- Gen.chooseNum(0L, 1000000000L)
+      w <- Gen.chooseNum(0, 65535)
+      h <- Gen.chooseNum(0, 65535)
+      n <- Gen.chooseNum(0L, 4000000000L)
+      audio <- Gen.oneOf(true, false)
+    } yield (ts, dur, w, h, n, audio)
+    val prop = Prop.forAll(params) { case (ts, dur, w, h, n, audio) =>
+      val info = Mp4Meta.parse(Mp4Meta.minimalMp4(ts, dur, w, h, n, audio)).get
+      info.timescale == ts && info.durationMs == dur * 1000L / ts &&
+        info.width == w && info.height == h && info.videoSamples == n &&
+        info.hasVideo && info.hasAudio == audio && info.brand == "isom"
+    }
+    val r = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("decode: real MP4 metadata on the video arm, stub for non-BMFF bytes") {
     val df = Seq(
       (0L, "video", Mp4Meta.minimalMp4(1000L, 2500L, 640, 360, 75L, withAudio = true)),

@@ -270,6 +270,23 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head._3 <= 1)
   }
 
+  test("property: WAV round-trip fingerprint == reference at arbitrary lengths") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val params = for {
+      seed <- Gen.chooseNum(1, 1000000)
+      n <- Gen.chooseNum(81, 3000) // incl. many non-divisible-by-81 lengths
+    } yield (seed, n)
+    val prop = Prop.forAll(params) { case (seed, n) =>
+      val s = aud(seed, n)
+      // direct function call: the Spark plumbing is covered above, the
+      // property targets the decode + block-boundary + bit-fold math
+      graft.functions.expressions.AudioFp64.hash(Multimodal.pcmWav(s))
+        .contains(refAudioFp(s.toSeq))
+    }
+    val r = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("audio_fp64 is callable from SQL via GraftExtensions") {
     GraftExtensions.install(spark)
     val df = Seq((0L, Multimodal.pcmWav(aud(6, 1296)))).toDF("id", "content")
