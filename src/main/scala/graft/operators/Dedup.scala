@@ -303,11 +303,16 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // deferred-release persists — see jaccardPairs (unpersist hygiene)
     val candsC = holdCached("minhashDecontaminate.cands", cands)
-    // Corpus shingles restricted to candidate docs BEFORE any join work;
-    // the bench shingle table is eval-sized and broadcasts.
+    // Corpus DOCS restricted to candidate ids BEFORE shingling: the
+    // semi-join sits below the explode, so the verification pass
+    // tokenizes O(candidate) docs, not O(corpus). (Semi-joining the
+    // shingle table instead — the previous formulation — exploded the
+    // whole corpus first; Catalyst cannot push a semi-join through a
+    // Generate.) The bench shingle table is eval-sized and broadcasts.
+    val candDocs = corpus.join(
+      candsC.select(col("id_a").as(corpusId)).distinct(), Seq(corpusId), "left_semi")
     val shA = holdCached("minhashDecontaminate.shA",
-      shingleTable(corpus, corpusId, corpusText, n)
-        .join(candsC.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi"))
+      shingleTable(candDocs, corpusId, corpusText, n))
     val shB = holdCached("minhashDecontaminate.shB",
       shingleTable(bench, benchId, benchText, n))
     val inter = candsC
