@@ -116,6 +116,26 @@ object StreamBench {
       watermark = "30 minutes")
   }
 
+  /** Watermark-bounded NEAR-dedup ([[Streaming.dedupNearStream]]):
+    * the [[dedupWorkload]] shape with token-shuffled re-sends — each
+    * re-send permutes the word order by batch parity, so the exact
+    * fingerprint differs while the SimHash key collapses it. Measures
+    * the per-row SimHash64 expression cost on top of the same
+    * dropDuplicatesWithinWatermark state machine. */
+  def dedupNearWorkload(spark: SparkSession, rowsPerBatch: Long,
+                        partitions: Int): DataFrame = {
+    val uniqueKeys = math.max(rowsPerBatch / 2, 1)
+    val key = pmod(col("value"), lit(uniqueKeys))
+    // parity flips the word order between re-sends of the same key
+    val parity = pmod(col("value"), lit(2))
+    Streaming.dedupNearStream(
+      rateSource(spark, rowsPerBatch, advanceMs = 60000L, partitions)
+        .select(col("timestamp").as("ts"),
+          when(parity === 0, concat(lit("document body "), key))
+            .otherwise(concat(key, lit(" body document"))).as("text")),
+      watermark = "30 minutes")
+  }
+
   /** Watermarked tumbling-window counts ([[Streaming.windowedEventCounts]]).
     * 10 min of event time per batch against 5 min windows + 10 min
     * watermark: windows start closing (append-mode emission) from the
@@ -173,6 +193,7 @@ object StreamBench {
   def workloads(spark: SparkSession, rowsPerBatch: Long,
                 partitions: Int): Seq[(String, DataFrame)] = Seq(
     "dedup_stream" -> dedupWorkload(spark, rowsPerBatch, partitions),
+    "dedup_near_stream" -> dedupNearWorkload(spark, rowsPerBatch, partitions),
     "window_counts" -> windowWorkload(spark, rowsPerBatch, partitions),
     "sessionize_stream" -> sessionizeWorkload(spark, rowsPerBatch, partitions),
     "interval_join" -> intervalJoinWorkload(spark, rowsPerBatch, partitions))

@@ -117,20 +117,30 @@ object Streaming {
     * boilerplate, shuffled sentence fragments, whitespace/punctuation
     * noise) collapse to one survivor in-stream, where the exact tier
     * would pass them all through. Same state bound as [[dedupStream]]:
-    * one 8-byte key per distinct fingerprint inside the watermark
-    * horizon, evicted as event time advances. Token-less docs carry a
-    * NULL fingerprint and are passed through untouched (NULL never
-    * becomes a hot dedup key — the batch tier's stance). */
+    * one small key per distinct fingerprint inside the watermark
+    * horizon, evicted as event time advances. Token-less docs (NULL
+    * simhash) fall back to the exact md5 key — identical ones dedup,
+    * distinct ones pass, and NULL never becomes a hot dedup key (the
+    * batch tier's stance). */
   def dedupNearStream(docs: DataFrame, textCol: String = "text",
                       tsCol: String = "ts", watermark: String = "1 hour",
                       bits: Int = 60): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val sh = GraftColumnBridge.column(graft.functions.expressions.SimHash64(
       GraftColumnBridge.expression(col(textCol)), bits))
-    val marked = docs.withWatermark(tsCol, watermark).withColumn("__sh", sh)
-    val deduped = marked.filter(col("__sh").isNotNull)
-      .dropDuplicatesWithinWatermark("__sh")
-    deduped.unionByName(marked.filter(col("__sh").isNull)).drop("__sh")
+    // Token-less docs (NULL simhash) fall back to the exact normalized
+    // md5 key — identical token-less docs still dedup, distinct ones
+    // pass, and the whole operator stays ONE pass over the stream with
+    // ONE state store (a union of keyed/unkeyed branches would scan
+    // the source twice). The s:/x: prefixes keep the two key spaces
+    // disjoint by construction.
+    val key = coalesce(
+      concat(lit("s:"), sh.cast("string")),
+      concat(lit("x:"), graft.functions.TextFunctions.fingerprint(col(textCol))))
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__nk", key)
+      .dropDuplicatesWithinWatermark("__nk")
+      .drop("__nk")
   }
 
   /** Watermarked stream-stream interval join: each left row pairs with

@@ -27,6 +27,19 @@ class StreamBenchSpec extends SparkSpec {
     assert(m.stateRows <= rows)
   }
 
+  test("dedup_near_stream: token-shuffled re-sends collapse on the simhash key") {
+    val m = StreamBench.measure(spark, "dedup_near_stream",
+      StreamBench.dedupNearWorkload(spark, rows, parts), nBatches = 3)
+    assert(m.batches >= 3)
+    assert(m.rowsPerSec > 0)
+    assert(m.inputRows >= 3 * rows)
+    // re-sends permute word order, so the EXACT fingerprint differs
+    // while the simhash key coincides: survivors must still collapse
+    assert(m.outputRows < m.inputRows / 2)
+    // one state row per distinct fingerprint in the horizon
+    assert(m.stateRows <= rows)
+  }
+
   test("window_counts: windows close and emit under the advancing watermark") {
     val m = StreamBench.measure(spark, "window_counts",
       StreamBench.windowWorkload(spark, rows, parts), nBatches = 4)

@@ -161,7 +161,9 @@ class StreamingSpec extends SparkSpec {
       // would pass through
       ("2024-01-01 00:10:00", "jumps fox brown the quick", "b.md"),
       ("2024-01-01 00:20:00", "completely different words here", "c.md"),
-      ("2024-01-01 00:30:00", "", "empty.md")) // NULL fingerprint: passes through
+      // token-less: NULL simhash falls back to the exact md5 key, so a
+      // unique empty doc passes while staying dedup-able
+      ("2024-01-01 00:30:00", "", "empty.md"))
       .toDF("ts_s", "text", "source")
       .select(to_timestamp(col("ts_s")).as("ts"), col("text"), col("source"))
       .coalesce(1).write.parquet(s"$root/in/f1")
