@@ -30,6 +30,8 @@ import graft.sources.FileIngest
   *                    [--seed graft] [--pack-budget 2048]
   *   graft.Cli clean  --docs <dir|corpus.jsonl> --out <dir>
   *                    [--min-words 50] [--min-lm -9.0]
+  *   graft.Cli dedup  --docs <dir|corpus.jsonl> --out <dir>
+  *                    [--method exact|minhash|simhash] [--minj 0.8] [--max-dist 3]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
   *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
@@ -152,7 +154,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
-      "|compact|export|clean|tokenize|select-dsir|export-training" +
+      "|compact|export|clean|dedup|tokenize|select-dsir|export-training" +
       "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
@@ -377,6 +379,53 @@ object Cli {
         // like Server/McpServer do — a REPL driving Cli.run repeatedly
         // must not accumulate one live cache entry per callsite.
         graft.operators.Dedup.releaseCaches()
+        spark.stop()
+
+      case "dedup" =>
+        // Corpus deduplication: fingerprint, resolve duplicate
+        // clusters, write the surviving documents. Methods: exact
+        // (normalized md5 groups), minhash (MinHash-LSH candidates +
+        // true-Jaccard verify + connected components) and simhash
+        // (class-level Hamming clustering, Dedup.hammingClusters).
+        // All three keep one canonical survivor per cluster (min id).
+        val docsDir = flags.getOrElse("docs", fail(
+          "usage: dedup --docs <dir|corpus.jsonl> --out <dir> " +
+          "[--method exact|minhash|simhash] [--minj 0.8] [--max-dist 3]"))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val spark = session()
+        val docs =
+          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+            FileIngest.readJsonl(spark, docsDir)
+          else FileIngest.readDocuments(spark, docsDir)
+        val D = graft.operators.Dedup
+        val total = docs.count()
+        val survivors = flags.getOrElse("method", "minhash") match {
+          case "exact" =>
+            docs.join(D.exactGroups(docs, "source", "text")
+                .select(org.apache.spark.sql.functions.col("keep_id").as("source")),
+              Seq("source"), "left_semi")
+          case "minhash" =>
+            val pairs = D.minhashDedup(docs, "source", "text", n = 3,
+              numHashes = 16, bandSize = 4,
+              minJ = flags.get("minj").map(_.toDouble).getOrElse(0.8))
+            val losers = D.connectedComponents(pairs.select("id_a", "id_b"))
+              .filter(org.apache.spark.sql.functions.col("component") =!= org.apache.spark.sql.functions.col("id"))
+              .select(org.apache.spark.sql.functions.col("id").as("source"))
+            docs.join(losers, Seq("source"), "left_anti")
+          case "simhash" =>
+            val clusters = D.simhashClusters(docs, "source", "text",
+              maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3))
+            val losers = clusters.filter(!org.apache.spark.sql.functions.col("keep"))
+              .select(org.apache.spark.sql.functions.col("id").as("source"))
+            // token-less docs carry no fingerprint and survive (anti
+            // join keeps everything not explicitly collapsed)
+            docs.join(losers, Seq("source"), "left_anti")
+          case other => fail(s"unknown dedup method '$other' (exact|minhash|simhash)")
+        }
+        survivors.write.mode("overwrite").parquet(out)
+        val kept = spark.read.parquet(out).count()
+        println(s"dedup: kept $kept of $total documents -> $out")
+        graft.operators.Dedup.releaseCaches() // see clean
         spark.stop()
 
       case "tokenize" =>
