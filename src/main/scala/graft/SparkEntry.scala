@@ -635,6 +635,37 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Pixel-level resize: exact integer block-average downscale
+    // (Multimodal.resizeImages) of the dedup_phash PNG fixture from
+    // 9x8 to 3x4, then re-decode and emit every resized gray value —
+    // the oracle replays the per-block pixel sums with floor division,
+    // so the match proves decode -> block-average -> PNG re-encode ->
+    // decode end to end.
+    "multimodal_resize" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
+      val grayUdf = udf((bytes: Array[Byte]) => {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (0 until img.getHeight).flatMap(y => (0 until img.getWidth).map(x =>
+          img.getRGB(x, y) & 0xff)) // r=g=b for gray fixtures
+      })
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val g = (col("doc_id") % 25).cast("string")
+      val variant = floor(col("doc_id") / 25).cast("long")
+      val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
+        .cast("long") % 72
+      val pixels = transform(sequence(lit(0L), lit(71L)), i => {
+        val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
+          i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
+        when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
+      })
+      val media = docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
+      Multimodal.resizeImages(media, "id", "content", targetW = 3, targetH = 4)
+        .select(col("id"), posexplode(grayUdf(col("resized"))).as(Seq("pos", "v")))
+        .orderBy("id", "pos")
+    }),
+
     "dedup_embed" -> ((s, dir) => {
       Dedup.embeddingTopPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", topN = 20)
@@ -2174,6 +2205,30 @@ private object OracleSql {
         |       CAST(('0x' || substr(md5('vd:' || doc_id), 1, 4)) AS BIGINT) * 1000
         |         // (1000 + (doc_id % 7) * 250) AS duration_ms
         |FROM docs ORDER BY id""".stripMargin,
+
+    // Replays multimodal_resize's block-average arithmetic: the md5
+    // fixture pixels grouped into 3x2 blocks (9x8 -> 3x4 has exact
+    // integer boundaries), summed and floor-divided per block. Spark's
+    // path additionally round-trips through PNG encode -> ImageIO
+    // decode -> integer resize -> PNG re-encode -> decode; every step
+    // is lossless/exact, so the values match bit-for-bit.
+    "multimodal_resize" ->
+      """WITH docs AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        |px AS (
+        |  SELECT d.doc_id, t.i,
+        |    CASE WHEN t.i = CAST(('0x' || substr(md5('pxpos:' || (d.doc_id % 25)), 1, 4)) AS BIGINT) % 72
+        |         THEN (CAST(('0x' || substr(md5('px:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 256
+        |               + (d.doc_id // 25) * 37) % 256
+        |         ELSE CAST(('0x' || substr(md5('px:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 256
+        |    END AS v
+        |  FROM docs d CROSS JOIN generate_series(0, 71) t(i)),
+        |grp AS (
+        |  SELECT doc_id, (i // 9) // 2 AS r, (i % 9) // 3 AS c, v FROM px)
+        |SELECT doc_id AS id, CAST(r * 3 + c AS INT) AS pos,
+        |       CAST(sum(v) // 6 AS INT) AS v
+        |FROM grp GROUP BY doc_id, r, c
+        |ORDER BY id, pos""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -189,12 +189,88 @@ object Multimodal {
   def sizeBytes(content: Column): Column = length(content)
   def contentDigest(content: Column): Column = md5(content)
 
-  /** Resize plan stub: rewrites the metadata struct for a target box,
-    * preserving aspect ratio — metadata-only, the pixel work happens in
-    * the decode stage. */
+  /** Resize plan: rewrites the metadata struct for a target box,
+    * preserving aspect ratio — metadata-only; [[resizeImages]] is the
+    * pixel-level companion. */
   def resizeMeta(width: Column, height: Column, maxDim: Int): (Column, Column) = {
     val scale = least(lit(maxDim) / greatest(width, height), lit(1.0))
     ((width * scale).cast("int"), (height * scale).cast("int"))
+  }
+
+  /** Exact integer block-average downscale of one decoded image — the
+    * [[PHash64]] grid rule generalized to RGB and arbitrary target
+    * dims: target pixel (c, r) averages the source block
+    * `[c*w/tw, (c+1)*w/tw) x [r*h/th, (r+1)*h/th)` per channel with
+    * floor division. No floating point, so resized pixels of an
+    * analytically-known fixture are exactly predictable (the oracle
+    * replays the block sums in SQL). */
+  private[graft] def resizePixels(img: java.awt.image.BufferedImage,
+                                  tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < th) {
+      val y0 = r * h / th
+      val y1 = (r + 1) * h / th
+      var c = 0
+      while (c < tw) {
+        val x0 = c * w / tw
+        val x1 = (c + 1) * w / tw
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        out.setRGB(c, r,
+          (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Decode + integer block-average downscale + lossless PNG re-encode;
+    * None for undecodable bytes or images smaller than the target
+    * (upscale blocks would be empty — callers wanting upscale do it in
+    * the codec-worker stage). */
+  def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < tw || img.getHeight < th) None
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(resizePixels(img, tw, th), "png", out)
+        Some(out.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batched pixel-level resize over an image column: one
+    * partition-local pass (the [[decode]] batch shape), `resized` NULL
+    * where the decode arm would have stubbed. A pure map — zero
+    * shuffle at any corpus size. */
+  def resizeImages(media: DataFrame, idCol: String, contentCol: String,
+                   targetW: Int, targetH: Int, batchSize: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            (id, resizeImage(bytes, targetW, targetH).orNull)
+          }
+        }
+      }.toDF(idCol, "resized")
   }
 
   /** Frame-sampling plan: which frame indices to extract for a video of

@@ -191,6 +191,27 @@ class MultimodalSpec extends SparkSpec {
     assert(viaSql == refDhash(pix(6, 72)))
   }
 
+  test("resizeImages: exact block-average downscale, PNG round-trip, absent arms") {
+    val grid = pix(21, 72) // 9x8
+    val df = Seq(
+      (0L, Multimodal.grayPng(grid, 9, 8)),
+      (1L, "not an image".getBytes("UTF-8")),
+      (2L, Multimodal.grayPng(pix(22, 4), 2, 2))) // smaller than target
+      .toDF("id", "content")
+    val out = Multimodal.resizeImages(df, "id", "content", targetW = 3, targetH = 4)
+      .orderBy("id").collect()
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1)) // corrupt + too-small absent
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]]("resized")))
+    assert(img.getWidth == 3 && img.getHeight == 4)
+    // reference block-average: target (c, r) = floor(sum of 3x2 block / 6)
+    for (r <- 0 until 4; c <- 0 until 3) {
+      val want = (for (y <- r * 2 until r * 2 + 2; x <- c * 3 until c * 3 + 3)
+        yield grid(y * 9 + x)).sum / 6
+      assert((img.getRGB(c, r) & 0xff) == want, s"block ($c,$r)")
+    }
+  }
+
   // ---- audio fingerprint near-dup tier --------------------------------
 
   /** Independent fingerprint reference: a straight re-derivation of
