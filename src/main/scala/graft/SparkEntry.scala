@@ -86,6 +86,32 @@ object SparkEntry {
     array_join(lines, "\n")
   }
 
+  /** The shared image fixture for the dedup_phash / dedup_phash_clusters
+    * queries: 200 grayscale 9x8 PNGs generated IN the plan from md5
+    * pixel arithmetic — 25 groups x 8 one-pixel variants, so near-dup
+    * structure is deterministic and SF-independent, and the DuckDB
+    * oracle can replay the exact pixel values in SQL. Also consumed by
+    * MultimodalSpec's fixture-diameter guard: the clusters oracle runs
+    * exactly 8 rounds of min-label propagation, which is only exact
+    * while every cluster's diameter stays < 8 — the spec pins that
+    * invariant to this generator. */
+  private[graft] def phashFixtureMedia(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .orderBy("doc_id").limit(200)
+    val g = (col("doc_id") % 25).cast("string")
+    val variant = floor(col("doc_id") / 25).cast("long")
+    val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
+      .cast("long") % 72
+    val pixels = transform(sequence(lit(0L), lit(71L)), i => {
+      val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
+        i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
+      when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
+    })
+    docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- relational core over the TPC-H-ish tables -----
     "q1_agg" -> ((s, dir) => {
@@ -532,20 +558,7 @@ object SparkEntry {
     // path — the lossless round-trip is precisely what's under test.
     "dedup_phash" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-        .orderBy("doc_id").limit(200)
-      val g = (col("doc_id") % 25).cast("string")
-      val variant = floor(col("doc_id") / 25).cast("long")
-      val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
-        .cast("long") % 72
-      val pixels = transform(sequence(lit(0L), lit(71L)), i => {
-        val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
-          i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
-        when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
-      })
-      val media = docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
-      Multimodal.phashPairs(media, "id", "content", maxDist = 3)
+      Multimodal.phashPairs(phashFixtureMedia(s, dir), "id", "content", maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -559,20 +572,7 @@ object SparkEntry {
     // cluster diameter is bounded by the 8-variant group size.
     "dedup_phash_clusters" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-        .orderBy("doc_id").limit(200)
-      val g = (col("doc_id") % 25).cast("string")
-      val variant = floor(col("doc_id") / 25).cast("long")
-      val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
-        .cast("long") % 72
-      val pixels = transform(sequence(lit(0L), lit(71L)), i => {
-        val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
-          i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
-        when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
-      })
-      val media = docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
-      Multimodal.phashClusters(media, "id", "content", maxDist = 3)
+      Multimodal.phashClusters(phashFixtureMedia(s, dir), "id", "content", maxDist = 3)
         .orderBy("id")
     }),
 

@@ -361,12 +361,21 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair edge list
-    * ((id_a, id_b) rows) by iterative min-label propagation: every node
-    * adopts the smallest label among itself and its neighbors until
-    * fixpoint. Converges in O(diameter) rounds — near-dup clusters are
-    * tiny, so a handful of iterations; each round is one join + one
-    * aggregation (no driver-side graph). Returns (id, component) with
-    * component = min id of the cluster. */
+    * ((id_a, id_b) rows) by iterative min-label propagation with
+    * pointer jumping: every node adopts the smallest label among itself
+    * and its neighbors, then shortcuts to its label's label (path
+    * halving), until fixpoint. The shortcut step cuts convergence from
+    * O(diameter) to O(log diameter) rounds — a 1000-hop near-dup chain
+    * (a real crawl artifact) converges in ~10 rounds instead of 1000 —
+    * at the cost of one extra self-join per round; each round is two
+    * joins + one aggregation (no driver-side graph). Returns
+    * (id, component) with component = min id of the cluster.
+    *
+    * Fails loudly (IllegalStateException) if labels have not reached
+    * fixpoint within `maxIter` rounds: partially-propagated labels would
+    * silently split one cluster into several, and at crawl scale that
+    * under-dedup is invisible downstream. With path halving the default
+    * 10 rounds covers component diameters up to ~2^10. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -381,15 +390,23 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nmin"))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // Pointer jumping (path halving): adopt the label of the node my
+      // label points at. Labels only ever move to labels of nodes in the
+      // same component (component always holds a same-component node id),
+      // so correctness is unchanged; round count drops to O(log diameter).
       // localCheckpoint, not persist: each round derives from the last,
       // and an un-truncated label lineage grows the analyzed plan per
       // round (the trainMerges driver-OOM pattern) — plus the old code
       // left every round's persisted table in the cache. Checkpointing
       // truncates the plan; superseded rounds' blocks are reclaimed by
       // the ContextCleaner when their references drop.
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      val next = propagated.join(
+          propagated.select(col("id").as("component"), col("component").as("jump")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("jump"), col("component")).as("component"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
@@ -400,6 +417,13 @@ object Dedup {
     // finally, not fall-through: an exception mid-loop must not leave
     // the edge table cached for the rest of the session
     } finally { edges.unpersist(); () }
+    // Truncated propagation must never return: labels that stopped short
+    // of fixpoint look exactly like a valid answer (every id has a
+    // component) but split long chains into multiple clusters.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds ~2^maxIter hops under path " +
+        "halving; raise maxIter rather than consuming truncated labels")
     labels
   }
 

@@ -314,6 +314,24 @@ class DedupSpec extends SparkSpec {
     assert(cc(10L) == 10L && cc(11L) == 10L)
   }
 
+  test("connected components: a 40-hop chain converges within default rounds (path halving)") {
+    // A crawl's long near-dup chain: diameter 40 >> the default 10
+    // rounds of PLAIN propagation — only path halving's O(log d)
+    // convergence makes this pass without raising maxIter.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cc.size == 41 && cc.values.forall(_ == 0L),
+      s"all 41 chained nodes must collapse to component 0, got ${cc.values.toSet}")
+  }
+
+  test("connected components: truncated propagation fails loudly, not silently-wrong") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dup clusters pick one canonical survivor per cluster") {
     val t = "the quick brown fox jumps over the lazy dog near the river bank today"
     val d = Seq((5L, t), (9L, t), (2L, t),

@@ -316,4 +316,31 @@ class MultimodalSpec extends SparkSpec {
       .as[Long].head()
     assert(viaSql == refAudioFp(aud(6, 1296).toSeq))
   }
+
+  test("phash fixture: every cluster's diameter stays < 8 (clusters-oracle invariant)") {
+    // The dedup_phash_clusters DuckDB oracle runs exactly 8 rounds of
+    // plain min-label propagation, which computes true components only
+    // while the fixture's pair graph has no component of diameter >= 8.
+    // Pin that to the generator so a future fixture change can't make
+    // the oracle silently wrong (it would stay green on Spark's side —
+    // hammingClusters converges regardless — while the oracle truncates).
+    val media = SparkEntry.phashFixtureMedia(spark, "/root/testdata/sf0.001")
+    val pairs = Multimodal.phashPairs(media, "id", "content", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def eccentricity(start: Long): Int = {
+      var frontier = Set(start); var seen = Set(start); var d = 0
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- seen
+        if (next.nonEmpty) d += 1
+        seen ++= next; frontier = next
+      }
+      d
+    }
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    val maxEcc = adj.keys.map(eccentricity).max
+    assert(maxEcc < 8,
+      s"fixture pair-graph diameter $maxEcc >= 8 would break the 8-round clusters oracle")
+  }
 }
