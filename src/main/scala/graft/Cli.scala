@@ -30,11 +30,13 @@ import graft.sources.FileIngest
   *                    [--seed graft] [--pack-budget 2048]
   *   graft.Cli clean  --docs <dir|corpus.jsonl> --out <dir>
   *                    [--min-words 50] [--min-lm -9.0]
-  *   graft.Cli dedup  --docs <dir|corpus.jsonl> --out <dir>
-  *                    [--method exact|minhash|simhash] [--minj 0.8] [--max-dist 3]
+  *   graft.Cli dedup  --docs <dir|corpus.jsonl|media dir> --out <dir>
+  *                    [--method exact|minhash|simhash|phash|audiofp]
+  *                    [--minj 0.8] [--max-dist 3]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
   *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
+  *   graft.Cli import --from <native-index-dir> --index <name> [--dims N]
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
   * provider defaults to the offline deterministic hash embedder
@@ -154,7 +156,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
-      "|compact|export|clean|dedup|tokenize|select-dsir|export-training" +
+      "|compact|export|import|clean|dedup|tokenize|select-dsir|export-training" +
       "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
@@ -352,6 +354,22 @@ object Cli {
             spark.stop()
         }
 
+      case "import" =>
+        // The inverse of export for the reference's NATIVE layout
+        // (passages.jsonl + ids.txt + flat-f32 embeddings + meta.json):
+        // a user migrating an existing index keeps their embeddings —
+        // no re-embedding pass (LeannImport scaladoc for the format).
+        val from = flags.getOrElse("from",
+          fail("usage: import --from <native-index-dir> --index <name> [--dims N]"))
+        val name = flags.getOrElse("index", fail("--index <name> required"))
+        val spark = session()
+        val meta = graft.sources.LeannImport.importIndex(
+          spark, from, s"$warehouse/$name", flags.get("dims").map(_.toInt))
+        println(s"import: index '$name' from $from — " +
+          s"${meta.passageCount} passages, ${meta.dimensions} dims" +
+          (if (meta.isPruned) " (pruned: embeddings recompute on read)" else ""))
+        spark.stop()
+
       case "clean" =>
         // Corpus-hygiene pipeline (CorpusClean.cleanCorpus): Gopher
         // length/symbol/stopword rules + repetition rules + optional LM
@@ -383,27 +401,56 @@ object Cli {
 
       case "dedup" =>
         // Corpus deduplication: fingerprint, resolve duplicate
-        // clusters, write the surviving documents. Methods: exact
+        // clusters, write the surviving documents. Text methods: exact
         // (normalized md5 groups), minhash (MinHash-LSH candidates +
         // true-Jaccard verify + connected components) and simhash
         // (class-level Hamming clustering, Dedup.hammingClusters).
-        // All three keep one canonical survivor per cluster (min id).
-        val docsDir = flags.getOrElse("docs", fail(
-          "usage: dedup --docs <dir|corpus.jsonl> --out <dir> " +
-          "[--method exact|minhash|simhash] [--minj 0.8] [--max-dist 3]"))
+        // Media methods: phash (image dHash) and audiofp (banded-energy
+        // audio fingerprint) over a directory of media files or a
+        // (source, content) parquet table — the same class-level Hamming
+        // clustering, pixels/PCM never shuffle. All methods keep one
+        // canonical survivor per cluster (min id); docs/files with no
+        // signal (token-less text, undecodable media) always survive.
+        val dedupUsage = "usage: dedup --docs <dir|corpus.jsonl> --out <dir> " +
+          "[--method exact|minhash|simhash|phash|audiofp] [--minj 0.8] [--max-dist 3]"
+        val docsDir = flags.getOrElse("docs", fail(dedupUsage))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val method = flags.getOrElse("method", "minhash")
+        val mediaMethod = method == "phash" || method == "audiofp"
         val spark = session()
+        import org.apache.spark.sql.functions.col
         val docs =
-          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+          if (mediaMethod)
+            // binary media rows keyed by path; a parquet table keeps its
+            // own (source, content) columns
+            (if (docsDir.endsWith(".parquet"))
+               spark.read.parquet(docsDir).select(
+                 col("source").cast("string").as("source"), col("content"))
+             else spark.read.format("binaryFile")
+               .option("recursiveFileLookup", "true").load(docsDir)
+               .select(col("path").as("source"), col("content")))
+          else if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
             FileIngest.readJsonl(spark, docsDir)
           else FileIngest.readDocuments(spark, docsDir)
         val D = graft.operators.Dedup
         val total = docs.count()
-        val survivors = flags.getOrElse("method", "minhash") match {
+        // Hamming-cluster losers -> survivors, shared by the simhash /
+        // phash / audiofp arms: rows not explicitly collapsed survive,
+        // so signature-less rows always pass the anti join.
+        def minusLosers(clusters: org.apache.spark.sql.DataFrame) =
+          docs.join(clusters.filter(!col("keep")).select(col("id").as("source")),
+            Seq("source"), "left_anti")
+        val maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3)
+        val survivors = method match {
           case "exact" =>
-            docs.join(D.exactGroups(docs, "source", "text")
-                .select(org.apache.spark.sql.functions.col("keep_id").as("source")),
+            // NULL-fingerprint docs (no text) carry no dedup signal and
+            // all survive — the same stance as the minhash/simhash arms'
+            // token-less docs, not one merged NULL group.
+            val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+            docs.join(D.exactGroups(docs.filter(fp.isNotNull), "source", "text")
+                .select(col("keep_id").as("source")),
               Seq("source"), "left_semi")
+              .union(docs.filter(fp.isNull))
           case "minhash" =>
             val pairs = D.minhashDedup(docs, "source", "text", n = 3,
               numHashes = 16, bandSize = 4,
@@ -413,14 +460,15 @@ object Cli {
               .select(org.apache.spark.sql.functions.col("id").as("source"))
             docs.join(losers, Seq("source"), "left_anti")
           case "simhash" =>
-            val clusters = D.simhashClusters(docs, "source", "text",
-              maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3))
-            val losers = clusters.filter(!org.apache.spark.sql.functions.col("keep"))
-              .select(org.apache.spark.sql.functions.col("id").as("source"))
-            // token-less docs carry no fingerprint and survive (anti
-            // join keeps everything not explicitly collapsed)
-            docs.join(losers, Seq("source"), "left_anti")
-          case other => fail(s"unknown dedup method '$other' (exact|minhash|simhash)")
+            minusLosers(D.simhashClusters(docs, "source", "text", maxDist = maxDist))
+          case "phash" =>
+            minusLosers(graft.operators.Multimodal.phashClusters(
+              docs, "source", "content", maxDist = maxDist))
+          case "audiofp" =>
+            minusLosers(graft.operators.Multimodal.audioFpClusters(
+              docs, "source", "content", maxDist = maxDist))
+          case other => fail(
+            s"unknown dedup method '$other' (exact|minhash|simhash|phash|audiofp)")
         }
         survivors.write.mode("overwrite").parquet(out)
         val kept = spark.read.parquet(out).count()

@@ -257,20 +257,24 @@ object Multimodal {
   /** Batched pixel-level resize over an image column: one
     * partition-local pass (the [[decode]] batch shape), `resized` NULL
     * where the decode arm would have stubbed. A pure map — zero
-    * shuffle at any corpus size. */
+    * shuffle at any corpus size. The id column passes through at
+    * whatever type it has (path strings, longs, composite keys all
+    * work — no Long cast like phashPairs/audioFpPairs/decode). */
   def resizeImages(media: DataFrame, idCol: String, contentCol: String,
                    targetW: Int, targetH: Int, batchSize: Int = 32): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col(idCol), col(contentCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) =>
-            (id, resizeImage(bytes, targetW, targetH).orNull)
-          }
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val pruned = media.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(
+      pruned.schema.head, StructField("resized", BinaryType, nullable = true)))
+    pruned.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          Row(row.get(0), resizeImage(row.getAs[Array[Byte]](1), targetW, targetH).orNull)
         }
-      }.toDF(idCol, "resized")
+      }
+    }(Encoders.row(outSchema))
+      .toDF(idCol, "resized")
   }
 
   /** Frame-sampling plan: which frame indices to extract for a video of

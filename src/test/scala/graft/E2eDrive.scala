@@ -35,6 +35,30 @@ object E2eDrive {
     val answer = graft.llm.Rag.ask(spark, dir, "how are bm25 scores computed",
       provider, new graft.llm.SimulatedLlm("drive"), topK = 3)
     println("ASK " + answer.take(120))
-    spark.stop()
+
+    // CLI media-dedup smoke, end to end through Cli.main: generate
+    // near-identical PNGs on disk, run `dedup --method phash`, count
+    // the canonical survivors the CLI wrote.
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft-e2e-media").toString
+    def pxs(seed: Int): Array[Int] =
+      Array.tabulate(72)(i => math.abs((seed * 2654435761L + i * 40503L).toInt) % 256)
+    for (g <- 0 until 3) {
+      val base = pxs(g)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$mediaDir/img_${g}_a.png"),
+        graft.operators.Multimodal.grayPng(base, 9, 8))
+      val v = base.clone(); v(17) = (v(17) + 37) % 256
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$mediaDir/img_${g}_b.png"),
+        graft.operators.Multimodal.grayPng(v, 9, 8))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$mediaDir/unique.png"),
+      graft.operators.Multimodal.grayPng(pxs(100), 9, 8))
+    val dedupOut = java.nio.file.Files.createTempDirectory("graft-e2e-dedup").toString + "/out"
+    Cli.main(Array("dedup", "--docs", mediaDir, "--out", dedupOut, "--method", "phash"))
+    // Cli.main stopped the session; a fresh one reads the survivors back
+    val spark2 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val surv = spark2.read.parquet(dedupOut).count()
+    println(s"CLI_DEDUP_PHASH survivors=$surv of 7 (expected 4)")
+    spark2.stop()
   }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.embedding.HashEmbedder
+import graft.pipeline.Index
+import graft.sources.LeannImport
+
+/** Round-trip with the reference's NATIVE index layout: build an index
+  * directly, lay its rows out as the reference would write them
+  * (passages.jsonl + ids.txt + flat-f32 embeddings + meta.json, see
+  * LeannImport scaladoc), import that directory, and require the
+  * imported index to answer searches identically to the directly-built
+  * one — the embeddings travelled as raw bytes, so equality proves the
+  * row-to-id mapping and the little-endian decode are exact. */
+class LeannImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val provider = new HashEmbedder(32)
+
+  private lazy val docs = Seq(
+    ("vector databases store embeddings for retrieval augmented generation", "intro.md"),
+    ("spark shuffles data between executors during wide transformations", "spark.md"),
+    ("the hnsw graph index walks neighbors greedily for approximate search", "ann.md"),
+    ("parquet files store columns with predicate pushdown and pruning", "parquet.md"))
+    .toDF("text", "source")
+
+  private lazy val wh = Files.createTempDirectory("graft-leann-import").toString
+  private lazy val directDir = s"$wh/direct"
+
+  /** Write the native layout from a built index's tables, in the exact
+    * shape the Rust writer produces (collapsed file names; one JSON
+    * object per jsonl line; ids line i <-> embedding row i). */
+  private def writeNativeLayout(natDir: String, withEmbeddings: Boolean = true,
+                                dropLastId: Boolean = false,
+                                truncateBytes: Int = 0): String = {
+    Files.createDirectories(Paths.get(natDir))
+    val passages = spark.read.parquet(s"$directDir/passages")
+      .selectExpr("id", "text", "metadata.source AS source")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    val jsonl = passages.map { case (id, text, source) =>
+      graft.util.Json.write(scala.collection.immutable.ListMap(
+        "id" -> id, "text" -> text,
+        "metadata" -> scala.collection.immutable.ListMap("source" -> source)))
+    }.mkString("\n")
+    Files.writeString(Paths.get(s"$natDir/documents.passages.jsonl"), jsonl)
+    val embByIdRows = spark.read.parquet(s"$directDir/embeddings")
+      .as[(String, Array[Float])].collect()
+    // Map, not sliding lookup: parquet row order need not match id order
+    val embById = embByIdRows.toMap
+    val ids = passages.map(_._1)
+    val idsOut = if (dropLastId) ids.dropRight(1) else ids
+    Files.writeString(Paths.get(s"$natDir/documents.ids.txt"), idsOut.mkString("\n"))
+    if (withEmbeddings) {
+      val dims = embById.head._2.length
+      val bb = ByteBuffer.allocate(ids.length * dims * 4).order(ByteOrder.LITTLE_ENDIAN)
+      ids.foreach(id => embById(id).foreach(bb.putFloat))
+      val bytes = bb.array()
+      val out = if (truncateBytes > 0) bytes.dropRight(truncateBytes) else bytes
+      Files.write(Paths.get(s"$natDir/documents.embeddings"), out)
+    }
+    Files.writeString(Paths.get(s"$natDir/documents.leann.meta.json"),
+      graft.util.Json.write(scala.collection.immutable.ListMap(
+        "version" -> "1.0", "backend_name" -> "hnsw",
+        "embedding_model" -> provider.modelName,
+        "embedding_mode" -> "provider", "dimensions" -> 32L,
+        "passage_count" -> ids.length.toLong,
+        "is_recompute" -> true, "is_pruned" -> !withEmbeddings)))
+    natDir
+  }
+
+  test("round trip: imported native index searches identically to the direct build") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native")
+    val meta = LeannImport.importIndex(spark, nat, s"$wh/imported")
+    assert(meta.passageCount == 4 && meta.dimensions == 32 && !meta.isPruned)
+    assert(meta.backendName == "hnsw" && meta.embeddingModel == provider.modelName)
+    // embeddings byte-round-tripped: the tables must match vector-for-vector
+    val direct = spark.read.parquet(s"$directDir/embeddings")
+      .as[(String, Array[Float])].collect().toMap
+    val imported = spark.read.parquet(s"$wh/imported/embeddings")
+      .as[(String, Array[Float])].collect().toMap
+    assert(imported.keySet == direct.keySet)
+    imported.foreach { case (id, v) => assert(v.sameElements(direct(id)), s"vector drift for $id") }
+    // and the full search path (BM25 stats, passages join, ranking) agrees
+    for (q <- Seq("vector retrieval", "spark shuffle", "graph neighbors")) {
+      val a = Index.search(spark, directDir, q, provider, topK = 3)
+        .selectExpr("id", "score").as[(String, Double)].collect().toSeq
+      val b = Index.search(spark, s"$wh/imported", q, provider, topK = 3)
+        .selectExpr("id", "score").as[(String, Double)].collect().toSeq
+      assert(a == b, s"search('$q') diverged: direct=$a imported=$b")
+    }
+  }
+
+  test("pruned native index imports as pruned and searches via recompute-on-read") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-pruned", withEmbeddings = false)
+    Files.delete(Paths.get(s"$nat/documents.ids.txt")) // prune drops vectors; ids may remain or not
+    val meta = LeannImport.importIndex(spark, nat, s"$wh/imported-pruned")
+    assert(meta.isPruned && meta.passageCount == 4)
+    assert(!Files.exists(Paths.get(s"$wh/imported-pruned/embeddings")))
+    val r = Index.search(spark, s"$wh/imported-pruned", "vector retrieval", provider, topK = 2)
+      .selectExpr("id").as[String].collect()
+    assert(r.length == 2)
+  }
+
+  test("ragged embeddings file fails loudly, never imports a prefix") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-ragged", truncateBytes = 3)
+    val e = intercept[IllegalArgumentException] {
+      LeannImport.importIndex(spark, nat, s"$wh/imported-ragged")
+    }
+    assert(e.getMessage.contains("not a multiple"))
+  }
+
+  test("ids/rows count mismatch fails loudly — a wrong mapping must not land") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-mismatch", dropLastId = true)
+    val e = intercept[IllegalArgumentException] {
+      LeannImport.importIndex(spark, nat, s"$wh/imported-mismatch")
+    }
+    assert(e.getMessage.contains("refusing to import"))
+  }
+
+  test("embeddings file without a usable dimension count demands --dims") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-nodims")
+    Files.delete(Paths.get(s"$nat/documents.leann.meta.json"))
+    val e = intercept[RuntimeException] {
+      LeannImport.importIndex(spark, nat, s"$wh/imported-nodims")
+    }
+    assert(e.getMessage.contains("--dims"))
+    // and the override path works end to end
+    val meta = LeannImport.importIndex(spark, nat, s"$wh/imported-dims32",
+      dimsOverride = Some(32))
+    assert(meta.dimensions == 32 && meta.passageCount == 4)
+  }
+}

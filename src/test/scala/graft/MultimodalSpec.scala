@@ -212,6 +212,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages: id column is generic, not Long-only (path-keyed media works)") {
+    val byPath = Seq(("a/img.png", Multimodal.grayPng(pix(23, 72), 9, 8)))
+      .toDF("path", "content")
+    val out = Multimodal.resizeImages(byPath, "path", "content", targetW = 3, targetH = 4)
+      .collect()
+    assert(out.head.getString(0) == "a/img.png" && !out.head.isNullAt(1))
+  }
+
   // ---- audio fingerprint near-dup tier --------------------------------
 
   /** Independent fingerprint reference: a straight re-derivation of
