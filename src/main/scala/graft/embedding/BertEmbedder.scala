@@ -299,11 +299,55 @@ private[graft] object BertMath {
 
   /** `y = x W^T + b` over `rows` input rows; W is `[out, in]` row-major
     * (PyTorch Linear layout), so each output element is a dot of two
-    * contiguous runs. */
+    * contiguous runs.
+    *
+    * Blocked over ROWS (8 at a time): one W row is loaded once per row
+    * block instead of once per row — 8x less weight-matrix memory
+    * traffic (the matrices are MBs, re-streamed per token in the naive
+    * loop) — and the 8 accumulators are independent FP dependency
+    * chains, so the core pipelines them instead of stalling on one
+    * serial `s += x*w` chain (HotSpot cannot reorder or vectorize a
+    * float reduction, which caps the naive loop at ~1 add per FP
+    * latency). `Math.fma` (intrinsified to a hardware FMA) halves the
+    * FP-op count on top. Each accumulator still sums over `i` in the
+    * original sequential order; FMA skips the intermediate product
+    * rounding, so values can differ from the naive loop in the last
+    * ULP — deterministic for a given shape, and exact on the kernel
+    * spec's integer case. Measured ~3x end-to-end on the MiniLM-L6
+    * geometry (85 -> 250 tokens/s/thread; BertBenchDrive, BASELINE.md). */
   def dense(x: Array[Float], rows: Int, in: Int,
             w: Array[Float], bias: Array[Float], out: Int): Array[Float] = {
     val y = new Array[Float](rows * out)
-    var r = 0
+    val RB = 8
+    var r0 = 0
+    while (r0 + RB <= rows) {
+      val x0 = r0 * in; val x1 = x0 + in; val x2 = x1 + in; val x3 = x2 + in
+      val x4 = x3 + in; val x5 = x4 + in; val x6 = x5 + in; val x7 = x6 + in
+      var o = 0
+      while (o < out) {
+        val wOff = o * in
+        var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+        var s4 = 0f; var s5 = 0f; var s6 = 0f; var s7 = 0f
+        var i = 0
+        while (i < in) {
+          val wi = w(wOff + i)
+          s0 = Math.fma(x(x0 + i), wi, s0); s1 = Math.fma(x(x1 + i), wi, s1)
+          s2 = Math.fma(x(x2 + i), wi, s2); s3 = Math.fma(x(x3 + i), wi, s3)
+          s4 = Math.fma(x(x4 + i), wi, s4); s5 = Math.fma(x(x5 + i), wi, s5)
+          s6 = Math.fma(x(x6 + i), wi, s6); s7 = Math.fma(x(x7 + i), wi, s7)
+          i += 1
+        }
+        val b = bias(o)
+        y(r0 * out + o) = s0 + b; y((r0 + 1) * out + o) = s1 + b
+        y((r0 + 2) * out + o) = s2 + b; y((r0 + 3) * out + o) = s3 + b
+        y((r0 + 4) * out + o) = s4 + b; y((r0 + 5) * out + o) = s5 + b
+        y((r0 + 6) * out + o) = s6 + b; y((r0 + 7) * out + o) = s7 + b
+        o += 1
+      }
+      r0 += RB
+    }
+    // remainder rows: the original scalar loop
+    var r = r0
     while (r < rows) {
       val xOff = r * in
       val yOff = r * out
