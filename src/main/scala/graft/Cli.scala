@@ -35,7 +35,7 @@ import graft.sources.FileIngest
   *                    [--minj 0.8] [--max-dist 3]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
-  *   graft.Cli export <name> --out <dir> [--format jsonl|parquet]
+  *   graft.Cli export <name> --out <dir> [--format jsonl|parquet|native]
   *   graft.Cli import --from <native-index-dir> --index <name> [--dims N]
   *
   * Warehouse root: $GRAFT_WAREHOUSE or ./graft-warehouse. The embedding
@@ -338,7 +338,7 @@ object Cli {
         // the reference's native passage storage IS jsonl
         // (src/storage/jsonl.rs), so an exported index re-imports there.
         val name = pos.headOption.getOrElse(
-          fail("usage: export <index> --out <dir> [--format jsonl|parquet]"))
+          fail("usage: export <index> --out <dir> [--format jsonl|parquet|native]"))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         Index.locate(warehouse, name) match {
           case None => fail(s"no index '$name' in $warehouse")
@@ -348,7 +348,12 @@ object Cli {
             flags.getOrElse("format", "jsonl") match {
               case "jsonl" => passages.write.mode("overwrite").json(out)
               case "parquet" => passages.write.mode("overwrite").parquet(out)
-              case other => fail(s"unknown export format '$other' (jsonl|parquet)")
+              case "native" =>
+                // the reference's own on-disk layout (passages.jsonl +
+                // idx + ids.txt + flat-f32 embeddings + meta.json) —
+                // the inverse of `Cli import`
+                graft.sources.LeannImport.exportNative(spark, dir, out)
+              case other => fail(s"unknown export format '$other' (jsonl|parquet|native)")
             }
             println(s"export: wrote passages of '$name' to $out")
             spark.stop()

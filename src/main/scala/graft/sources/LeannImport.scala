@@ -161,6 +161,87 @@ object LeannImport {
       .toDF("id", "embedding")
   }
 
+  /** Export an engine index directory AS the reference's native layout
+    * — the exact inverse of [[importIndex]], so an index built here can
+    * be opened by the reference engine (or re-imported losslessly). The
+    * native layout is a set of single files for a single-node engine,
+    * so rows are STREAMED through the driver (`toLocalIterator` — one
+    * partition in memory at a time, never a full collect); this is an
+    * interop export, not a data-plane path, and is documented as
+    * driver-streaming for that reason. Passage order is id-sorted, and
+    * ids.txt line i matches embedding row i by construction (the rows
+    * stream from one sorted join). */
+  def exportNative(spark: SparkSession, fromDir: String, toDir: String,
+                   baseName: String = "documents"): IndexMeta = {
+    import graft.pipeline.Index
+    val meta = Index.readMeta(fromDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(toDir))
+    def path(suffix: String) = java.nio.file.Paths.get(s"$toDir/$baseName$suffix")
+    val passages = spark.read.parquet(s"$fromDir/passages")
+    val hasEmb = new java.io.File(s"$fromDir/embeddings").exists()
+
+    // passages.jsonl + offset index, byte-accounted exactly as the
+    // reference's PassageStoreWriter does (offset BEFORE each line)
+    val pw = java.nio.file.Files.newBufferedWriter(
+      path(".passages.jsonl"), java.nio.charset.StandardCharsets.UTF_8)
+    val offsets = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var off = 0L
+    val metaCols = passages.select(col("id"), col("text"), to_json(col("metadata")).as("mj"))
+      .orderBy("id")
+    val it = metaCols.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val id = r.getString(0)
+      val line = graft.util.Json.write(scala.collection.immutable.ListMap(
+        "id" -> id, "text" -> r.getString(1))).dropRight(1) +
+        ",\"metadata\":" + r.getString(2) + "}\n"
+      offsets(id) = off
+      val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      off += bytes.length
+      pw.write(line)
+    }
+    pw.close()
+    java.nio.file.Files.writeString(path(".passages.idx.json"),
+      graft.util.Json.write(offsets))
+
+    if (hasEmb) {
+      // id-sorted stream: ids.txt line i == embeddings row i
+      val emb = spark.read.parquet(s"$fromDir/embeddings").orderBy("id")
+      val iw = java.nio.file.Files.newBufferedWriter(
+        path(".ids.txt"), java.nio.charset.StandardCharsets.UTF_8)
+      val ew = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(path(".embeddings")))
+      val eit = emb.toLocalIterator()
+      var first = true
+      while (eit.hasNext) {
+        val r = eit.next()
+        if (!first) iw.write("\n")
+        first = false
+        iw.write(r.getString(0))
+        val vec = r.getSeq[Float](1)
+        val bb = ByteBuffer.allocate(vec.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vec.foreach(bb.putFloat)
+        ew.write(bb.array())
+      }
+      iw.close(); ew.close()
+    }
+
+    java.nio.file.Files.writeString(path(".leann.meta.json"),
+      graft.util.Json.write(scala.collection.immutable.ListMap(
+        "version" -> "1.0",
+        "backend_name" -> meta.backendName,
+        "embedding_model" -> meta.embeddingModel,
+        "embedding_mode" -> meta.embeddingMode,
+        "dimensions" -> meta.dimensions.toLong,
+        "passage_count" -> meta.passageCount,
+        "embedding_options" -> scala.collection.immutable.ListMap(
+          "query_prompt_template" -> meta.queryPromptTemplate,
+          "build_prompt_template" -> meta.buildPromptTemplate),
+        "is_recompute" -> hasEmb,
+        "is_pruned" -> !hasEmb)))
+    meta
+  }
+
   /** Import a native index directory into an engine index directory
     * (passages + embeddings parquet, BM25 stats, doc fingerprints,
     * meta.json) — after this, every search/update/export path treats it

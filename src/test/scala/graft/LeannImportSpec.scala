@@ -123,6 +123,34 @@ class LeannImportSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to import"))
   }
 
+  test("exportNative is the exact inverse: export -> import round-trips the index") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = s"$wh/native-exported"
+    LeannImport.exportNative(spark, directDir, nat)
+    // the reference's byte contract: flat f32 rows, count * dims * 4
+    val embBytes = Files.size(Paths.get(s"$nat/documents.embeddings"))
+    assert(embBytes == 4L * 32 * 4, s"embeddings file is $embBytes bytes")
+    val ids = Files.readString(Paths.get(s"$nat/documents.ids.txt")).split("\n")
+    assert(ids.length == 4 && ids.sorted.sameElements(ids), "ids sorted, one per row")
+    // offset index points each id at its own jsonl line
+    val idx = graft.util.Json.parseObject(
+      Files.readString(Paths.get(s"$nat/documents.passages.idx.json")))
+    val jsonlBytes = Files.readAllBytes(Paths.get(s"$nat/documents.passages.jsonl"))
+    idx.foreach { case (id, o) =>
+      val lineStart = new String(jsonlBytes, o.asInstanceOf[Long].toInt,
+        math.min(200, jsonlBytes.length - o.asInstanceOf[Long].toInt), "UTF-8")
+      assert(lineStart.startsWith("{\"id\":\"" + id + "\""), s"offset of $id points at: ${lineStart.take(40)}")
+    }
+    // and the round trip searches identically to the original
+    val meta = LeannImport.importIndex(spark, nat, s"$wh/reimported")
+    assert(meta.passageCount == 4 && meta.dimensions == 32 && !meta.isPruned)
+    val a = Index.search(spark, directDir, "vector retrieval", provider, topK = 3)
+      .selectExpr("id", "score").as[(String, Double)].collect().toSeq
+    val b = Index.search(spark, s"$wh/reimported", "vector retrieval", provider, topK = 3)
+      .selectExpr("id", "score").as[(String, Double)].collect().toSeq
+    assert(a == b, s"round-tripped search diverged: $a vs $b")
+  }
+
   test("embeddings file without a usable dimension count demands --dims") {
     Index.build(docs, directDir, provider, strategy = "simple")
     val nat = writeNativeLayout(s"$wh/native-nodims")
