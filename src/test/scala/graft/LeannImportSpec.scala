@@ -151,6 +151,41 @@ class LeannImportSpec extends SparkSpec {
     assert(a == b, s"round-tripped search diverged: $a vs $b")
   }
 
+  test("multi-split embeddings file: row order survives splitting (the 100 TB path)") {
+    // At scale the flat-f32 blob is GBs and Hadoop splits it across
+    // executors; zipWithIndex's index must still equal the file row
+    // number across split boundaries or every id maps to the wrong
+    // vector. Force many splits on a small file and verify the mapping
+    // end to end against directly-computed expectations.
+    val dims = 8
+    val n = 50000 // 1.6 MB at 32 B/row
+    val dir = Files.createTempDirectory("graft-split").toString
+    val bb = ByteBuffer.allocate(n * dims * 4).order(ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n; d <- 0 until dims) bb.putFloat(i * 1000f + d)
+    Files.write(Paths.get(s"$dir/big.embeddings"), bb.array())
+    Files.writeString(Paths.get(s"$dir/big.ids.txt"),
+      (0 until n).map(i => s"doc-$i").mkString("\n"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val old = Option(conf.get(key))
+    conf.setLong(key, 64 * 1024) // 64 KB splits -> ~25 splits
+    try {
+      val out = graft.sources.LeannImport.readEmbeddings(
+        spark, s"$dir/big.embeddings", s"$dir/big.ids.txt", dims)
+      assert(out.rdd.getNumPartitions > 1 || n * dims * 4 < 64 * 1024,
+        "split forcing failed — the test would not exercise multi-split ordering")
+      val rows = out.as[(String, Array[Float])].collect()
+      assert(rows.length == n)
+      rows.foreach { case (id, vec) =>
+        val i = id.stripPrefix("doc-").toInt
+        assert(vec(0) == i * 1000f && vec(dims - 1) == i * 1000f + (dims - 1),
+          s"row $id got someone else's vector: ${vec.take(2).toSeq}")
+      }
+    } finally {
+      old match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    }
+  }
+
   test("embeddings file without a usable dimension count demands --dims") {
     Index.build(docs, directDir, provider, strategy = "simple")
     val nat = writeNativeLayout(s"$wh/native-nodims")
