@@ -136,6 +136,34 @@ object StreamBench {
       watermark = "30 minutes")
   }
 
+  /** Watermark-bounded MEDIA near-dedup ([[Streaming.dedupMediaStream]]):
+    * the [[dedupWorkload]] shape over generated 9x8 grayscale PNGs —
+    * each row ENCODES a real PNG in the stream (deterministic pixels
+    * from the key) and the operator decodes + perceptually hashes it,
+    * so the measurement covers the full decode → dHash → keyed-state
+    * path, the per-row cost a media crawl ingest pays. Half the keys
+    * repeat within the horizon, as in the text tiers. */
+  def dedupMediaWorkload(spark: SparkSession, rowsPerBatch: Long,
+                         partitions: Int): DataFrame = {
+    val uniqueKeys = math.max(rowsPerBatch / 2, 1)
+    // splitmix-style mix per (key, pixel): adjacent-pixel DIFFERENCES
+    // must vary with the key, or every key lands in one of ~256 dHash
+    // classes and the state/survivor counts stop resembling a crawl
+    val png = udf { (k: Long) =>
+      val px = Array.tabulate(72) { i =>
+        var z = k + i * 7919L + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        ((z >>> 56) & 0xff).toInt
+      }
+      graft.operators.Multimodal.grayPng(px, 9, 8)
+    }
+    Streaming.dedupMediaStream(
+      rateSource(spark, rowsPerBatch, advanceMs = 60000L, partitions)
+        .select(col("timestamp").as("ts"),
+          png(pmod(col("value"), lit(uniqueKeys))).as("content")),
+      watermark = "30 minutes")
+  }
+
   /** Watermarked tumbling-window counts ([[Streaming.windowedEventCounts]]).
     * 10 min of event time per batch against 5 min windows + 10 min
     * watermark: windows start closing (append-mode emission) from the
@@ -194,6 +222,7 @@ object StreamBench {
                 partitions: Int): Seq[(String, DataFrame)] = Seq(
     "dedup_stream" -> dedupWorkload(spark, rowsPerBatch, partitions),
     "dedup_near_stream" -> dedupNearWorkload(spark, rowsPerBatch, partitions),
+    "dedup_media_stream" -> dedupMediaWorkload(spark, rowsPerBatch, partitions),
     "window_counts" -> windowWorkload(spark, rowsPerBatch, partitions),
     "sessionize_stream" -> sessionizeWorkload(spark, rowsPerBatch, partitions),
     "interval_join" -> intervalJoinWorkload(spark, rowsPerBatch, partitions))

@@ -143,6 +143,39 @@ object Streaming {
       .drop("__nk")
   }
 
+  /** Watermarked streaming MEDIA near-dedup: [[dedupNearStream]]'s
+    * shape for a binary media stream, keyed on the perceptual
+    * fingerprint — image dHash ([[graft.operators.Multimodal.phash64]])
+    * or audio banded-energy fingerprint (`audioFp64`) — so re-encoded
+    * or slightly-perturbed copies that hash to the same 64-bit
+    * signature collapse to one survivor in-stream (re-crawled logos,
+    * repeated jingles). Hamming distance 0 only: neighbor-probing a
+    * state store per band is not a streaming-state shape; the
+    * distance-<=3 tiers live in the batch clusters operators. Same
+    * state bound as the text tiers: one 8-byte-keyed row per distinct
+    * signature inside the watermark horizon. Undecodable rows (NULL
+    * fingerprint) fall back to the exact content md5 — byte-identical
+    * corrupt blobs dedup, distinct ones pass, NULL never becomes a hot
+    * key, and the operator stays ONE pass / ONE state store. */
+  def dedupMediaStream(media: DataFrame, contentCol: String = "content",
+                       tsCol: String = "ts", kind: String = "image",
+                       watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Multimodal
+    val sig = kind match {
+      case "image" => Multimodal.phash64(col(contentCol))
+      case "audio" => Multimodal.audioFp64(col(contentCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown media kind '$other' (image|audio)")
+    }
+    val key = coalesce(
+      concat(lit("p:"), sig.cast("string")),
+      concat(lit("x:"), md5(col(contentCol))))
+    media.withWatermark(tsCol, watermark)
+      .withColumn("__mk", key)
+      .dropDuplicatesWithinWatermark("__mk")
+      .drop("__mk")
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with
     * right rows sharing `keyCol` whose event time falls in
     * `[leftTs, leftTs + withinMinutes]` — the attribution shape (click

@@ -27,6 +27,19 @@ class StreamBenchSpec extends SparkSpec {
     assert(m.stateRows <= rows)
   }
 
+  test("dedup_media_stream: PNG decode + dHash keyed dedup, state bounded") {
+    val m = StreamBench.measure(spark, "dedup_media_stream",
+      StreamBench.dedupMediaWorkload(spark, rows, parts), nBatches = 3)
+    assert(m.batches >= 3)
+    assert(m.rowsPerSec > 0)
+    assert(m.inputRows >= 3 * rows)
+    // every key repeats within each batch and across batches: the
+    // perceptual hash of identical pixels coincides, survivors collapse
+    assert(m.outputRows < m.inputRows / 2)
+    // one state row per distinct signature in the horizon
+    assert(m.stateRows <= rows)
+  }
+
   test("dedup_near_stream: token-shuffled re-sends collapse on the simhash key") {
     val m = StreamBench.measure(spark, "dedup_near_stream",
       StreamBench.dedupNearWorkload(spark, rows, parts), nBatches = 3)

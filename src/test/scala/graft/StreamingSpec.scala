@@ -182,6 +182,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set("a.md", "c.md", "empty.md"))
   }
 
+  test("streaming MEDIA near-dedup keys on the perceptual hash, md5 fallback") {
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("graft-smdedup").toString
+    def px(seed: Int): Array[Int] =
+      Array.tabulate(72)(i => math.abs((seed * 2654435761L + i * 40503L).toInt) % 256)
+    val base = px(5)
+    // one-pixel brightness nudge: different bytes, same dHash (the
+    // neighbor comparisons the changed pixel takes part in keep their sign)
+    val nudged = base.clone(); nudged(40) = math.min(255, nudged(40) + 1)
+    assert(graft.functions.expressions.PHash64.hash(Multimodal.grayPng(base, 9, 8)) ==
+      graft.functions.expressions.PHash64.hash(Multimodal.grayPng(nudged, 9, 8)),
+      "fixture must be a hash-identical perceptual near-dup")
+    Seq(
+      ("2024-01-01 00:00:00", "a.png", Multimodal.grayPng(base, 9, 8)),
+      ("2024-01-01 00:10:00", "b.png", Multimodal.grayPng(nudged, 9, 8)), // near-dup
+      ("2024-01-01 00:20:00", "c.png", Multimodal.grayPng(px(77), 9, 8)), // distinct
+      ("2024-01-01 00:30:00", "junk1.bin", "not an image".getBytes("UTF-8")),
+      ("2024-01-01 00:40:00", "junk1b.bin", "not an image".getBytes("UTF-8")), // exact dup of junk1
+      ("2024-01-01 00:50:00", "junk2.bin", "other garbage".getBytes("UTF-8")))
+      .toDF("ts_s", "source", "content")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("source"), col("content"))
+      .coalesce(1).write.parquet(s"$root/in/f1")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/f1").schema)
+      .parquet(s"$root/in/*")
+    val q = Streaming.dedupMediaStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("smdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("smdedup").select("source").as[String].collect().toSet
+    assert(got == Set("a.png", "c.png", "junk1.bin", "junk2.bin"),
+      s"got $got")
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState)") {
     val root = Files.createTempDirectory("graft-sess").toString
     def ev(ts: String, user: String, id: Long) = (ts, user, id)
