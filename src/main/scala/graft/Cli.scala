@@ -425,15 +425,23 @@ object Cli {
         val spark = session()
         import org.apache.spark.sql.functions.col
         val docs =
-          if (mediaMethod)
+          if (mediaMethod) {
             // binary media rows keyed by path; a parquet table keeps its
-            // own (source, content) columns
-            (if (docsDir.endsWith(".parquet"))
-               spark.read.parquet(docsDir).select(
-                 col("source").cast("string").as("source"), col("content"))
-             else spark.read.format("binaryFile")
-               .option("recursiveFileLookup", "true").load(docsDir)
-               .select(col("path").as("source"), col("content")))
+            // own (source, content) columns. A parquet DIRECTORY rarely
+            // ends in ".parquet", so detect by contents too — reading a
+            // parquet table as binaryFile would hash part-files instead
+            // of media and "dedup" nothing, silently.
+            val f = new java.io.File(docsDir)
+            val looksParquet = docsDir.endsWith(".parquet") ||
+              (f.isDirectory && f.listFiles() != null && f.listFiles().exists(c =>
+                c.getName.endsWith(".parquet") || c.getName == "_SUCCESS"))
+            if (looksParquet)
+              spark.read.parquet(docsDir).select(
+                col("source").cast("string").as("source"), col("content"))
+            else spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true").load(docsDir)
+              .select(col("path").as("source"), col("content"))
+          }
           else if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
             FileIngest.readJsonl(spark, docsDir)
           else FileIngest.readDocuments(spark, docsDir)

@@ -643,25 +643,13 @@ object SparkEntry {
     // decode end to end.
     "multimodal_resize" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val pngUdf = udf((px: Seq[Int]) => Multimodal.grayPng(px.toArray, 9, 8))
       val grayUdf = udf((bytes: Array[Byte]) => {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         (0 until img.getHeight).flatMap(y => (0 until img.getWidth).map(x =>
           img.getRGB(x, y) & 0xff)) // r=g=b for gray fixtures
       })
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-        .orderBy("doc_id").limit(200)
-      val g = (col("doc_id") % 25).cast("string")
-      val variant = floor(col("doc_id") / 25).cast("long")
-      val ppos = conv(substring(md5(concat(lit("pxpos:"), g)), 1, 4), 16, 10)
-        .cast("long") % 72
-      val pixels = transform(sequence(lit(0L), lit(71L)), i => {
-        val base = conv(substring(md5(concat(lit("px:"), g, lit(":"),
-          i.cast("string"))), 1, 4), 16, 10).cast("long") % 256
-        when(i === ppos, (base + variant * 37) % 256).otherwise(base).cast("int")
-      })
-      val media = docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
-      Multimodal.resizeImages(media, "id", "content", targetW = 3, targetH = 4)
+      Multimodal.resizeImages(phashFixtureMedia(s, dir), "id", "content",
+          targetW = 3, targetH = 4)
         .select(col("id"), posexplode(grayUdf(col("resized"))).as(Seq("pos", "v")))
         .orderBy("id", "pos")
     }),

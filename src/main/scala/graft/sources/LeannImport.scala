@@ -46,19 +46,35 @@ object LeannImport {
   final case class Layout(metaPath: Option[String], passagesJsonl: String,
                           idsTxt: Option[String], embeddings: Option[String])
 
-  /** Discover the native files by suffix — tolerant of both the Rust
-    * writer's collapsed names (`documents.passages.jsonl`) and fully
-    * dotted names other writers produce
-    * (`documents.leann.passages.jsonl`). */
+  /** Discover the native files by deriving every sibling from ONE base
+    * stem — tolerant of both the Rust writer's collapsed names
+    * (`documents.passages.jsonl`, stem `documents`) and fully dotted
+    * names other writers produce (`x.leann.passages.jsonl`, stem
+    * `x.leann`). Independent per-suffix searches are NOT safe here: a
+    * directory holding two bases could pair one index's passages with
+    * another's vectors and the count guard would not notice (the
+    * counts agree within the wrong base), so two passages files is an
+    * error, and ids/embeddings/meta only match when they share the
+    * stem (meta also matches `<stem>.leann.meta.json`, the Rust
+    * writer's plain-join name). */
   def locate(dir: String): Layout = {
     val d = new java.io.File(dir)
     require(d.isDirectory, s"not a directory: $dir")
     val names = d.listFiles().map(_.getName).toSeq
-    def find(suffix: String): Option[String] =
-      names.filter(_.endsWith(suffix)).sorted.headOption.map(n => s"$dir/$n")
-    val passages = find(".passages.jsonl").getOrElse(
-      sys.error(s"no *.passages.jsonl in $dir — not a native index directory"))
-    Layout(find(".meta.json"), passages, find("ids.txt"), find(".embeddings"))
+    val passagesNames = names.filter(_.endsWith(".passages.jsonl")).sorted
+    require(passagesNames.nonEmpty,
+      s"no *.passages.jsonl in $dir — not a native index directory")
+    require(passagesNames.size == 1,
+      s"$dir holds ${passagesNames.size} native indexes (${passagesNames.mkString(", ")}) — " +
+        "pass a directory containing exactly one, or import them separately")
+    val stem = passagesNames.head.stripSuffix(".passages.jsonl")
+    def exact(name: String): Option[String] =
+      names.find(_ == name).map(n => s"$dir/$n")
+    Layout(
+      metaPath = exact(s"$stem.leann.meta.json").orElse(exact(s"$stem.meta.json")),
+      passagesJsonl = s"$dir/${passagesNames.head}",
+      idsTxt = exact(s"$stem.ids.txt"),
+      embeddings = exact(s"$stem.embeddings"))
   }
 
   /** Parse the reference's meta JSON into the engine-native meta row.
@@ -181,11 +197,17 @@ object LeannImport {
     val hasEmb = new java.io.File(s"$fromDir/embeddings").exists()
 
     // passages.jsonl + offset index, byte-accounted exactly as the
-    // reference's PassageStoreWriter does (offset BEFORE each line)
+    // reference's PassageStoreWriter does (offset BEFORE each line).
+    // The idx entries stream to disk IN the same pass — holding an
+    // id -> offset map for 100M passages would put GBs on the driver
+    // heap, exactly the bound the toLocalIterator choice protects.
     val pw = java.nio.file.Files.newBufferedWriter(
       path(".passages.jsonl"), java.nio.charset.StandardCharsets.UTF_8)
-    val offsets = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val xw = java.nio.file.Files.newBufferedWriter(
+      path(".passages.idx.json"), java.nio.charset.StandardCharsets.UTF_8)
+    xw.write("{")
     var off = 0L
+    var firstIdx = true
     val metaCols = passages.select(col("id"), col("text"), to_json(col("metadata")).as("mj"))
       .orderBy("id")
     val it = metaCols.toLocalIterator()
@@ -195,14 +217,16 @@ object LeannImport {
       val line = graft.util.Json.write(scala.collection.immutable.ListMap(
         "id" -> id, "text" -> r.getString(1))).dropRight(1) +
         ",\"metadata\":" + r.getString(2) + "}\n"
-      offsets(id) = off
+      if (!firstIdx) xw.write(",")
+      firstIdx = false
+      xw.write(graft.util.Json.write(id) + ":" + off)
       val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       off += bytes.length
       pw.write(line)
     }
     pw.close()
-    java.nio.file.Files.writeString(path(".passages.idx.json"),
-      graft.util.Json.write(offsets))
+    xw.write("}")
+    xw.close()
 
     if (hasEmb) {
       // id-sorted stream: ids.txt line i == embeddings row i
@@ -237,7 +261,12 @@ object LeannImport {
         "embedding_options" -> scala.collection.immutable.ListMap(
           "query_prompt_template" -> meta.queryPromptTemplate,
           "build_prompt_template" -> meta.buildPromptTemplate),
-        "is_recompute" -> hasEmb,
+        // A flat .embeddings file IS the reference's recompute-mode
+        // storage (its non-recompute builds keep vectors inside the
+        // graph index file, which this layout does not ship), and
+        // pruning only exists within recompute mode — so is_recompute
+        // is always true here and pruned-ness rides on is_pruned.
+        "is_recompute" -> true,
         "is_pruned" -> !hasEmb)))
     meta
   }
@@ -271,7 +300,15 @@ object LeannImport {
       case (Some(_), _, None) =>
         sys.error(s"$fromDir has an embeddings file but no usable dimension " +
           "count — pass --dims or provide the native meta.json")
-      case _ => false // pruned index: passages-only import is the contract
+      case (Some(_), None, _) =>
+        // Dropping the vectors here would silently hand the user a
+        // pruned index whose searches recompute with whatever provider
+        // is configured — the exact re-embedding the import exists to
+        // avoid. Same fail-loud stance as the ragged/mismatch guards.
+        sys.error(s"$fromDir has an embeddings file but no matching ids.txt — " +
+          "the row-to-id mapping is unrecoverable; restore ids.txt or " +
+          "delete the embeddings file to import as pruned")
+      case _ => false // pruned index (no embeddings file): passages-only import is the contract
     }
     Index.buildBm25Stats(spark, toDir, Some(written))
     Index.writeDocFps(written, toDir, "text", org.apache.spark.sql.SaveMode.Overwrite)
@@ -279,6 +316,12 @@ object LeannImport {
       version = 1,
       dimensions = dims.getOrElse(0),
       passageCount = n,
+      // Engine convention (Index.build): isRecompute=false — every
+      // engine index stores embeddings as a prunable parquet table, so
+      // the native recompute-mode marker carries no information here
+      // and keeping it would make export -> import differ from a
+      // direct build's meta. Pruned-ness is the flag that matters.
+      isRecompute = false,
       isPruned = !embedded)
     Index.writeMeta(toDir, meta)
     meta

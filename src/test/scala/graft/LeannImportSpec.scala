@@ -151,6 +151,37 @@ class LeannImportSpec extends SparkSpec {
     assert(a == b, s"round-tripped search diverged: $a vs $b")
   }
 
+  test("locate: two native bases in one directory is ambiguous and refuses") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-two-bases")
+    // a second base: pairing base A's passages with base B's vectors
+    // would pass every count guard while attaching wrong embeddings
+    Files.writeString(Paths.get(s"$nat/other.passages.jsonl"), "")
+    val e = intercept[IllegalArgumentException] {
+      LeannImport.locate(nat)
+    }
+    assert(e.getMessage.contains("2 native indexes"))
+  }
+
+  test("locate: siblings resolve by stem, stray *.txt files are not ids") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-stray")
+    Files.writeString(Paths.get(s"$nat/centroids.txt"), "not ids\n")
+    val layout = LeannImport.locate(nat)
+    assert(layout.idsTxt.exists(_.endsWith("documents.ids.txt")))
+    assert(layout.metaPath.exists(_.endsWith("documents.leann.meta.json")))
+  }
+
+  test("embeddings without ids.txt fails loudly instead of silently importing as pruned") {
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-noids")
+    Files.delete(Paths.get(s"$nat/documents.ids.txt"))
+    val e = intercept[RuntimeException] {
+      LeannImport.importIndex(spark, nat, s"$wh/imported-noids")
+    }
+    assert(e.getMessage.contains("no matching ids.txt"))
+  }
+
   test("multi-split embeddings file: row order survives splitting (the 100 TB path)") {
     // At scale the flat-f32 blob is GBs and Hadoop splits it across
     // executors; zipWithIndex's index must still equal the file row
