@@ -151,6 +151,38 @@ class LeannImportSpec extends SparkSpec {
     assert(a == b, s"round-tripped search diverged: $a vs $b")
   }
 
+  test("imported index accepts incremental update — the full migration workflow") {
+    // The reason the importer exists: migrate once, keep working. An
+    // imported index must behave exactly like a built one for update
+    // (append new docs without re-embedding the old), search, and the
+    // BM25 stats merge.
+    Index.build(docs, directDir, provider, strategy = "simple")
+    val nat = writeNativeLayout(s"$wh/native-upd")
+    val imp = s"$wh/imported-upd"
+    LeannImport.importIndex(spark, nat, imp)
+    val more = Seq(("catalyst rewrites logical plans into physical ones", "new.md"))
+      .toDF("text", "source")
+    val meta2 = Index.update(more, imp, provider, strategy = "simple")
+    assert(meta2.passageCount == 5)
+    // the invariant that matters: updated-imported == updated-direct,
+    // row for row, on every search mode
+    Index.update(more, directDir, provider, strategy = "simple")
+    for (hybrid <- Seq(false, true); q <- Seq("catalyst logical plans", "vector retrieval")) {
+      val a = Index.search(spark, directDir, q, provider, topK = 5, hybrid = hybrid)
+        .selectExpr("id", "score").as[(String, Double)].collect().toSeq
+      val b = Index.search(spark, imp, q, provider, topK = 5, hybrid = hybrid)
+        .selectExpr("id", "score").as[(String, Double)].collect().toSeq
+      assert(a == b, s"post-update search('$q', hybrid=$hybrid) diverged: $a vs $b")
+      assert(a.exists(_._1.startsWith("new.md")), s"updated doc absent from '$q' top-5")
+    }
+    // dimension guard still fires on an imported index
+    val e = intercept[IllegalArgumentException] {
+      Index.update(more, imp, new HashEmbedder(16), strategy = "simple")
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getMessage.contains("Embedding dimension"))
+  }
+
   test("locate: two native bases in one directory is ambiguous and refuses") {
     Index.build(docs, directDir, provider, strategy = "simple")
     val nat = writeNativeLayout(s"$wh/native-two-bases")
