@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.filter.MetadataFilterDsl
-import graft.operators.{BM25, Dedup, Expansion, Knn}
+import graft.operators.{BM25, Dedup, Expansion, Graph, Knn}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB SQL in `oracleSql` (the
@@ -697,6 +697,28 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => {
       Dedup.semanticDedup(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", tau = 0.3)
+        .orderBy("id")
+    }),
+
+    // ----- similarity-graph analytics (curation signals) -----
+    // Exact cosine kNN graph: the adjacency every graph-level curation
+    // signal consumes. All-pairs tier = the oracle formulation; the
+    // LSH-blocked production tier is recall-pinned in GraphSpec.
+    "knn_graph" -> ((s, dir) => {
+      Graph.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3)
+        .orderBy("id", "rnk")
+    }),
+
+    // PageRank centrality over the symmetrized kNN graph: a node whose
+    // similarity neighborhood is dense and well-connected is a
+    // template/mirror hub — a curation signal no per-document quality
+    // score can see. 5 fixed power-iteration rounds, rank re-quantized
+    // to 9 decimals each round (engine-portable determinism).
+    "graph_pagerank" -> ((s, dir) => {
+      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3)
+      Graph.pageRank(Graph.symmetrize(g), damping = 0.85, iters = 5)
         .orderBy("id")
     }),
 
@@ -2332,6 +2354,63 @@ private object OracleSql {
         |                       (sqrt(list_inner_product(a.v, a.v)) *
         |                        sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3) AS is_dup
         |FROM e a
+        |ORDER BY id""".stripMargin,
+
+    // Exact cosine kNN graph: same all-pairs scoring, per-node rank by
+    // (score desc, nb) — the window formulation IS the oracle for the
+    // bounded-aggregator plan (identical output by construction).
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb, score,
+        |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |      FROM p)
+        |SELECT id, nb, rnk, score FROM r WHERE rnk <= 3
+        |ORDER BY id, rnk""".stripMargin,
+
+    // PageRank over the symmetrized kNN graph, replayed as a recursive
+    // CTE: 5 rounds, rank rounded to 9 decimals per round (matching the
+    // Spark loop's re-quantization), teleport spelled (1.0 - 0.85)
+    // COMPUTED because 1.0-0.85 != 0.15 in doubles. The inner-join
+    // GROUP BY form assumes every node has an in-edge — guaranteed
+    // here: symmetrization gives each node in-degree >= k.
+    "graph_pagerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT id AS src, nb AS dst FROM r
+        |            UNION ALL SELECT nb, id FROM r)),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |pr(iter, id, rank) AS (
+        |  SELECT 0, id, round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 9)
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT p.iter + 1, e2.dst,
+        |         round((1.0::DOUBLE - 0.85) / (SELECT count(*) FROM nodes)
+        |               + 0.85 * (sum(p.rank / d.outdeg) + 0.0), 9)
+        |  FROM pr p
+        |  JOIN edges e2 ON e2.src = p.id
+        |  JOIN deg d ON d.src = p.id
+        |  WHERE p.iter < 5
+        |  GROUP BY p.iter, e2.dst
+        |)
+        |SELECT id, rank FROM pr WHERE iter = 5
         |ORDER BY id""".stripMargin,
 
     "text_metrics" ->

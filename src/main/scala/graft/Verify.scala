@@ -19,10 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Local-iteration subset (unset for driver runs): dump only the
+    // named queries AND only their oracles, so tools/check.py checks
+    // exactly the subset instead of failing on undumped results.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Oracle SQL first: if a query crashes the JVM mid-run, the queries
     // that DID complete remain checkable instead of losing the round.
-    writeOracleSql(outDir)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    writeOracleSql(outDir, only)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // Queries persist intermediates (BM25 tf, shingle tables); drop
       // them between queries so 25+ runs don't accumulate cached blocks.
       spark.catalog.clearCache()
@@ -38,7 +45,8 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL would otherwise make the
   // driver's json.load fail and silently zero the round's correctness.
-  private def writeOracleSql(outDir: String): Unit = {
+  private def writeOracleSql(outDir: String,
+                             only: Option[Set[String]] = None): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -49,6 +57,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     ()

