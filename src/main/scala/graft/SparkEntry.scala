@@ -722,6 +722,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Deterministic Lloyd k-means — the oracle-grade clustering tier
+    // (spark.ml KMeans in ivfAssign stays the production IVF path):
+    // init = the 4 lowest-id vectors, 3 fixed rounds, distances and
+    // centroid means re-quantized to 6 decimals so another engine
+    // replaying the update rule reproduces the clusters bit-for-bit.
+    "cluster_kmeans" -> ((s, dir) => {
+      graft.operators.Cluster.kmeansAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 4, iters = 3)
+        .orderBy("id")
+    }),
+
+    // Distributed PCA: one-pass d x d centered scatter via the
+    // map-side-combined GramAgg aggregator, fixed-round power iteration
+    // on the driver (bounded d x d scalar), codegen'd projection.
+    // (id, pc1, pc2) = each embedding's top-2 principal coordinates —
+    // the rotation that makes int8/PQ compression cheap and the 2-D
+    // corpus map for drift inspection.
+    "embedding_pca" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.operators.Pca.fit(emb, "embedding",
+        numComponents = 2, powerIters = 40)
+      graft.operators.Pca.transform(emb, "vec_id", "embedding", model)
+        .withColumnRenamed("vec_id", "id")
+        .orderBy("id")
+    }),
+
     // ----- text analysis (training-data pipeline) -----
     "text_metrics" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -2411,6 +2438,113 @@ private object OracleSql {
         |  GROUP BY p.iter, e2.dst
         |)
         |SELECT id, rank FROM pr WHERE iter = 5
+        |ORDER BY id""".stripMargin,
+
+    // Deterministic Lloyd k-means replayed as a recursive CTE: the same
+    // init (4 lowest-id vectors), the same `v.v - 2(v.c) + c.c` rounded
+    // distance with (dist, cluster) struct-min tie-breaks, the same
+    // 6-decimal centroid re-quantization per round. An empty cluster
+    // simply produces no centroid row — both engines drop it.
+    "cluster_kmeans" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |cent(iter, cluster, c) AS (
+        |  SELECT 0, cluster, v FROM init
+        |  UNION ALL
+        |  SELECT iter + 1, cluster, list(cm ORDER BY pos)
+        |  FROM (
+        |    SELECT a.iter, a.cluster, p.pos, round(avg(a.v[p.pos]), 6) AS cm
+        |    FROM (
+        |      SELECT c.iter, e.vec_id, e.v,
+        |             min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                    - 2 * list_inner_product(e.v, c.c)
+        |                    + list_inner_product(c.c, c.c), 6),
+        |                 cl := c.cluster)).cl AS cluster
+        |      FROM cent c, e
+        |      WHERE c.iter < 3
+        |      GROUP BY c.iter, e.vec_id, e.v
+        |    ) a, (SELECT unnest(generate_series(1, 64)) AS pos) p
+        |    GROUP BY a.iter, a.cluster, p.pos
+        |  )
+        |  GROUP BY iter, cluster
+        |),
+        |fin AS (SELECT cluster, c FROM cent WHERE iter = 3)
+        |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
+        |FROM (
+        |  SELECT e.vec_id,
+        |         min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                - 2 * list_inner_product(e.v, fin.c)
+        |                + list_inner_product(fin.c, fin.c), 6),
+        |             cl := fin.cluster)) AS m
+        |  FROM e, fin
+        |  GROUP BY e.vec_id)
+        |ORDER BY id""".stripMargin,
+
+    // Distributed PCA replayed in SQL: same rounded mean/scatter, the
+    // same UNNORMALIZED 12-round power iteration as a recursive CTE
+    // (no per-round rounding to disagree on), one end normalize +
+    // sign-pin + round, deflation re-rounded, then the projection.
+    "embedding_pca" ->
+      """WITH RECURSIVE
+        |pos AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS pos),
+        |ev AS MATERIALIZED (
+        |  SELECT vec_id, p.pos, embedding[p.pos]::DOUBLE AS val
+        |  FROM embeddings, pos p),
+        |mu AS MATERIALIZED (SELECT pos, round(avg(val), 6) AS m FROM ev GROUP BY 1),
+        |cv AS MATERIALIZED (
+        |  SELECT ev.vec_id, ev.pos, ev.val - mu.m AS val
+        |  FROM ev JOIN mu USING (pos)),
+        |g AS MATERIALIZED (
+        |  SELECT a.pos AS i, b.pos AS j, round(sum(a.val * b.val), 6) AS gv
+        |  FROM cv a JOIN cv b USING (vec_id)
+        |  GROUP BY 1, 2),
+        |pw1(iter, i, w) AS (
+        |  SELECT 0, p.pos, (CASE WHEN p.pos = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE FROM pos p
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.i,
+        |         round(t.gw / sqrt(sum(t.gw * t.gw) OVER (PARTITION BY t.iter)), 9)
+        |  FROM (SELECT p.iter, g.i, sum(g.gv * p.w) AS gw
+        |        FROM pw1 p JOIN g ON g.j = p.i
+        |        WHERE p.iter < 40
+        |        GROUP BY p.iter, g.i) t),
+        |raw1 AS MATERIALIZED (SELECT i, w FROM pw1 WHERE iter = 40),
+        |n1 AS (SELECT sqrt(sum(w*w)) AS n,
+        |              min(CASE WHEN abs(w) > 1e-12 THEN i END) AS fi FROM raw1),
+        |s1 AS (SELECT CASE WHEN (SELECT r.w FROM raw1 r, n1 WHERE r.i = n1.fi) < 0
+        |              THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sgn),
+        |e1 AS MATERIALIZED (SELECT raw1.i, round(s1.sgn * raw1.w / n1.n, 6) AS w
+        |                    FROM raw1, n1, s1),
+        |lam1 AS (SELECT round(sum(a.w * g.gv * b.w), 6) AS l
+        |         FROM g JOIN e1 a ON a.i = g.i JOIN e1 b ON b.i = g.j),
+        |g2 AS MATERIALIZED (
+        |  SELECT g.i, g.j, round(g.gv - lam1.l * a.w * b.w, 6) AS gv
+        |  FROM g, lam1, e1 a, e1 b WHERE a.i = g.i AND b.i = g.j),
+        |pw2(iter, i, w) AS (
+        |  SELECT 0, p.pos, (CASE WHEN p.pos = 1 THEN 1.0 ELSE 0.0 END)::DOUBLE FROM pos p
+        |  UNION ALL
+        |  SELECT t.iter + 1, t.i,
+        |         round(t.gw / sqrt(sum(t.gw * t.gw) OVER (PARTITION BY t.iter)), 9)
+        |  FROM (SELECT p.iter, g2.i, sum(g2.gv * p.w) AS gw
+        |        FROM pw2 p JOIN g2 ON g2.j = p.i
+        |        WHERE p.iter < 40
+        |        GROUP BY p.iter, g2.i) t),
+        |raw2 AS MATERIALIZED (SELECT i, w FROM pw2 WHERE iter = 40),
+        |dp2 AS (SELECT sum(r.w * e1.w) AS dp FROM raw2 r JOIN e1 ON e1.i = r.i),
+        |o2 AS MATERIALIZED (SELECT r.i, r.w - dp2.dp * e1.w AS w
+        |                    FROM raw2 r JOIN e1 ON e1.i = r.i, dp2),
+        |n2 AS (SELECT sqrt(sum(w*w)) AS n,
+        |              min(CASE WHEN abs(w) > 1e-12 THEN i END) AS fi FROM o2),
+        |s2 AS (SELECT CASE WHEN (SELECT o.w FROM o2 o, n2 WHERE o.i = n2.fi) < 0
+        |              THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sgn),
+        |e2 AS MATERIALIZED (SELECT o2.i, round(s2.sgn * o2.w / n2.n, 6) AS w
+        |                    FROM o2, n2, s2)
+        |SELECT cv.vec_id AS id,
+        |       round(sum(cv.val * e1.w), 6) AS pc1,
+        |       round(sum(cv.val * e2.w), 6) AS pc2
+        |FROM cv JOIN e1 ON e1.i = cv.pos JOIN e2 ON e2.i = cv.pos
+        |GROUP BY cv.vec_id
         |ORDER BY id""".stripMargin,
 
     "text_metrics" ->

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cluster
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toDf(vs: Seq[(Long, Seq[Double])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("separable blobs: members group with their blob, centroids converge") {
+    // three tight blobs around (0,0), (10,0), (0,10); ids interleaved so
+    // init picks one vector from each blob plus a duplicate-ish one
+    val pts = Seq[(Long, Seq[Double])](
+      (0L, Seq(0.1, 0.0)), (1L, Seq(10.1, 0.0)), (2L, Seq(0.0, 10.1)),
+      (3L, Seq(-0.1, 0.1)), (4L, Seq(9.9, -0.1)), (5L, Seq(0.1, 9.9)),
+      (6L, Seq(0.0, -0.1)), (7L, Seq(10.0, 0.1)), (8L, Seq(-0.1, 10.0)))
+    val asg = Cluster.kmeansAssign(toDf(pts), "vec_id", "embedding",
+        k = 3, iters = 4)
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(asg(0L) == asg(3L) && asg(3L) == asg(6L))
+    assert(asg(1L) == asg(4L) && asg(4L) == asg(7L))
+    assert(asg(2L) == asg(5L) && asg(5L) == asg(8L))
+    assert(Set(asg(0L), asg(1L), asg(2L)).size == 3)
+  }
+
+  test("deterministic across runs and input order") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val a = Cluster.kmeansAssign(emb, "vec_id", "embedding", 4, 3)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    val b = Cluster.kmeansAssign(emb.orderBy(desc("vec_id")), "vec_id",
+        "embedding", 4, 3)
+      .orderBy("id").as[(Long, Int, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("emptied cluster drops instead of lingering") {
+    // duplicate init vectors: every point ties and the tie-break sends
+    // it to cluster 0, so cluster 1 empties after round 1 and must not
+    // reappear in later rounds or the final assignment.
+    val pts = Seq[(Long, Seq[Double])](
+      (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(0.1, 0.0)),
+      (3L, Seq(0.1, 0.1)), (4L, Seq(0.0, 0.1)))
+    val cents = Cluster.fitCentroids(toDf(pts), "vec_id", "embedding",
+      k = 2, iters = 3)
+    assert(cents.size == 1, s"expected lone surviving centroid, got $cents")
+    assert(cents.keySet == Set(0))
+    val asg = Cluster.kmeansAssign(toDf(pts), "vec_id", "embedding", 2, 3)
+      .select("cluster").distinct().as[Int].collect().toSeq
+    assert(asg == Seq(0))
+  }
+
+  test("iters=0 assigns against the raw init vectors") {
+    val pts = Seq[(Long, Seq[Double])](
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.0)))
+    val asg = Cluster.kmeansAssign(toDf(pts), "vec_id", "embedding",
+        k = 2, iters = 0)
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(asg(0L) == 0 && asg(1L) == 1 && asg(2L) == 1)
+  }
+
+  test("distance ties break to the smaller cluster id") {
+    // two identical init vectors: every point is equidistant to both
+    val pts = Seq[(Long, Seq[Double])](
+      (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(2.0, 0.5)))
+    val asg = Cluster.kmeansAssign(toDf(pts), "vec_id", "embedding",
+        k = 2, iters = 1)
+      .select("cluster").distinct().as[Int].collect().toSeq
+    assert(asg == Seq(0))
+  }
+}
