@@ -111,30 +111,54 @@ object Graph {
     * 100 TB you would watch the L1 delta instead, same plan per round. */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 5,
                roundTo: Int = 9): DataFrame = {
+    // Persist the raw edge list FIRST: deg, nodes, eout and the
+    // dangling probe all derive from it, and an upstream edge source
+    // can itself be expensive (the kNN graph) — without this cache
+    // each derivation would re-run that upstream plan.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    // loop-invariant: the edge list already joined to its out-degree —
+    // materialized once instead of re-joined every round
+    val eout = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
       val nodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // One count: n sizes the teleport term — the documented O(1)
-      // driver scalar (same stance as the nprobe centroid ranking).
+      // Two one-time driver scalars (the nprobe stance): n sizes the
+      // teleport term; hasDangling decides ONCE whether the per-round
+      // dangling-mass subplan exists at all — a symmetrized similarity
+      // graph never has dangling nodes, and dropping the subplan saves
+      // two stages per round. Arithmetic is identical either way: the
+      // no-dangling branch adds the same literal 0.0 the dangling
+      // branch's empty aggregate produces.
       val n = nodes.count().toDouble
+      val hasDangling = nodes
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .limit(1).count() > 0
       val teleport = (1.0 - damping) / n
       var rank = nodes.select(col("id"),
         round(lit(1.0 / n), roundTo).as("rank"))
       for (_ <- 0 until iters) {
-        val contrib = e.join(deg, "src")
+        val contrib = eout
           .join(rank.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-        val dangling = rank
-          .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-          .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-        rank = nodes.join(contrib, Seq("id"), "left")
-          .crossJoin(broadcast(dangling))
+        val withDm =
+          if (hasDangling) {
+            val dangling = rank
+              .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+              .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+            nodes.join(contrib, Seq("id"), "left")
+              .crossJoin(broadcast(dangling))
+          } else {
+            nodes.join(contrib, Seq("id"), "left")
+              .withColumn("dm", lit(0.0))
+          }
+        rank = withDm
           .select(col("id"),
             round(lit(teleport) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
@@ -143,7 +167,7 @@ object Graph {
       }
       nodes.unpersist()
       rank
-    } finally { e.unpersist(); () }
+    } finally { eout.unpersist(); e.unpersist(); () }
   }
 
   /** Symmetrize a (id, nb) neighbor table into a distinct directed edge
