@@ -722,6 +722,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Label spreading (Zhou et al. 2004) over the kNN graph: every 5th
+    // vector seeds its label, 4 diffusion rounds, per-node argmax with
+    // (score desc, label) tie-break — the classifier-bootstrapping step
+    // that expands a small labeled set across the similarity structure.
+    "graph_label_spread" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val g = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
+      val seeds = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("id"), col("label"))
+      val spread = Graph.labelSpread(Graph.symmetrize(g), seeds,
+        alpha = 0.85, iters = 4)
+      val w = Window.partitionBy("id").orderBy(desc("score"), col("label"))
+      spread.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("id", "label", "score")
+        .orderBy("id")
+    }),
+
     // Deterministic Lloyd k-means — the oracle-grade clustering tier
     // (spark.ml KMeans in ivfAssign stays the production IVF path):
     // init = the 4 lowest-id vectors, 3 fixed rounds, distances and
@@ -2425,12 +2444,14 @@ private object OracleSql {
         |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
         |nodes AS (SELECT DISTINCT src AS id FROM edges),
         |pr(iter, id, rank) AS (
-        |  SELECT 0, id, round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 9)
+        |  SELECT 0, id, floor((1.0::DOUBLE / (SELECT count(*) FROM nodes))
+        |                 * 1073741824.0) / 1073741824.0
         |  FROM nodes
         |  UNION ALL
         |  SELECT p.iter + 1, e2.dst,
-        |         round((1.0::DOUBLE - 0.85) / (SELECT count(*) FROM nodes)
-        |               + 0.85 * (sum(p.rank / d.outdeg) + 0.0), 9)
+        |         floor(((1.0::DOUBLE - 0.85) / (SELECT count(*) FROM nodes)
+        |               + 0.85 * (sum(p.rank / d.outdeg) + 0.0))
+        |               * 1073741824.0) / 1073741824.0
         |  FROM pr p
         |  JOIN edges e2 ON e2.src = p.id
         |  JOIN deg d ON d.src = p.id
@@ -2438,6 +2459,51 @@ private object OracleSql {
         |  GROUP BY p.iter, e2.dst
         |)
         |SELECT id, rank FROM pr WHERE iter = 5
+        |ORDER BY id""".stripMargin,
+
+    // Label spreading replayed recursively: sparse (id, label, score)
+    // state; the FULL OUTER join re-injects the clamped seed term each
+    // round (seed weight spelled (1.0 - 0.85) COMPUTED); per-round
+    // 9-decimal requantization; final per-node argmax.
+    "graph_label_spread" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT id AS src, nb AS dst FROM r
+        |            UNION ALL SELECT nb, id FROM r)),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+        |seeds AS (SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 5 = 0),
+        |st(iter, id, label, score) AS (
+        |  SELECT 0, id, label, 1.0::DOUBLE FROM seeds
+        |  UNION ALL
+        |  SELECT coalesce(c.iter, (SELECT min(iter) FROM st)) + 1,
+        |         coalesce(c.id, s.id), coalesce(c.label, s.label),
+        |         floor((0.85 * coalesce(c.contrib, 0.0) + coalesce(s.sw, 0.0))
+        |               * 1073741824.0) / 1073741824.0
+        |  FROM (SELECT p2.iter, e2.dst AS id, p2.label,
+        |               sum(p2.score / d.outdeg) AS contrib
+        |        FROM st p2 JOIN edges e2 ON e2.src = p2.id JOIN deg d ON d.src = p2.id
+        |        WHERE p2.iter < 4
+        |        GROUP BY p2.iter, e2.dst, p2.label) c
+        |  FULL OUTER JOIN (SELECT id, label, (1.0::DOUBLE - 0.85) AS sw FROM seeds
+        |                   WHERE (SELECT min(iter) FROM st) < 4) s
+        |    ON s.id = c.id AND s.label = c.label
+        |)
+        |SELECT id, label, score FROM (
+        |  SELECT id, label, score,
+        |         row_number() OVER (PARTITION BY id ORDER BY score DESC, label) AS rn
+        |  FROM st WHERE iter = 4)
+        |WHERE rn = 1
         |ORDER BY id""".stripMargin,
 
     // Deterministic Lloyd k-means replayed as a recursive CTE: the same

@@ -87,17 +87,37 @@ object Graph {
         (col("pos") + 1).as("rnk"), col("t.score").as("score"))
   }
 
+  /** Quantize a score column onto the 2^-bits binary grid (floor).
+    *
+    * Decimal `round(x, 9)` is NOT engine-portable for graph
+    * iterations: `score / outdeg` arithmetic with small integer
+    * degrees systematically produces values whose shortest decimal
+    * representation ends exactly in ...5 at the rounding digit, where
+    * Spark's decimal-string HALF_UP and DuckDB's float-multiply
+    * `round()` disagree (observed as a 1e-9 flap on
+    * graph_label_spread at sf0.01). Power-of-two scaling is EXACT in
+    * IEEE doubles (it only shifts the exponent), so `floor` on the
+    * scaled value has no tie rule at all — both engines agree
+    * whenever their pre-quantization sums fall in the same 2^-bits
+    * cell, and nothing in 1/3-type arithmetic favors binary cell
+    * boundaries the way it favors decimal halves. */
+  private[operators] def quant(c: Column, bits: Int): Column = {
+    val s = math.pow(2, bits)
+    floor(c * lit(s)).cast("double") / lit(s)
+  }
+
   /** PageRank by fixed-round power iteration over a directed edge list
     * (src, dst) — undirected graphs pass both directions. Returns
     * (id, rank) over nodes = distinct(src union dst).
     *
     * Engine-portable determinism (the repo-wide oracle stance): ranks
-    * round to `roundTo` decimals after EVERY update, so two engines
-    * whose per-node contribution sums differ in the last float bit
-    * re-quantize to identical values each round instead of compounding;
-    * the teleport term is written `(1 - damping) / n` COMPUTED — not a
-    * pre-simplified literal — because `1.0 - 0.85 != 0.15` in doubles
-    * (the [[Knn.mmrRerank]] lesson).
+    * quantize onto the 2^-quantBits grid ([[quant]]) after EVERY
+    * update, so two engines whose per-node contribution sums differ in
+    * the last float bit re-quantize to identical values each round
+    * instead of compounding; the teleport term is written
+    * `(1 - damping) / n` COMPUTED — not a pre-simplified literal —
+    * because `1.0 - 0.85 != 0.15` in doubles (the [[Knn.mmrRerank]]
+    * lesson).
     *
     * Dangling nodes (in-edges only) leak rank mass under the naive
     * update; the standard fix redistributes their mass uniformly. That
@@ -110,7 +130,7 @@ object Graph {
     * thus the oracle's recursion depth — identical across engines; at
     * 100 TB you would watch the L1 delta instead, same plan per round. */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 5,
-               roundTo: Int = 9): DataFrame = {
+               quantBits: Int = 30): DataFrame = {
     // Persist the raw edge list FIRST: deg, nodes, eout and the
     // dangling probe all derive from it, and an upstream edge source
     // can itself be expensive (the kNN graph) — without this cache
@@ -141,7 +161,7 @@ object Graph {
         .limit(1).count() > 0
       val teleport = (1.0 - damping) / n
       var rank = nodes.select(col("id"),
-        round(lit(1.0 / n), roundTo).as("rank"))
+        quant(lit(1.0 / n), quantBits).as("rank"))
       for (_ <- 0 until iters) {
         val contrib = eout
           .join(rank.withColumnRenamed("id", "src"), "src")
@@ -160,9 +180,9 @@ object Graph {
           }
         rank = withDm
           .select(col("id"),
-            round(lit(teleport) + lit(damping) *
+            quant(lit(teleport) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
-              roundTo).as("rank"))
+              quantBits).as("rank"))
           .localCheckpoint()
       }
       nodes.unpersist()
@@ -178,4 +198,64 @@ object Graph {
     pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+
+  /** Label spreading over a directed edge list (Zhou et al. 2004,
+    * "Learning with Local and Global Consistency", random-walk
+    * normalized): a small SEED set of labeled nodes propagates labels
+    * across the similarity graph — the classifier-bootstrapping step a
+    * curation pipeline uses to expand a few thousand human quality
+    * labels to a whole corpus before training a cheap model on the
+    * result.
+    *
+    * State is the SPARSE (id, label, score) table — only labels that
+    * have reached a node carry rows, so state is O(reached nodes x
+    * nearby labels), never nodes x labels. Each round:
+    *
+    *   score'(v, l) = round(alpha * sum_{u->v} score(u, l)/outdeg(u)
+    *                        + (1 - alpha) * seed(v, l), rounds)
+    *
+    * with seed(v, l) = 1 for v's seed label — seeds keep injecting
+    * their identity (the clamping that distinguishes spreading from
+    * plain diffusion). Same execution scaffold as [[pageRank]]: the
+    * edge+degree join hoisted and cached, one dst-keyed shuffle per
+    * round, per-round binary-grid requantization ([[quant]]) for
+    * engine portability,
+    * localCheckpoint lineage truncation.
+    *
+    * Returns (id, label, score) for every (node, label) the diffusion
+    * reached; argmax with a smaller-label tie-break gives the
+    * prediction (left to the caller/query so the full distribution
+    * stays available for confidence thresholds). */
+  def labelSpread(edges: DataFrame, seeds: DataFrame,
+                  alpha: Double = 0.85, iters: Int = 4,
+                  quantBits: Int = 30): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("id").cast("long").as("id"),
+        col("label").cast("int").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val eout = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedTerm = sd.select(col("id"), col("label"),
+        lit(1.0 - alpha).as("seed"))
+      var state = sd.select(col("id"), col("label"), lit(1.0).as("score"))
+      for (_ <- 0 until iters) {
+        val contrib = eout
+          .join(state.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"), col("label"))
+          .agg(sum(col("score") / col("outdeg")).as("contrib"))
+        state = contrib
+          .join(seedTerm, Seq("id", "label"), "full_outer")
+          .select(col("id"), col("label"),
+            quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
+              + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
+          .localCheckpoint()
+      }
+      state
+    } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
+  }
 }

@@ -70,6 +70,28 @@ class GraphSpec extends SparkSpec {
     assert(pr(2L) > pr(1L)) // 2 receives 1's rank plus its own share
   }
 
+  test("labelSpread recovers held-out blob labels from two seeds") {
+    // two directional blobs (even ids along e1, odd along e2, distinct
+    // jitters so the kNN graph chains through each blob); one seed per
+    // blob must label everything the diffusion reaches correctly
+    val pts = (0 until 40).map { i =>
+      val j = i * 0.01
+      val v = if (i % 2 == 0) Seq(1.0, j) else Seq(j, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Graph.knnGraph(pts, "vec_id", "embedding", k = 3)
+    val seeds = Seq((0L, 0), (1L, 1)).toDF("id", "label")
+    val spread = Graph.labelSpread(Graph.symmetrize(g), seeds, iters = 10)
+    val best = spread.as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.minBy(r => (-r._3, r._2))._2
+      }
+    assert(best.size >= 30, s"diffusion reached only ${best.size} nodes")
+    best.foreach { case (id, l) =>
+      assert(l == (id % 2).toInt, s"node $id labeled $l")
+    }
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
