@@ -722,6 +722,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // The production-tier LSH kNN graph as its own oracle-checked query
+    // (same knobs GraphSpec measures recall at): multi-table sign-LSH
+    // bucket candidates, exact cosine re-rank — the formulation that
+    // replaces knn_graph's O(n^2) cross join at 100 TB.
+    "knn_graph_lsh" -> ((s, dir) => {
+      Graph.knnGraphLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3, dims = 64, bits = 4, tables = 8)
+        .orderBy("id", "rnk")
+    }),
+
+    // Per-node triangle counts + local clustering coefficient over the
+    // kNN graph — community-density signal (template farms / near-dup
+    // neighborhoods show up as high-clustering regions). All-integer
+    // wedge-join counting; each triangle counted once at its smallest
+    // vertex, credited to all three corners.
+    "graph_triangles" -> ((s, dir) => {
+      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3)
+      Graph.triangleCounts(Graph.symmetrize(g)).orderBy("id")
+    }),
+
     // Label spreading (Zhou et al. 2004) over the kNN graph: every 5th
     // vector seeds its label, 4 diffusion rounds, per-node argmax with
     // (score desc, label) tie-break — the classifier-bootstrapping step
@@ -2460,6 +2481,82 @@ private object OracleSql {
         |)
         |SELECT id, rank FROM pr WHERE iter = 5
         |ORDER BY id""".stripMargin,
+
+    // The LSH-blocked kNN graph replayed end to end: splitmix64 plane
+    // derivation in HUGEINT mod-2^64 arithmetic (the hashEmbedCtes
+    // machinery), per-(table, bit) projections, bucket keys, bucket
+    // self-join candidates, exact cosine re-rank. The oracle's plane
+    // weights skip the final /2^63 scaling (sign-equivalent: only
+    // proj > 0 matters, and the HUGEINT->DOUBLE cast is last-ulp
+    // portable where the scaled division is not).
+    "knn_graph_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bt AS (SELECT t.t, b.b, d.d, (1000 + t.t + b.b * 1000003 + d.d)::HUGEINT AS z0
+        |       FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+        |            (SELECT unnest(generate_series(0, 3)) AS b) b,
+        |            (SELECT unnest(generate_series(0, 63)) AS d) d),
+        |p0 AS (SELECT t, b, d, (z0 + 11400714819323198485) % 18446744073709551616 AS z FROM bt),
+        |p1 AS (SELECT t, b, d, xor(z, z // 1073741824) AS z FROM p0),
+        |p2 AS (SELECT t, b, d, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p3 AS (SELECT t, b, d, xor(z, z // 134217728) AS z FROM p2),
+        |p4 AS (SELECT t, b, d, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p3),
+        |p5 AS (SELECT t, b, d, xor(z, z // 2147483648) AS z FROM p4),
+        |pl AS (SELECT t, b, d,
+        |        (CASE WHEN z >= 9223372036854775808 THEN z - 18446744073709551616 ELSE z END)::DOUBLE AS w
+        |       FROM p5),
+        |ev AS (SELECT vec_id, d.d, v[d.d + 1] AS val
+        |       FROM e, (SELECT unnest(generate_series(0, 63)) AS d) d),
+        |pj AS (SELECT ev.vec_id, pl.t, pl.b, sum(ev.val * pl.w) AS proj
+        |       FROM ev JOIN pl USING (d) GROUP BY 1, 2, 3),
+        |ky AS (SELECT vec_id, t,
+        |        sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END) AS key
+        |       FROM pj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
+        |         FROM ky a JOIN ky b ON a.t = b.t AND a.key = b.key AND a.vec_id <> b.vec_id),
+        |sc AS (SELECT c.id, c.nb,
+        |        round(list_inner_product(ea.v, eb.v) /
+        |              (sqrt(list_inner_product(ea.v, ea.v)) *
+        |               sqrt(list_inner_product(eb.v, eb.v))), 6) AS score
+        |       FROM cand c JOIN e ea ON ea.vec_id = c.id JOIN e eb ON eb.vec_id = c.nb),
+        |r AS (SELECT id, nb, score,
+        |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk FROM sc)
+        |SELECT id, nb, rnk, score FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    // Triangle counting replayed relationally: oriented wedge join
+    // (a<b<c), each triangle credited to its three corners; integer
+    // counts, coefficient rounded at the end only.
+    "graph_triangles" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT id AS src, nb AS dst FROM r
+        |            UNION ALL SELECT nb, id FROM r)),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1),
+        |fwd AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+        |tris AS (
+        |  SELECT w.a, w.b, w.c
+        |  FROM (SELECT f1.a, f1.b AS b, f2.b AS c
+        |        FROM fwd f1 JOIN fwd f2 USING (a) WHERE f1.b < f2.b) w
+        |  JOIN fwd f3 ON f3.a = w.b AND f3.b = w.c),
+        |tc AS (SELECT id, count(*) AS triangles FROM (
+        |         SELECT a AS id FROM tris
+        |         UNION ALL SELECT b FROM tris
+        |         UNION ALL SELECT c FROM tris) GROUP BY 1)
+        |SELECT d.id, d.degree, coalesce(tc.triangles, 0) AS triangles,
+        |       CASE WHEN d.degree < 2 THEN 0.0
+        |            ELSE round(2.0 * coalesce(tc.triangles, 0)
+        |                       / (d.degree * (d.degree - 1)), 6) END AS clustering
+        |FROM deg d LEFT JOIN tc USING (id)
+        |ORDER BY d.id""".stripMargin,
 
     // Label spreading replayed recursively: sparse (id, label, score)
     // state; the FULL OUTER join re-injects the clamped seed term each

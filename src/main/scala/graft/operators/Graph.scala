@@ -199,6 +199,52 @@ object Graph {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
 
+  /** Per-node triangle count and local clustering coefficient over an
+    * UNDIRECTED graph given as a symmetric directed edge list (both
+    * directions present, no self-loops — [[symmetrize]]'s output).
+    * Returns (id, degree, triangles, clustering) with clustering =
+    * round(2*triangles / (degree*(degree-1)), 6) and 0.0 for degree<2.
+    *
+    * Triangles are the standard curation signal for community density:
+    * a near-dup cluster or template farm shows up as a
+    * high-clustering-coefficient neighborhood long before connected
+    * components merge it. All-integer counting — no float portability
+    * concerns until the final coefficient.
+    *
+    * Plan shape: count each triangle once at its smallest vertex via
+    * the oriented wedge join (a<b<c: edges a-b, a-c checked against
+    * b-c), then credit all three corners — three shuffles on edge keys,
+    * never a matrix product. Skew: a hub of degree D contributes D^2/2
+    * wedges — the standard cost of exact triangle counting; cap-degree
+    * sampling is the documented approximation if a crawl-scale hub
+    * appears (not needed at fixture scale). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+      // oriented edges a<b ensure each triangle is ONE (a,b,c) wedge hit
+      val fwd = e.filter(col("src") < col("dst"))
+      val wedges = fwd.select(col("src").as("a"), col("dst").as("b"))
+        .join(fwd.select(col("src").as("a"), col("dst").as("c")), "a")
+        .filter(col("b") < col("c"))
+      val tris = wedges.join(
+        fwd.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      val perCorner = tris.select(col("a").as("id"))
+        .union(tris.select(col("b").as("id")))
+        .union(tris.select(col("c").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("triangles"))
+      deg.join(perCorner, Seq("id"), "left")
+        .select(col("id"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("degree") < 2, lit(0.0)).otherwise(
+            round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+    } finally { e.unpersist(); () }
+  }
+
   /** Label spreading over a directed edge list (Zhou et al. 2004,
     * "Learning with Local and Global Consistency", random-walk
     * normalized): a small SEED set of labeled nodes propagates labels

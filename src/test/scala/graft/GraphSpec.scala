@@ -70,6 +70,18 @@ class GraphSpec extends SparkSpec {
     assert(pr(2L) > pr(1L)) // 2 receives 1's rank plus its own share
   }
 
+  test("triangleCounts on the triangle+tail graph") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    val t = Graph.triangleCounts(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(t(1L) == ((3L, 1L, 0.333333)))
+    assert(t(2L) == ((2L, 1L, 1.0)))
+    assert(t(3L) == ((2L, 1L, 1.0)))
+    assert(t(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("labelSpread recovers held-out blob labels from two seeds") {
     // two directional blobs (even ids along e1, odd along e2, distinct
     // jitters so the kNN graph chains through each blob); one seed per
