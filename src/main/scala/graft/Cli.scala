@@ -33,6 +33,10 @@ import graft.sources.FileIngest
   *   graft.Cli dedup  --docs <dir|corpus.jsonl|media dir> --out <dir>
   *                    [--method exact|minhash|simhash|phash|audiofp]
   *                    [--minj 0.8] [--max-dist 3]
+  *   graft.Cli analyze --embeddings <parquet> --out <dir>
+  *                    --op pagerank|triangles|spread|kmeans|pca
+  *                    [--k 3] [--lsh] [--clusters 8] [--iters n]
+  *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
   *   graft.Cli export <name> --out <dir> [--format jsonl|parquet|native]
@@ -130,7 +134,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -156,7 +160,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
-      "|compact|export|import|clean|dedup|tokenize|select-dsir|export-training" +
+      "|compact|export|import|clean|dedup|analyze|tokenize|select-dsir|export-training" +
       "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
@@ -487,6 +491,62 @@ object Cli {
         val kept = spark.read.parquet(out).count()
         println(s"dedup: kept $kept of $total documents -> $out")
         graft.operators.Dedup.releaseCaches() // see clean
+        spark.stop()
+
+      case "analyze" =>
+        // Corpus-structure analytics over an embeddings parquet: the
+        // graph/cluster/decomposition tier as a one-command pass.
+        //   pagerank  — kNN-graph PageRank centrality (template hubs)
+        //   triangles — per-node triangle counts + clustering coeff
+        //   spread    — label spreading from --seeds (id, label) parquet
+        //   kmeans    — deterministic Lloyd assignment (id, cluster, dist)
+        //   pca       — top-2 principal coordinates (id, pc1, pc2)
+        // Graph ops build the exact kNN graph by default; --lsh swaps in
+        // the sign-LSH blocked tier (the 100 TB formulation).
+        val usage = "usage: analyze --embeddings <parquet> --out <dir> " +
+          "--op pagerank|triangles|spread|kmeans|pca [--id-col vec_id] " +
+          "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
+          "[--clusters 8] [--iters <n>] [--seeds <parquet>]"
+        val embPath = flags.getOrElse("embeddings", fail(usage))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val op = flags.getOrElse("op", fail("--op required; " + usage))
+        val idCol = flags.getOrElse("id-col", "vec_id")
+        val vecCol = flags.getOrElse("vec-col", "embedding")
+        val k = flags.get("k").map(_.toInt).getOrElse(3)
+        val spark = session()
+        import org.apache.spark.sql.functions.{col, size}
+        val emb = spark.read.parquet(embPath)
+        val G = graft.operators.Graph
+        def graph() = {
+          if (flags.contains("lsh")) {
+            val dims = emb.select(size(col(vecCol))).head().getInt(0)
+            G.knnGraphLsh(emb, idCol, vecCol, k, dims,
+              bits = flags.get("bits").map(_.toInt).getOrElse(8),
+              tables = flags.get("tables").map(_.toInt).getOrElse(4))
+          } else G.knnGraph(emb, idCol, vecCol, k)
+        }
+        val result = op match {
+          case "pagerank" =>
+            G.pageRank(G.symmetrize(graph()),
+              iters = flags.get("iters").map(_.toInt).getOrElse(5))
+          case "triangles" =>
+            G.triangleCounts(G.symmetrize(graph()))
+          case "spread" =>
+            val seeds = spark.read.parquet(
+              flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))
+            G.labelSpread(G.symmetrize(graph()), seeds,
+              iters = flags.get("iters").map(_.toInt).getOrElse(4))
+          case "kmeans" =>
+            graft.operators.Cluster.kmeansAssign(emb, idCol, vecCol,
+              k = flags.get("clusters").map(_.toInt).getOrElse(8),
+              iters = flags.get("iters").map(_.toInt).getOrElse(5))
+          case "pca" =>
+            val model = graft.operators.Pca.fit(emb, vecCol)
+            graft.operators.Pca.transform(emb, idCol, vecCol, model)
+          case other => fail(s"unknown --op $other; $usage")
+        }
+        result.write.mode("overwrite").parquet(out)
+        println(s"analyze: $op -> $out (${spark.read.parquet(out).count()} rows)")
         spark.stop()
 
       case "tokenize" =>

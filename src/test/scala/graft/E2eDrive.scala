@@ -60,5 +60,20 @@ object E2eDrive {
     val surv = spark2.read.parquet(dedupOut).count()
     println(s"CLI_DEDUP_PHASH survivors=$surv of 7 (expected 4)")
     spark2.stop()
+
+    // CLI analyze smoke, end to end through Cli.main: PageRank + PCA
+    // over the sf0.001 embeddings parquet — one row per vector each.
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val prOut = java.nio.file.Files.createTempDirectory("graft-e2e-an").toString
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/pr",
+      "--op", "pagerank", "--k", "3"))
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/pca",
+      "--op", "pca"))
+    val spark3 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val prN = spark3.read.parquet(s"$prOut/pr").count()
+    val pcaN = spark3.read.parquet(s"$prOut/pca").count()
+    println(s"CLI_ANALYZE pagerank=$prN pca=$pcaN (expected 500/500)")
+    spark3.stop()
   }
 }
