@@ -774,6 +774,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Cluster-balanced sampling: exactly 30 embeddings per
+    // deterministic k-means cluster (stratifiedSample composed over
+    // kmeansAssign) — the topic-balancing draw that keeps a dominant
+    // cluster from swamping a training mix. Same composition precedent
+    // as tokenize_pack / curriculum_pack.
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val clusters = graft.operators.Cluster.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 3)
+      graft.operators.TrainExport.stratifiedSample(
+          clusters, "id", "cluster", n = 30, seed = "r10")
+        .select("id", "cluster").orderBy("id")
+    }),
+
     // Distributed PCA: one-pass d x d centered scatter via the
     // map-side-combined GramAgg aggregator, fixed-round power iteration
     // on the driver (bounded d x d scalar), codegen'd projection.
@@ -2643,6 +2656,55 @@ private object OracleSql {
         |             cl := fin.cluster)) AS m
         |  FROM e, fin
         |  GROUP BY e.vec_id)
+        |ORDER BY id""".stripMargin,
+
+    // Cluster-balanced sampling replayed: the full k-means recursion,
+    // then the md5-hex-key row_number draw per cluster (the
+    // sample_stratified oracle shape).
+    "sample_cluster_balanced" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |cent(iter, cluster, c) AS (
+        |  SELECT 0, cluster, v FROM init
+        |  UNION ALL
+        |  SELECT iter + 1, cluster, list(cm ORDER BY pos)
+        |  FROM (
+        |    SELECT a.iter, a.cluster, p.pos, round(avg(a.v[p.pos]), 6) AS cm
+        |    FROM (
+        |      SELECT c.iter, e.vec_id, e.v,
+        |             min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                    - 2 * list_inner_product(e.v, c.c)
+        |                    + list_inner_product(c.c, c.c), 6),
+        |                 cl := c.cluster)).cl AS cluster
+        |      FROM cent c, e
+        |      WHERE c.iter < 3
+        |      GROUP BY c.iter, e.vec_id, e.v
+        |    ) a, (SELECT unnest(generate_series(1, 64)) AS pos) p
+        |    GROUP BY a.iter, a.cluster, p.pos
+        |  )
+        |  GROUP BY iter, cluster
+        |),
+        |fin AS (SELECT cluster, c FROM cent WHERE iter = 3),
+        |asg AS (
+        |  SELECT vec_id AS id, m.cl AS cluster
+        |  FROM (
+        |    SELECT e.vec_id,
+        |           min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                  - 2 * list_inner_product(e.v, fin.c)
+        |                  + list_inner_product(fin.c, fin.c), 6),
+        |               cl := fin.cluster)) AS m
+        |    FROM e, fin
+        |    GROUP BY e.vec_id))
+        |SELECT id, cluster FROM (
+        |  SELECT id, cluster,
+        |         row_number() OVER (
+        |           PARTITION BY cluster
+        |           ORDER BY substr(md5('r10:' || CAST(id AS VARCHAR)), 1, 8),
+        |                    id) AS rn
+        |  FROM asg)
+        |WHERE rn <= 30
         |ORDER BY id""".stripMargin,
 
     // Distributed PCA replayed in SQL: same rounded mean/scatter, the

@@ -104,6 +104,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: knnGraph top-k combines map-side; kmeans assignment is shuffle-free") {
+    // The n^2 scored pairs must meet a PARTIAL object-hash aggregate
+    // before any exchange — k rows per (task, node) cross the wire,
+    // never the pair table.
+    val g = Graph.knnGraph(emb.limit(50), "vec_id", "embedding", k = 3)
+    val plan = g.queryExecution.executedPlan.toString
+    // the map-side partial of the bounded aggregator must exist: k rows
+    // per (task, node) cross any exchange, never the scored pair table
+    assert(plan.contains("partial_topkbyscore"),
+      s"expected a partial TopKByScore below the exchange:\n$plan")
+    // k-means assignment: codegen'd dots against literal centroids —
+    // the final assignment stage plans with no Exchange at all.
+    val asg = graft.operators.Cluster.kmeansAssign(
+      emb.limit(50), "vec_id", "embedding", k = 2, iters = 0)
+    val asgPlan = asg.queryExecution.executedPlan.toString
+    assert(!asgPlan.contains("Exchange"),
+      s"kmeans assignment should be shuffle-free:\n$asgPlan")
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
