@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.VectorFunctions.{asDouble, cosine}
+import graft.functions.VectorFunctions.{asDouble, cosine, dot}
 
 /** Similarity-graph operators for corpus curation.
   *
@@ -35,13 +35,22 @@ object Graph {
     * (map task, node), never the n^2 scored-pair table. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
+    // Norms are per-ROW quantities: compute sqrt(v.v) once per side
+    // before the join instead of letting the cosine expand to three
+    // dot products per PAIR (3x the flops on an n^2 join). Same
+    // arithmetic per score — dot/(na*nb) with na,nb the identical
+    // sequential self-dots — so results are bit-identical to the
+    // inline-cosine formulation the oracle replays.
     val a = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("va"))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val b = emb.select(col(idCol).cast("long").as("nb"),
       asDouble(col(vecCol)).as("vb"))
+      .withColumn("nb_n", sqrt(dot(col("vb"), col("vb"))))
     val scored = a.crossJoin(b).filter(col("id") =!= col("nb"))
       .select(col("id"), col("nb"),
-        round(cosine(col("va"), col("vb")), 6).as("score"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
+          .as("score"))
     topKPerNode(scored, k)
   }
 
@@ -66,6 +75,9 @@ object Graph {
         .filter(col("id") =!= col("nb"))
         .select("id", "nb", "va", "vb")
     }.reduce(_ union _).dropDuplicates("id", "nb")
+    // per-pair norms here (unlike knnGraph's per-side hoist): after the
+    // multi-table union + dedup the vectors already travelled with the
+    // pair row, and the candidate set is bucket-sparse, not n^2
     val scored = candidates.select(col("id"), col("nb"),
       round(cosine(col("va"), col("vb")), 6).as("score"))
     topKPerNode(scored, k)
