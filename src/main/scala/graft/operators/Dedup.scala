@@ -585,16 +585,20 @@ object Dedup {
     * blocking column when no cluster assignment exists yet. */
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
                         dims: Int, bits: Int, minCosine: Double): DataFrame = {
+    // per-side norm hoist (see semanticDedup): one dot per pair
     val keyed = emb.select(col(idCol).as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("v"),
       Knn.signLshKey(col(vecCol), dims, bits).as("bucket"))
-    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("n", VectorFunctions.l2Norm(col("v")))
+    val a = keyed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.dot(col("v_a"), col("v_b")) /
-          (VectorFunctions.l2Norm(col("v_a")) * VectorFunctions.l2Norm(col("v_b"))), 6).as("cosine"))
+          (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -623,15 +627,18 @@ object Dedup {
     * threshold compare so the flag is engine-portable. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, tau: Double): DataFrame = {
+    // norms hoisted per ROW before the pair join (one dot per pair
+    // instead of three — bit-identical: same sequential self-dot, same
+    // division shape the oracle replays)
     val base = emb.select(col(clusterCol).as("cluster"),
       col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorFunctions.l2Norm(col("v")))
     val earlier = base.select(col("cluster"), col("id").as("id_b"),
-      col("v").as("v_b"))
+      col("v").as("v_b"), col("n").as("n_b"))
     val dupIds = base.join(earlier, "cluster")
       .filter(col("id_b") < col("id"))
       .filter(round(VectorFunctions.dot(col("v"), col("v_b")) /
-        (VectorFunctions.l2Norm(col("v")) * VectorFunctions.l2Norm(col("v_b"))),
-        6) >= tau)
+        (col("n") * col("n_b")), 6) >= tau)
       .select("id").distinct()
       .withColumn("is_dup", lit(true))
     base.select("cluster", "id")
@@ -832,15 +839,18 @@ object Dedup {
     * or IVF centroid id): the scale-safe cosine near-dup report. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, topN: Int): DataFrame = {
+    // per-side norm hoist (see semanticDedup): one dot per pair
     val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
       VectorFunctions.asDouble(col(vecCol)).as("v_a"))
+      .withColumn("n_a", VectorFunctions.l2Norm(col("v_a")))
     val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
       VectorFunctions.asDouble(col(vecCol)).as("v_b"))
+      .withColumn("n_b", VectorFunctions.l2Norm(col("v_b")))
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.dot(col("v_a"), col("v_b")) /
-          (VectorFunctions.l2Norm(col("v_a")) * VectorFunctions.l2Norm(col("v_b"))), 6).as("cosine"))
+          (col("n_a") * col("n_b")), 6).as("cosine"))
       .orderBy(desc("cosine"), col("id_a"), col("id_b"))
       .limit(topN)
   }

@@ -154,12 +154,16 @@ object Knn {
     import graft.functions.{ScoredId, TopKByScore}
     val spark = anchors.sparkSession
     import spark.implicits._
+    // per-side norm hoist (the knnGraph stance): sqrt(v.v) is a
+    // per-ROW quantity — computing it inside the pair projection would
+    // cost three dots per scored pair instead of one; bit-identical
     def prep(df: DataFrame, suffix: String) = {
       val blk = blockCol.map(col).getOrElse(lit(0))
       df.select(col(idCol).cast("long").as(s"id$suffix"),
         col(labelCol).as(s"lbl$suffix"),
         asDouble(col(vecCol)).as(s"v$suffix"),
         blk.as("blk"))
+        .withColumn(s"n$suffix", l2Norm(col(s"v$suffix")))
     }
     val a = prep(anchors, "_a")
     val c = prep(candidates, "_c")
@@ -171,7 +175,7 @@ object Knn {
       .filter(col("lbl_a") =!= col("lbl_c"))
       .select(col("id_a"), col("id_c"),
         round(dot(col("v_a"), col("v_c")) /
-          (l2Norm(col("v_a")) * l2Norm(col("v_c"))),
+          (col("n_a") * col("n_c")),
           6).as("cosine"))
       .as[(Long, Long, Double)]
     scored.groupByKey(_._1)
