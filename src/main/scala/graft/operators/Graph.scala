@@ -65,21 +65,24 @@ object Graph {
     * the probe/recall trade every ANN tier in this repo makes. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+    // per-side norm hoist (the knnGraph stance): one extra double per
+    // row through the union/dedup buys one dot per scored pair
+    // instead of three; bit-identical scores
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val candidates = (0 until tables).map { t =>
       val keyed = base.withColumn("bkt",
         Knn.signLshKey(col("v"), dims, bits, seed = 1000L + t))
-      keyed.select(col("id"), col("bkt"), col("v").as("va"))
-        .join(keyed.select(col("id").as("nb"), col("bkt"), col("v").as("vb")), "bkt")
+      keyed.select(col("id"), col("bkt"), col("v").as("va"), col("n").as("na"))
+        .join(keyed.select(col("id").as("nb"), col("bkt"),
+          col("v").as("vb"), col("n").as("nb_n")), "bkt")
         .filter(col("id") =!= col("nb"))
-        .select("id", "nb", "va", "vb")
+        .select("id", "nb", "va", "vb", "na", "nb_n")
     }.reduce(_ union _).dropDuplicates("id", "nb")
-    // per-pair norms here (unlike knnGraph's per-side hoist): after the
-    // multi-table union + dedup the vectors already travelled with the
-    // pair row, and the candidate set is bucket-sparse, not n^2
     val scored = candidates.select(col("id"), col("nb"),
-      round(cosine(col("va"), col("vb")), 6).as("score"))
+      round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
+        .as("score"))
     topKPerNode(scored, k)
   }
 
@@ -195,7 +198,7 @@ object Graph {
             quant(lit(teleport) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
               quantBits).as("rank"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       nodes.unpersist()
       rank
@@ -311,7 +314,7 @@ object Graph {
           .select(col("id"), col("label"),
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       state
     } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
