@@ -198,7 +198,11 @@ object Graph {
             quant(lit(teleport) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
               quantBits).as("rank"))
-          .localCheckpoint(eager = false)
+          // eager, not lazy: each round materializes against the cached
+          // edge table (measured fastest of the four checkpoint
+          // placements — lazy variants either re-optimize a deep plan
+          // or race the finally-block unpersist of their upstream)
+          .localCheckpoint()
       }
       nodes.unpersist()
       rank
@@ -314,7 +318,7 @@ object Graph {
           .select(col("id"), col("label"),
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint() // eager — see [[pageRank]]
       }
       state
     } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
