@@ -46,6 +46,45 @@ class PcaSpec extends SparkSpec {
     assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq)
   }
 
+  test("two-stage retrieval through the reduced space: candidates + exact re-rank") {
+    // The compression-ladder use: score candidates in the m-dim PCA
+    // space (m << d bytes scanned), exact re-rank the shortlist. On
+    // synthetic near-flat-spectrum embeddings 16/64 components hold
+    // only ~a quarter of the variance, so the reduced space alone is a
+    // WEAK ranker — the point of the measurement: the two-stage
+    // formulation recovers exact top-k once the shortlist is generous,
+    // and the spec pins how generous it must be here (fetch 100 of 500
+    // -> recall >= 0.8; fetch all -> exactly 1.0 by construction).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = Pca.fit(emb, "embedding", numComponents = 16, powerIters = 40)
+    val reduced = Pca.transform(emb, "vec_id", "embedding", m)
+    val pcCols = (1 to 16).map(i => col(s"pc$i"))
+    val q = emb.filter($"vec_id" === 7L)
+      .select(graft.functions.VectorFunctions.asDouble($"embedding")).head().getSeq[Double](0)
+    val qc = q.toArray.zip(m.mean).map { case (v, mu) => v - mu }
+    val qProj = m.components.map(e => dot(qc, e))
+    val scoreRed = pcCols.zip(qProj).map { case (c, w) => c * lit(w) }.reduce(_ + _)
+    def exactTop(k: Int): Seq[Long] =
+      emb.select($"vec_id",
+          graft.functions.VectorFunctions.dot($"embedding",
+            typedLit(q)).as("s"))
+        .orderBy(desc("s"), $"vec_id").limit(k).as[(Long, Double)]
+        .collect().map(_._1).toSeq
+    val exact = exactTop(10).toSet
+    def twoStage(fetch: Int): Set[Long] = {
+      val cands = reduced.select($"vec_id".as("cid"), scoreRed.as("s"))
+        .orderBy(desc("s"), $"cid").limit(fetch).select("cid")
+      emb.join(cands, emb("vec_id") === cands("cid"))
+        .select($"vec_id",
+          graft.functions.VectorFunctions.dot($"embedding", typedLit(q)).as("s"))
+        .orderBy(desc("s"), $"vec_id").limit(10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+    }
+    val r100 = (twoStage(100) & exact).size / 10.0
+    assert(r100 >= 0.8, s"recall@10 with fetch=100 was $r100")
+    assert(twoStage(500) == exact) // full fetch = exact by construction
+  }
+
   test("transform projects onto the components, centered") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val m = Pca.fit(emb, "embedding")
