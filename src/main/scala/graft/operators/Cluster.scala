@@ -46,8 +46,11 @@ object Cluster {
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Map[Int, Array[Double]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
+    // null vectors carry no signal and would diverge engines at the
+    // struct-min argmin (NULL-dist semantics differ) — drop them
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
     var centroids: Map[Int, Array[Double]] =
       base.orderBy("id").limit(k).collect()
         .map(_.getSeq[Double](1).toArray).zipWithIndex
@@ -76,6 +79,7 @@ object Cluster {
     val centroids = fitCentroids(emb, idCol, vecCol, k, iters)
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
     base.withColumn("b", nearest(col("v"), centroids))
       .select(col("id"), col("b.cl").as("cluster"), col("b.d").as("dist"))
   }

@@ -41,11 +41,15 @@ object Graph {
     // arithmetic per score — dot/(na*nb) with na,nb the identical
     // sequential self-dots — so results are bit-identical to the
     // inline-cosine formulation the oracle replays.
+    // null vectors carry no similarity signal: drop them up front
+    // (a null cosine would NPE the typed top-k encoder downstream)
     val a = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("va"))
+      .where(col("id").isNotNull && col("va").isNotNull)
       .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val b = emb.select(col(idCol).cast("long").as("nb"),
       asDouble(col(vecCol)).as("vb"))
+      .where(col("nb").isNotNull && col("vb").isNotNull)
       .withColumn("nb_n", sqrt(dot(col("vb"), col("vb"))))
     val scored = a.crossJoin(b).filter(col("id") =!= col("nb"))
       .select(col("id"), col("nb"),
@@ -70,6 +74,7 @@ object Graph {
     // instead of three; bit-identical scores
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull) // see knnGraph
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val candidates = (0 until tables).map { t =>
       val keyed = base.withColumn("bkt",
@@ -240,6 +245,9 @@ object Graph {
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
+      // defensive: a self-loop would count phantom wedges; the contract
+      // says none, enforce it rather than trust it
+      .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = e.groupBy(col("src").as("id"))
@@ -299,6 +307,7 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sd = seeds.select(col("id").cast("long").as("id"),
         col("label").cast("int").as("label"))
+      .where(col("id").isNotNull && col("label").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     val eout = e.join(deg, "src")

@@ -115,9 +115,11 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("partial_topkbyscore"),
       s"expected a partial TopKByScore below the exchange:\n$plan")
     // k-means assignment: codegen'd dots against literal centroids —
-    // the final assignment stage plans with no Exchange at all.
+    // the final assignment stage plans with no Exchange at all (no
+    // .limit here: a GlobalLimit would add its own SinglePartition
+    // exchange and mask the property under test).
     val asg = graft.operators.Cluster.kmeansAssign(
-      emb.limit(50), "vec_id", "embedding", k = 2, iters = 0)
+      emb, "vec_id", "embedding", k = 2, iters = 0)
     val asgPlan = asg.queryExecution.executedPlan.toString
     assert(!asgPlan.contains("Exchange"),
       s"kmeans assignment should be shuffle-free:\n$asgPlan")
