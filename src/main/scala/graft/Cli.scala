@@ -34,7 +34,7 @@ import graft.sources.FileIngest
   *                    [--method exact|minhash|simhash|phash|audiofp]
   *                    [--minj 0.8] [--max-dist 3]
   *   graft.Cli analyze --embeddings <parquet> --out <dir>
-  *                    --op pagerank|triangles|spread|kmeans|pca
+  *                    --op knn|pagerank|triangles|spread|kmeans|pca
   *                    [--k 3] [--lsh] [--clusters 8] [--iters n]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
@@ -504,7 +504,7 @@ object Cli {
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze --embeddings <parquet> --out <dir> " +
-          "--op pagerank|triangles|spread|kmeans|pca [--id-col vec_id] " +
+          "--op knn|pagerank|triangles|spread|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--seeds <parquet>]"
         val embPath = flags.getOrElse("embeddings", fail(usage))
@@ -526,6 +526,10 @@ object Cli {
           } else G.knnGraph(emb, idCol, vecCol, k)
         }
         val result = op match {
+          case "knn" =>
+            // the raw neighbor table itself — the substrate the other
+            // graph ops consume, exportable for external tooling
+            graph()
           case "pagerank" =>
             G.pageRank(G.symmetrize(graph()),
               iters = flags.get("iters").map(_.toInt).getOrElse(5))
