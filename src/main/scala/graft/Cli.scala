@@ -34,7 +34,7 @@ import graft.sources.FileIngest
   *                    [--method exact|minhash|simhash|phash|audiofp]
   *                    [--minj 0.8] [--max-dist 3]
   *   graft.Cli analyze --embeddings <parquet> --out <dir>
-  *                    --op knn|pagerank|triangles|spread|kmeans|pca
+  *                    --op knn|pagerank|triangles|components|spread|kmeans|pca
   *                    [--k 3] [--lsh] [--clusters 8] [--iters n]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
@@ -504,7 +504,7 @@ object Cli {
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze --embeddings <parquet> --out <dir> " +
-          "--op knn|pagerank|triangles|spread|kmeans|pca [--id-col vec_id] " +
+          "--op knn|pagerank|triangles|components|spread|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--seeds <parquet>]"
         val embPath = flags.getOrElse("embeddings", fail(usage))
@@ -535,6 +535,12 @@ object Cli {
               iters = flags.get("iters").map(_.toInt).getOrElse(5))
           case "triangles" =>
             G.triangleCounts(G.symmetrize(graph()))
+          case "components" =>
+            // similarity-cluster discovery: min-label connected
+            // components over the kNN adjacency (path-halving CC, fails
+            // loudly if unconverged — Dedup.connectedComponents)
+            graft.operators.Dedup.connectedComponents(
+              graph().select(col("id").as("id_a"), col("nb").as("id_b")))
           case "spread" =>
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))
