@@ -732,6 +732,19 @@ object SparkEntry {
         .orderBy("id", "rnk")
     }),
 
+    // Personalized PageRank: the walk teleports back to a 10-vector
+    // seed set, so mass concentrates in the seeds' similarity
+    // neighborhood — retrieval expansion (related documents the
+    // retriever missed). Top-50 by rank, id tie-breaks.
+    "graph_ppr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val g = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
+      val seeds = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("id"))
+      Graph.personalizedPageRank(Graph.symmetrize(g), seeds, iters = 5)
+        .orderBy(desc("rank"), col("id")).limit(50)
+    }),
+
     // Per-node triangle counts + local clustering coefficient over the
     // kNN graph — community-density signal (template farms / near-dup
     // neighborhoods show up as high-clustering regions). All-integer
@@ -2534,6 +2547,51 @@ private object OracleSql {
         |r AS (SELECT id, nb, score,
         |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk FROM sc)
         |SELECT id, nb, rnk, score FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    // Personalized PageRank replayed recursively: sparse rank state
+    // seeded at 1/|S|, the clamped seed term re-injected per round via
+    // the full-outer (the label-spread pattern), binary-grid
+    // requantization, final top-50.
+    "graph_ppr" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT id AS src, nb AS dst FROM r
+        |            UNION ALL SELECT nb, id FROM r)),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+        |seeds AS (SELECT DISTINCT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0),
+        |ns AS (SELECT count(*)::DOUBLE AS n FROM seeds),
+        |st(iter, id, rank) AS (
+        |  SELECT 0, id,
+        |         floor((1.0::DOUBLE / (SELECT n FROM ns)) * 1073741824.0) / 1073741824.0
+        |  FROM seeds
+        |  UNION ALL
+        |  SELECT coalesce(c.iter, (SELECT min(iter) FROM st)) + 1,
+        |         coalesce(c.id, s2.id),
+        |         floor((0.85 * coalesce(c.contrib, 0.0) + coalesce(s2.sw, 0.0))
+        |               * 1073741824.0) / 1073741824.0
+        |  FROM (SELECT p2.iter, e2.dst AS id, sum(p2.rank / d.outdeg) AS contrib
+        |        FROM st p2 JOIN edges e2 ON e2.src = p2.id JOIN deg d ON d.src = p2.id
+        |        WHERE p2.iter < 5
+        |        GROUP BY p2.iter, e2.dst) c
+        |  FULL OUTER JOIN (SELECT id, (1.0::DOUBLE - 0.85) / (SELECT n FROM ns) AS sw
+        |                   FROM seeds
+        |                   WHERE (SELECT min(iter) FROM st) < 5) s2
+        |    ON s2.id = c.id
+        |)
+        |SELECT id, rank FROM st WHERE iter = 5
+        |ORDER BY rank DESC, id
+        |LIMIT 50""".stripMargin,
 
     // Triangle counting replayed relationally: oriented wedge join
     // (a<b<c), each triangle credited to its three corners; integer

@@ -272,6 +272,63 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** Personalized PageRank: the random walk teleports back to a SEED
+    * set instead of everywhere, so rank mass concentrates in the
+    * seeds' graph neighborhood — the standard retrieval-expansion
+    * primitive (start from the hits a query retrieved, walk the
+    * similarity graph, surface related documents the retriever
+    * missed). Returns sparse (id, rank) over nodes the walk reached.
+    *
+    * Update: r'(v) = quant(damping * sum_{u->v} r(u)/outdeg(u)
+    * + (1 - damping) * [v in seeds]/|S|) — the seed term re-injected
+    * every round via a full-outer join (the [[labelSpread]] pattern),
+    * per-round binary-grid requantization, cached edge+degree, eager
+    * per-round checkpoints. Dangling nodes are rejected up front: in
+    * proper PPR their mass returns to the seeds, a variant nothing
+    * here needs — a symmetrized similarity graph has none, and
+    * silently leaking mass instead would skew every rank. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           damping: Double = 0.85, iters: Int = 5,
+                           quantBits: Int = 30): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col("id").cast("long").as("id")).distinct()
+      .where(col("id").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val eout = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      require(nodes.join(deg.withColumnRenamed("src", "id"), Seq("id"),
+          "left_anti").limit(1).count() == 0,
+        "personalizedPageRank requires a graph with no dangling nodes " +
+          "(symmetrize the edge list)")
+      val nSeeds = sd.count().toDouble // documented O(1) driver scalar
+      require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+      val seedTerm = sd.select(col("id"),
+        lit((1.0 - damping) / nSeeds).as("seed"))
+      var rank = sd.select(col("id"),
+        quant(lit(1.0 / nSeeds), quantBits).as("rank"))
+      for (_ <- 0 until iters) {
+        val contrib = eout
+          .join(rank.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+        rank = contrib
+          .join(seedTerm, Seq("id"), "full_outer")
+          .select(col("id"),
+            quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
+              + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"))
+          .localCheckpoint() // eager — see [[pageRank]]
+      }
+      rank
+    } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
+  }
+
   /** Label spreading over a directed edge list (Zhou et al. 2004,
     * "Learning with Local and Global Consistency", random-walk
     * normalized): a small SEED set of labeled nodes propagates labels

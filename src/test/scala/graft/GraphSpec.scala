@@ -70,6 +70,31 @@ class GraphSpec extends SparkSpec {
     assert(pr(2L) > pr(1L)) // 2 receives 1's rank plus its own share
   }
 
+  test("personalized PageRank concentrates mass near the seeds") {
+    // two directional blobs (the labelSpread fixture); seed ONLY in the
+    // even blob — every top-ranked node must be an even (same-blob) id
+    val pts = (0 until 40).map { i =>
+      val j = i * 0.01
+      val v = if (i % 2 == 0) Seq(1.0, j) else Seq(j, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Graph.symmetrize(Graph.knnGraph(pts, "vec_id", "embedding", 3))
+    val ppr = Graph.personalizedPageRank(g, Seq(0L).toDF("id"), iters = 8)
+      .as[(Long, Double)].collect().sortBy(r => (-r._2, r._1))
+    assert(ppr.head._1 == 0L, "the seed itself must rank first")
+    assert(ppr.take(10).forall(_._1 % 2 == 0),
+      s"top-10 crossed into the unseeded blob: ${ppr.take(10).toSeq}")
+    // walk mass conservation: no dangling nodes -> total stays ~1
+    assert(math.abs(ppr.map(_._2).sum - 1.0) < 1e-3)
+  }
+
+  test("personalized PageRank refuses dangling graphs") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edge
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(1L).toDF("id"))
+    }
+  }
+
   test("triangleCounts on the triangle+tail graph") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
       (1L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
