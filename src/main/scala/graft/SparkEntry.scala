@@ -713,8 +713,11 @@ object SparkEntry {
     // PageRank centrality over the symmetrized kNN graph: a node whose
     // similarity neighborhood is dense and well-connected is a
     // template/mirror hub — a curation signal no per-document quality
-    // score can see. 5 fixed power-iteration rounds, rank re-quantized
-    // to 9 decimals each round (engine-portable determinism).
+    // score can see. 5 fixed power-iteration rounds; rank floors onto
+    // the 2^-30 binary grid each round and every per-edge rank/outdeg
+    // term floors onto the 2^-48 grid before summation, making the
+    // contribution sum EXACT in doubles and thus order-independent
+    // (engine-portable determinism — see Graph.quant/termQuant).
     "graph_pagerank" -> ((s, dir) => {
       val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 3)
@@ -2467,11 +2470,15 @@ private object OracleSql {
         |ORDER BY id, rnk""".stripMargin,
 
     // PageRank over the symmetrized kNN graph, replayed as a recursive
-    // CTE: 5 rounds, rank rounded to 9 decimals per round (matching the
-    // Spark loop's re-quantization), teleport spelled (1.0 - 0.85)
-    // COMPUTED because 1.0-0.85 != 0.15 in doubles. The inner-join
-    // GROUP BY form assumes every node has an in-edge — guaranteed
-    // here: symmetrization gives each node in-degree >= k.
+    // CTE: 5 rounds, rank FLOORED onto the 2^-30 binary grid per round
+    // (matching Graph.quant — floor(x * 2^30) / 2^30, no decimal tie
+    // rule), each rank/outdeg term floored onto the 2^-48 grid BEFORE
+    // the sum (matching Graph.termQuant) so the summation is exact in
+    // doubles and immune to either engine's aggregation order, and the
+    // teleport spelled (1.0 - 0.85) COMPUTED because 1.0-0.85 != 0.15
+    // in doubles. The inner-join GROUP BY form assumes every node has
+    // an in-edge — guaranteed here: symmetrization gives each node
+    // in-degree >= k.
     "graph_pagerank" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2497,7 +2504,7 @@ private object OracleSql {
         |  UNION ALL
         |  SELECT p.iter + 1, e2.dst,
         |         floor(((1.0::DOUBLE - 0.85) / (SELECT count(*) FROM nodes)
-        |               + 0.85 * (sum(p.rank / d.outdeg) + 0.0))
+        |               + 0.85 * (sum(floor(p.rank / d.outdeg * 281474976710656.0) / 281474976710656.0) + 0.0))
         |               * 1073741824.0) / 1073741824.0
         |  FROM pr p
         |  JOIN edges e2 ON e2.src = p.id
@@ -2515,6 +2522,16 @@ private object OracleSql {
     // weights skip the final /2^63 scaling (sign-equivalent: only
     // proj > 0 matters, and the HUGEINT->DOUBLE cast is last-ulp
     // portable where the scaled division is not).
+    //
+    // RESIDUAL RISK (documented, accepted): sign-equivalence holds in
+    // exact arithmetic only. Spark's dot() sums the 64 products in
+    // fixed sequential order; DuckDB's sum() order is unspecified, and
+    // the per-term scaling differs — so a projection landing within
+    // ~64 ulps of zero (|proj| ~ 1e4 against magnitudes ~1e17, odds
+    // ~1e-13 per projection, ~1e-7 per full sf0.1 run) could flip one
+    // bucket bit between engines. We accept that over quantizing proj
+    // to a coarse grid, which merely relocates the same measure-zero
+    // boundary from 0 to the grid edges without shrinking it.
     "knn_graph_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bt AS (SELECT t.t, b.b, d.d, (1000 + t.t + b.b * 1000003 + d.d)::HUGEINT AS z0
@@ -2580,7 +2597,7 @@ private object OracleSql {
         |         coalesce(c.id, s2.id),
         |         floor((0.85 * coalesce(c.contrib, 0.0) + coalesce(s2.sw, 0.0))
         |               * 1073741824.0) / 1073741824.0
-        |  FROM (SELECT p2.iter, e2.dst AS id, sum(p2.rank / d.outdeg) AS contrib
+        |  FROM (SELECT p2.iter, e2.dst AS id, sum(floor(p2.rank / d.outdeg * 281474976710656.0) / 281474976710656.0) AS contrib
         |        FROM st p2 JOIN edges e2 ON e2.src = p2.id JOIN deg d ON d.src = p2.id
         |        WHERE p2.iter < 5
         |        GROUP BY p2.iter, e2.dst) c
@@ -2632,7 +2649,8 @@ private object OracleSql {
     // Label spreading replayed recursively: sparse (id, label, score)
     // state; the FULL OUTER join re-injects the clamped seed term each
     // round (seed weight spelled (1.0 - 0.85) COMPUTED); per-round
-    // 9-decimal requantization; final per-node argmax.
+    // 2^-30 binary-grid floor with 2^-48-floored summation terms (the
+    // graph_pagerank stance); final per-node argmax.
     "graph_label_spread" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2659,7 +2677,7 @@ private object OracleSql {
         |         floor((0.85 * coalesce(c.contrib, 0.0) + coalesce(s.sw, 0.0))
         |               * 1073741824.0) / 1073741824.0
         |  FROM (SELECT p2.iter, e2.dst AS id, p2.label,
-        |               sum(p2.score / d.outdeg) AS contrib
+        |               sum(floor(p2.score / d.outdeg * 281474976710656.0) / 281474976710656.0) AS contrib
         |        FROM st p2 JOIN edges e2 ON e2.src = p2.id JOIN deg d ON d.src = p2.id
         |        WHERE p2.iter < 4
         |        GROUP BY p2.iter, e2.dst, p2.label) c
@@ -2766,9 +2784,10 @@ private object OracleSql {
         |ORDER BY id""".stripMargin,
 
     // Distributed PCA replayed in SQL: same rounded mean/scatter, the
-    // same UNNORMALIZED 12-round power iteration as a recursive CTE
-    // (no per-round rounding to disagree on), one end normalize +
-    // sign-pin + round, deflation re-rounded, then the projection.
+    // same NORMALIZED 40-round power iteration as a recursive CTE with
+    // the same per-round round-to-9-decimals on the normalized vector
+    // (matching Pca.powerIterate), end sign-pin + round, deflation
+    // re-rounded, then the projection.
     "embedding_pca" ->
       """WITH RECURSIVE
         |pos AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS pos),

@@ -41,15 +41,19 @@ object Graph {
     // arithmetic per score — dot/(na*nb) with na,nb the identical
     // sequential self-dots — so results are bit-identical to the
     // inline-cosine formulation the oracle replays.
-    // null vectors carry no similarity signal: drop them up front
-    // (a null cosine would NPE the typed top-k encoder downstream)
+    // null and ZERO vectors carry no similarity signal: drop them up
+    // front (a null cosine would NPE the typed top-k encoder
+    // downstream, and an all-zero embedding yields 0/0 -> NULL cosine
+    // with the same NPE — both hazards filtered at the scan)
     val a = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("va"))
-      .where(col("id").isNotNull && col("va").isNotNull)
+      .where(col("id").isNotNull && col("va").isNotNull &&
+        dot(col("va"), col("va")) > 0)
       .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val b = emb.select(col(idCol).cast("long").as("nb"),
       asDouble(col(vecCol)).as("vb"))
-      .where(col("nb").isNotNull && col("vb").isNotNull)
+      .where(col("nb").isNotNull && col("vb").isNotNull &&
+        dot(col("vb"), col("vb")) > 0)
       .withColumn("nb_n", sqrt(dot(col("vb"), col("vb"))))
     val scored = a.crossJoin(b).filter(col("id") =!= col("nb"))
       .select(col("id"), col("nb"),
@@ -69,25 +73,36 @@ object Graph {
     * the probe/recall trade every ANN tier in this repo makes. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
-    // per-side norm hoist (the knnGraph stance): one extra double per
-    // row through the union/dedup buys one dot per scored pair
-    // instead of three; bit-identical scores
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
-      .where(col("id").isNotNull && col("v").isNotNull) // see knnGraph
+      .where(col("id").isNotNull && col("v").isNotNull &&
+        dot(col("v"), col("v")) > 0) // see knnGraph
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    // Candidate generation shuffles ID PAIRS ONLY: each bucket join
+    // projects (id, bkt) per side, so the bucket exchanges and the
+    // union + dropDuplicates dedup exchange carry 16-byte rows — the
+    // Hamming-family exchange discipline — instead of two dims-wide
+    // double vectors per candidate (~12 KB at 768 dims). Vectors and
+    // norms rejoin AFTER the dedup from the base projection, one
+    // corpus-cardinality pass per side rather than one per surviving
+    // candidate per table. Same candidate set, same scores.
     val candidates = (0 until tables).map { t =>
-      val keyed = base.withColumn("bkt",
-        Knn.signLshKey(col("v"), dims, bits, seed = 1000L + t))
-      keyed.select(col("id"), col("bkt"), col("v").as("va"), col("n").as("na"))
-        .join(keyed.select(col("id").as("nb"), col("bkt"),
-          col("v").as("vb"), col("n").as("nb_n")), "bkt")
+      val keyed = base.select(col("id"),
+        Knn.signLshKey(col("v"), dims, bits, seed = 1000L + t).as("bkt"))
+      keyed.join(keyed.select(col("id").as("nb"), col("bkt")), "bkt")
         .filter(col("id") =!= col("nb"))
-        .select("id", "nb", "va", "vb", "na", "nb_n")
+        .select("id", "nb")
     }.reduce(_ union _).dropDuplicates("id", "nb")
-    val scored = candidates.select(col("id"), col("nb"),
-      round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
-        .as("score"))
+    // per-side norm hoist (the knnGraph stance): one dot per scored
+    // pair instead of three; bit-identical scores
+    val scored = candidates
+      .join(base.select(col("id"), col("v").as("va"), col("n").as("na")),
+        "id")
+      .join(base.select(col("id").as("nb"), col("v").as("vb"),
+        col("n").as("nb_n")), "nb")
+      .select(col("id"), col("nb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
+          .as("score"))
     topKPerNode(scored, k)
   }
 
@@ -126,6 +141,23 @@ object Graph {
     floor(c * lit(s)).cast("double") / lit(s)
   }
 
+  /** Quantize a per-edge contribution term onto the 2^-48 grid BEFORE
+    * it enters a `sum`, making the aggregation EXACT in IEEE doubles
+    * and therefore order-independent: every term becomes an exact
+    * multiple of 2^-48 (scaling by a power of two only shifts the
+    * exponent; floor and the back-division are exact), and any partial
+    * sum of such terms bounded by the total rank/score mass (<= ~1)
+    * needs at most 48 + a few mantissa bits — under the 52 doubles
+    * carry. Without this, Spark's partition-order-dependent float sum
+    * vs DuckDB's own order can differ in the last ulp, and a
+    * pre-quantization value landing within that ulp of a 2^-quantBits
+    * cell boundary flips the floor — observed as a one-cell graph_ppr
+    * flap whose occurrence depended on which OTHER queries ran in the
+    * same session. The 2^-48 term grid costs at most indeg * 2^-48 of
+    * bias per node per round — 5 orders of magnitude below the
+    * 2^-30 state grid. */
+  private def termQuant(c: Column): Column = quant(c, 48)
+
   /** PageRank by fixed-round power iteration over a directed edge list
     * (src, dst) — undirected graphs pass both directions. Returns
     * (id, rank) over nodes = distinct(src union dst).
@@ -148,9 +180,35 @@ object Graph {
     * per-round lineage exactly as in [[Dedup.connectedComponents]].
     * Fixed `iters` (not convergence-tested) keeps the round count — and
     * thus the oracle's recursion depth — identical across engines; at
-    * 100 TB you would watch the L1 delta instead, same plan per round. */
+    * 100 TB use [[pageRankWatched]], which watches the L1 delta with
+    * the same plan per round. */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 5,
-               quantBits: Int = 30): DataFrame = {
+               quantBits: Int = 30): DataFrame =
+    pageRankLoop(edges, damping, iters, watchTol = None, quantBits)._1
+
+  /** Convergence-watched PageRank — the 100 TB production mode the
+    * fixed-round tier's scaladoc promises: iterate until the L1 delta
+    * `sum(|rank' - rank|)` falls to `tol` or `maxIters` rounds, whichever
+    * first. The delta is a 1-row aggregate over the two (checkpointed)
+    * consecutive rank tables — one extra cheap job per round, never a
+    * per-node driver loop. Returns (ranks, roundsRun).
+    *
+    * `tol = 0.0` runs to the EXACT fixed point of the quantized update:
+    * on the 2^-quantBits grid a round that changes nothing is truly
+    * stable, so stopping there is indistinguishable from running the
+    * remaining rounds — which is what makes the watched variant
+    * oracle-checkable against a fixed-`maxIters` replay (early-stop at
+    * the fixed point and the full-length run produce the identical
+    * table, converged or not). Fixed-round [[pageRank]] stays the
+    * oracle tier for graph_pagerank itself. */
+  def pageRankWatched(edges: DataFrame, damping: Double = 0.85,
+                      maxIters: Int = 50, tol: Double = 0.0,
+                      quantBits: Int = 30): (DataFrame, Int) =
+    pageRankLoop(edges, damping, maxIters, watchTol = Some(tol), quantBits)
+
+  private def pageRankLoop(edges: DataFrame, damping: Double, iters: Int,
+                           watchTol: Option[Double],
+                           quantBits: Int): (DataFrame, Int) = {
     // Persist the raw edge list FIRST: deg, nodes, eout and the
     // dangling probe all derive from it, and an upstream edge source
     // can itself be expensive (the kNN graph) — without this cache
@@ -182,11 +240,13 @@ object Graph {
       val teleport = (1.0 - damping) / n
       var rank = nodes.select(col("id"),
         quant(lit(1.0 / n), quantBits).as("rank"))
-      for (_ <- 0 until iters) {
+      var rounds = 0
+      var converged = false
+      while (rounds < iters && !converged) {
         val contrib = eout
           .join(rank.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
-          .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+          .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
         val withDm =
           if (hasDangling) {
             val dangling = rank
@@ -198,7 +258,7 @@ object Graph {
             nodes.join(contrib, Seq("id"), "left")
               .withColumn("dm", lit(0.0))
           }
-        rank = withDm
+        val next = withDm
           .select(col("id"),
             quant(lit(teleport) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
@@ -208,9 +268,21 @@ object Graph {
           // placements — lazy variants either re-optimize a deep plan
           // or race the finally-block unpersist of their upstream)
           .localCheckpoint()
+        watchTol.foreach { t =>
+          // L1 delta as a 1-row aggregate over two checkpointed tables
+          // (both cover the full node set, so an inner join is exact);
+          // the .head() is the documented O(1) driver scalar per round
+          val delta = next
+            .join(rank.select(col("id"), col("rank").as("prev")), "id")
+            .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+            .head().getDouble(0)
+          if (delta <= t) converged = true
+        }
+        rank = next
+        rounds += 1
       }
       nodes.unpersist()
-      rank
+      (rank, rounds)
     } finally { eout.unpersist(); e.unpersist(); () }
   }
 
@@ -317,7 +389,7 @@ object Graph {
         val contrib = eout
           .join(rank.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
-          .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+          .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
         rank = contrib
           .join(seedTerm, Seq("id"), "full_outer")
           .select(col("id"),
@@ -341,8 +413,8 @@ object Graph {
     * have reached a node carry rows, so state is O(reached nodes x
     * nearby labels), never nodes x labels. Each round:
     *
-    *   score'(v, l) = round(alpha * sum_{u->v} score(u, l)/outdeg(u)
-    *                        + (1 - alpha) * seed(v, l), rounds)
+    *   score'(v, l) = quant(alpha * sum_{u->v} score(u, l)/outdeg(u)
+    *                        + (1 - alpha) * seed(v, l), quantBits)
     *
     * with seed(v, l) = 1 for v's seed label — seeds keep injecting
     * their identity (the clamping that distinguishes spreading from
@@ -358,7 +430,29 @@ object Graph {
     * stays available for confidence thresholds). */
   def labelSpread(edges: DataFrame, seeds: DataFrame,
                   alpha: Double = 0.85, iters: Int = 4,
-                  quantBits: Int = 30): DataFrame = {
+                  quantBits: Int = 30): DataFrame =
+    labelSpreadLoop(edges, seeds, alpha, iters, watchTol = None,
+      quantBits)._1
+
+  /** Convergence-watched label spreading (the [[pageRankWatched]]
+    * stance): iterate until the L1 delta over the sparse (id, label)
+    * state falls to `tol` or `maxIters`. The delta join is FULL OUTER
+    * with missing scores read as 0 — the state grows as the diffusion
+    * reaches new (node, label) cells, and a newly-reached cell IS delta
+    * mass. `tol = 0.0` runs to the exact grid fixed point, making the
+    * watched result identical to a fixed-`maxIters` run whether or not
+    * it converges early. Returns (state, roundsRun). */
+  def labelSpreadWatched(edges: DataFrame, seeds: DataFrame,
+                         alpha: Double = 0.85, maxIters: Int = 50,
+                         tol: Double = 0.0,
+                         quantBits: Int = 30): (DataFrame, Int) =
+    labelSpreadLoop(edges, seeds, alpha, maxIters, watchTol = Some(tol),
+      quantBits)
+
+  private def labelSpreadLoop(edges: DataFrame, seeds: DataFrame,
+                              alpha: Double, iters: Int,
+                              watchTol: Option[Double],
+                              quantBits: Int): (DataFrame, Int) = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -374,19 +468,33 @@ object Graph {
       val seedTerm = sd.select(col("id"), col("label"),
         lit(1.0 - alpha).as("seed"))
       var state = sd.select(col("id"), col("label"), lit(1.0).as("score"))
-      for (_ <- 0 until iters) {
+      var rounds = 0
+      var converged = false
+      while (rounds < iters && !converged) {
         val contrib = eout
           .join(state.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"), col("label"))
-          .agg(sum(col("score") / col("outdeg")).as("contrib"))
-        state = contrib
+          .agg(sum(termQuant(col("score") / col("outdeg"))).as("contrib"))
+        val next = contrib
           .join(seedTerm, Seq("id", "label"), "full_outer")
           .select(col("id"), col("label"),
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
           .localCheckpoint() // eager — see [[pageRank]]
+        watchTol.foreach { t =>
+          // sparse state: full-outer delta, absent cells read as 0
+          val delta = next.select(col("id"), col("label"), col("score"))
+            .join(state.select(col("id"), col("label"),
+              col("score").as("prev")), Seq("id", "label"), "full_outer")
+            .agg(coalesce(sum(abs(coalesce(col("score"), lit(0.0))
+              - coalesce(col("prev"), lit(0.0)))), lit(0.0)).as("d"))
+            .head().getDouble(0)
+          if (delta <= t) converged = true
+        }
+        state = next
+        rounds += 1
       }
-      state
+      (state, rounds)
     } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
   }
 }

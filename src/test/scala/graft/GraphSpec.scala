@@ -150,6 +150,87 @@ class GraphSpec extends SparkSpec {
       s"kmeans assignment should be shuffle-free:\n$asgPlan")
   }
 
+  test("pageRankWatched: early-stops at the grid fixed point, matching fixed-round exactly") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    // tol=0: run to the EXACT fixed point of the quantized update —
+    // stopping there is indistinguishable from running the remaining
+    // rounds, so the watched result must equal the fixed-round result
+    // at any iters >= roundsRun, bit for bit (same grid, same update).
+    val (watched, rounds) =
+      Graph.pageRankWatched(edges, damping = 0.5, maxIters = 60, tol = 0.0)
+    assert(rounds < 60, s"never converged in $rounds rounds")
+    assert(rounds > 1)
+    val w = watched.as[(Long, Double)].collect().toMap
+    val fixed = Graph.pageRank(edges, damping = 0.5, iters = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(w == fixed, s"watched $w != fixed-round $fixed")
+    // a positive tol stops earlier and lands within tol of the fixed point
+    val (loose, looseRounds) =
+      Graph.pageRankWatched(edges, damping = 0.5, maxIters = 60, tol = 1e-4)
+    assert(looseRounds < rounds)
+    val l = loose.as[(Long, Double)].collect().toMap
+    assert(l.keySet == w.keySet)
+    assert(l.map { case (k, v) => math.abs(v - w(k)) }.sum < 1e-3)
+  }
+
+  test("labelSpreadWatched: early-stops at the grid fixed point, matching fixed-round") {
+    val pts = (0 until 40).map { i =>
+      val j = i * 0.01
+      val v = if (i % 2 == 0) Seq(1.0, j) else Seq(j, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Graph.symmetrize(Graph.knnGraph(pts, "vec_id", "embedding", 3))
+    val seeds = Seq((0L, 0), (1L, 1)).toDF("id", "label")
+    val (watched, rounds) =
+      Graph.labelSpreadWatched(g, seeds, alpha = 0.5, maxIters = 60, tol = 0.0)
+    assert(rounds < 60, s"never converged in $rounds rounds")
+    val w = watched.as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val fixed = Graph.labelSpread(g, seeds, alpha = 0.5, iters = 60)
+      .as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(w == fixed)
+  }
+
+  test("knnGraphLsh plan: no vector column crosses the bucket or dedup exchanges") {
+    // The production graph tier's exchange discipline (the Hamming
+    // family's stance): candidate generation shuffles 16-byte id pairs,
+    // never dims-wide vectors. Vectors may only cross the wire in the
+    // post-dedup rejoin, whose shuffled side is corpus-cardinality (one
+    // row per vector), not candidate-cardinality.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val lsh = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+      dims = 64, bits = 4, tables = 8)
+    // executedPlan AFTER EnsureRequirements has inserted the exchanges
+    // (sparkPlan is pre-preparation and shows none); unwrap the AQE
+    // root to reach the statically-planned tree
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = lsh.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect { case s: ShuffleExchangeExec => s }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { ex =>
+      val keys = ex.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.flatMap(_.references)
+          .map(_.name).toSet
+        case _ => Set.empty[String]
+      }
+      val isCandidateExchange =
+        keys.contains("bkt") || (keys.contains("id") && keys.contains("nb"))
+      if (isCandidateExchange) {
+        val wide = ex.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(wide.isEmpty,
+          s"candidate exchange on $keys carries vector column(s) " +
+            s"${wide.map(_.name).mkString(",")}:\n${ex.treeString}")
+      }
+    }
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
