@@ -30,12 +30,13 @@ import graft.sources.FileIngest
   *                    [--seed graft] [--pack-budget 2048]
   *   graft.Cli clean  --docs <dir|corpus.jsonl> --out <dir>
   *                    [--min-words 50] [--min-lm -9.0]
-  *   graft.Cli dedup  --docs <dir|corpus.jsonl|media dir> --out <dir>
-  *                    [--method exact|minhash|simhash|phash|audiofp]
-  *                    [--minj 0.8] [--max-dist 3]
-  *   graft.Cli analyze --embeddings <parquet> --out <dir>
+  *   graft.Cli dedup  --docs <dir|corpus.jsonl|media dir|embeddings.parquet> --out <dir>
+  *                    [--method exact|minhash|simhash|phash|audiofp|embed|semantic]
+  *                    [--minj 0.8] [--max-dist 3] [--min-cosine 0.95]
+  *                    [--tau 0.95] [--clusters 8] [--quality-col <col>]
+  *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
   *                    --op knn|pagerank|triangles|components|spread|kmeans|pca
-  *                    [--k 3] [--lsh] [--clusters 8] [--iters n]
+  *                    [--k 3] [--lsh] [--clusters 8] [--iters n] [--tol t]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
@@ -420,16 +421,22 @@ object Cli {
         // clustering, pixels/PCM never shuffle. All methods keep one
         // canonical survivor per cluster (min id); docs/files with no
         // signal (token-less text, undecodable media) always survive.
-        val dedupUsage = "usage: dedup --docs <dir|corpus.jsonl> --out <dir> " +
-          "[--method exact|minhash|simhash|phash|audiofp] [--minj 0.8] [--max-dist 3]"
+        val dedupUsage = "usage: dedup --docs <dir|corpus.jsonl|embeddings.parquet> --out <dir> " +
+          "[--method exact|minhash|simhash|phash|audiofp|embed|semantic] " +
+          "[--minj 0.8] [--max-dist 3] [--id-col vec_id] [--vec-col embedding] " +
+          "[--min-cosine 0.95] [--tau 0.95] [--clusters 8] [--quality-col <col>]"
         val docsDir = flags.getOrElse("docs", fail(dedupUsage))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val method = flags.getOrElse("method", "minhash")
         val mediaMethod = method == "phash" || method == "audiofp"
+        // Embedding methods dedup an (id, vector[, quality]) parquet —
+        // the strongest tier (semantic near-dup), quality-keyed survivors
+        val embMethod = method == "embed" || method == "semantic"
         val spark = session()
         import org.apache.spark.sql.functions.col
         val docs =
-          if (mediaMethod) {
+          if (embMethod) spark.read.parquet(docsDir)
+          else if (mediaMethod) {
             // binary media rows keyed by path; a parquet table keeps its
             // own (source, content) columns. A parquet DIRECTORY rarely
             // ends in ".parquet", so detect by contents too — reading a
@@ -484,8 +491,57 @@ object Cli {
           case "audiofp" =>
             minusLosers(graft.operators.Multimodal.audioFpClusters(
               docs, "source", "content", maxDist = maxDist))
+          case "embed" | "semantic" =>
+            // Embedding near-dup over an (id, vector[, quality]) table:
+            //   embed    — sign-LSH bucketed cosine pairs (one global
+            //              pass, embeddingLshPairs)
+            //   semantic — k-means cluster blocking + within-cluster
+            //              cosine pairs (semanticPairs), the
+            //              IVF-co-partitioned 100 TB shape
+            // then connected components over the pair table and a
+            // QUALITY-KEYED survivor per cluster (resolveByQuality):
+            // --quality-col names the score column; absent, qualities
+            // tie and the resolver's smallest-id tie-break applies.
+            val idCol = flags.getOrElse("id-col", "vec_id")
+            val vecCol = flags.getOrElse("vec-col", "embedding")
+            Seq(idCol, vecCol).foreach { c =>
+              if (!docs.columns.contains(c)) fail(
+                s"--docs parquet has no '$c' column (have: ${docs.columns.mkString(", ")}); " +
+                  "set --id-col/--vec-col for embedding dedup methods")
+            }
+            val pairs =
+              if (method == "embed") {
+                val head = docs.select(col(vecCol)).limit(1).collect()
+                if (head.isEmpty || head(0).isNullAt(0)) fail(
+                  s"cannot derive embedding dims: $docsDir is empty or its first '$vecCol' is null")
+                val dims = head(0).getSeq[Any](0).size
+                D.embeddingLshPairs(docs, idCol, vecCol, dims,
+                  bits = flags.get("bits").map(_.toInt).getOrElse(16),
+                  minCosine = flags.get("min-cosine").map(_.toDouble).getOrElse(0.95))
+              } else {
+                val asg = graft.operators.Cluster.kmeansAssign(docs, idCol, vecCol,
+                  k = flags.get("clusters").map(_.toInt).getOrElse(8),
+                  iters = flags.get("iters").map(_.toInt).getOrElse(5))
+                val withCl = docs.join(
+                  asg.select(col("id").as(idCol + "_asg"), col("cluster")),
+                  col(idCol).cast("long") === col(idCol + "_asg"))
+                D.semanticPairs(withCl, idCol, vecCol, "cluster",
+                  tau = flags.get("tau").map(_.toDouble).getOrElse(0.95))
+              }
+            val comps = D.connectedComponents(pairs.select("id_a", "id_b"))
+            val quality = flags.get("quality-col") match {
+              case Some(qc) =>
+                if (!docs.columns.contains(qc)) fail(
+                  s"--quality-col '$qc' not in --docs parquet (have: ${docs.columns.mkString(", ")})")
+                docs.select(col(idCol).cast("long").as("id"), col(qc).as("q"))
+              case None => docs.select(col(idCol).cast("long").as("id"),
+                org.apache.spark.sql.functions.lit(0.0).as("q"))
+            }
+            val losers = D.resolveByQuality(comps, quality, "id", "q")
+              .filter(!col("keep")).select(col("id").as(idCol))
+            docs.join(losers, Seq(idCol), "left_anti")
           case other => fail(
-            s"unknown dedup method '$other' (exact|minhash|simhash|phash|audiofp)")
+            s"unknown dedup method '$other' (exact|minhash|simhash|phash|audiofp|embed|semantic)")
         }
         survivors.write.mode("overwrite").parquet(out)
         val kept = spark.read.parquet(out).count()
@@ -503,36 +559,81 @@ object Cli {
         //   pca       — top-2 principal coordinates (id, pc1, pc2)
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
-        val usage = "usage: analyze --embeddings <parquet> --out <dir> " +
+        val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
           "--op knn|pagerank|triangles|components|spread|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
-          "[--clusters 8] [--iters <n>] [--seeds <parquet>]"
-        val embPath = flags.getOrElse("embeddings", fail(usage))
+          "[--clusters 8] [--iters <n>] [--tol <t>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val op = flags.getOrElse("op", fail("--op required; " + usage))
         val idCol = flags.getOrElse("id-col", "vec_id")
         val vecCol = flags.getOrElse("vec-col", "embedding")
         val k = flags.get("k").map(_.toInt).getOrElse(3)
+        val graphOp = Set("pagerank", "triangles", "components", "spread")(op)
+        // --k sizes the kNN graph; kmeans reads --clusters. Passing --k
+        // to kmeans is an easy misuse that silently did nothing — fail
+        // loudly instead.
+        if (op == "kmeans" && flags.contains("k")) fail(
+          "--k sets the kNN-graph degree and is ignored by --op kmeans; " +
+            "use --clusters <n> for the k-means cluster count")
+        if (flags.contains("edges") && !graphOp) fail(
+          s"--edges applies to graph ops (pagerank|triangles|components|spread), not --op $op")
+        // At scale the kNN-graph build is hours and the analytics
+        // minutes: --edges lets the graph ops consume a persisted
+        // neighbor/pair table — `analyze --op knn` output (id, nb, ...)
+        // or a dedup pair table (id_a, id_b) — instead of paying the
+        // build once per op. Only graph ops accept it; knn/kmeans/pca
+        // genuinely need the vectors.
+        val embPath = flags.get("embeddings").getOrElse {
+          if (graphOp && flags.contains("edges")) "" else fail(usage)
+        }
         val spark = session()
         import org.apache.spark.sql.functions.{col, size}
-        val emb = spark.read.parquet(embPath)
+        lazy val emb = spark.read.parquet(embPath)
         val G = graft.operators.Graph
-        def graph() = {
-          if (flags.contains("lsh")) {
-            val dims = emb.select(size(col(vecCol))).head().getInt(0)
-            G.knnGraphLsh(emb, idCol, vecCol, k, dims,
-              bits = flags.get("bits").map(_.toInt).getOrElse(8),
-              tables = flags.get("tables").map(_.toInt).getOrElse(4))
-          } else G.knnGraph(emb, idCol, vecCol, k)
+        def graph(): org.apache.spark.sql.DataFrame = flags.get("edges") match {
+          case Some(p) =>
+            val e = spark.read.parquet(p)
+            if (e.columns.contains("id") && e.columns.contains("nb"))
+              e.select(col("id"), col("nb"))
+            else if (e.columns.contains("id_a") && e.columns.contains("id_b"))
+              e.select(col("id_a").as("id"), col("id_b").as("nb"))
+            else fail(s"--edges $p needs (id, nb) or (id_a, id_b) columns " +
+              s"(have: ${e.columns.mkString(", ")})")
+          case None =>
+            if (flags.contains("lsh")) {
+              // empty parquet / null first vector would otherwise throw
+              // an opaque NoSuchElementException from head()
+              val head = emb.select(size(col(vecCol))).limit(1).collect()
+              if (head.isEmpty || head(0).isNullAt(0)) fail(
+                s"cannot derive embedding dims for --lsh: $embPath is empty " +
+                  s"or its first '$vecCol' is null")
+              val dims = head(0).getInt(0)
+              G.knnGraphLsh(emb, idCol, vecCol, k, dims,
+                bits = flags.get("bits").map(_.toInt).getOrElse(8),
+                tables = flags.get("tables").map(_.toInt).getOrElse(4))
+            } else G.knnGraph(emb, idCol, vecCol, k)
         }
+        // --tol switches pagerank/spread to the convergence-watched
+        // variants (iterate until the L1 delta <= tol, --iters as the
+        // round cap — the 100 TB mode); without it, fixed rounds.
+        val tol = flags.get("tol").map(_.toDouble)
+        var roundsNote = ""
         val result = op match {
           case "knn" =>
             // the raw neighbor table itself — the substrate the other
             // graph ops consume, exportable for external tooling
             graph()
           case "pagerank" =>
-            G.pageRank(G.symmetrize(graph()),
-              iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            tol match {
+              case Some(t) =>
+                val (r, rounds) = G.pageRankWatched(G.symmetrize(graph()),
+                  maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                  tol = t)
+                roundsNote = s", converged in $rounds rounds"
+                r
+              case None => G.pageRank(G.symmetrize(graph()),
+                iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            }
           case "triangles" =>
             G.triangleCounts(G.symmetrize(graph()))
           case "components" =>
@@ -544,8 +645,16 @@ object Cli {
           case "spread" =>
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))
-            G.labelSpread(G.symmetrize(graph()), seeds,
-              iters = flags.get("iters").map(_.toInt).getOrElse(4))
+            tol match {
+              case Some(t) =>
+                val (r, rounds) = G.labelSpreadWatched(G.symmetrize(graph()),
+                  seeds, maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                  tol = t)
+                roundsNote = s", converged in $rounds rounds"
+                r
+              case None => G.labelSpread(G.symmetrize(graph()), seeds,
+                iters = flags.get("iters").map(_.toInt).getOrElse(4))
+            }
           case "kmeans" =>
             graft.operators.Cluster.kmeansAssign(emb, idCol, vecCol,
               k = flags.get("clusters").map(_.toInt).getOrElse(8),
@@ -556,7 +665,7 @@ object Cli {
           case other => fail(s"unknown --op $other; $usage")
         }
         result.write.mode("overwrite").parquet(out)
-        println(s"analyze: $op -> $out (${spark.read.parquet(out).count()} rows)")
+        println(s"analyze: $op -> $out (${spark.read.parquet(out).count()} rows$roundsNote)")
         spark.stop()
 
       case "tokenize" =>

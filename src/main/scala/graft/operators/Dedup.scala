@@ -647,6 +647,28 @@ object Dedup {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** The pair-table form of [[semanticDedup]]: same cluster-blocked
+    * join, same hoisted norms and 6-decimal rounded cosine, but
+    * returning the near-duplicate PAIRS (id_a, id_b, cosine) with
+    * id_a < id_b instead of collapsing to the smallest-id survivor —
+    * the shape [[connectedComponents]] + [[resolveByQuality]] consume
+    * when the survivor policy is quality-keyed rather than
+    * smallest-id (the CLI `dedup --method semantic` path). */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, tau: Double): DataFrame = {
+    val base = emb.select(col(clusterCol).as("cluster"),
+      col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .withColumn("n", VectorFunctions.l2Norm(col("v")))
+    val other = base.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    base.join(other, "cluster")
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        round(VectorFunctions.dot(col("v"), col("v_b")) /
+          (col("n") * col("n_b")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
     * the MOSS algorithm): hash every word k-gram, slide a w-window

@@ -14,7 +14,12 @@ import graft.pipeline.Index
   * holding one long-lived SparkSession:
   *
   *   POST /search   {"query": "...", "top_k": 5, "filter": "...",
-  *                   "hybrid": true, "alpha": 0.7}
+  *                   "hybrid": true, "hybrid_alpha": 0.7}
+  *
+  * `hybrid_alpha` is the reference's request field name
+  * (`src/cli/serve.rs:232-233`); `alpha` is accepted as an alias for
+  * earlier clients of this server, with `hybrid_alpha` winning when
+  * both are present.
   *   GET  /health   {"status":"ok"}
   *   GET  /info     index meta JSON
   *   GET  /indexes  names under the warehouse root
@@ -77,7 +82,8 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
               topK = jsonNum(body, "top_k").map(_.toInt).getOrElse(5),
               filterStr = jsonStr(body, "filter"),
               hybrid = jsonBool(body, "hybrid").getOrElse(false),
-              alpha = jsonNum(body, "alpha").getOrElse(0.7)).collect()
+              alpha = jsonNum(body, "hybrid_alpha")
+                .orElse(jsonNum(body, "alpha")).getOrElse(0.7)).collect()
             val tookMs = (System.nanoTime() - t0) / 1e6
             val results = rows.map { r =>
               s"""{"id":${q(r.getString(0))},"score":${r.getDouble(1)},""" +

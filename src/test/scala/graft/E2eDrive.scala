@@ -75,5 +75,57 @@ object E2eDrive {
     val pcaN = spark3.read.parquet(s"$prOut/pca").count()
     println(s"CLI_ANALYZE pagerank=$prN pca=$pcaN (expected 500/500)")
     spark3.stop()
+
+    // analyze --edges: a persisted `--op knn` neighbor table must feed
+    // the graph ops with results IDENTICAL to the one-shot path (the
+    // whole point — pay the graph build once, run many analytics).
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/knn",
+      "--op", "knn", "--k", "3"))
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/pr_edges",
+      "--op", "pagerank"))
+    // and the convergence-watched production mode over the same edges
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/pr_tol",
+      "--op", "pagerank", "--tol", "0.0", "--iters", "60"))
+    val spark4 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val oneShot = spark4.read.parquet(s"$prOut/pr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaEdges = spark4.read.parquet(s"$prOut/pr_edges").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(oneShot == viaEdges,
+      s"--edges pagerank diverged from the one-shot path " +
+        s"(${oneShot.size} vs ${viaEdges.size} nodes)")
+    val watchedN = spark4.read.parquet(s"$prOut/pr_tol").count()
+    println(s"CLI_ANALYZE_EDGES identical=${oneShot == viaEdges} watched_rows=$watchedN")
+    spark4.stop()
+
+    // dedup --method embed end to end: near-identical embedding pairs
+    // with anti-correlated quality — the CLI must keep the
+    // higher-quality member of each pair, not the smaller id.
+    val embDir = java.nio.file.Files.createTempDirectory("graft-e2e-embdd").toString
+    val spark5 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    locally {
+      import spark5.implicits._
+      Seq(
+        (1L, Seq(1.0, 0.0, 0.0, 0.0), 0.1),
+        (2L, Seq(1.0, 0.01, 0.0, 0.0), 0.9),
+        (3L, Seq(0.0, 1.0, 0.0, 0.0), 0.2),
+        (4L, Seq(0.01, 1.0, 0.0, 0.0), 0.8),
+        (5L, Seq(0.5, 0.5, 0.5, 0.0), 0.3)
+      ).toDF("vec_id", "embedding", "quality")
+        .write.mode("overwrite").parquet(s"$embDir/emb")
+    }
+    spark5.stop()
+    Cli.main(Array("dedup", "--docs", s"$embDir/emb", "--out", s"$embDir/kept",
+      "--method", "embed", "--min-cosine", "0.99", "--quality-col", "quality"))
+    val spark6 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val keptIds = spark6.read.parquet(s"$embDir/kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(2L, 4L, 5L),
+      s"embed dedup must keep quality winners {2,4,5}, got $keptIds")
+    println(s"CLI_DEDUP_EMBED kept=$keptIds (expected Set(2, 4, 5))")
+    spark6.stop()
   }
 }

@@ -47,6 +47,28 @@ class ServerSpec extends SparkSpec {
       assert(body.contains("\"results\"") && body.contains("a.md"))
       assert(body.contains("took_ms"))
 
+      // wire parity: the reference's field is hybrid_alpha
+      // (serve.rs:232-233) — posting it must change the fusion exactly
+      // as alpha does. hybrid_alpha=0.1 -> BM25 dominates -> a.md wins;
+      // and when both fields are present, hybrid_alpha wins (0.1 here,
+      // against an alpha=0.99 that would let the random vector side
+      // dominate).
+      val (hc, hb) = http("POST", s"$base/search",
+        Some("""{"query":"vector embeddings","top_k":1,"hybrid":true,"hybrid_alpha":0.1}"""))
+      assert(hc == 200 && hb.contains("a.md"), s"hybrid_alpha ignored: $hb")
+      // precedence by WINNER: on this fixture the hash embedder's
+      // vector side favors b.md, so alpha=0.9 alone flips the top hit
+      // to b.md — and adding hybrid_alpha=0.1 next to it must flip it
+      // back (the reference field wins over the alias).
+      val aliasHigh = http("POST", s"$base/search",
+        Some("""{"query":"vector embeddings","top_k":1,"hybrid":true,"alpha":0.9}"""))._2
+      assert(aliasHigh.contains("b.md"),
+        s"fixture must discriminate the two alphas: $aliasHigh")
+      val both = http("POST", s"$base/search",
+        Some("""{"query":"vector embeddings","top_k":1,"hybrid":true,"hybrid_alpha":0.1,"alpha":0.9}"""))._2
+      assert(both.contains("a.md"),
+        s"hybrid_alpha must take precedence over the alias: $both")
+
       // error paths
       assert(http("GET", s"$base/search")._1 == 405)
       assert(http("POST", s"$base/search", Some("{}"))._1 == 400)
