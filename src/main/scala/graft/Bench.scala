@@ -6,8 +6,13 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},
   *   "failed":[...],"sf":...}` (per-query MEDIANs; raw runs go to the
-  * `bench_runs.json` sidecar + stderr so the stdout line stays short
-  * enough for a tail-capture harvester to parse whole).
+  * `bench_runs.json` sidecar + stderr). Because the harvester keeps
+  * only the last ~2 KB of stdout and the full 100+-query line cannot
+  * fit that window, the same line is written whole to
+  * `bench_medians.json` (the authoritative record) and the very last
+  * stdout bytes are a compact summary line — total/stat/failed plus a
+  * `queries_file` pointer — sized to survive the tail capture and
+  * parse.
   *
   * Measurement protocol: the full suite is executed
   * `SPARK_GRAFT_BENCH_RUNS` times (default 5) and `queries` reports,
@@ -157,11 +162,22 @@ object Bench {
     System.err.println(s"[bench] raw runs: $sidecar")
     val resultLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_quietest3","queries":${qJson(medians)},"failed":$failed,"sf":"$sfDir"}"""
-    // The stdout line travels through a tail-capture harvester that has
-    // truncated it before (r3, r8's null `parsed`); the same line written
-    // whole to a file is the durable machine-readable record.
+    // The stdout line travels through a tail-capture harvester that
+    // keeps only the LAST ~2000 chars (observed in BENCH_r10's `tail`
+    // field): the full 101-query line is ~3.5 KB, so its head is cut
+    // and `parsed` lands null every round. The full line written whole
+    // to bench_medians.json is the durable machine-readable record;
+    // stdout gets the full line for humans/logs AND, as the absolute
+    // final bytes (after spark.stop(), so no shutdown chatter can
+    // follow), a compact self-contained summary line that FITS the
+    // tail window whole and parses — total, stat, failures, and a
+    // pointer to the per-query file.
     writeFile("bench_medians.json", resultLine)
     println(resultLine)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_quietest3","n_queries":${names.length},"failed":$failed,"sf":"$sfDir","queries_file":"bench_medians.json"}"""
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

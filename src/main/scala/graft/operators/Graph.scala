@@ -200,7 +200,19 @@ object Graph {
     * oracle-checkable against a fixed-`maxIters` replay (early-stop at
     * the fixed point and the full-length run produce the identical
     * table, converged or not). Fixed-round [[pageRank]] stays the
-    * oracle tier for graph_pagerank itself. */
+    * oracle tier for graph_pagerank itself.
+    *
+    * PERIOD-2 CYCLES: the quantized contraction can settle into an
+    * adjacent-cell 2-cycle instead of a fixed point (measured on the
+    * 1.6k-node supplier-customer graph: delta1 parks at 3 grid cells
+    * from round 31 on while state(r) == state(r-2) exactly), which
+    * would defeat a pure delta1 watch forever. The loop therefore also
+    * watches the two-rounds-back L1 delta and stops on an exact cycle
+    * — but ONLY when the remaining round budget is EVEN: a period-2
+    * state revisits itself every 2 rounds, so with an even remainder
+    * the returned state is bit-identical to what running out the full
+    * `maxIters` would produce, preserving the fixed-round-replay
+    * oracle equality unconditionally. */
   def pageRankWatched(edges: DataFrame, damping: Double = 0.85,
                       maxIters: Int = 50, tol: Double = 0.0,
                       quantBits: Int = 30): (DataFrame, Int) =
@@ -240,6 +252,7 @@ object Graph {
       val teleport = (1.0 - damping) / n
       var rank = nodes.select(col("id"),
         quant(lit(1.0 / n), quantBits).as("rank"))
+      var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
@@ -277,7 +290,19 @@ object Graph {
             .agg(sum(abs(col("rank") - col("prev"))).as("d"))
             .head().getDouble(0)
           if (delta <= t) converged = true
+          else if (prev != null) {
+            // period-2 cycle watch: exact revisit of the state two
+            // rounds back, stop only on an EVEN remaining budget so
+            // the result equals the full fixed-round run (scaladoc)
+            val delta2 = next
+              .join(prev.select(col("id"), col("rank").as("pp")), "id")
+              .agg(sum(abs(col("rank") - col("pp"))).as("d"))
+              .head().getDouble(0)
+            if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
+              converged = true
+          }
         }
+        prev = rank
         rank = next
         rounds += 1
       }
@@ -311,9 +336,11 @@ object Graph {
     * the oriented wedge join (a<b<c: edges a-b, a-c checked against
     * b-c), then credit all three corners — three shuffles on edge keys,
     * never a matrix product. Skew: a hub of degree D contributes D^2/2
-    * wedges — the standard cost of exact triangle counting; cap-degree
-    * sampling is the documented approximation if a crawl-scale hub
-    * appears (not needed at fixture scale). */
+    * wedges — the standard cost of exact triangle counting; this tier's
+    * contract is degree-bounded graphs (the kNN composition bounds
+    * degree at k x tables by construction). For arbitrary edge lists
+    * with possible crawl-scale hubs use [[triangleCountsCapped]], the
+    * sampled unbiased estimator. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -341,6 +368,87 @@ object Graph {
           when(col("degree") < 2, lit(0.0)).otherwise(
             round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
               (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+    } finally { e.unpersist(); () }
+  }
+
+  /** Degree-capped triangle counting — the arbitrary-edge-list tier.
+    *
+    * Exact [[triangleCounts]] generates C(d, 2) wedges at a center of
+    * forward-degree d: one crawl-scale hub (degree 10^5 -> ~10^10
+    * wedges) stalls the wedge stage, which is why the kNN-graph
+    * composition (degree k-bounded by construction) is the exact
+    * tier's contract. This variant caps wedge GENERATION at
+    * `maxDegree` sampled forward-neighbors per center and corrects
+    * with the standard unbiased estimator: a triangle whose smallest
+    * vertex a has forward-degree fd survives sampling with probability
+    * C(s, 2)/C(fd, 2) (both of its other corners must be in a's
+    * s-neighbor sample), so each FOUND triangle is credited to its
+    * three corners with weight w = C(fd, 2)/C(s, 2). Unbiased:
+    * E[estimate] = exact count, per corner. Sampling is deterministic
+    * (xxhash64-ranked neighbors), so results are reproducible;
+    * closing-edge checks run against the FULL edge set — only wedge
+    * generation is sampled.
+    *
+    * Error bound (per center a, t_a = true smallest-vertex triangles
+    * at a): the count of found triangles is a sum of t_a dependent
+    * Bernoulli(1/w) indicators, so Var <= t_a * w * (w - 1) and the
+    * relative standard error of a's contribution is
+    * <= sqrt((w - 1)/t_a) — dense neighborhoods (large t_a), which
+    * are what triangle analysis is FOR, concentrate fastest; sparse
+    * hubs are noisy in relative terms but tiny in absolute ones.
+    * Centers at or under the cap have s = fd, w = 1: EXACT, zero
+    * variance — the estimator only engages above the cap.
+    *
+    * Cost: the rank window is one shuffle with O(d) rows per center
+    * (linear in the hub degree, vs the exact tier's quadratic wedges);
+    * sampled wedge generation is bounded by C(maxDegree, 2) per
+    * center. Output matches [[triangleCounts]] but `triangles` is
+    * DOUBLE (a weighted estimate; integer-valued when every center is
+    * under the cap). */
+  def triangleCountsCapped(edges: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+      val fwd = e.filter(col("src") < col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // deterministic per-center neighbor ranking; dst tie-break makes
+        // the order total even under (vanishingly unlikely) hash ties
+        val ranked = fwd.withColumn("rk", row_number().over(
+          Window.partitionBy("src")
+            .orderBy(xxhash64(col("src"), col("dst")), col("dst"))))
+        val sampled = ranked.filter(col("rk") <= maxDegree)
+          .select("src", "dst")
+        // per-center correction weight w = C(fd,2)/C(s,2); s = min(fd, cap)
+        val weights = fwd.groupBy("src").agg(count(lit(1)).as("fd"))
+          .select(col("src").as("a"),
+            when(col("fd") <= maxDegree, lit(1.0)).otherwise(
+              (col("fd") * (col("fd") - 1)).cast("double") /
+                (lit(maxDegree) * lit(maxDegree - 1))).as("w"))
+        val wedges = sampled.select(col("src").as("a"), col("dst").as("b"))
+          .join(sampled.select(col("src").as("a"), col("dst").as("c")), "a")
+          .filter(col("b") < col("c"))
+        // closing edges checked against the FULL forward set
+        val tris = wedges.join(
+            fwd.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+          .join(weights, "a")
+        val perCorner = tris.select(col("a").as("id"), col("w"))
+          .union(tris.select(col("b").as("id"), col("w")))
+          .union(tris.select(col("c").as("id"), col("w")))
+          .groupBy("id").agg(sum(col("w")).as("triangles"))
+        deg.join(perCorner, Seq("id"), "left")
+          .select(col("id"), col("degree"),
+            coalesce(col("triangles"), lit(0.0)).as("triangles"),
+            when(col("degree") < 2, lit(0.0)).otherwise(
+              round(lit(2.0) * coalesce(col("triangles"), lit(0.0)) /
+                (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+      } finally { fwd.unpersist(); () }
     } finally { e.unpersist(); () }
   }
 
@@ -468,6 +576,7 @@ object Graph {
       val seedTerm = sd.select(col("id"), col("label"),
         lit(1.0 - alpha).as("seed"))
       var state = sd.select(col("id"), col("label"), lit(1.0).as("score"))
+      var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
@@ -483,14 +592,19 @@ object Graph {
           .localCheckpoint() // eager — see [[pageRank]]
         watchTol.foreach { t =>
           // sparse state: full-outer delta, absent cells read as 0
-          val delta = next.select(col("id"), col("label"), col("score"))
-            .join(state.select(col("id"), col("label"),
-              col("score").as("prev")), Seq("id", "label"), "full_outer")
-            .agg(coalesce(sum(abs(coalesce(col("score"), lit(0.0))
-              - coalesce(col("prev"), lit(0.0)))), lit(0.0)).as("d"))
-            .head().getDouble(0)
-          if (delta <= t) converged = true
+          def l1(a: DataFrame, b: DataFrame): Double =
+            a.select(col("id"), col("label"), col("score"))
+              .join(b.select(col("id"), col("label"),
+                col("score").as("prev")), Seq("id", "label"), "full_outer")
+              .agg(coalesce(sum(abs(coalesce(col("score"), lit(0.0))
+                - coalesce(col("prev"), lit(0.0)))), lit(0.0)).as("d"))
+              .head().getDouble(0)
+          if (l1(next, state) <= t) converged = true
+          else if (prev != null &&
+            l1(next, prev) == 0.0 && (iters - (rounds + 1)) % 2 == 0)
+            converged = true // period-2 cycle, even remainder — see pageRankWatched
         }
+        prev = state
         state = next
         rounds += 1
       }

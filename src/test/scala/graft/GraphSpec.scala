@@ -107,6 +107,46 @@ class GraphSpec extends SparkSpec {
     assert(t(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("triangleCountsCapped: exact at/below the cap, unbiased estimate above it") {
+    // below cap: must equal the exact tier bit for bit (w = 1 path)
+    val small = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    val exact = Graph.triangleCounts(small)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3.toDouble, r._4))).toMap
+    val capped = Graph.triangleCountsCapped(small, maxDegree = 10)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(capped == exact, s"under-cap must be exact: $capped vs $exact")
+
+    // a hub star (0 -- 1..40, no triangles): the capped tier must run
+    // the wedge stage on <= C(cap,2) wedges and report zero triangles
+    // with EXACT degrees
+    val star = (1L to 40L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val starT = Graph.triangleCountsCapped(star, maxDegree = 5)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(starT.forall(_._3 == 0.0))
+    assert(starT.find(_._1 == 0L).get._2 == 40L, "hub degree must stay exact")
+
+    // a 10-clique with cap 4: every center over the cap. The estimator
+    // is unbiased (E = exact) and deterministic under the hash
+    // sampling; assert the TOTAL triangle estimate lands within the
+    // documented error envelope of the exact 3 * C(10,3) = 360
+    // per-corner total (w = C(9,2)/C(4,2) = 6 for the smallest-vertex
+    // centers; RSE per center <= sqrt((w-1)/t_a), aggregate well under
+    // 50% here).
+    val clique = (for {
+      a <- 0L until 10L; b <- 0L until 10L if a != b
+    } yield (a, b)).toDF("src", "dst")
+    val est = Graph.triangleCountsCapped(clique, maxDegree = 4)
+      .agg(sum("triangles")).head().getDouble(0)
+    assert(est > 180 && est < 540, s"clique estimate $est outside [180, 540]")
+    // degrees on the clique stay exact regardless of sampling
+    val dgs = Graph.triangleCountsCapped(clique, maxDegree = 4)
+      .select("degree").as[Long].collect()
+    assert(dgs.forall(_ == 9L))
+  }
+
   test("labelSpread recovers held-out blob labels from two seeds") {
     // two directional blobs (even ids along e1, odd along e2, distinct
     // jitters so the kNN graph chains through each blob); one seed per
@@ -172,6 +212,40 @@ class GraphSpec extends SparkSpec {
     val l = loose.as[(Long, Double)].collect().toMap
     assert(l.keySet == w.keySet)
     assert(l.map { case (k, v) => math.abs(v - w(k)) }.sum < 1e-3)
+  }
+
+  test("pageRankWatched: period-2 cycle stop preserves fixed-round equality") {
+    // The quantized contraction can settle into an adjacent-cell
+    // 2-cycle instead of a fixed point; the watch also stops on an
+    // exact two-rounds-back revisit, but only with an EVEN remaining
+    // budget so the result still equals the full fixed-round run.
+    // This 37-node mod graph at quantBits=14 / damping=0.5 is a
+    // measured cycling fixture: the stop round depends on maxIters
+    // PARITY (the cycle branch waits for an even remainder), which is
+    // the fingerprint that the cycle stop — not the fixed-point stop —
+    // fired. Equality with the fixed-round replay must hold at BOTH
+    // parities regardless.
+    val edges = (0 until 37).flatMap { i =>
+      Seq(3, 5, 11).flatMap { m =>
+        val j = (i * m + 1) % 37
+        if (i != j) Seq((i.toLong, j.toLong), (j.toLong, i.toLong)) else Nil
+      }
+    }.distinct.toDF("src", "dst")
+    val (w40, r40) = Graph.pageRankWatched(edges, damping = 0.5,
+      maxIters = 40, tol = 0.0, quantBits = 14)
+    val (w41, r41) = Graph.pageRankWatched(edges, damping = 0.5,
+      maxIters = 41, tol = 0.0, quantBits = 14)
+    assert(r40 < 40 && r41 < 41, s"never stopped: $r40 / $r41")
+    assert(r40 != r41,
+      s"stop round must be maxIters-parity-dependent on a cycling fixture ($r40 == $r41)")
+    val f40 = Graph.pageRank(edges, damping = 0.5, iters = 40, quantBits = 14)
+      .as[(Long, Double)].collect().toMap
+    val f41 = Graph.pageRank(edges, damping = 0.5, iters = 41, quantBits = 14)
+      .as[(Long, Double)].collect().toMap
+    assert(w40.as[(Long, Double)].collect().toMap == f40)
+    assert(w41.as[(Long, Double)].collect().toMap == f41)
+    // and the cycle is real: consecutive fixed-round results differ
+    assert(f40 != f41, "fixture stopped cycling — pick new knobs")
   }
 
   test("labelSpreadWatched: early-stops at the grid fixed point, matching fixed-round") {
