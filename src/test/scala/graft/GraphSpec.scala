@@ -214,6 +214,65 @@ class GraphSpec extends SparkSpec {
     assert(l.map { case (k, v) => math.abs(v - w(k)) }.sum < 1e-3)
   }
 
+  test("pageRankWatched warm start: near-instant confirm when unchanged, faster on local perturbation") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (4L, 1L), (1L, 4L)).toDF("src", "dst")
+    val (cold, coldRounds) =
+      Graph.pageRankWatched(edges, damping = 0.5, maxIters = 60, tol = 0.0)
+    assert(coldRounds > 2)
+    // warm start AT the fixed point: the renormalizing division can
+    // shift grid cells by one (the seed's floored total is ~1 - eps),
+    // so allow one settling round on top of the confirming round
+    val (warm, warmRounds) = Graph.pageRankWatched(edges, damping = 0.5,
+      maxIters = 60, tol = 0.0, init = Some(cold))
+    assert(warmRounds <= 2,
+      s"fixed-point warm start took $warmRounds rounds, cold took $coldRounds")
+    assert(warmRounds < coldRounds)
+    val wm = warm.as[(Long, Double)].collect().toMap
+    val cm = cold.as[(Long, Double)].collect().toMap
+    val cell30 = math.pow(2, -30)
+    assert(wm.keySet == cm.keySet)
+    wm.foreach { case (id, r) =>
+      assert(math.abs(r - cm(id)) <= 2 * cell30, s"node $id drifted: $r vs ${cm(id)}")
+    }
+    // perturbed graph, in warm start's actual regime: a SMALL edit to
+    // a larger graph whose rank field is FAR from uniform. Two
+    // measured dead ends shaped this fixture: (1) under tol = 0 the
+    // round count is dominated by the final crawl through grid cells,
+    // similar from any nearby start (warm 25 vs cold 19) — so compare
+    // in the practical tol > 0 mode; (2) on a degree-REGULAR graph
+    // uniform ~= the fixed point, so cold is born converged and
+    // warm/cold tie (11 == 11 on the 37-node mod graph) — so the
+    // fixture must be degree-skewed. A hub star is the canonical
+    // skewed case: uniform is far from the hub-heavy fixed point.
+    val big = (1L to 36L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val (base, _) =
+      Graph.pageRankWatched(big, damping = 0.5, maxIters = 60, tol = 0.0)
+    val big2 = big.union(Seq((100L, 5L), (5L, 100L)).toDF("src", "dst"))
+    val tol = 1e-6
+    val (cold2, cold2Rounds) =
+      Graph.pageRankWatched(big2, damping = 0.5, maxIters = 60, tol = tol)
+    val (warm2, warm2Rounds) = Graph.pageRankWatched(big2, damping = 0.5,
+      maxIters = 60, tol = tol, init = Some(base))
+    assert(warm2Rounds < cold2Rounds,
+      s"warm $warm2Rounds should beat cold $cold2Rounds on a local perturbation")
+    // both stopped within tol of the same attractor basin: node-wise
+    // agreement within a small multiple of the tolerance
+    val c2 = cold2.as[(Long, Double)].collect().toMap
+    val w2 = warm2.as[(Long, Double)].collect().toMap
+    assert(w2.keySet == c2.keySet)
+    w2.foreach { case (id, r) =>
+      assert(math.abs(r - c2(id)) <= 10 * tol,
+        s"node $id: warm $r vs cold ${c2(id)} — beyond tolerance envelope")
+    }
+    // degenerate warm starts refuse loudly (every node explicitly
+    // zero — a PARTIAL zero seed is fine, missing nodes get uniform)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWatched(edges, init =
+        Some(Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0)).toDF("id", "rank")))
+    }
+  }
+
   test("pageRankWatched: period-2 cycle stop preserves fixed-round equality") {
     // The quantized contraction can settle into an adjacent-cell
     // 2-cycle instead of a fixed point; the watch also stops on an
