@@ -36,7 +36,7 @@ import graft.sources.FileIngest
   *                    [--tau 0.95] [--clusters 8] [--quality-col <col>]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
   *                    --op knn|pagerank|ppr|triangles|components|spread|kmeans|pca
-  *                    [--k 3] [--lsh] [--clusters 8] [--iters n] [--tol t]
+  *                    [--k 3] [--lsh] [--clusters 8] [--iters n] [--tol t] [--init p]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
@@ -562,7 +562,7 @@ object Cli {
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
           "--op knn|pagerank|ppr|triangles|components|spread|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
-          "[--clusters 8] [--iters <n>] [--tol <t>] [--max-degree <d>] [--seeds <parquet>]"
+          "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val op = flags.getOrElse("op", fail("--op required; " + usage))
         val idCol = flags.getOrElse("id-col", "vec_id")
@@ -669,11 +669,16 @@ object Cli {
               case Some(t) =>
                 val (r, rounds) = G.labelSpreadWatched(G.symmetrize(graph()),
                   seeds, maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
-                  tol = t)
+                  tol = t,
+                  init = flags.get("init").map(p => spark.read.parquet(p)))
                 roundsNote = s", converged in $rounds rounds"
                 r
-              case None => G.labelSpread(G.symmetrize(graph()), seeds,
-                iters = flags.get("iters").map(_.toInt).getOrElse(4))
+              case None =>
+                if (flags.contains("init")) fail(
+                  "--init (warm start) requires --tol: the fixed-round " +
+                    "tier always starts cold (it is the oracle tier)")
+                G.labelSpread(G.symmetrize(graph()), seeds,
+                  iters = flags.get("iters").map(_.toInt).getOrElse(4))
             }
           case "kmeans" =>
             graft.operators.Cluster.kmeansAssign(emb, idCol, vecCol,

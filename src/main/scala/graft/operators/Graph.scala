@@ -602,18 +602,28 @@ object Graph {
     * reaches new (node, label) cells, and a newly-reached cell IS delta
     * mass. `tol = 0.0` runs to the exact grid fixed point, making the
     * watched result identical to a fixed-`maxIters` run whether or not
-    * it converges early. Returns (state, roundsRun). */
+    * it converges early. Returns (state, roundsRun).
+    *
+    * `init` (incremental mode, the [[pageRankWatched]] stance): seed
+    * the diffusion state from a prior run's (id, label, score) output
+    * instead of the bare seed table — the re-spread path after a graph
+    * or seed edit. Scores are NOT a distribution, so no
+    * renormalization applies; the clamped seed term re-injects
+    * unconditionally either way, which is what pulls a stale state
+    * toward the new answer. */
   def labelSpreadWatched(edges: DataFrame, seeds: DataFrame,
                          alpha: Double = 0.85, maxIters: Int = 50,
                          tol: Double = 0.0,
-                         quantBits: Int = 30): (DataFrame, Int) =
+                         quantBits: Int = 30,
+                         init: Option[DataFrame] = None): (DataFrame, Int) =
     labelSpreadLoop(edges, seeds, alpha, maxIters, watchTol = Some(tol),
-      quantBits)
+      quantBits, init)
 
   private def labelSpreadLoop(edges: DataFrame, seeds: DataFrame,
                               alpha: Double, iters: Int,
                               watchTol: Option[Double],
-                              quantBits: Int): (DataFrame, Int) = {
+                              quantBits: Int,
+                              init: Option[DataFrame] = None): (DataFrame, Int) = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -628,7 +638,16 @@ object Graph {
     try {
       val seedTerm = sd.select(col("id"), col("label"),
         lit(1.0 - alpha).as("seed"))
-      var state = sd.select(col("id"), col("label"), lit(1.0).as("score"))
+      var state = init match {
+        case Some(s0) => s0.select(col("id").cast("long").as("id"),
+            col("label").cast("int").as("label"),
+            col("score").cast("double").as("score"))
+          .where(col("id").isNotNull && col("label").isNotNull &&
+            col("score").isNotNull && col("score") >= 0)
+          .localCheckpoint()
+        case None =>
+          sd.select(col("id"), col("label"), lit(1.0).as("score"))
+      }
       var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false

@@ -326,6 +326,29 @@ class GraphSpec extends SparkSpec {
     assert(w == fixed)
   }
 
+  test("labelSpreadWatched warm start: prior state confirms fast and matches cold labels") {
+    val pts = (0 until 40).map { i =>
+      val j = i * 0.01
+      val v = if (i % 2 == 0) Seq(1.0, j) else Seq(j, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Graph.symmetrize(Graph.knnGraph(pts, "vec_id", "embedding", 3))
+    val seeds = Seq((0L, 0), (1L, 1)).toDF("id", "label")
+    val (cold, coldRounds) =
+      Graph.labelSpreadWatched(g, seeds, alpha = 0.5, maxIters = 60, tol = 0.0)
+    assert(coldRounds > 2)
+    // re-spread seeded from the converged state: one confirming round,
+    // identical sparse state (no renormalization to shift cells here)
+    val (warm, warmRounds) = Graph.labelSpreadWatched(g, seeds, alpha = 0.5,
+      maxIters = 60, tol = 0.0, init = Some(cold))
+    assert(warmRounds == 1, s"fixed-point warm re-spread took $warmRounds rounds")
+    val wm = warm.as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val cm = cold.as[(Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(wm == cm)
+  }
+
   test("knnGraphLsh plan: no vector column crosses the bucket or dedup exchanges") {
     // The production graph tier's exchange discipline (the Hamming
     // family's stance): candidate generation shuffles 16-byte id pairs,
