@@ -791,6 +791,22 @@ object SparkEntry {
       Graph.triangleCounts(Graph.symmetrize(g)).orderBy("id")
     }),
 
+    // The degree-capped SAMPLED triangle tier under the oracle gate:
+    // the kNN graph's degree is bounded at k x tables = 6, so a cap of
+    // 64 keeps every center in the exact (w = 1) branch and the result
+    // equals graph_triangles — but the PLAN is the capped one (the
+    // per-center rank window, the sampled wedge generation, the weight
+    // join), so the hash gate covers the production tier's machinery
+    // end to end. The above-cap estimator arm is spec-pinned in
+    // GraphSpec (its xxhash64 sampling is not DuckDB-replayable, and
+    // doesn't need to be: below-cap exactness is the oracle contract).
+    "graph_triangles_capped" -> ((s, dir) => {
+      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3)
+      Graph.triangleCountsCapped(Graph.symmetrize(g), maxDegree = 64)
+        .orderBy("id")
+    }),
+
     // Label spreading (Zhou et al. 2004) over the kNN graph: every 5th
     // vector seeds its label, 4 diffusion rounds, per-node argmax with
     // (score desc, label) tie-break — the classifier-bootstrapping step
@@ -2704,6 +2720,42 @@ private object OracleSql {
         |         UNION ALL SELECT b FROM tris
         |         UNION ALL SELECT c FROM tris) GROUP BY 1)
         |SELECT d.id, d.degree, coalesce(tc.triangles, 0) AS triangles,
+        |       CASE WHEN d.degree < 2 THEN 0.0
+        |            ELSE round(2.0 * coalesce(tc.triangles, 0)
+        |                       / (d.degree * (d.degree - 1)), 6) END AS clustering
+        |FROM deg d LEFT JOIN tc USING (id)
+        |ORDER BY d.id""".stripMargin,
+
+    // Same relational replay as graph_triangles — the capped tier with
+    // every center under the cap IS exact counting; `triangles` casts
+    // to DOUBLE because the estimator column is a weighted sum.
+    "graph_triangles_capped" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT id AS src, nb AS dst FROM r
+        |            UNION ALL SELECT nb, id FROM r)),
+        |deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1),
+        |fwd AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+        |tris AS (
+        |  SELECT w.a, w.b, w.c
+        |  FROM (SELECT f1.a, f1.b AS b, f2.b AS c
+        |        FROM fwd f1 JOIN fwd f2 USING (a) WHERE f1.b < f2.b) w
+        |  JOIN fwd f3 ON f3.a = w.b AND f3.b = w.c),
+        |tc AS (SELECT id, count(*) AS triangles FROM (
+        |         SELECT a AS id FROM tris
+        |         UNION ALL SELECT b FROM tris
+        |         UNION ALL SELECT c FROM tris) GROUP BY 1)
+        |SELECT d.id, d.degree, coalesce(tc.triangles, 0)::DOUBLE AS triangles,
         |       CASE WHEN d.degree < 2 THEN 0.0
         |            ELSE round(2.0 * coalesce(tc.triangles, 0)
         |                       / (d.degree * (d.degree - 1)), 6) END AS clustering
