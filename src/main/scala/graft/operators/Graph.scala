@@ -335,25 +335,33 @@ object Graph {
           // or race the finally-block unpersist of their upstream)
           .localCheckpoint()
         watchTol.foreach { t =>
-          // L1 delta as a 1-row aggregate over two checkpointed tables
-          // (both cover the full node set, so an inner join is exact);
-          // the .head() is the documented O(1) driver scalar per round
-          val delta = next
-            .join(rank.select(col("id"), col("rank").as("prev")), "id")
-            .agg(sum(abs(col("rank") - col("prev"))).as("d"))
-            .head().getDouble(0)
+          // Both watch probes in ONE aggregate job per round: L1 delta
+          // vs last round and (once available) vs two rounds back —
+          // all three frames are checkpointed and cover the full node
+          // set, so the inner joins are exact and the .head() is the
+          // documented O(1) driver scalar per round.
+          val (delta, delta2) =
+            if (prev != null) {
+              val r = next
+                .join(rank.select(col("id"), col("rank").as("p1")), "id")
+                .join(prev.select(col("id"), col("rank").as("p2")), "id")
+                .agg(sum(abs(col("rank") - col("p1"))).as("d1"),
+                  sum(abs(col("rank") - col("p2"))).as("d2"))
+                .head()
+              (r.getDouble(0), r.getDouble(1))
+            } else {
+              val r = next
+                .join(rank.select(col("id"), col("rank").as("p1")), "id")
+                .agg(sum(abs(col("rank") - col("p1"))).as("d1"))
+                .head()
+              (r.getDouble(0), -1.0)
+            }
           if (delta <= t) converged = true
-          else if (prev != null) {
-            // period-2 cycle watch: exact revisit of the state two
-            // rounds back, stop only on an EVEN remaining budget so
-            // the result equals the full fixed-round run (scaladoc)
-            val delta2 = next
-              .join(prev.select(col("id"), col("rank").as("pp")), "id")
-              .agg(sum(abs(col("rank") - col("pp"))).as("d"))
-              .head().getDouble(0)
-            if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
-              converged = true
-          }
+          // period-2 cycle watch: exact revisit of the state two
+          // rounds back, stop only on an EVEN remaining budget so the
+          // result equals the full fixed-round run (scaladoc)
+          else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
+            converged = true
         }
         prev = rank
         rank = next
@@ -663,17 +671,33 @@ object Graph {
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
           .localCheckpoint() // eager — see [[pageRank]]
         watchTol.foreach { t =>
-          // sparse state: full-outer delta, absent cells read as 0
-          def l1(a: DataFrame, b: DataFrame): Double =
-            a.select(col("id"), col("label"), col("score"))
-              .join(b.select(col("id"), col("label"),
-                col("score").as("prev")), Seq("id", "label"), "full_outer")
-              .agg(coalesce(sum(abs(coalesce(col("score"), lit(0.0))
-                - coalesce(col("prev"), lit(0.0)))), lit(0.0)).as("d"))
-              .head().getDouble(0)
-          if (l1(next, state) <= t) converged = true
-          else if (prev != null &&
-            l1(next, prev) == 0.0 && (iters - (rounds + 1)) % 2 == 0)
+          // sparse state: full-outer deltas, absent cells read as 0 —
+          // both watch probes (vs last round, vs two back) in one
+          // chained-full-outer aggregate job per round
+          val (delta, delta2) =
+            if (prev != null) {
+              val r = next.select(col("id"), col("label"), col("score"))
+                .join(state.select(col("id"), col("label"),
+                  col("score").as("p1")), Seq("id", "label"), "full_outer")
+                .join(prev.select(col("id"), col("label"),
+                  col("score").as("p2")), Seq("id", "label"), "full_outer")
+                .agg(coalesce(sum(abs(coalesce(col("score"), lit(0.0))
+                  - coalesce(col("p1"), lit(0.0)))), lit(0.0)).as("d1"),
+                  coalesce(sum(abs(coalesce(col("score"), lit(0.0))
+                    - coalesce(col("p2"), lit(0.0)))), lit(0.0)).as("d2"))
+                .head()
+              (r.getDouble(0), r.getDouble(1))
+            } else {
+              val r = next.select(col("id"), col("label"), col("score"))
+                .join(state.select(col("id"), col("label"),
+                  col("score").as("p1")), Seq("id", "label"), "full_outer")
+                .agg(coalesce(sum(abs(coalesce(col("score"), lit(0.0))
+                  - coalesce(col("p1"), lit(0.0)))), lit(0.0)).as("d1"))
+                .head()
+              (r.getDouble(0), -1.0)
+            }
+          if (delta <= t) converged = true
+          else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
             converged = true // period-2 cycle, even remainder — see pageRankWatched
         }
         prev = state
