@@ -99,6 +99,27 @@ object E2eDrive {
     println(s"CLI_ANALYZE_EDGES identical=${oneShot == viaEdges} watched_rows=$watchedN")
     spark4.stop()
 
+    // warm start over the same persisted edges, seeded from the cold
+    // watched run's own output; plus the ppr and capped-triangle arms
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/pr_warm",
+      "--op", "pagerank", "--tol", "1e-6", "--iters", "60",
+      "--init", s"$prOut/pr_tol"))
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/seeds",
+      "--op", "knn", "--k", "1")) // any (id,...) parquet works as a seed set
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/ppr",
+      "--op", "ppr", "--seeds", s"$prOut/seeds"))
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/tri",
+      "--op", "triangles", "--max-degree", "4"))
+    val spark4b = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val warmN = spark4b.read.parquet(s"$prOut/pr_warm").count()
+    val pprN = spark4b.read.parquet(s"$prOut/ppr").count()
+    val triN = spark4b.read.parquet(s"$prOut/tri").count()
+    assert(warmN == 500 && pprN > 0 && triN == 500,
+      s"warm/ppr/capped-tri CLI arms: $warmN/$pprN/$triN")
+    println(s"CLI_ANALYZE_R11 warm=$warmN ppr=$pprN capped_tri=$triN")
+    spark4b.stop()
+
     // dedup --method embed end to end: near-identical embedding pairs
     // with anti-correlated quality — the CLI must keep the
     // higher-quality member of each pair, not the smaller id.

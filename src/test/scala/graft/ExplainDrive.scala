@@ -26,7 +26,9 @@ object ExplainDrive {
         "quality_nb", "bpe_pair_stats", "q_cube", "q_window_range",
         "dedup_winnow", "sample_mixture_temp", "sample_dsir",
         "quality_ppl_buckets", "bpe_encode", "tokenize_pack",
-        "embedding_drift", "knn_hard_negatives", "dedup_span_removal")
+        "embedding_drift", "knn_hard_negatives", "dedup_span_removal",
+        "knn_graph_lsh", "graph_pagerank_watched", "graph_triangles_capped",
+        "dedup_embed")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
