@@ -646,8 +646,17 @@ object Cli {
             // id set (--seeds parquet with an `id` column)
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for ppr")))
-            G.personalizedPageRank(G.symmetrize(graph()), seeds,
-              iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            tol match {
+              case Some(t) =>
+                val (r, rounds) = G.personalizedPageRankWatched(
+                  G.symmetrize(graph()), seeds,
+                  maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                  tol = t)
+                roundsNote = s", converged in $rounds rounds"
+                r
+              case None => G.personalizedPageRank(G.symmetrize(graph()), seeds,
+                iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            }
           case "triangles" =>
             // --max-degree engages the sampled unbiased estimator —
             // required protection when --edges supplies an arbitrary

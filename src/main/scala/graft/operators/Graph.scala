@@ -530,7 +530,26 @@ object Graph {
     * silently leaking mass instead would skew every rank. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            damping: Double = 0.85, iters: Int = 5,
-                           quantBits: Int = 30): DataFrame = {
+                           quantBits: Int = 30): DataFrame =
+    pprLoop(edges, seeds, damping, iters, watchTol = None, quantBits)._1
+
+  /** Convergence-watched personalized PageRank (the [[pageRankWatched]]
+    * stance, over PPR's SPARSE rank state): iterate until the
+    * full-outer L1 delta falls to `tol` or `maxIters`; tol = 0 runs to
+    * the exact grid fixed point, with the same parity-preserving
+    * period-2 cycle stop, so the watched result is always identical to
+    * the fixed-`maxIters` run. Returns (ranks, roundsRun). */
+  def personalizedPageRankWatched(edges: DataFrame, seeds: DataFrame,
+                                  damping: Double = 0.85,
+                                  maxIters: Int = 50, tol: Double = 0.0,
+                                  quantBits: Int = 30): (DataFrame, Int) =
+    pprLoop(edges, seeds, damping, maxIters, watchTol = Some(tol),
+      quantBits)
+
+  private def pprLoop(edges: DataFrame, seeds: DataFrame,
+                      damping: Double, iters: Int,
+                      watchTol: Option[Double],
+                      quantBits: Int): (DataFrame, Int) = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -554,19 +573,55 @@ object Graph {
         lit((1.0 - damping) / nSeeds).as("seed"))
       var rank = sd.select(col("id"),
         quant(lit(1.0 / nSeeds), quantBits).as("rank"))
-      for (_ <- 0 until iters) {
+      var prev: DataFrame = null // two-rounds-back state (cycle watch)
+      var rounds = 0
+      var converged = false
+      while (rounds < iters && !converged) {
         val contrib = eout
           .join(rank.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
-        rank = contrib
+        val next = contrib
           .join(seedTerm, Seq("id"), "full_outer")
           .select(col("id"),
             quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"))
           .localCheckpoint() // eager — see [[pageRank]]
+        watchTol.foreach { t =>
+          // sparse state (the walk grows its frontier): full-outer
+          // deltas with absent nodes read as 0, both watch probes in
+          // one aggregate job per round (the pageRankWatched stance)
+          val (delta, delta2) =
+            if (prev != null) {
+              val r = next
+                .join(rank.select(col("id"), col("rank").as("p1")),
+                  Seq("id"), "full_outer")
+                .join(prev.select(col("id"), col("rank").as("p2")),
+                  Seq("id"), "full_outer")
+                .agg(coalesce(sum(abs(coalesce(col("rank"), lit(0.0))
+                  - coalesce(col("p1"), lit(0.0)))), lit(0.0)).as("d1"),
+                  coalesce(sum(abs(coalesce(col("rank"), lit(0.0))
+                    - coalesce(col("p2"), lit(0.0)))), lit(0.0)).as("d2"))
+                .head()
+              (r.getDouble(0), r.getDouble(1))
+            } else {
+              val r = next
+                .join(rank.select(col("id"), col("rank").as("p1")),
+                  Seq("id"), "full_outer")
+                .agg(coalesce(sum(abs(coalesce(col("rank"), lit(0.0))
+                  - coalesce(col("p1"), lit(0.0)))), lit(0.0)).as("d1"))
+                .head()
+              (r.getDouble(0), -1.0)
+            }
+          if (delta <= t) converged = true
+          else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
+            converged = true // period-2 cycle, even remainder
+        }
+        prev = rank
+        rank = next
+        rounds += 1
       }
-      rank
+      (rank, rounds)
     } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
   }
 

@@ -88,6 +88,24 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ppr.map(_._2).sum - 1.0) < 1e-3)
   }
 
+  test("personalizedPageRankWatched: early-stops, matching fixed-round exactly") {
+    val pts = (0 until 40).map { i =>
+      val j = i * 0.01
+      val v = if (i % 2 == 0) Seq(1.0, j) else Seq(j, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Graph.symmetrize(Graph.knnGraph(pts, "vec_id", "embedding", 3))
+    val seeds = Seq(0L).toDF("id")
+    val (watched, rounds) = Graph.personalizedPageRankWatched(
+      g, seeds, damping = 0.5, maxIters = 60, tol = 0.0)
+    assert(rounds < 60, s"never converged in $rounds rounds")
+    assert(rounds > 1)
+    val w = watched.as[(Long, Double)].collect().toMap
+    val fixed = Graph.personalizedPageRank(g, seeds, damping = 0.5, iters = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(w == fixed)
+  }
+
   test("personalized PageRank refuses dangling graphs") {
     val edges = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edge
     intercept[IllegalArgumentException] {
