@@ -334,7 +334,10 @@ object Graph {
           // placements — lazy variants either re-optimize a deep plan
           // or race the finally-block unpersist of their upstream)
           .localCheckpoint()
-        watchTol.foreach { t =>
+        // the probe only decides whether to CONTINUE — on the final
+        // round there is nothing left to decide, so skip its job
+        // (mirrored in the labelSpread/ppr loops)
+        if (rounds + 1 < iters) watchTol.foreach { t =>
           // Both watch probes in ONE aggregate job per round: L1 delta
           // vs last round and (once available) vs two rounds back —
           // all three frames are checkpointed and cover the full node
@@ -587,7 +590,7 @@ object Graph {
             quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"))
           .localCheckpoint() // eager — see [[pageRank]]
-        watchTol.foreach { t =>
+        if (rounds + 1 < iters) watchTol.foreach { t =>
           // sparse state (the walk grows its frontier): full-outer
           // deltas with absent nodes read as 0, both watch probes in
           // one aggregate job per round (the pageRankWatched stance)
@@ -725,7 +728,7 @@ object Graph {
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
           .localCheckpoint() // eager — see [[pageRank]]
-        watchTol.foreach { t =>
+        if (rounds + 1 < iters) watchTol.foreach { t =>
           // sparse state: full-outer deltas, absent cells read as 0 —
           // both watch probes (vs last round, vs two back) in one
           // chained-full-outer aggregate job per round
