@@ -216,11 +216,14 @@ object Graph {
     *
     * `init` (incremental mode): seed from a prior (id, rank) table
     * instead of uniform — the production re-run path when edges change
-    * incrementally. New nodes get uniform mass, departed nodes drop;
-    * total mass is NOT renormalized because the update self-corrects
-    * it (teleport injects (1 - damping) per round) and renormalizing
-    * would shift grid cells, costing a fixed-point seed its 1-round
-    * confirm. An unchanged graph stops at round 1; a perturbed graph
+    * incrementally. New nodes get uniform mass, departed nodes drop,
+    * and the seed RENORMALIZES to total mass 1 (one O(1) driver
+    * scalar): the update would self-correct mass on its own, but only
+    * geometrically, and a grown graph's ~1/n seed-mass excess decaying
+    * to tol floors the round count at log(1/(n*tol)) — measured 15
+    * rounds where the perturbation alone needed ~5. The division can
+    * shift grid cells by one, so an unchanged graph confirms in at
+    * most TWO rounds rather than exactly one; a perturbed graph
     * converges in the rounds the PERTURBATION needs, not the
     * cold-start count. Caveat, inherent to grid dynamics: the
     * quantized map can admit ADJACENT-CELL fixed points, so a warm run
@@ -269,15 +272,16 @@ object Graph {
         .limit(1).count() > 0
       val teleport = (1.0 - damping) / n
       // Warm start (incremental mode): seed from prior ranks instead of
-      // uniform — on an unchanged graph the loop then stops at round 1;
-      // on an incrementally-updated graph it converges in the few
-      // rounds the perturbation needs, not the cold-start count. The
-      // init is LEFT-joined onto the CURRENT node set (new nodes get
-      // the uniform mass, departed nodes drop) and renormalized to
-      // total mass 1 (one broadcast 1-row aggregate) so rank stays a
-      // distribution whatever the caller hands in. A warm start is a
-      // different trajectory, so it belongs to the watched tier only —
-      // the fixed-round oracle tier always starts cold.
+      // uniform — an unchanged graph confirms within two rounds (one
+      // confirming round, plus one settling round when the
+      // renormalizing division shifts a grid cell); a perturbed graph
+      // converges in the rounds the perturbation needs, not the
+      // cold-start count. The init is LEFT-joined onto the CURRENT
+      // node set (new nodes get the uniform mass, departed nodes drop)
+      // so rank stays a distribution whatever the caller hands in. A
+      // warm start is a different trajectory, so it belongs to the
+      // watched tier only — the fixed-round oracle tier always starts
+      // cold.
       var rank = init match {
         case Some(r0) =>
           val seeded = nodes.join(
@@ -454,10 +458,11 @@ object Graph {
     * generation is sampled.
     *
     * Error bound (per center a, t_a = true smallest-vertex triangles
-    * at a): the count of found triangles is a sum of t_a dependent
-    * Bernoulli(1/w) indicators, so Var <= t_a * w * (w - 1) and the
-    * relative standard error of a's contribution is
-    * <= sqrt((w - 1)/t_a) — dense neighborhoods (large t_a), which
+    * at a): the estimate is w times a sum of t_a Bernoulli(1/w)
+    * indicators, so under independence Var = t_a * (w - 1) and the
+    * relative standard error of a's contribution is sqrt((w - 1)/t_a);
+    * the indicators share sampled neighbors, which can inflate that
+    * modestly but leaves the scaling — dense neighborhoods (large t_a), which
     * are what triangle analysis is FOR, concentrate fastest; sparse
     * hubs are noisy in relative terms but tiny in absolute ones.
     * Centers at or under the cap have s = fd, w = 1: EXACT, zero
