@@ -800,6 +800,15 @@ object SparkEntry {
     // end to end. The above-cap estimator arm is spec-pinned in
     // GraphSpec (its xxhash64 sampling is not DuckDB-replayable, and
     // doesn't need to be: below-cap exactness is the oracle contract).
+    // Degree histogram of the symmetrized kNN graph — the graph-health
+    // read that sizes triangleCountsCapped's cap (cap at the histogram
+    // knee) and confirms the kNN composition's degree bound holds.
+    "graph_degree_profile" -> ((s, dir) => {
+      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 3)
+      Graph.degreeProfile(Graph.symmetrize(g)).orderBy("degree")
+    }),
+
     "graph_triangles_capped" -> ((s, dir) => {
       val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 3)
@@ -2725,6 +2734,26 @@ private object OracleSql {
         |                       / (d.degree * (d.degree - 1)), 6) END AS clustering
         |FROM deg d LEFT JOIN tc USING (id)
         |ORDER BY d.id""".stripMargin,
+
+    // Degree histogram over the same symmetrized kNN edge derivation.
+    "graph_degree_profile" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT id AS src, nb AS dst FROM r
+        |            UNION ALL SELECT nb, id FROM r)),
+        |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
+        |SELECT degree, count(*) AS nodes FROM deg GROUP BY 1
+        |ORDER BY degree""".stripMargin,
 
     // Same relational replay as graph_triangles — the capped tier with
     // every center under the cap IS exact counting; `triangles` casts

@@ -439,6 +439,21 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** Degree histogram of a directed edge list: (degree, nodes) rows,
+    * one per distinct out-degree. The graph-health profile read before
+    * the expensive analytics: a heavy tail here is what says the exact
+    * triangle tier would stall on a hub and [[triangleCountsCapped]]'s
+    * cap should sit at (say) the knee of this histogram; a near-delta
+    * histogram says the graph is degree-bounded (the kNN composition)
+    * and the exact tiers are safe. Two map-side-combined aggregations,
+    * output cardinality = distinct degrees (tiny at any corpus size). */
+  def degreeProfile(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("nodes"))
+
   /** Degree-capped triangle counting — the arbitrary-edge-list tier.
     *
     * Exact [[triangleCounts]] generates C(d, 2) wedges at a center of
