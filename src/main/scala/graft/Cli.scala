@@ -671,9 +671,18 @@ object Cli {
           case "components" =>
             // similarity-cluster discovery: min-label connected
             // components over the kNN adjacency (path-halving CC, fails
-            // loudly if unconverged — Dedup.connectedComponents)
-            graft.operators.Dedup.connectedComponents(
-              graph().select(col("id").as("id_a"), col("nb").as("id_b")))
+            // loudly if unconverged — Dedup.connectedComponents).
+            // --init <parquet>: warm-start from a prior run's
+            // (id, component) output — the incremental mode (rounds
+            // track the new edges, not the historical diameter), same
+            // result as a cold run over the full pair union
+            val pairs = graph()
+              .select(col("id").as("id_a"), col("nb").as("id_b"))
+            flags.get("init") match {
+              case Some(p) => graft.operators.Dedup.connectedComponentsWarm(
+                pairs, spark.read.parquet(p))
+              case None => graft.operators.Dedup.connectedComponents(pairs)
+            }
           case "spread" =>
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))

@@ -576,6 +576,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // INCREMENTAL connected components (Dedup.connectedComponentsWarm):
+    // the daily-increment dedup mode — prior clusters enter as spanning
+    // stars, so only the NEW pairs' structure pays propagation rounds.
+    // Fixture (ids = first 200 doc_ids, dense 0..199, blocks of 8):
+    // "prior" pairs chain positions 0..6 of each block ((i, i+1) for
+    // i%8 <= 5); the "increment" attaches each block's position-7 tail
+    // ((i, i+1) for i%8 == 6) and merges even blocks with their
+    // successor head-to-head ((i, i+8) for i%16 == 0). Spark runs
+    // cold CC over the prior pairs, then the WARM pass over increment +
+    // prior assignment; the oracle replays a COLD min-label CC over the
+    // full pair union in chained CTEs (9 rounds: merged components span
+    // two 8-chains joined at the heads, so eccentricity from the min id
+    // is 8) — passing proves warm == cold, the operator's contract.
+    "dedup_components_warm" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val prior = ids.filter(col("doc_id") % 8 <= 5)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val tails = ids.filter(col("doc_id") % 8 === 6)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val merges = ids.filter(col("doc_id") % 16 === 0 &&
+          col("doc_id") + 8 <= 199)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 8).as("id_b"))
+      Dedup.connectedComponentsWarm(
+        tails.union(merges), Dedup.connectedComponents(prior))
+        .orderBy("id")
+    }),
+
     // Audio near-dup tier: banded-energy fingerprint (AudioFp64
     // expression, the Haitsma-Kalker sign-of-energy-delta bit rule
     // over time-domain block energies) + the same banded Hamming pair
@@ -2306,6 +2335,63 @@ private object OracleSql {
         |  GROUP BY n.id, n.comp)
         |SELECT id, comp AS component, (comp = id) AS keep
         |FROM n8 ORDER BY id""".stripMargin,
+
+    // COLD replay of the warm-start CC fixture: the full pair union
+    // (prior chains + tail attachments + head-to-head block merges)
+    // resolved by NINE rounds of min-label propagation — the merged
+    // components are two 8-chains joined at the heads, so the farthest
+    // member sits 8 hops from the component-min id and labels are at
+    // fixpoint by n8 (n9 is margin). Equality against Spark's warm pass
+    // is the operator's contract: warm(init, increment) == cold(union).
+    "dedup_components_warm" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT id AS id_a, id + 1 AS id_b FROM ids WHERE id % 8 <= 5
+        |  UNION ALL
+        |  SELECT id, id + 1 FROM ids WHERE id % 8 = 6
+        |  UNION ALL
+        |  SELECT id, id + 8 FROM ids WHERE id % 16 = 0 AND id + 8 <= 199),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |n0 AS (SELECT DISTINCT s AS id, s AS comp FROM e),
+        |n1 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n0 n LEFT JOIN e ON e.s = n.id LEFT JOIN n0 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n2 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n1 n LEFT JOIN e ON e.s = n.id LEFT JOIN n1 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n3 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n2 n LEFT JOIN e ON e.s = n.id LEFT JOIN n2 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n4 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n3 n LEFT JOIN e ON e.s = n.id LEFT JOIN n3 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n5 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n4 n LEFT JOIN e ON e.s = n.id LEFT JOIN n4 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n6 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n5 n LEFT JOIN e ON e.s = n.id LEFT JOIN n5 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n7 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n6 n LEFT JOIN e ON e.s = n.id LEFT JOIN n6 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n8 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n7 n LEFT JOIN e ON e.s = n.id LEFT JOIN n7 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp),
+        |n9 AS (
+        |  SELECT n.id, least(n.comp, coalesce(min(m.comp), n.comp)) AS comp
+        |  FROM n8 n LEFT JOIN e ON e.s = n.id LEFT JOIN n8 m ON m.id = e.d
+        |  GROUP BY n.id, n.comp)
+        |SELECT id, comp AS component FROM n9 ORDER BY id""".stripMargin,
 
     // Replays dedup_audio's full arithmetic: the fixture samples (md5
     // values in [-2000, 2000], one perturbed position per group), the

@@ -427,6 +427,32 @@ object Dedup {
     labels
   }
 
+  /** Incremental ("warm-start") connected components: re-resolve
+    * duplicate clusters after APPENDING pairs without re-running CC over
+    * the historical pair set — the daily-increment mode at corpus scale,
+    * where the new crawl's pair table is orders of magnitude smaller
+    * than the accumulated one. `init` is a prior (id, component)
+    * assignment (this function's own output, or [[connectedComponents]]'s);
+    * it enters the propagation as a spanning STAR per prior component
+    * (one id -> component edge per row), which has exactly the prior
+    * pair set's connectivity classes, so the result is IDENTICAL to a
+    * cold run over (prior pairs UNION pairs) — min-id labeling is a pure
+    * function of the component's member set. The win is round count:
+    * prior components re-collapse at diameter <= 2 regardless of how
+    * long the chains that built them were, so convergence tracks the NEW
+    * pairs' structure (spec-pinned: a 64-hop chain that throws cold at
+    * maxIter=4 confirms warm in 2 rounds from its prior assignment).
+    * Prior singletons (id == component rows with no new pair) pass
+    * through unchanged — self-loop edges are no-ops in min-label
+    * propagation — so the output remains a full assignment over every
+    * id ever seen. */
+  def connectedComponentsWarm(pairs: DataFrame, init: DataFrame,
+                              maxIter: Int = 10): DataFrame =
+    connectedComponents(
+      pairs.select(col("id_a"), col("id_b")).union(
+        init.select(col("id").as("id_a"), col("component").as("id_b"))),
+      maxIter)
+
   /** Near-dup clusters: Jaccard pairs -> connected components -> one
     * surviving canonical doc (min id) per cluster. The complete dedup
     * decision: `keep = (component == id)`. */

@@ -332,6 +332,42 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("warm-start CC: warm(init, increment) == cold(union)") {
+    // prior: two 8-node chains; increment: one edge merging their heads
+    val prior = ((0L until 7L).map(i => (i, i + 1)) ++
+      (16L until 23L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val inc = Seq((0L, 16L)).toDF("id_a", "id_b")
+    val warm = Dedup.connectedComponentsWarm(
+      inc, Dedup.connectedComponents(prior)).as[(Long, Long)].collect().toMap
+    val cold = Dedup.connectedComponents(prior.union(inc))
+      .as[(Long, Long)].collect().toMap
+    assert(warm == cold)
+    assert(warm.size == 16 && warm.values.forall(_ == 0L))
+  }
+
+  test("warm-start CC: converges where an equal-budget cold run throws") {
+    // the incremental win: prior components re-enter at diameter <= 2,
+    // so the 64-hop historical chain costs the warm pass nothing
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val inc = Seq((64L, 65L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.union(inc), maxIter = 4).count()
+    }
+    val warm = Dedup.connectedComponentsWarm(
+      inc, Dedup.connectedComponents(chain), maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(warm.size == 66 && warm.values.forall(_ == 0L),
+      s"warm pass must collapse all 66 nodes to component 0")
+  }
+
+  test("warm-start CC: prior singleton rows pass through unchanged") {
+    val init = Seq((1L, 1L), (2L, 1L), (9L, 9L)).toDF("id", "component")
+    val warm = Dedup.connectedComponentsWarm(
+      Seq((3L, 2L)).toDF("id_a", "id_b"), init)
+      .as[(Long, Long)].collect().toMap
+    assert(warm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("dup clusters pick one canonical survivor per cluster") {
     val t = "the quick brown fox jumps over the lazy dog near the river bank today"
     val d = Seq((5L, t), (9L, t), (2L, t),
