@@ -35,7 +35,7 @@ import graft.sources.FileIngest
   *                    [--minj 0.8] [--max-dist 3] [--min-cosine 0.95]
   *                    [--tau 0.95] [--clusters 8] [--quality-col <col>]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
-  *                    --op knn|pagerank|ppr|triangles|components|spread|degrees|kmeans|pca
+  *                    --op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca
   *                    [--k 3] [--lsh] [--clusters 8] [--iters n] [--tol t] [--init p]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
@@ -560,7 +560,7 @@ object Cli {
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
-          "--op knn|pagerank|ppr|triangles|components|spread|degrees|kmeans|pca [--id-col vec_id] " +
+          "--op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
@@ -568,7 +568,8 @@ object Cli {
         val idCol = flags.getOrElse("id-col", "vec_id")
         val vecCol = flags.getOrElse("vec-col", "embedding")
         val k = flags.get("k").map(_.toInt).getOrElse(3)
-        val graphOp = Set("pagerank", "ppr", "triangles", "components", "spread", "degrees")(op)
+        val graphOp = Set("pagerank", "ppr", "triangles", "components",
+          "communities", "spread", "degrees")(op)
         // --k sizes the kNN graph; kmeans reads --clusters. Passing --k
         // to kmeans is an easy misuse that silently did nothing — fail
         // loudly instead.
@@ -576,7 +577,8 @@ object Cli {
           "--k sets the kNN-graph degree and is ignored by --op kmeans; " +
             "use --clusters <n> for the k-means cluster count")
         if (flags.contains("edges") && !graphOp) fail(
-          s"--edges applies to graph ops (pagerank|ppr|triangles|components|spread|degrees), not --op $op")
+          s"--edges applies to graph ops " +
+            s"(pagerank|ppr|triangles|components|communities|spread|degrees), not --op $op")
         // At scale the kNN-graph build is hours and the analytics
         // minutes: --edges lets the graph ops consume a persisted
         // neighbor/pair table — `analyze --op knn` output (id, nb, ...)
@@ -683,6 +685,13 @@ object Cli {
                 pairs, spark.read.parquet(p))
               case None => graft.operators.Dedup.connectedComponents(pairs)
             }
+          case "communities" =>
+            // density-based community discovery (synchronous LPA,
+            // deterministic max-count/min-label tie rule): splits what
+            // components merges — a bridge edge joins clusters for CC
+            // but cannot outvote a dense block's majority here
+            G.labelPropagation(G.symmetrize(graph()),
+              iters = flags.get("iters").map(_.toInt).getOrElse(5))
           case "spread" =>
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))

@@ -605,6 +605,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Cross-source n-gram containment matrix (Dedup.sourceOverlap):
+    // for every ordered source pair, shared distinct 3-gram shingles
+    // and the A→B containment ratio — the provenance read before
+    // mixture weighting (asymmetric by design: a mirror is ~1 both
+    // ways, an aggregator is high one way only). Runs over the full
+    // documents table; the oracle rebuilds the same tokenizer +
+    // 3-gram shingle sets per source in SQL.
+    "corpus_source_overlap" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.sourceOverlap(Tables.documents(s, dir), "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
+
     // Audio near-dup tier: banded-energy fingerprint (AudioFp64
     // expression, the Haitsma-Kalker sign-of-energy-delta bit rule
     // over time-domain block energies) + the same banded Hamming pair
@@ -842,6 +855,30 @@ object SparkEntry {
       val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 3)
       Graph.triangleCountsCapped(Graph.symmetrize(g), maxDegree = 64)
+        .orderBy("id")
+    }),
+
+    // Unsupervised community detection (synchronous LPA, deterministic
+    // max-count/min-label tie rule) on an analytic fixture where the
+    // density structure is known: 25 8-clique blocks over the first
+    // 200 doc_ids, consecutive blocks joined by ONE bridge edge.
+    // Communities must be the BLOCKS — the bridge cannot outvote a
+    // clique's internal majority — which is exactly what separates LPA
+    // from connected components (CC would merge the whole chain of
+    // blocks into one cluster; cf. dedup_components_warm's fixture).
+    // 4 rounds: the blocks stabilize at round 2 (traced in the oracle
+    // comment), so any fixed count >= 2 replays identically.
+    "graph_communities" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      Graph.labelPropagation(
+        Graph.symmetrize(cliques.union(bridges), "a", "b"), iters = 4)
         .orderBy("id")
     }),
 
@@ -2393,6 +2430,33 @@ private object OracleSql {
         |  GROUP BY n.id, n.comp)
         |SELECT id, comp AS component FROM n9 ORDER BY id""".stripMargin,
 
+    // Same tokenizer + 3-gram shingle construction as dedup_jaccard's
+    // oracle, aggregated per SOURCE instead of per doc; containment =
+    // shared / |A| (integer counts; DuckDB's int/int division is
+    // float, matching Spark's long/long → double), rounded to 6 like
+    // every ratio under the hash gate.
+    "corpus_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM tk),
+        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.shared,
+        |       round(p.shared / z.sz, 6) AS containment
+        |FROM pairs p JOIN sz z ON z.source = p.src_a
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
     // Replays dedup_audio's full arithmetic: the fixture samples (md5
     // values in [-2000, 2000], one perturbed position per group), the
     // 9x9 block energies (n = 1296 is divisible by 81, so the block
@@ -2876,6 +2940,54 @@ private object OracleSql {
         |                       / (d.degree * (d.degree - 1)), 6) END AS clustering
         |FROM deg d LEFT JOIN tc USING (id)
         |ORDER BY d.id""".stripMargin,
+
+    // Synchronous LPA replay, 4 chained (count, pick) rounds — all
+    // INTEGER arithmetic, so no float parity rules apply. Per round:
+    // count neighbor labels per node, then pick (max count, min label)
+    // via a row_number window — the same total-order tie rule Spark
+    // implements as a struct-min. Fixture trace: round 1 gives every
+    // non-min clique member its block minimum (all neighbor labels
+    // distinct, min wins) while node 8k briefly adopts its bridge
+    // neighbor 8k-1; round 2 the clique majority (count 6-7 vs 1)
+    // overwhelms every bridge label and all 25 blocks sit at label 8k,
+    // a state that reproduces itself — so the fixed 4-round replay is
+    // stable and engine-portable.
+    "graph_communities" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1 FROM ids WHERE id % 8 = 7 AND id < 199),
+        |e AS (SELECT DISTINCT s, d FROM (
+        |        SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p)),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+        |c1 AS (SELECT e.s AS id, n.label AS nl, count(*) AS c
+        |       FROM e JOIN l0 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l1 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.s AS id, n.label AS nl, count(*) AS c
+        |       FROM e JOIN l1 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l2 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.s AS id, n.label AS nl, count(*) AS c
+        |       FROM e JOIN l2 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l3 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+        |         FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT e.s AS id, n.label AS nl, count(*) AS c
+        |       FROM e JOIN l3 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l4 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+        |         FROM c4) WHERE rn = 1)
+        |SELECT id, label FROM l4 ORDER BY id""".stripMargin,
 
     // Label spreading replayed recursively: sparse (id, label, score)
     // state; the FULL OUTER join re-injects the clamped seed term each

@@ -273,6 +273,44 @@ object Dedup {
     * post-candidate cost is O(candidate docs), not O(corpus).
     *
     * Returns (id_a = corpus doc, id_b = bench doc, jaccard >= minJ). */
+  /** Cross-SOURCE n-gram containment matrix: for every ordered source
+    * pair (A, B), `shared` = |distinct shingles of A ∩ B| and
+    * `containment` = shared / |distinct shingles of A| — the
+    * provenance/leakage read a mixture designer wants BEFORE weighting
+    * sources (a mirror crawl shows up as containment ≈ 1 in both
+    * directions; an upstream aggregator of B as high A→B but low B→A —
+    * asymmetry is the signal, which is why this is containment, not
+    * Jaccard). Source pairs sharing NO shingle produce no row (inner
+    * join semantics): absence reads as zero overlap.
+    *
+    * Scale shape: ONE corpus-scale exchange — the distinct
+    * (source, shingle) aggregation (map-side combinable; doc text never
+    * shuffles, only shingle strings). The per-shingle source-set is
+    * bounded by the SOURCE count S (dozens, not corpus-scale), pair
+    * expansion is map-side from that bounded set, and the final
+    * aggregate has at most S² keys. For corpora where even the distinct
+    * shingle table is too hot, the sketch path is per-source MinHash
+    * signatures ([[minhashSignatures]]) — this exact tier is the oracle
+    * anchor. */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = docs
+      .where(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        explode(shingleSet(col(textCol), n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = sh.groupBy("s").agg(collect_set(col("source")).as("srcs"))
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("sz")), "src_a")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared") / col("sz"), 6).as("containment"))
+  }
+
   def minhashDecontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
       n: Int = 3, numHashes: Int = 16, bandSize: Int = 4,

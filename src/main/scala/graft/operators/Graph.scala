@@ -454,6 +454,64 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("nodes"))
 
+  /** Unsupervised community detection by SYNCHRONOUS label propagation
+    * (Raghavan et al. 2007) over an undirected (src, dst) edge list:
+    * every node starts as its own community, and each round every node
+    * simultaneously adopts the most frequent label among its NEIGHBORS
+    * (self excluded), ties broken to the SMALLEST label. That tie rule
+    * is a total order, so unlike classic LPA's random tie-break and
+    * asynchronous sweep — deliberately not ported — the update is a
+    * pure function of the graph, exactly replayable by an independent
+    * engine (the oracle contract). Fixed `iters` rounds: synchronous
+    * LPA can 2-cycle on bipartite-ish structures, so a fixpoint watch
+    * may never fire; bounded rounds keep the output total.
+    *
+    * Complements [[Dedup.connectedComponents]] on the same substrate:
+    * CC answers "is there ANY path" (one bridge edge merges two
+    * clusters — right for dup closure), LPA answers "where does the
+    * DENSITY live" (a single bridge between two dense blocks cannot
+    * outvote either block's internal majority, so the blocks keep
+    * distinct labels — topic/community discovery for corpus curation,
+    * e.g. balancing a training mixture by similarity community rather
+    * than by source metadata).
+    *
+    * Scale shape = the [[pageRank]] scaffold: per round, ONE
+    * (node, label)-keyed count aggregation (map-side combinable — hub
+    * fan-in is exactly what partial aggregation absorbs) plus a
+    * per-node struct-min; label state is one row per node, never
+    * nodes x labels; localCheckpoint per round truncates lineage.
+    * Expects a symmetrized edge list ([[symmetrize]]) so every node
+    * appears as src. Returns (id, label), label = a member id of the
+    * community. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = e.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var r = 0
+      while (r < iters) {
+        val counts = e
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")),
+            "dst")
+          .groupBy(col("src").as("id"), col("nl"))
+          .agg(count(lit(1)).as("c"))
+        // (max count, then min label) via one struct-min: -c sorts the
+        // count descending, the label ascends on ties — no window, no
+        // second shuffle over the counts
+        labels = counts.groupBy("id")
+          .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("p"))
+          .select(col("id"), col("p.l").as("label"))
+          .localCheckpoint() // eager — see [[pageRank]]
+        r += 1
+      }
+      labels
+    } finally { e.unpersist(); () }
+  }
+
   /** Degree-capped triangle counting — the arbitrary-edge-list tier.
     *
     * Exact [[triangleCounts]] generates C(d, 2) wedges at a center of

@@ -332,6 +332,20 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("sourceOverlap: asymmetric containment, zero-overlap pairs absent") {
+    val docs = Seq(
+      ("a", "one two three four"), // shingles: "one two three", "two three four"
+      ("b", "one two three"),      // shingle:  "one two three"
+      ("c", "xx yy zz")            // shingle:  "xx yy zz" — overlaps nobody
+    ).toDF("source", "text")
+    val m = Dedup.sourceOverlap(docs, "text", "source")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(m == Set(
+      ("a", "b", 1L, 0.5), // 1 shared of a's 2 shingles
+      ("b", "a", 1L, 1.0)  // b is fully contained in a — the asymmetry
+    ), s"got $m")
+  }
+
   test("warm-start CC: warm(init, increment) == cold(union)") {
     // prior: two 8-node chains; increment: one edge merging their heads
     val prior = ((0L until 7L).map(i => (i, i + 1)) ++

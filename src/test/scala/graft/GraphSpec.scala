@@ -405,6 +405,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: density splits what connectivity merges") {
+    // two 4-cliques joined by one bridge edge: LPA keeps them distinct
+    // communities (the bridge cannot outvote a clique majority) while
+    // CC — same substrate — merges them into one cluster
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val pairs = (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("id_a", "id_b")
+    val sym = Graph.symmetrize(pairs, "id_a", "id_b")
+    val lpa = Graph.labelPropagation(sym, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).map(lpa).toSet.size == 1, "clique A must agree")
+    assert((10L to 13L).map(lpa).toSet.size == 1, "clique B must agree")
+    assert(lpa(0L) != lpa(10L),
+      "one bridge edge must not merge two dense communities")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "CC merges across the bridge")
+    // stability: the synchronous update reproduces the settled state,
+    // so extra rounds change nothing (the fixed-round oracle contract)
+    val more = Graph.labelPropagation(sym, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(more == lpa, "settled LPA labels must be round-count invariant")
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
