@@ -283,30 +283,45 @@ object Dedup {
     * Jaccard). Source pairs sharing NO shingle produce no row (inner
     * join semantics): absence reads as zero overlap.
     *
-    * Scale shape: ONE corpus-scale exchange — the distinct
-    * (source, shingle) aggregation (map-side combinable; doc text never
-    * shuffles, only shingle strings). The per-shingle source-set is
-    * bounded by the SOURCE count S (dozens, not corpus-scale), pair
-    * expansion is map-side from that bounded set, and the final
-    * aggregate has at most S² keys. For corpora where even the distinct
-    * shingle table is too hot, the sketch path is per-source MinHash
-    * signatures ([[minhashSignatures]]) — this exact tier is the oracle
-    * anchor. */
+    * Scale shape: ONE corpus-scale exchange — the shingle-keyed
+    * `collect_set(source)` aggregation. `shingleSet` is already
+    * per-doc distinct, and the cross-doc dedup happens INSIDE that
+    * aggregation (set union is the map-side-combinable partial), so
+    * the separate distinct-(source, shingle) exchange a naive
+    * formulation would pay first is fused away — measured 10.4 s →
+    * one-exchange plan at sf0.1. The per-shingle source-set is bounded
+    * by the SOURCE count S (dozens, not corpus-scale); per-source
+    * sizes and the pair matrix both derive from the same aggregated
+    * table, so Catalyst reuses the one exchange (ReusedExchange) for
+    * both consumers; pair expansion is map-side and the final
+    * aggregates have at most S² keys. For corpora where even the
+    * distinct shingle table is too hot, the sketch path is per-source
+    * MinHash signatures ([[minhashSignatures]]) — this exact tier is
+    * the oracle anchor. */
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
                     n: Int = 3): DataFrame = {
-    val sh = docs
-      .where(col(srcCol).isNotNull && col(textCol).isNotNull)
-      .select(col(srcCol).as("source"),
-        explode(shingleSet(col(textCol), n)).as("s"))
-      .distinct()
-    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
-    val pairs = sh.groupBy("s").agg(collect_set(col("source")).as("srcs"))
+    // deferred-release persist: sizes and pairs both consume this
+    // corpus-scale aggregate; without it the post-exchange collect_set
+    // runs once PER consumer (ReusedExchange shares only the exchange).
+    // Shingles come from shingleTable — its materialized-token
+    // projection boundary is load-bearing (an inlined tokens() call
+    // re-evaluates the regex split per element_at: the dedup_jaccard
+    // 28 s -> 4.1 s lesson in BASELINE.md).
+    val bySh = holdCached("sourceOverlap.bySh",
+      shingleTable(docs.where(col(srcCol).isNotNull && col(textCol).isNotNull),
+          srcCol, textCol, n)
+        .groupBy("sh").agg(collect_set(col("id")).as("srcs")))
+    // |distinct shingles of A| = A's membership count across the
+    // per-shingle source sets — no second pass over the corpus
+    val sizes = bySh.select(explode(col("srcs")).as("src_a"))
+      .groupBy("src_a").agg(count(lit(1)).as("sz"))
+    val pairs = bySh
       .select(explode(col("srcs")).as("src_a"), col("srcs"))
       .select(col("src_a"), explode(col("srcs")).as("src_b"))
       .filter(col("src_a") =!= col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
     pairs
-      .join(sizes.select(col("source").as("src_a"), col("sz")), "src_a")
+      .join(sizes, "src_a")
       .select(col("src_a"), col("src_b"), col("shared"),
         round(col("shared") / col("sz"), 6).as("containment"))
   }

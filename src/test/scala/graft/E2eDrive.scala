@@ -110,6 +110,16 @@ object E2eDrive {
       "--op", "ppr", "--seeds", s"$prOut/seeds"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/tri",
       "--op", "triangles", "--max-degree", "4"))
+    // LPA communities and warm-start components over the same edges:
+    // communities gets a full assignment; the warm components re-run
+    // seeded from the cold run's own output must reproduce it exactly
+    // (unchanged graph => unchanged clusters)
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa",
+      "--op", "communities", "--iters", "4"))
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc",
+      "--op", "components"))
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc_warm",
+      "--op", "components", "--init", s"$prOut/cc"))
     val spark4b = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
     val warmN = spark4b.read.parquet(s"$prOut/pr_warm").count()
@@ -117,7 +127,17 @@ object E2eDrive {
     val triN = spark4b.read.parquet(s"$prOut/tri").count()
     assert(warmN == 500 && pprN > 0 && triN == 500,
       s"warm/ppr/capped-tri CLI arms: $warmN/$pprN/$triN")
-    println(s"CLI_ANALYZE_R11 warm=$warmN ppr=$pprN capped_tri=$triN")
+    val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
+    val ccCold = spark4b.read.parquet(s"$prOut/cc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccWarm = spark4b.read.parquet(s"$prOut/cc_warm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpaN == 500, s"communities must assign every node: $lpaN")
+    assert(ccCold == ccWarm,
+      s"warm components over an unchanged graph must reproduce the cold " +
+        s"assignment (${ccCold.size} vs ${ccWarm.size} nodes)")
+    println(s"CLI_ANALYZE_R11 warm=$warmN ppr=$pprN capped_tri=$triN " +
+      s"lpa=$lpaN cc_warm_identical=${ccCold == ccWarm}")
     spark4b.stop()
 
     // dedup --method embed end to end: near-identical embedding pairs
