@@ -346,6 +346,33 @@ class DedupSpec extends SparkSpec {
     ), s"got $m")
   }
 
+  test("sourceOverlap plan: one corpus-scale exchange, map-side set union, cache reused") {
+    val docs = (0 until 60).map(i =>
+      (s"src${i % 4}", s"alpha bravo charlie delta echo t$i u$i v$i"))
+      .toDF("source", "text")
+    val m = Dedup.sourceOverlap(docs, "text", "source")
+    val plan = m.queryExecution.executedPlan.toString
+    // the one corpus-scale exchange is the shingle-keyed aggregation;
+    // everything downstream is S-bounded (source-pair keys). The
+    // cached subtree prints once per consumer, so count DISTINCT
+    // plan ids, not textual occurrences.
+    val shExchangeIds =
+      raw"Exchange hashpartitioning\(sh#[^\n]*plan_id=(\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(shExchangeIds.size == 1,
+      s"expected exactly one physical shingle-keyed exchange, " +
+        s"got ids $shExchangeIds:\n$plan")
+    // cross-doc dedup happens INSIDE that aggregation: the partial
+    // collect_set (map-side set union) must sit below the exchange
+    assert(plan.contains("partial_collect_set"),
+      s"expected a map-side partial collect_set:\n$plan")
+    // sizes and pairs must both read the deferred-release cache instead
+    // of re-running the corpus-scale aggregate per consumer
+    assert(plan.split("InMemoryTableScan").length - 1 >= 2,
+      s"expected both consumers on the cached aggregate:\n$plan")
+    Dedup.releaseCaches()
+  }
+
   test("warm-start CC: warm(init, increment) == cold(union)") {
     // prior: two 8-node chains; increment: one edge merging their heads
     val prior = ((0L until 7L).map(i => (i, i + 1)) ++
