@@ -618,6 +618,19 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // The sketch tier: per-source wide-form MinHash signatures (one
+    // groupBy pass, no seed cross join) → pairwise Jaccard estimates.
+    // k/64 estimates are dyadic, so Spark and DuckDB agree exactly;
+    // the oracle replays the md5-base + universal-hash family per
+    // source in its long form (min over seed), which the wide form is
+    // spec-pinned to equal.
+    "corpus_source_overlap_sketch" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.sourceOverlapSketch(Tables.documents(s, dir), "text", "source",
+        numHashes = 64)
+        .orderBy("src_a", "src_b")
+    }),
+
     // Audio near-dup tier: banded-energy fingerprint (AudioFp64
     // expression, the Haitsma-Kalker sign-of-energy-delta bit rule
     // over time-domain block energies) + the same banded Hamming pair
@@ -2435,6 +2448,35 @@ private object OracleSql {
     // shared / |A| (integer counts; DuckDB's int/int division is
     // float, matching Spark's long/long → double), rounded to 6 like
     // every ratio under the hash gate.
+    // Per-source MinHash in long form: one md5-derived base hash per
+    // distinct (source, shingle) — duplicates across docs are harmless
+    // under min — seeded by the same universal family as dedup_minhash;
+    // eq/64.0 is dyadic so round(,6) agrees with Spark bit-for-bit.
+    "corpus_source_overlap_sketch" ->
+      """WITH tk AS (
+        |  SELECT source AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM tk),
+        |sig AS (
+        |  SELECT id, seed,
+        |         min(((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647) AS minh
+        |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)
+        |  CROSS JOIN range(0, 64) r(seed)
+        |  GROUP BY id, seed),
+        |m AS (
+        |  SELECT a.id AS src_a, b.id AS src_b,
+        |         sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS eq
+        |  FROM sig a JOIN sig b ON a.seed = b.seed AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, round(eq / 64.0, 6) AS j_est
+        |FROM m ORDER BY src_a, src_b""".stripMargin,
+
     "corpus_source_overlap" ->
       """WITH tk AS (
         |  SELECT source,

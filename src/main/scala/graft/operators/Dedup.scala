@@ -326,6 +326,37 @@ object Dedup {
         round(col("shared") / col("sz"), 6).as("containment"))
   }
 
+  /** Sketch tier of [[sourceOverlap]]: per-source MinHash signatures →
+    * estimated pairwise Jaccard matrix. When even the distinct shingle
+    * table is too hot to aggregate exactly, the signature pass shuffles
+    * |shingles| rows ONCE into S signature rows (wide form — every seed
+    * hash min-aggregated in one groupBy, no seed cross join), and the
+    * S×S comparison is a broadcast-sized cross join. Estimates are
+    * k/numHashes — DYADIC for power-of-two numHashes, so exactly
+    * representable in doubles and engine-portable under the hash gate.
+    * Standard MinHash error: |Ĵ − J| ~ sqrt(J(1−J)/numHashes); the
+    * hash family is fixed (md5-base + universal family), so the
+    * estimate is deterministic, not a random draw per run. Symmetric
+    * (Jaccard), so one row per unordered pair (src_a < src_b); the
+    * exact tier stays the containment/asymmetry read. */
+  def sourceOverlapSketch(docs: DataFrame, textCol: String, srcCol: String,
+                          n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingleTable(
+      docs.where(col(srcCol).isNotNull && col(textCol).isNotNull),
+      srcCol, textCol, n)
+    val sigs = minhashSignaturesWide(sh, numHashes) // one row per SOURCE
+    val a = sigs.select(col("id").as("src_a") +:
+      (0 until numHashes).map(s => col(s"m$s").as(s"a$s")): _*)
+    val b = sigs.select(col("id").as("src_b") +:
+      (0 until numHashes).map(s => col(s"m$s").as(s"b$s")): _*)
+    val matches = (0 until numHashes)
+      .map(s => when(col(s"a$s") === col(s"b$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(matches.cast("double") / numHashes, 6).as("j_est"))
+  }
+
   def minhashDecontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
       n: Int = 3, numHashes: Int = 16, bandSize: Int = 4,

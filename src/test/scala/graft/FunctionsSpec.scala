@@ -373,6 +373,30 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("sourceOverlapSketch: deterministic estimate tracks exact Jaccard") {
+    // one controlled shingle per doc: J(a,b) = 4 shared / 12 union
+    val mk3 = (p: String, i: Int) => s"${p}aa$i ${p}bb$i ${p}cc$i"
+    val docs = ((0 until 8).map(i => ("a", mk3("s", i))) ++
+      (0 until 4).map(i => ("b", mk3("s", i))) ++
+      (0 until 4).map(i => ("b", mk3("t", i))) ++
+      Seq(("c", mk3("u", 0)))).toDF("source", "text")
+    val est = Dedup.sourceOverlapSketch(docs, "text", "source", numHashes = 64)
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    // fixed hash family => these are deterministic values, not draws;
+    // tolerance = a few sketch standard deviations (sd ~ 0.06 at k=64)
+    assert(math.abs(est(("a", "b")) - 4.0 / 12) < 0.2,
+      s"J(a,b) estimate off: ${est(("a", "b"))}")
+    assert(est(("a", "c")) < 0.1 && est(("b", "c")) < 0.1,
+      s"disjoint sources must estimate ~0: $est")
+    // identical shingle sets agree on every signature component
+    val same = Seq(("x", "one two three"), ("y", "one two three"))
+      .toDF("source", "text")
+    val s1 = Dedup.sourceOverlapSketch(same, "text", "source")
+      .as[(String, String, Double)].collect().toSeq
+    assert(s1 == Seq(("x", "y", 1.0)), s"identical sets must match: $s1")
+  }
+
   test("warm-start CC: warm(init, increment) == cold(union)") {
     // prior: two 8-node chains; increment: one edge merging their heads
     val prior = ((0L until 7L).map(i => (i, i + 1)) ++
