@@ -34,6 +34,8 @@ import graft.sources.FileIngest
   *                    [--method exact|minhash|simhash|phash|audiofp|embed|semantic]
   *                    [--minj 0.8] [--max-dist 3] [--min-cosine 0.95]
   *                    [--tau 0.95] [--clusters 8] [--quality-col <col>]
+  *   graft.Cli overlap --docs <dir|corpus.jsonl|parquet> --out <dir>
+  *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
   *                    --op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca
   *                    [--k 3] [--lsh] [--clusters 8] [--iters n] [--tol t] [--init p]
@@ -135,7 +137,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -161,7 +163,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
-      "|compact|export|import|clean|dedup|analyze|tokenize|select-dsir|export-training" +
+      "|compact|export|import|clean|dedup|analyze|overlap|tokenize|select-dsir|export-training" +
       "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
@@ -546,6 +548,38 @@ object Cli {
         survivors.write.mode("overwrite").parquet(out)
         val kept = spark.read.parquet(out).count()
         println(s"dedup: kept $kept of $total documents -> $out")
+        graft.operators.Dedup.releaseCaches() // see clean
+        spark.stop()
+
+      case "overlap" =>
+        // Cross-source overlap matrix: which corpus sources contain
+        // each other's content, and how much — run BEFORE choosing
+        // mixture weights. Default = the exact containment matrix
+        // (Dedup.sourceOverlap, asymmetric by design); --sketch = the
+        // per-source MinHash Jaccard estimate (one groupBy pass, S
+        // signature rows — the tier for corpora whose distinct shingle
+        // table is too hot to collect exactly).
+        val ovUsage = "usage: overlap --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "[--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]"
+        val docsDir = flags.getOrElse("docs", fail(ovUsage))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val srcCol = flags.getOrElse("src-col", "source")
+        val textCol = flags.getOrElse("text-col", "text")
+        val n = flags.get("n").map(_.toInt).getOrElse(3)
+        val spark = session()
+        val docs =
+          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
+            FileIngest.readJsonl(spark, docsDir)
+          else if (docsDir.endsWith(".parquet")) spark.read.parquet(docsDir)
+          else FileIngest.readDocuments(spark, docsDir)
+        val m =
+          if (flags.contains("sketch"))
+            graft.operators.Dedup.sourceOverlapSketch(docs, textCol, srcCol,
+              n, numHashes = flags.get("hashes").map(_.toInt).getOrElse(64))
+          else graft.operators.Dedup.sourceOverlap(docs, textCol, srcCol, n)
+        m.orderBy("src_a", "src_b").write.mode("overwrite").parquet(out)
+        val rows = spark.read.parquet(out).count()
+        println(s"overlap: $rows source-pair rows -> $out")
         graft.operators.Dedup.releaseCaches() // see clean
         spark.stop()
 

@@ -99,6 +99,32 @@ object E2eDrive {
     println(s"CLI_ANALYZE_EDGES identical=${oneShot == viaEdges} watched_rows=$watchedN")
     spark4.stop()
 
+    // CLI overlap smoke: a tiny jsonl corpus with one mirrored source —
+    // the exact matrix must show the b⊂a containment asymmetry, the
+    // sketch arm must report the identical pair at j_est = 1.0
+    val ovDir = java.nio.file.Files.createTempDirectory("graft-e2e-ov").toString
+    val ovJsonl = s"$ovDir/corpus.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(ovJsonl),
+      ("""{"source": "a", "text": "alpha bravo charlie delta echo foxtrot"}""" + "\n" +
+       """{"source": "b", "text": "alpha bravo charlie delta"}""" + "\n" +
+       """{"source": "c", "text": "golf hotel india juliet kilo"}""" + "\n").getBytes("UTF-8"))
+    Cli.main(Array("overlap", "--docs", ovJsonl, "--out", s"$ovDir/exact"))
+    Cli.main(Array("overlap", "--docs", ovJsonl, "--out", s"$ovDir/sk", "--sketch"))
+    val sparkOv = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val exact = sparkOv.read.parquet(s"$ovDir/exact").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // a: 4 shingles, b: 2 (both within a's span) -> b→a containment 1.0
+    assert(exact(("b", "a"))._2 == 1.0 && exact(("a", "b"))._2 == 0.5,
+      s"overlap CLI containment asymmetry off: $exact")
+    assert(!exact.keySet.exists { case (x, y) => x == "c" || y == "c" },
+      s"disjoint source c must produce no rows: $exact")
+    val sk = sparkOv.read.parquet(s"$ovDir/sk").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sk(("a", "b")) > 0.0, s"sketch must see the a/b overlap: $sk")
+    println(s"CLI_OVERLAP exact=$exact sketch=$sk")
+    sparkOv.stop()
+
     // warm start over the same persisted edges, seeded from the cold
     // watched run's own output; plus the ppr and capped-triangle arms
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/pr_warm",
