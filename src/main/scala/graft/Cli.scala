@@ -745,9 +745,19 @@ object Cli {
                   iters = flags.get("iters").map(_.toInt).getOrElse(4))
             }
           case "kmeans" =>
-            graft.operators.Cluster.kmeansAssign(emb, idCol, vecCol,
-              k = flags.get("clusters").map(_.toInt).getOrElse(8),
-              iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            flags.get("init") match {
+              case Some(p) =>
+                // warm start from a prior run's (id, cluster) output:
+                // resume Lloyd from the centroids it implies — lands on
+                // the cold trajectory exactly (Cluster.kmeansAssignWarm)
+                graft.operators.Cluster.kmeansAssignWarm(emb, idCol, vecCol,
+                  init = spark.read.parquet(p),
+                  iters = flags.get("iters").map(_.toInt).getOrElse(1))
+              case None =>
+                graft.operators.Cluster.kmeansAssign(emb, idCol, vecCol,
+                  k = flags.get("clusters").map(_.toInt).getOrElse(8),
+                  iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            }
           case "pca" =>
             val model = graft.operators.Pca.fit(emb, vecCol)
             graft.operators.Pca.transform(emb, idCol, vecCol, model)

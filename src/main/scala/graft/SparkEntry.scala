@@ -926,6 +926,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // WARM-START k-means under the hash gate: Spark derives centroids
+    // from a prior assignment (kmeansAssign at 3 rounds) and re-assigns
+    // with zero further rounds; because centroids-from-assignment IS
+    // the next Lloyd update, this must equal a COLD 4-round run — which
+    // is exactly what the oracle replays (the cluster_kmeans recursion
+    // with one extra round). Passing proves the warm machinery
+    // (centroidsOf + the resumed loop) bit-matches the fit path.
+    "cluster_kmeans_warm" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val prior = graft.operators.Cluster.kmeansAssign(
+        emb, "vec_id", "embedding", k = 4, iters = 3)
+      graft.operators.Cluster.kmeansAssignWarm(
+          emb, "vec_id", "embedding", prior, iters = 0)
+        .orderBy("id")
+    }),
+
     // Cluster-balanced sampling: exactly 30 embeddings per
     // deterministic k-means cluster (stratifiedSample composed over
     // kmeansAssign) — the topic-balancing draw that keeps a dominant
@@ -3108,6 +3124,46 @@ private object OracleSql {
         |  GROUP BY iter, cluster
         |),
         |fin AS (SELECT cluster, c FROM cent WHERE iter = 3)
+        |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
+        |FROM (
+        |  SELECT e.vec_id,
+        |         min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                - 2 * list_inner_product(e.v, fin.c)
+        |                + list_inner_product(fin.c, fin.c), 6),
+        |             cl := fin.cluster)) AS m
+        |  FROM e, fin
+        |  GROUP BY e.vec_id)
+        |ORDER BY id""".stripMargin,
+
+    // Cold 4-round replay of the warm fixture (see the queries-side
+    // comment: warm(A3, 0) == cold(4) because centroids-from-assignment
+    // is the Lloyd update).
+    "cluster_kmeans_warm" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |cent(iter, cluster, c) AS (
+        |  SELECT 0, cluster, v FROM init
+        |  UNION ALL
+        |  SELECT iter + 1, cluster, list(cm ORDER BY pos)
+        |  FROM (
+        |    SELECT a.iter, a.cluster, p.pos, round(avg(a.v[p.pos]), 6) AS cm
+        |    FROM (
+        |      SELECT c.iter, e.vec_id, e.v,
+        |             min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                    - 2 * list_inner_product(e.v, c.c)
+        |                    + list_inner_product(c.c, c.c), 6),
+        |                 cl := c.cluster)).cl AS cluster
+        |      FROM cent c, e
+        |      WHERE c.iter < 4
+        |      GROUP BY c.iter, e.vec_id, e.v
+        |    ) a, (SELECT unnest(generate_series(1, 64)) AS pos) p
+        |    GROUP BY a.iter, a.cluster, p.pos
+        |  )
+        |  GROUP BY iter, cluster
+        |),
+        |fin AS (SELECT cluster, c FROM cent WHERE iter = 4)
         |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
         |FROM (
         |  SELECT e.vec_id,

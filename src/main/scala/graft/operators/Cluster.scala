@@ -46,15 +46,24 @@ object Cluster {
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Map[Int, Array[Double]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
-    // null vectors carry no signal and would diverge engines at the
-    // struct-min argmin (NULL-dist semantics differ) — drop them
-    val base = emb.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
-      .where(col("id").isNotNull && col("v").isNotNull)
-    var centroids: Map[Int, Array[Double]] =
+    val base = baseOf(emb, idCol, vecCol)
+    val init: Map[Int, Array[Double]] =
       base.orderBy("id").limit(k).collect()
         .map(_.getSeq[Double](1).toArray).zipWithIndex
         .map { case (v, i) => i -> v }.toMap
+    lloyd(base, init, iters)
+  }
+
+  // null vectors carry no signal and would diverge engines at the
+  // struct-min argmin (NULL-dist semantics differ) — drop them
+  private def baseOf(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
+
+  private def lloyd(base: DataFrame, init: Map[Int, Array[Double]],
+                    iters: Int): Map[Int, Array[Double]] = {
+    var centroids = init
     for (_ <- 0 until iters) {
       val assigned = base.withColumn("cluster",
         nearest(col("v"), centroids).getField("cl"))
@@ -71,18 +80,55 @@ object Cluster {
     centroids
   }
 
+  /** The Lloyd update step computed FROM a persisted (id, cluster)
+    * assignment instead of an in-loop argmin: per-cluster coordinate
+    * means, 6-decimal-rounded — bit-identical to what the fit loop
+    * would produce from the same assignment, which is what makes
+    * [[kmeansAssignWarm]]'s cold-equivalence contract exact. Vectors
+    * absent from `assign` (new data since the prior run) contribute to
+    * no centroid; they re-enter at the next assignment's argmin. */
+  def centroidsOf(emb: DataFrame, idCol: String, vecCol: String,
+                  assign: DataFrame): Map[Int, Array[Double]] =
+    baseOf(emb, idCol, vecCol)
+      .join(assign.select(col("id").cast("long").as("id"),
+        col("cluster").cast("int").as("cluster")), "id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("cluster", "pos").agg(round(avg("val"), 6).as("cm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cl, rows) => cl -> rows.sortBy(_._2).map(_._3) }
+
   /** Assign every vector to its nearest fitted centroid:
     * (id, cluster, dist) with dist = the 6-decimal-rounded squared L2
     * distance used for the argmin. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    val centroids = fitCentroids(emb, idCol, vecCol, k, iters)
-    val base = emb.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
-      .where(col("id").isNotNull && col("v").isNotNull)
+                   k: Int, iters: Int): DataFrame =
+    assignWith(baseOf(emb, idCol, vecCol),
+      fitCentroids(emb, idCol, vecCol, k, iters))
+
+  /** Warm-start assignment: resume Lloyd from the centroids a prior
+    * (id, cluster) assignment implies, run `iters` further update
+    * rounds, and re-assign — the incremental re-cluster mode (a grown
+    * corpus re-clusters from yesterday's structure in 0-1 rounds
+    * instead of a cold fit). EXACT cold-equivalence contract, because
+    * deriving centroids from an assignment IS the next Lloyd update:
+    * `kmeansAssignWarm(emb, kmeansAssign(emb, k, i), j)` equals
+    * `kmeansAssign(emb, k, i + 1 + j)` bit-for-bit on unchanged data
+    * (spec-pinned, and hash-gated against a cold cluster_kmeans oracle
+    * replay with the extra round). New vectors missing from `init`
+    * join at the first argmin; clusters that lost every member drop,
+    * matching the fit loop's empty-group rule. */
+  def kmeansAssignWarm(emb: DataFrame, idCol: String, vecCol: String,
+                       init: DataFrame, iters: Int): DataFrame = {
+    val base = baseOf(emb, idCol, vecCol)
+    assignWith(base, lloyd(base, centroidsOf(emb, idCol, vecCol, init), iters))
+  }
+
+  private def assignWith(base: DataFrame,
+                         centroids: Map[Int, Array[Double]]): DataFrame =
     base.withColumn("b", nearest(col("v"), centroids))
       .select(col("id"), col("b.cl").as("cluster"), col("b.d").as("dist"))
-  }
 
   /** The argmin-by-(dist, cluster) struct over literal centroids:
     * `least` of one (dist, clusterId) struct per centroid — struct

@@ -26,6 +26,36 @@ class ClusterSpec extends SparkSpec {
     assert(Set(asg(0L), asg(1L), asg(2L)).size == 3)
   }
 
+  test("warm start: warm(cold(i), j) == cold(i + 1 + j) bit-for-bit") {
+    // centroids-from-assignment IS the next Lloyd update, so resuming
+    // from a persisted assignment must land exactly on the cold
+    // trajectory — the contract that makes incremental re-clustering
+    // safe for curation decisions
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(120)
+    val prior = Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val warm = Cluster.kmeansAssignWarm(emb, "vec_id", "embedding", prior, iters = 1)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val cold = Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 4)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(warm == cold, "warm(A2, 1) must equal cold(4) exactly")
+  }
+
+  test("warm start: vectors new since the prior run join at the argmin") {
+    val pts = Seq[(Long, Seq[Double])](
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 0.0)),
+      (2L, Seq(0.2, 0.0)), (3L, Seq(9.8, 0.0)))
+    val prior = Cluster.kmeansAssign(toDf(pts), "vec_id", "embedding",
+      k = 2, iters = 2)
+    // two new points arrive near each blob; warm from the OLD assignment
+    val grown = pts ++ Seq((4L, Seq(0.1, 0.1)), (5L, Seq(9.9, 0.1)))
+    val warm = Cluster.kmeansAssignWarm(toDf(grown), "vec_id", "embedding",
+        prior, iters = 1)
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> t._2).toMap
+    assert(warm.size == 6, s"every vector must be assigned: $warm")
+    assert(warm(4L) == warm(0L) && warm(5L) == warm(1L),
+      s"new points must join their blob's cluster: $warm")
+  }
+
   test("deterministic across runs and input order") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val a = Cluster.kmeansAssign(emb, "vec_id", "embedding", 4, 3)

@@ -146,8 +146,16 @@ object E2eDrive {
       "--op", "components"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc_warm",
       "--op", "components", "--init", s"$prOut/cc"))
+    // warm k-means: resume from a persisted assignment (lands on the
+    // cold Lloyd trajectory exactly — spec-pinned; here: arm smoke)
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/km",
+      "--op", "kmeans", "--clusters", "4", "--iters", "2"))
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/km_warm",
+      "--op", "kmeans", "--init", s"$prOut/km", "--iters", "1"))
     val spark4b = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
+    val kmWarmN = spark4b.read.parquet(s"$prOut/km_warm").count()
+    assert(kmWarmN == 500, s"warm kmeans must assign every vector: $kmWarmN")
     val warmN = spark4b.read.parquet(s"$prOut/pr_warm").count()
     val pprN = spark4b.read.parquet(s"$prOut/ppr").count()
     val triN = spark4b.read.parquet(s"$prOut/tri").count()
