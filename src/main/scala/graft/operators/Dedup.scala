@@ -299,7 +299,8 @@ object Dedup {
     * MinHash signatures ([[minhashSignatures]]) — this exact tier is
     * the oracle anchor. */
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3, maxSources: Int = 1000): DataFrame = {
+    requireFewSources(docs, srcCol, maxSources, "sourceOverlap")
     // deferred-release persist: sizes and pairs both consume this
     // corpus-scale aggregate; without it the post-exchange collect_set
     // runs once PER consumer (ReusedExchange shares only the exchange).
@@ -326,6 +327,23 @@ object Dedup {
         round(col("shared") / col("sz"), 6).as("containment"))
   }
 
+  /** Both overlap tiers assume S is SOURCE-count-sized (dozens to
+    * hundreds: per-shingle source sets, S² pair keys, S signature
+    * rows). Pointing them at a per-FILE or per-URL column silently
+    * turns that into a corpus-scale matrix, so the assumption is
+    * enforced loudly — one cheap distinct-count job per call, the CC
+    * maxIter stance. */
+  private def requireFewSources(docs: DataFrame, srcCol: String,
+                                maxSources: Int, op: String): Unit = {
+    val nSrc = docs.where(col(srcCol).isNotNull)
+      .select(col(srcCol)).distinct().count()
+    require(nSrc <= maxSources,
+      s"$op is a per-SOURCE matrix (S^2 pairs, per-shingle source sets " +
+        s"bounded by S): got $nSrc distinct '$srcCol' values > " +
+        s"$maxSources. Aggregate sources first (e.g. path -> domain) " +
+        "or raise maxSources deliberately.")
+  }
+
   /** Sketch tier of [[sourceOverlap]]: per-source MinHash signatures →
     * estimated pairwise Jaccard matrix. When even the distinct shingle
     * table is too hot to aggregate exactly, the signature pass shuffles
@@ -340,7 +358,9 @@ object Dedup {
     * (Jaccard), so one row per unordered pair (src_a < src_b); the
     * exact tier stays the containment/asymmetry read. */
   def sourceOverlapSketch(docs: DataFrame, textCol: String, srcCol: String,
-                          n: Int = 3, numHashes: Int = 64): DataFrame = {
+                          n: Int = 3, numHashes: Int = 64,
+                          maxSources: Int = 1000): DataFrame = {
+    requireFewSources(docs, srcCol, maxSources, "sourceOverlapSketch")
     val sh = shingleTable(
       docs.where(col(srcCol).isNotNull && col(textCol).isNotNull),
       srcCol, textCol, n)

@@ -397,6 +397,21 @@ class DedupSpec extends SparkSpec {
     assert(s1 == Seq(("x", "y", 1.0)), s"identical sets must match: $s1")
   }
 
+  test("sourceOverlap: refuses corpus-scale source cardinality loudly") {
+    // a per-file/per-url source column silently turns the S-bounded
+    // matrix into a corpus-scale one — must fail, not stall
+    val docs = (0 until 30).map(i => (s"file$i", "alpha bravo charlie"))
+      .toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(docs, "text", "source", maxSources = 10).count()
+    }
+    assert(e.getMessage.contains("distinct 'source'"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlapSketch(docs, "text", "source", maxSources = 10).count()
+    }
+    assert(e2.getMessage.contains("sourceOverlapSketch"))
+  }
+
   test("warm-start CC: warm(init, increment) == cold(union)") {
     // prior: two 8-node chains; increment: one edge merging their heads
     val prior = ((0L until 7L).map(i => (i, i + 1)) ++
