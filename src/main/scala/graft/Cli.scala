@@ -38,7 +38,7 @@ import graft.sources.FileIngest
   *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
   *                    --op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca
-  *                    [--k 3] [--lsh] [--clusters 8] [--iters n] [--tol t] [--init p]
+  *                    [--k 3] [--lsh] [--weighted] [--clusters 8] [--iters n] [--tol t] [--init p]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
   *   graft.Cli ann-search <name> <query> [--top-k 5] [--nprobe 4] [--rerank 50] [--filter dsl]
@@ -137,7 +137,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch", "--weighted")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -595,7 +595,7 @@ object Cli {
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
           "--op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca [--id-col vec_id] " +
-          "[--vec-col embedding] [--k 3] [--lsh] [--bits 8] [--tables 4] " +
+          "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits 8] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val op = flags.getOrElse("op", fail("--op required; " + usage))
@@ -629,10 +629,15 @@ object Cli {
         def graph(): org.apache.spark.sql.DataFrame = flags.get("edges") match {
           case Some(p) =>
             val e = spark.read.parquet(p)
+            // pass a weight column through when present ("score" or
+            // "w") — --weighted consumes it; every other op projects
+            // (id, nb) and ignores it
+            val wCol = Seq("score", "w").find(e.columns.contains)
+              .map(c => Seq(col(c).as("score"))).getOrElse(Nil)
             if (e.columns.contains("id") && e.columns.contains("nb"))
-              e.select(col("id"), col("nb"))
+              e.select(Seq(col("id"), col("nb")) ++ wCol: _*)
             else if (e.columns.contains("id_a") && e.columns.contains("id_b"))
-              e.select(col("id_a").as("id"), col("id_b").as("nb"))
+              e.select(Seq(col("id_a").as("id"), col("id_b").as("nb")) ++ wCol: _*)
             else fail(s"--edges $p needs (id, nb) or (id_a, id_b) columns " +
               s"(have: ${e.columns.mkString(", ")})")
           case None =>
@@ -723,9 +728,19 @@ object Cli {
             // density-based community discovery (synchronous LPA,
             // deterministic max-count/min-label tie rule): splits what
             // components merges — a bridge edge joins clusters for CC
-            // but cannot outvote a dense block's majority here
-            G.labelPropagation(G.symmetrize(graph()),
-              iters = flags.get("iters").map(_.toInt).getOrElse(5))
+            // but cannot outvote a dense block's majority here.
+            // --weighted: votes carry the edge similarity (score) so a
+            // strong neighbor outvotes several weak ones
+            val cIters = flags.get("iters").map(_.toInt).getOrElse(5)
+            if (flags.contains("weighted")) {
+              val g = graph()
+              if (!g.columns.contains("score")) fail(
+                "--weighted needs edge weights: use the kNN build (it " +
+                  "carries score) or an --edges table with a score/w column")
+              G.labelPropagationWeighted(
+                G.symmetrizeWeighted(g.select(col("id"), col("nb"),
+                  col("score")), "id", "nb", "score"), iters = cIters)
+            } else G.labelPropagation(G.symmetrize(graph()), iters = cIters)
           case "spread" =>
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))

@@ -895,6 +895,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // WEIGHTED community detection on the same clique-block fixture,
+    // with dyadic edge weights ((1 + (a+b)%3)/4 intra, 5/2 on bridges)
+    // so every vote sum is exact in doubles on BOTH engines by
+    // construction (termQuant is the identity on grid weights — the
+    // operator still applies it for arbitrary inputs). The strong
+    // bridges make weights MATTER: vote sums, not neighbor counts,
+    // decide the tails — whatever partition the dynamics settle on,
+    // the oracle replays the identical (max weight-sum, min label)
+    // update, so the gate pins the weighted machinery end to end.
+    "graph_communities_weighted" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+        .withColumn("w", (lit(1) + (col("a") + col("b")) % 3) * lit(0.25))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"),
+          lit(2.5).as("w"))
+      Graph.labelPropagationWeighted(
+        Graph.symmetrizeWeighted(cliques.union(bridges), "a", "b", "w"),
+        iters = 4)
+        .orderBy("id")
+    }),
+
     // Label spreading (Zhou et al. 2004) over the kNN graph: every 5th
     // vector seeds its label, 4 diffusion rounds, per-node argmax with
     // (score desc, label) tie-break — the classifier-bootstrapping step
@@ -3044,6 +3070,50 @@ private object OracleSql {
         |l4 AS (SELECT id, nl AS label FROM (
         |         SELECT id, nl,
         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+        |         FROM c4) WHERE rn = 1)
+        |SELECT id, label FROM l4 ORDER BY id""".stripMargin,
+
+    // Weighted LPA replay: sum(w) votes instead of count(*), same
+    // row_number (wv DESC, nl) pick. The fixture's dyadic weights make
+    // every sum exact, so no quantization CTE is needed — engine
+    // parity is by construction.
+    "graph_communities_weighted" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b,
+        |         (1 + (x.id + y.id) % 3) * 0.25::DOUBLE AS w
+        |  FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1, 2.5::DOUBLE FROM ids WHERE id % 8 = 7 AND id < 199),
+        |e AS (SELECT s, d, max(w) AS w FROM (
+        |        SELECT a AS s, b AS d, w FROM p
+        |        UNION ALL SELECT b, a, w FROM p) GROUP BY 1, 2),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+        |c1 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
+        |       FROM e JOIN l0 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l1 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
+        |       FROM e JOIN l1 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l2 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
+        |       FROM e JOIN l2 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l3 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
+        |         FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
+        |       FROM e JOIN l3 n ON n.id = e.d GROUP BY e.s, n.label),
+        |l4 AS (SELECT id, nl AS label FROM (
+        |         SELECT id, nl,
+        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
         |         FROM c4) WHERE rn = 1)
         |SELECT id, label FROM l4 ORDER BY id""".stripMargin,
 

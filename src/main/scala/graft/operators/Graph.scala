@@ -454,6 +454,61 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("nodes"))
 
+  /** [[symmetrize]] with the edge weight carried along: both directions
+    * unioned, duplicate (src, dst) rows collapsed to the MAX weight —
+    * deterministic whatever the caller's pair table contains (a cosine
+    * kNN graph is weight-symmetric, so max is a no-op there). */
+  def symmetrizeWeighted(pairs: DataFrame, aCol: String = "id",
+                         bCol: String = "nb",
+                         wCol: String = "score"): DataFrame =
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"),
+        col(wCol).as("w"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"),
+        col(wCol).as("w")))
+      .groupBy("src", "dst").agg(max("w").as("w"))
+
+  /** Weight-aware [[labelPropagation]] — what a SIMILARITY graph wants:
+    * each neighbor's vote counts its edge weight (the kNN cosine), so
+    * one 0.98-similar neighbor outvotes three 0.3-similar ones instead
+    * of losing 3:1. Same synchronous scaffold and total-order tie rule,
+    * with (max weight-sum, then min label) deciding each node.
+    *
+    * Engine-portable determinism (the graph-iteration stance): every
+    * weight floors onto the 2^-48 grid BEFORE summation ([[termQuant]]),
+    * so per-(node, label) vote sums are EXACT in doubles — order-
+    * independent across Spark scheduling and replaying engines — for
+    * degree x maxWeight up to ~2^4 at full precision (the kNN
+    * composition: degree <= k x tables, cosine <= 1). Ties after exact
+    * sums break to the smaller label; no float comparison ambiguity
+    * remains. Expects [[symmetrizeWeighted]] edges ((src, dst, w) rows,
+    * w > 0 — zero/negative/null-weight edges are dropped up front since
+    * they carry no vote). */
+  def labelPropagationWeighted(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+      .filter(col("src") =!= col("dst") && col("w").isNotNull && col("w") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = e.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var r = 0
+      while (r < iters) {
+        val votes = e
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")),
+            "dst")
+          .groupBy(col("src").as("id"), col("nl"))
+          .agg(sum(termQuant(col("w"))).as("wv"))
+        labels = votes.groupBy("id")
+          .agg(min(struct((-col("wv")).as("nw"), col("nl").as("l"))).as("p"))
+          .select(col("id"), col("p.l").as("label"))
+          .localCheckpoint() // eager — see [[pageRank]]
+        r += 1
+      }
+      labels
+    } finally { e.unpersist(); () }
+  }
+
   /** Unsupervised community detection by SYNCHRONOUS label propagation
     * (Raghavan et al. 2007) over an undirected (src, dst) edge list:
     * every node starts as its own community, and each round every node

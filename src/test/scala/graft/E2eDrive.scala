@@ -142,6 +142,10 @@ object E2eDrive {
     // (unchanged graph => unchanged clusters)
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa",
       "--op", "communities", "--iters", "4"))
+    // weighted communities: the persisted knn table carries score, and
+    // the --edges reader passes it through for --weighted votes
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_w",
+      "--op", "communities", "--weighted", "--iters", "4"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc",
       "--op", "components"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc_warm",
@@ -162,6 +166,8 @@ object E2eDrive {
     assert(warmN == 500 && pprN > 0 && triN == 500,
       s"warm/ppr/capped-tri CLI arms: $warmN/$pprN/$triN")
     val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
+    val lpaWN = spark4b.read.parquet(s"$prOut/lpa_w").count()
+    assert(lpaWN == 500, s"weighted communities must assign every node: $lpaWN")
     val ccCold = spark4b.read.parquet(s"$prOut/cc").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ccWarm = spark4b.read.parquet(s"$prOut/cc_warm").collect()

@@ -429,6 +429,41 @@ class GraphSpec extends SparkSpec {
     assert(more == lpa, "settled LPA labels must be round-count invariant")
   }
 
+  test("labelPropagationWeighted: uniform weights == unweighted; weights decide ties") {
+    // parity arm: weight 1.0 everywhere must reproduce the unweighted
+    // operator exactly (count IS the uniform-weight sum)
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val pairs = (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("id_a", "id_b")
+    val uni = Graph.labelPropagationWeighted(
+      Graph.symmetrizeWeighted(pairs.withColumn("w", lit(1.0)),
+        "id_a", "id_b", "w"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.labelPropagation(
+      Graph.symmetrize(pairs, "id_a", "id_b"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(uni == plain, "uniform weights must reproduce unweighted LPA")
+
+    // weights-decide arm: node 3 hears 1 (w=5) and 2 (w=1); unweighted
+    // would tie-break to label 1, the heavy edge must win instead
+    val star = Seq((3L, 1L, 5.0), (3L, 2L, 1.0)).toDF("src", "dst", "w")
+    val sym = star.union(star.select(col("dst"), col("src"), col("w")))
+    val one = Graph.labelPropagationWeighted(sym, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) == 1L, s"the w=5 neighbor must outvote: $one")
+    val plainStar = Graph.labelPropagation(
+      sym.select(col("src"), col("dst")), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(plainStar(3L) == 1L && one(1L) == 3L && one(2L) == 3L, s"$plainStar $one")
+    // flip the heavy edge: weighted follows it away from the min label
+    val star2 = Seq((3L, 1L, 1.0), (3L, 2L, 5.0)).toDF("src", "dst", "w")
+    val sym2 = star2.union(star2.select(col("dst"), col("src"), col("w")))
+    val two = Graph.labelPropagationWeighted(sym2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(two(3L) == 2L,
+      s"weighted vote must beat the min-label tie-break: $two")
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
