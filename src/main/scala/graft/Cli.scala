@@ -667,6 +667,9 @@ object Cli {
           case "pagerank" =>
             tol match {
               case Some(t) =>
+                if (flags.contains("weighted")) fail(
+                  "--weighted is the fixed-round tier only (no watched " +
+                    "weighted variant); drop --tol")
                 // --init <parquet>: warm-start from a prior run's
                 // (id, rank) output — the incremental re-run mode
                 val (r, rounds) = G.pageRankWatched(G.symmetrize(graph()),
@@ -679,7 +682,18 @@ object Cli {
                 if (flags.contains("init")) fail(
                   "--init (warm start) requires --tol: the fixed-round " +
                     "tier always starts cold (it is the oracle tier)")
-                G.pageRank(G.symmetrize(graph()),
+                if (flags.contains("weighted")) {
+                  // similarity-weighted surfer: follows edges in
+                  // proportion to score (Graph.pageRankWeighted)
+                  val g = graph()
+                  if (!g.columns.contains("score")) fail(
+                    "--weighted needs edge weights: use the kNN build or " +
+                      "an --edges table with a score/w column")
+                  G.pageRankWeighted(
+                    G.symmetrizeWeighted(g.select(col("id"), col("nb"),
+                      col("score")), "id", "nb", "score"),
+                    iters = flags.get("iters").map(_.toInt).getOrElse(5))
+                } else G.pageRank(G.symmetrize(graph()),
                   iters = flags.get("iters").map(_.toInt).getOrElse(5))
             }
           case "ppr" =>

@@ -921,6 +921,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // WEIGHTED PageRank on the same dyadic-weight fixture: the surfer
+    // follows edges in proportion to weight (rank * w / outw terms,
+    // 2^-48-floored, 2^-30 state grid — the graph_pagerank discipline
+    // with the division's numerator swapped), so the heavy 2.5 bridges
+    // concentrate centrality on block tails in a way plain PageRank
+    // (which treats all 8 block edges equally) cannot.
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+        .withColumn("w", (lit(1) + (col("a") + col("b")) % 3) * lit(0.25))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"),
+          lit(2.5).as("w"))
+      Graph.pageRankWeighted(
+        Graph.symmetrizeWeighted(cliques.union(bridges), "a", "b", "w"),
+        iters = 5)
+        .orderBy("id")
+    }),
+
     // Label spreading (Zhou et al. 2004) over the kNN graph: every 5th
     // vector seeds its label, 4 diffusion rounds, per-node argmax with
     // (score desc, label) tie-break — the classifier-bootstrapping step
@@ -3072,6 +3095,44 @@ private object OracleSql {
         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
         |         FROM c4) WHERE rn = 1)
         |SELECT id, label FROM l4 ORDER BY id""".stripMargin,
+
+    // Weighted-PageRank replay: the graph_pagerank recursion with
+    // sum(w)-normalized weighted contributions (floor-grid of
+    // rank * w / outw per term). The weighted fixture is symmetric, so
+    // every node receives mass every round and the GROUP BY dst covers
+    // all nodes — the same property the kNN replay relies on.
+    "graph_pagerank_weighted" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b,
+        |         (1 + (x.id + y.id) % 3) * 0.25::DOUBLE AS w
+        |  FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1, 2.5::DOUBLE FROM ids WHERE id % 8 = 7 AND id < 199),
+        |edges AS (SELECT src, dst, max(w) AS w FROM (
+        |            SELECT a AS src, b AS dst, w FROM p
+        |            UNION ALL SELECT b, a, w FROM p) GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |pr(iter, id, rank) AS (
+        |  SELECT 0, id, floor((1.0::DOUBLE / (SELECT count(*) FROM nodes))
+        |                 * 1073741824.0) / 1073741824.0
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT p.iter + 1, e2.dst,
+        |         floor(((1.0::DOUBLE - 0.85) / (SELECT count(*) FROM nodes)
+        |               + 0.85 * (sum(floor(p.rank * e2.w / d.outw * 281474976710656.0) / 281474976710656.0) + 0.0))
+        |               * 1073741824.0) / 1073741824.0
+        |  FROM pr p
+        |  JOIN edges e2 ON e2.src = p.id
+        |  JOIN ow d ON d.src = p.id
+        |  WHERE p.iter < 5
+        |  GROUP BY p.iter, e2.dst
+        |)
+        |SELECT id, rank FROM pr WHERE iter = 5
+        |ORDER BY id""".stripMargin,
 
     // Weighted LPA replay: sum(w) votes instead of count(*), same
     // row_number (wv DESC, nl) pick. The fixture's dyadic weights make

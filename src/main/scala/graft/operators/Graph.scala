@@ -454,6 +454,67 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("nodes"))
 
+  /** Similarity-WEIGHTED PageRank over a (src, dst, w) edge list: the
+    * random surfer follows edges in proportion to their weight
+    * (contribution = rank · w / outgoing-weight-sum), so centrality
+    * concentrates along STRONG similarity paths — on a kNN graph, a hub
+    * of near-duplicates outranks a hub of marginal neighbors that plain
+    * [[pageRank]] would score identically. Companion to
+    * [[labelPropagationWeighted]] on [[symmetrizeWeighted]] substrates.
+    *
+    * Same engine-portable grids as [[pageRank]]: every rank·w/outw term
+    * floors onto the 2^-48 grid before summation, states requantize
+    * onto 2^-quantBits per round. Zero/negative/null-weight edges are
+    * dropped (they carry no walk mass). Designed for symmetrized
+    * weighted graphs, where every node has outgoing weight; an
+    * arbitrary directed list with weighted-dangling nodes is REFUSED
+    * loudly rather than silently leaking walk mass (the PPR stance) —
+    * use [[pageRank]]'s dangling redistribution for those. */
+  def pageRankWeighted(edges: DataFrame, damping: Double = 0.85,
+                       iters: Int = 5, quantBits: Int = 30): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+      .filter(col("src") =!= col("dst") && col("w").isNotNull && col("w") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    val eout = e.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("outw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = nodes.count().toDouble
+        val dangling = nodes
+          .join(outw.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+          .limit(1).count()
+        require(dangling == 0,
+          "pageRankWeighted expects every node to carry outgoing weight " +
+            "(a symmetrizeWeighted graph); dangling nodes would leak walk " +
+            "mass — use pageRank's dangling redistribution instead")
+        val teleport = (1.0 - damping) / n
+        var rank = nodes.select(col("id"),
+          quant(lit(1.0 / n), quantBits).as("rank"))
+        var r = 0
+        while (r < iters) {
+          val contrib = eout
+            .join(rank.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(sum(termQuant(col("rank") * col("w") / col("outw")))
+              .as("contrib"))
+          rank = nodes.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              quant(lit(teleport) + lit(damping) *
+                coalesce(col("contrib"), lit(0.0)), quantBits).as("rank"))
+            .localCheckpoint() // eager — see [[pageRank]]
+          r += 1
+        }
+        rank
+      } finally { nodes.unpersist(); () }
+    } finally { eout.unpersist(); e.unpersist(); () }
+  }
+
   /** [[symmetrize]] with the edge weight carried along: both directions
     * unioned, duplicate (src, dst) rows collapsed to the MAX weight —
     * deterministic whatever the caller's pair table contains (a cosine

@@ -142,10 +142,12 @@ object E2eDrive {
     // (unchanged graph => unchanged clusters)
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa",
       "--op", "communities", "--iters", "4"))
-    // weighted communities: the persisted knn table carries score, and
-    // the --edges reader passes it through for --weighted votes
+    // weighted communities + weighted pagerank: the persisted knn table
+    // carries score, and the --edges reader passes it through
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_w",
       "--op", "communities", "--weighted", "--iters", "4"))
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/pr_w",
+      "--op", "pagerank", "--weighted"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc",
       "--op", "components"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/cc_warm",
@@ -168,6 +170,8 @@ object E2eDrive {
     val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
     val lpaWN = spark4b.read.parquet(s"$prOut/lpa_w").count()
     assert(lpaWN == 500, s"weighted communities must assign every node: $lpaWN")
+    val prWN = spark4b.read.parquet(s"$prOut/pr_w").count()
+    assert(prWN == 500, s"weighted pagerank must rank every node: $prWN")
     val ccCold = spark4b.read.parquet(s"$prOut/cc").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ccWarm = spark4b.read.parquet(s"$prOut/cc_warm").collect()

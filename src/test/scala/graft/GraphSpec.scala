@@ -464,6 +464,36 @@ class GraphSpec extends SparkSpec {
       s"weighted vote must beat the min-label tie-break: $two")
   }
 
+  test("pageRankWeighted: uniform weights == pageRank; heavy edges attract mass") {
+    // parity arm: w = 1 everywhere makes rank*w/outw == rank/outdeg,
+    // so the weighted operator must reproduce plain pageRank exactly
+    // (symmetric graph => no dangling subplan on either side)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val plain = Graph.pageRank(Graph.symmetrize(tri, "id_a", "id_b"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val uni = Graph.pageRankWeighted(
+      Graph.symmetrizeWeighted(tri.withColumn("w", lit(1.0)),
+        "id_a", "id_b", "w"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(uni == plain, s"uniform weights must reproduce pageRank: $uni vs $plain")
+
+    // weights-matter arm: z splits mass 3:1 between x and y — x must
+    // outrank y although their degrees are identical
+    val wpairs = Seq((100L, 1L, 3.0), (100L, 2L, 1.0)).toDF("id_a", "id_b", "w")
+    val wr = Graph.pageRankWeighted(
+      Graph.symmetrizeWeighted(wpairs, "id_a", "id_b", "w"), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(wr(1L) > wr(2L),
+      s"the w=3 neighbor must accumulate more rank: $wr")
+
+    // dangling refusal: a directed-only weighted edge list leaks mass
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        Seq((1L, 2L, 1.0)).toDF("src", "dst", "w"), iters = 1).count()
+    }
+    assert(e.getMessage.contains("outgoing weight"))
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
