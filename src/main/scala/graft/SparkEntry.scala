@@ -1493,6 +1493,16 @@ object SparkEntry {
       graft.operators.Profile.corpusProfile(Tables.documents(s, dir))
     }),
 
+    // Per-source curation scorecard — the drop-this-source-wholesale
+    // decision table (volume, mean length, exact-dup pressure, Gopher
+    // pass-rate per source). Flags + fingerprint in one zero-shuffle
+    // projection, ONE (source, fp)-keyed corpus exchange, rollup
+    // cardinality = sources; no countDistinct (the Expand trap) — the
+    // second stage counts distinct fingerprints as plain count(1).
+    "corpus_source_scorecard" -> ((s, dir) => {
+      graft.operators.Profile.sourceScorecard(Tables.documents(s, dir))
+    }),
+
     // ----- multimodal: binary columns with byte-level stats -----
     "multimodal_stats" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -3589,6 +3599,54 @@ private object OracleSql {
         |FROM m
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin.replace("%STOP%", stopList),
+
+    // The per-source scorecard replayed two-level: same Gopher
+    // expressions as quality_gopher, fingerprint = the dedup_exact md5,
+    // (source, fp) grain first, then the source rollup with distinct
+    // texts as count(*) — mirroring the Spark plan's Expand-free shape.
+    // Sums of BIGINT cast back from DuckDB's HUGEINT.
+    "corpus_source_scorecard" ->
+      """WITH base AS (
+        |  SELECT source, n_chars, text,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, n_chars, fp,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         round(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)::DOUBLE
+        |               / greatest(len(ws), 1)::DOUBLE, 6) AS mean_word_len,
+        |         round(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+        |               / greatest(len(ws), 1)::DOUBLE, 6) AS alpha_word_ratio,
+        |         round(((length(text) - length(regexp_replace(text, '[#]', '', 'g')))
+        |                + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT))::DOUBLE
+        |               / greatest(len(ws), 1)::DOUBLE, 6) AS symbol_ratio,
+        |         CAST(len(list_filter(toks, t -> t IN %STOP%)) AS BIGINT) AS stop_hits
+        |  FROM base),
+        |d AS (
+        |  SELECT source, fp, n_chars, n_words,
+        |         CASE WHEN n_words >= 50 AND n_words <= 100000
+        |               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |               AND alpha_word_ratio >= 0.8 AND symbol_ratio <= 0.1
+        |               AND stop_hits >= 2 THEN 1 ELSE 0 END AS pass
+        |  FROM m),
+        |pf AS (
+        |  SELECT source, fp, count(*) AS copies, sum(n_chars) AS chars,
+        |         sum(n_words) AS words, sum(pass) AS passed
+        |  FROM d GROUP BY 1, 2)
+        |SELECT source,
+        |       CAST(sum(copies) AS BIGINT) AS docs,
+        |       CAST(sum(chars) AS BIGINT) AS total_chars,
+        |       round(sum(words)::DOUBLE / sum(copies), 6) AS mean_words,
+        |       count(*) AS distinct_texts,
+        |       CAST(sum(copies) - count(*) AS BIGINT) AS dup_docs,
+        |       round((sum(copies) - count(*))::DOUBLE / sum(copies), 6) AS dup_rate,
+        |       round(sum(passed)::DOUBLE / sum(copies), 6) AS gopher_pass_rate
+        |FROM pf
+        |GROUP BY 1
+        |ORDER BY source""".stripMargin.replace("%STOP%", stopList),
 
     // Train on even ids, score odd ids; COALESCE arms replay
     // lmScoreWith's backoff exactly (model-miss then context-miss).

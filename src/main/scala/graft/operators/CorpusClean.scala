@@ -46,16 +46,23 @@ object CorpusClean {
     *
     * All ratios are rounded to 6 decimals BEFORE threshold comparison in
     * both engines, so FP boundary behavior is identical by construction.
+    *
+    * `keepCols` threads extra input columns through unchanged (appended
+    * after the flag columns) — the zero-join path for consumers that
+    * aggregate flags by another key ([[graft.operators.Profile
+    * .sourceScorecard]] groups by source; a doc_id re-join would be a
+    * second corpus-scale shuffle for columns the scan already had).
     */
   def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
-      minStopHits: Int = 2): DataFrame = {
+      minStopHits: Int = 2, keepCols: Seq[String] = Nil): DataFrame = {
     val ws = words(col(textCol))
     val base = docs.select(
-      col(idCol).as("doc_id"),
-      col(textCol).as("text"),
-      ws.as("ws"),
-      tokens(col(textCol)).as("toks"))
+      (Seq(
+        col(idCol).as("doc_id"),
+        col(textCol).as("text"),
+        ws.as("ws"),
+        tokens(col(textCol)).as("toks")) ++ keepCols.map(col)): _*)
     val nWords = size(col("ws")).cast("long")
     val nWordsD = greatest(nWords, lit(1L)).cast("double")
     val meanWordLen = round(
@@ -69,9 +76,10 @@ object CorpusClean {
     val stopHits = size(filter(col("toks"), t => t.isin(stopwords.map(lit): _*))).cast("long")
 
     base.select(
-        col("doc_id"), nWords.as("n_words"), meanWordLen.as("mean_word_len"),
-        alphaRatio.as("alpha_word_ratio"), symbolRatio.as("symbol_ratio"),
-        stopHits.as("stop_hits"))
+        (Seq(
+          col("doc_id"), nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+          alphaRatio.as("alpha_word_ratio"), symbolRatio.as("symbol_ratio"),
+          stopHits.as("stop_hits")) ++ keepCols.map(col)): _*)
       .withColumn("pass_word_count", col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("pass_word_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
       .withColumn("pass_alpha", col("alpha_word_ratio") >= 0.8)

@@ -50,6 +50,60 @@ object Profile {
         avg(col("n_tok")).as("avg_tokens"))
       .orderBy(col(langCol))
 
+  /** Per-source curation scorecard — the "which sources survive"
+    * decision table a corpus owner reads before mixing: one row per
+    * source with volume (docs, chars), length (mean words), exact-dup
+    * pressure (distinct content fingerprints, dup docs, dup rate), and
+    * Gopher quality pass-rate. RefinedWeb/Dolma-style pipelines make
+    * exactly this call at the source/domain grain — a source whose dup
+    * rate or quality fail-rate is pathological is dropped wholesale
+    * before any per-document work is spent on it.
+    *
+    * Plan shape (the 100 TB posture): the Gopher flags and the content
+    * fingerprint are computed in the SAME zero-shuffle projection over
+    * the scan (gopherFlags' `keepCols` — no doc_id re-join), then ONE
+    * corpus-scale exchange on (source, fp) with map-side combine, then
+    * a rollup whose cardinality is the number of sources. Exact-dup
+    * counting deliberately avoids `countDistinct(fp)` in the source
+    * rollup: two distinct aggregates would trigger Expand (×k the
+    * corpus through the shuffle); the two-level agg keys the one big
+    * exchange by (source, fp) — 16-byte-ish rows — and counts distinct
+    * fingerprints as plain `count(1)` in the tiny second stage.
+    *
+    * All ratios round to 6 decimals; `dup_docs` is kept as the
+    * integer-exact companion of `dup_rate` (no FP boundary to argue
+    * about). Fingerprint = [[TextFunctions.fingerprint]], the
+    * whitespace-normalized md5 every exact-dedup tier uses. */
+  def sourceScorecard(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      sourceCol: String = "source",
+                      charsCol: String = "n_chars",
+                      minWords: Int = 50): DataFrame = {
+    val flagged = graft.operators.CorpusClean.gopherFlags(
+        docs.withColumn("fp", TextFunctions.fingerprint(col(textCol))),
+        idCol, textCol, minWords = minWords,
+        keepCols = Seq(sourceCol, charsCol, "fp"))
+      .select(col(sourceCol).as("source"), col("fp"),
+        col(charsCol).cast("long").as("chars"),
+        col("n_words"), col("passes").cast("long").as("pass"))
+    val perFp = flagged.groupBy("source", "fp")
+      .agg(count(lit(1)).as("copies"), sum("chars").as("chars"),
+        sum("n_words").as("words"), sum("pass").as("passed"))
+    perFp.groupBy("source")
+      .agg(
+        sum("copies").as("docs"),
+        sum("chars").as("total_chars"),
+        round(sum("words").cast("double") / sum("copies"), 6)
+          .as("mean_words"),
+        count(lit(1)).as("distinct_texts"),
+        (sum("copies") - count(lit(1))).as("dup_docs"),
+        round((sum("copies") - count(lit(1))).cast("double") /
+          sum("copies"), 6).as("dup_rate"),
+        round(sum("passed").cast("double") / sum("copies"), 6)
+          .as("gopher_pass_rate"))
+      .orderBy("source")
+  }
+
   /** Per-slice token-distribution divergence: KL(slice ‖ corpus) over
     * the unigram term distributions, the standard drift/mixture monitor
     * for a training corpus (which sources are skewing the token mix,

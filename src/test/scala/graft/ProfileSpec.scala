@@ -95,4 +95,33 @@ class ProfileSpec extends SparkSpec {
     assert(d("a") == ((1L, r6(math.sqrt(0.5 * 0.5 * 2)), r6(0.5 / math.sqrt(0.5)))))
     assert(d("b") == d("a").copy()) // symmetric by construction
   }
+
+  test("sourceScorecard: hand-computed dup pressure and pass rates per source") {
+    // T1 passes gopher at minWords=3 (11 words, mean len in range, all
+    // alphabetic, zero symbols, 3 stopword hits); the '#' doc fails
+    // alpha + symbol + stops
+    val t1 = "the quick brown fox and the lazy dog ran far away"
+    val t2 = "a small red hen sat on the old stone wall today"
+    val t3 = "we walked to the market and bought some fresh bread there"
+    val docs = Seq(
+      (1L, t1, "en", "A", t1.length.toLong),
+      (2L, t1, "en", "A", t1.length.toLong), // exact dup of doc 1
+      (3L, "#### #### ####", "en", "A", 14L),
+      (4L, t2, "en", "B", t2.length.toLong),
+      (5L, t3, "en", "B", t3.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Profile.sourceScorecard(docs, minWords = 3)
+      .as[(String, Long, Long, Double, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = rows("A")
+    assert(a._2 == 3L && a._5 == 2L && a._6 == 1L) // docs, distinct, dup
+    assert(a._7 == math.round(1.0 / 3.0 * 1e6) / 1e6) // dup_rate
+    assert(a._8 == math.round(2.0 / 3.0 * 1e6) / 1e6) // pass rate (doc 3 fails)
+    assert(a._3 == 2 * t1.length + 14) // total_chars
+    val b = rows("B")
+    assert(b._2 == 2L && b._5 == 2L && b._6 == 0L && b._7 == 0.0 && b._8 == 1.0)
+    // source rollup is ordered
+    assert(Profile.sourceScorecard(docs, minWords = 3)
+      .select("source").as[String].collect().toSeq == Seq("A", "B"))
+  }
 }
