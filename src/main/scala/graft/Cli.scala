@@ -34,6 +34,13 @@ import graft.sources.FileIngest
   *                    [--method exact|minhash|simhash|phash|audiofp|embed|semantic]
   *                    [--minj 0.8] [--max-dist 3] [--min-cosine 0.95]
   *                    [--tau 0.95] [--clusters 8] [--quality-col <col>]
+  *   graft.Cli curate --docs <dir|corpus.jsonl|parquet> --out <dir>
+  *                    [--min-words 50] [--min-lm <f>]
+  *                    [--dedup minhash|exact|simhash|none] [--minj 0.8]
+  *                    [--max-dist 3] [--decontaminate <bench>]
+  *                    [--ngram 5] [--max-overlap 0] [--report <dir>]
+  *   graft.Cli scorecard --docs <dir|corpus.jsonl|parquet> --out <dir>
+  *                    [--src-col source] [--text-col text] [--min-words 50]
   *   graft.Cli overlap --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
@@ -160,10 +167,61 @@ object Cli {
     sys.exit(2)
   }
 
+  /** Shared text-corpus ingest: `.jsonl`/`.jsonl.gz` → readJsonl,
+    * `.parquet` (file or directory of part-files) → parquet, anything
+    * else → recursive document ingest. One resolution rule for every
+    * text arm so `clean | dedup | curate | scorecard` can't disagree
+    * about what a `--docs` path means. */
+  private[graft] def ingestText(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val f = new java.io.File(path)
+    val looksParquet = path.endsWith(".parquet") ||
+      (f.isDirectory && f.listFiles() != null && f.listFiles().exists(c =>
+        c.getName.endsWith(".parquet") || c.getName == "_SUCCESS"))
+    if (path.endsWith(".jsonl") || path.endsWith(".jsonl.gz"))
+      FileIngest.readJsonl(spark, path)
+    else if (looksParquet) spark.read.parquet(path)
+    else FileIngest.readDocuments(spark, path)
+  }
+
+  /** Survivors of a TEXT dedup tier over (idCol, textCol) — the shared
+    * engine of the `dedup` and `curate` arms (one implementation, so
+    * the composed pipeline and the standalone arm can't drift):
+    * exact = normalized-md5 groups (NULL-fingerprint docs carry no
+    * signal and all survive), minhash = MinHash-LSH candidates +
+    * true-Jaccard verify + connected components, simhash = class-level
+    * Hamming clustering. One canonical survivor (min id) per cluster. */
+  private[graft] def textDedupSurvivors(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, method: String,
+      minJ: Double, maxDist: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val D = graft.operators.Dedup
+    method match {
+      case "exact" =>
+        val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+        docs.join(D.exactGroups(docs.filter(fp.isNotNull), idCol, textCol)
+            .select(col("keep_id").as(idCol)),
+          Seq(idCol), "left_semi")
+          .union(docs.filter(fp.isNull))
+      case "minhash" =>
+        val pairs = D.minhashDedup(docs, idCol, textCol, n = 3,
+          numHashes = 16, bandSize = 4, minJ = minJ)
+        val losers = D.connectedComponents(pairs.select("id_a", "id_b"))
+          .filter(col("component") =!= col("id"))
+          .select(col("id").as(idCol))
+        docs.join(losers, Seq(idCol), "left_anti")
+      case "simhash" =>
+        val clusters = D.simhashClusters(docs, idCol, textCol, maxDist = maxDist)
+        docs.join(clusters.filter(!col("keep")).select(col("id").as(idCol)),
+          Seq(idCol), "left_anti")
+      case other => fail(
+        s"unknown text dedup method '$other' (exact|minhash|simhash)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
-      "|compact|export|import|clean|dedup|analyze|overlap|tokenize|select-dsir|export-training" +
+      "|compact|export|import|clean|dedup|curate|scorecard|analyze|overlap|tokenize|select-dsir|export-training" +
       "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
@@ -411,6 +469,138 @@ object Cli {
         graft.operators.Dedup.releaseCaches()
         spark.stop()
 
+      case "curate" =>
+        // End-to-end curation funnel — the one-command RefinedWeb/
+        // Dolma-shaped pipeline: quality clean → dedup → benchmark
+        // decontamination, with a per-stage attrition report. Each
+        // stage reuses the standalone arm's operator (cleanCorpus,
+        // textDedupSurvivors, decontaminate) so the composed pipeline
+        // and the arms cannot drift. Stage boundaries persist
+        // MEMORY_AND_DISK and are counted exactly once — at 100 TB
+        // each boundary is one materialization, the funnel numbers are
+        // byproducts of it, and nothing upstream recomputes.
+        val usage = "usage: curate --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "[--min-words 50] [--min-lm <f>] [--dedup minhash|exact|simhash|none] " +
+          "[--minj 0.8] [--max-dist 3] [--decontaminate <bench dir|jsonl|parquet>] " +
+          "[--ngram 5] [--max-overlap 0] [--report <dir>]"
+        val docsDir = flags.getOrElse("docs", fail(usage))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val method = flags.getOrElse("dedup", "minhash")
+        if (!Set("minhash", "exact", "simhash", "none").contains(method))
+          fail(s"--dedup '$method' (minhash|exact|simhash|none)")
+        val spark = session()
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.storage.StorageLevel
+        val docs = ingestText(spark, docsDir)
+        Seq("source", "text").foreach { c =>
+          if (!docs.columns.contains(c)) fail(
+            s"--docs needs 'source' and 'text' columns " +
+              s"(have: ${docs.columns.mkString(", ")})")
+        }
+        val n0 = docs.count()
+        // Stage 1: quality clean (Gopher + repetition + optional LM
+        // floor; survivors are PII-scrubbed — dedup then runs over the
+        // text that would actually ship).
+        val (kept, ruleReport) = graft.operators.CorpusClean.cleanCorpus(
+          docs, "source", "text",
+          minWords = flags.get("min-words").map(_.toInt).getOrElse(50),
+          minLmScore = flags.get("min-lm").map(_.toDouble))
+        val cleaned = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        val n1 = cleaned.count()
+        // Stage 2: dedup over the cleaned corpus (doc_id = the ingest
+        // source key, same grain as the standalone dedup arm).
+        val deduped = (method match {
+          case "none" => cleaned
+          case m => textDedupSurvivors(cleaned, "doc_id", "text", m,
+            minJ = flags.get("minj").map(_.toDouble).getOrElse(0.8),
+            maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3))
+        }).persist(StorageLevel.MEMORY_AND_DISK)
+        val n2 = deduped.count()
+        // Stage 3: benchmark decontamination — drop any doc sharing
+        // more than --max-overlap distinct --ngram-grams with the
+        // held-out set (default 0: one shared n-gram is contamination).
+        val survivors = flags.get("decontaminate") match {
+          case None => deduped
+          case Some(benchPath) =>
+            val bench = ingestText(spark, benchPath)
+            if (!bench.columns.contains("text")) fail(
+              s"--decontaminate $benchPath has no 'text' column " +
+                s"(have: ${bench.columns.mkString(", ")})")
+            val benchId =
+              if (bench.columns.contains("doc_id")) "doc_id" else "source"
+            val contaminated = graft.operators.CorpusClean.decontaminate(
+                deduped, "doc_id", "text", bench, benchId, "text",
+                n = flags.get("ngram").map(_.toInt).getOrElse(5))
+              .filter(col("n_overlap_grams") >
+                flags.get("max-overlap").map(_.toLong).getOrElse(0L))
+              .select("doc_id")
+            deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        }
+        survivors.write.mode("overwrite").parquet(out)
+        val n3 = spark.read.parquet(out).count()
+        val funnel = Seq(
+          ("ingest", n0, n0, 0L),
+          ("clean", n0, n1, n0 - n1),
+          ("dedup", n1, n2, n1 - n2),
+          ("decontaminate", n2, n3, n2 - n3))
+        println("stage            docs_in  docs_out   dropped")
+        funnel.foreach { case (s, in, o, d) =>
+          println(f"  $s%-14s $in%8d  $o%8d  $d%8d") }
+        flags.get("report").foreach { rep =>
+          import spark.implicits._
+          funnel.toDF("stage", "docs_in", "docs_out", "dropped")
+            .coalesce(1).write.mode("overwrite").parquet(s"$rep/funnel")
+          ruleReport.coalesce(1).write.mode("overwrite")
+            .parquet(s"$rep/clean_rules")
+          println(s"curate: report -> $rep/funnel, $rep/clean_rules")
+        }
+        println(s"curate: kept $n3 of $n0 documents -> $out")
+        cleaned.unpersist(); deduped.unpersist()
+        graft.operators.Dedup.releaseCaches() // see clean
+        spark.stop()
+
+      case "scorecard" =>
+        // Per-source curation scorecard (Profile.sourceScorecard): one
+        // row per source with volume, mean length, exact-dup pressure,
+        // and Gopher pass-rate — the drop-this-source-wholesale
+        // decision table, as a one-command pass over any corpus with a
+        // source column.
+        val scUsage = "usage: scorecard --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "[--src-col source] [--text-col text] [--id-col <col>] [--min-words 50]"
+        val docsDir = flags.getOrElse("docs", fail(scUsage))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val srcCol = flags.getOrElse("src-col", "source")
+        val textCol = flags.getOrElse("text-col", "text")
+        val spark = session()
+        import org.apache.spark.sql.functions.{col, length}
+        val docs0 = ingestText(spark, docsDir)
+        Seq(srcCol, textCol).foreach { c =>
+          if (!docs0.columns.contains(c)) fail(
+            s"--docs has no '$c' column (have: ${docs0.columns.mkString(", ")}); " +
+              "set --src-col/--text-col")
+        }
+        // n_chars / id derive from the text when the corpus doesn't
+        // carry them (dir and jsonl ingests key docs by source path).
+        val idCol = flags.getOrElse("id-col",
+          if (docs0.columns.contains("doc_id")) "doc_id" else srcCol)
+        val docs = if (docs0.columns.contains("n_chars")) docs0
+          else docs0.withColumn("n_chars", length(col(textCol)).cast("long"))
+        val card = graft.operators.Profile.sourceScorecard(
+          docs, idCol = idCol, textCol = textCol, sourceCol = srcCol,
+          charsCol = "n_chars",
+          minWords = flags.get("min-words").map(_.toInt).getOrElse(50))
+        card.coalesce(1).write.mode("overwrite").parquet(out)
+        val rows = spark.read.parquet(out)
+        println(f"${"source"}%-24s ${"docs"}%8s ${"dup_rate"}%9s ${"pass_rate"}%9s")
+        rows.orderBy("source").limit(20).collect().foreach { r =>
+          println(f"  ${r.getAs[String]("source")}%-22s ${r.getAs[Long]("docs")}%8d " +
+            f"${r.getAs[Double]("dup_rate")}%9.4f ${r.getAs[Double]("gopher_pass_rate")}%9.4f")
+        }
+        val n = rows.count()
+        if (n > 20) println(s"  ... ${n - 20} more sources")
+        println(s"scorecard: $n source rows -> $out")
+        spark.stop()
+
       case "dedup" =>
         // Corpus deduplication: fingerprint, resolve duplicate
         // clusters, write the surviving documents. Text methods: exact
@@ -468,25 +658,12 @@ object Cli {
             Seq("source"), "left_anti")
         val maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3)
         val survivors = method match {
-          case "exact" =>
-            // NULL-fingerprint docs (no text) carry no dedup signal and
-            // all survive — the same stance as the minhash/simhash arms'
-            // token-less docs, not one merged NULL group.
-            val fp = graft.functions.TextFunctions.fingerprint(col("text"))
-            docs.join(D.exactGroups(docs.filter(fp.isNotNull), "source", "text")
-                .select(col("keep_id").as("source")),
-              Seq("source"), "left_semi")
-              .union(docs.filter(fp.isNull))
-          case "minhash" =>
-            val pairs = D.minhashDedup(docs, "source", "text", n = 3,
-              numHashes = 16, bandSize = 4,
-              minJ = flags.get("minj").map(_.toDouble).getOrElse(0.8))
-            val losers = D.connectedComponents(pairs.select("id_a", "id_b"))
-              .filter(org.apache.spark.sql.functions.col("component") =!= org.apache.spark.sql.functions.col("id"))
-              .select(org.apache.spark.sql.functions.col("id").as("source"))
-            docs.join(losers, Seq("source"), "left_anti")
-          case "simhash" =>
-            minusLosers(D.simhashClusters(docs, "source", "text", maxDist = maxDist))
+          case "exact" | "minhash" | "simhash" =>
+            // Shared text tiers (see textDedupSurvivors for the
+            // per-method semantics, incl. the NULL-signal stance).
+            textDedupSurvivors(docs, "source", "text", method,
+              minJ = flags.get("minj").map(_.toDouble).getOrElse(0.8),
+              maxDist = maxDist)
           case "phash" =>
             minusLosers(graft.operators.Multimodal.phashClusters(
               docs, "source", "content", maxDist = maxDist))

@@ -212,5 +212,57 @@ object E2eDrive {
       s"embed dedup must keep quality winners {2,4,5}, got $keptIds")
     println(s"CLI_DEDUP_EMBED kept=$keptIds (expected Set(2, 4, 5))")
     spark6.stop()
+
+    // curate end to end: clean drops the symbol doc, exact dedup drops
+    // the duplicate, decontamination drops the doc sharing a 5-gram
+    // with the held-out set; the funnel report parquet must agree with
+    // the survivor parquet. Fixture mirrors CliCurateSpec.
+    val curDir = java.nio.file.Files.createTempDirectory("graft-e2e-cur").toString
+    val curJsonl = s"$curDir/corpus.jsonl"
+    val benchJsonl = s"$curDir/bench.jsonl"
+    def j(src: String, text: String) =
+      s"""{"source": "$src", "text": "$text"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(curJsonl),
+      (j("s1", "the quick brown fox jumped over the lazy dog and ran far away from home today") + "\n" +
+       j("s2", "the quick brown fox jumped over the lazy dog and ran far away from home today") + "\n" +
+       j("s3", "#### #### #### ####") + "\n" +
+       j("s4", "we walked to the market and bought some fresh bread for dinner at the house tonight") + "\n" +
+       j("s5", "a small red hen sat on the old stone wall near the garden and watched the morning sun rise") + "\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(benchJsonl),
+      (j("b1", "yesterday they walked to the market and bought many things") + "\n")
+        .getBytes("UTF-8"))
+    Cli.main(Array("curate", "--docs", curJsonl, "--out", s"$curDir/kept",
+      "--min-words", "5", "--dedup", "exact",
+      "--decontaminate", benchJsonl, "--report", s"$curDir/report"))
+    val spark7 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val curKept = spark7.read.parquet(s"$curDir/kept")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(curKept == Set("s1", "s5"),
+      s"curate must keep {s1, s5}, got $curKept")
+    val funnel = spark7.read.parquet(s"$curDir/report/funnel").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(funnel("ingest") == ((5L, 5L)) && funnel("clean") == ((5L, 4L)) &&
+      funnel("dedup") == ((4L, 3L)) && funnel("decontaminate") == ((3L, 2L)),
+      s"curate funnel off: $funnel")
+    println(s"CLI_CURATE kept=$curKept funnel=$funnel")
+    spark7.stop()
+
+    // scorecard end to end over the sf0.001 documents table: one row
+    // per source, docs summing to the corpus size
+    val scOut = java.nio.file.Files.createTempDirectory("graft-e2e-sc").toString + "/card"
+    Cli.main(Array("scorecard", "--docs", "/root/testdata/sf0.001/documents.parquet",
+      "--out", scOut))
+    val spark8 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val card = spark8.read.parquet(scOut)
+    val docsTotal = card.agg(org.apache.spark.sql.functions.sum("docs"))
+      .collect()(0).getLong(0)
+    val corpusN = spark8.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(docsTotal == corpusN,
+      s"scorecard docs must sum to the corpus size: $docsTotal vs $corpusN")
+    println(s"CLI_SCORECARD sources=${card.count()} docs=$docsTotal")
+    spark8.stop()
   }
 }
