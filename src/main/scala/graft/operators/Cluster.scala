@@ -64,21 +64,121 @@ object Cluster {
   private def lloyd(base: DataFrame, init: Map[Int, Array[Double]],
                     iters: Int): Map[Int, Array[Double]] = {
     var centroids = init
-    for (_ <- 0 until iters) {
-      val assigned = base.withColumn("cluster",
-        nearest(col("v"), centroids).getField("cl"))
-      centroids = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy("cluster", "pos").agg(round(avg("val"), 6).as("cm"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (cl, rows) =>
-          cl -> rows.sortBy(_._2).map(_._3)
-        }
-    }
+    for (_ <- 0 until iters) centroids = lloydUpdate(base, centroids)
     centroids
   }
+
+  /** One Lloyd round: argmin assignment against the literal centroids,
+    * then 6-decimal-requantized per-cluster coordinate means. The
+    * returned map is the ONLY corpus-derived driver state — k*dims
+    * doubles, the documented bounded scalar. */
+  private def lloydUpdate(base: DataFrame,
+                          centroids: Map[Int, Array[Double]]): Map[Int, Array[Double]] =
+    base.withColumn("cluster", nearest(col("v"), centroids).getField("cl"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy("cluster", "pos").agg(round(avg("val"), 6).as("cm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cl, rows) => cl -> rows.sortBy(_._2).map(_._3) }
+
+  /** Convergence-watched Lloyd — the 100 TB fit mode (the
+    * [[graft.operators.Graph.pageRankWatched]] discipline applied to
+    * clustering): iterate until the requantized centroid map stops
+    * moving, instead of paying a fixed worst-case round count on a
+    * corpus that usually stabilizes in a handful of rounds. Returns
+    * (centroids, roundsRun).
+    *
+    * Unlike the graph family, the watch here is FREE: the k*dims
+    * centroid matrix is already collected to the driver every round
+    * (the documented bounded scalar), so the shift probe is a driver-
+    * side array comparison — no extra Spark job, no extra exchange.
+    *
+    * Stop rules, chosen so early-stopping is INDISTINGUISHABLE from
+    * running the remaining rounds (what makes `tol = 0.0`
+    * oracle-checkable against a fixed-`maxIters` replay):
+    *   - fixed point: the new map equals the old EXACTLY (same
+    *     surviving clusters, identical 6-decimal coordinates) — every
+    *     later round reproduces it, so stopping loses nothing;
+    *   - `tol > 0` (production): stop when every surviving cluster
+    *     moved less than tol in L2 and no cluster emptied — the usual
+    *     relative-movement stop, NOT cold-equivalent (document the
+    *     knob, don't oracle it);
+    *   - period-2 cycle: quantized Lloyd can in principle oscillate
+    *     between two assignments the way the quantized graph
+    *     contractions measurably do; an EXACT revisit of the
+    *     two-rounds-back map is accepted only with an even remaining
+    *     budget, where the final state of a full run is bit-identical
+    *     to the revisited one.
+    *
+    * `init` = warm start (the [[kmeansAssignWarm]] contract: centroids
+    * derive from a prior assignment, which IS the next Lloyd update) —
+    * warm+watched is the daily-increment mode: yesterday's structure
+    * enters as round 0, an unchanged corpus confirms in 1 round, a
+    * locally perturbed one converges in rounds proportional to the
+    * perturbation, never the cold-start distance. */
+  def fitCentroidsWatched(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, maxIters: Int, tol: Double = 0.0,
+                          init: Option[DataFrame] = None): (Map[Int, Array[Double]], Int) = {
+    require(k >= 1 && maxIters >= 0 && tol >= 0.0,
+      s"need k >= 1, maxIters >= 0, tol >= 0; got $k, $maxIters, $tol")
+    val base = baseOf(emb, idCol, vecCol)
+    var cur: Map[Int, Array[Double]] = init match {
+      case Some(assign) => centroidsOf(emb, idCol, vecCol, assign)
+      case None =>
+        base.orderBy("id").limit(k).collect()
+          .map(_.getSeq[Double](1).toArray).zipWithIndex
+          .map { case (v, i) => i -> v }.toMap
+    }
+    var prevPrev: Option[Map[Int, Array[Double]]] = None
+    var rounds = 0
+    var stop = false
+    while (rounds < maxIters && !stop) {
+      val next = lloydUpdate(base, cur)
+      rounds += 1
+      val remaining = maxIters - rounds
+      if (sameCentroids(cur, next)) stop = true
+      else if (tol > 0.0 && shiftBelow(cur, next, tol)) stop = true
+      else if (remaining % 2 == 0 && prevPrev.exists(sameCentroids(_, next)))
+        stop = true
+      prevPrev = Some(cur)
+      cur = next
+    }
+    (cur, rounds)
+  }
+
+  /** Watched assignment: [[fitCentroidsWatched]] then one zero-shuffle
+    * argmin pass — same (id, cluster, dist) schema as [[kmeansAssign]],
+    * and bit-identical to it at `tol = 0.0` by the stop rules above.
+    * Returns (assignment, roundsRun); `k` is ignored when `init` is
+    * given (centroids derive from the prior assignment). */
+  def kmeansAssignWatched(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, maxIters: Int, tol: Double = 0.0,
+                          init: Option[DataFrame] = None): (DataFrame, Int) = {
+    val (cents, rounds) =
+      fitCentroidsWatched(emb, idCol, vecCol, k, maxIters, tol, init)
+    (assignWith(baseOf(emb, idCol, vecCol), cents), rounds)
+  }
+
+  // exact equality of two quantized centroid maps (coordinates are
+  // exact 6-decimal-rounded doubles, so == is well-defined)
+  private def sameCentroids(a: Map[Int, Array[Double]],
+                            b: Map[Int, Array[Double]]): Boolean =
+    a.keySet == b.keySet && a.forall { case (cl, v) =>
+      java.util.Arrays.equals(v, b(cl))
+    }
+
+  // production-tol stop: no cluster emptied and every centroid moved
+  // < tol in L2
+  private def shiftBelow(a: Map[Int, Array[Double]],
+                         b: Map[Int, Array[Double]], tol: Double): Boolean =
+    a.keySet == b.keySet && a.forall { case (cl, v) =>
+      val w = b(cl)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - w(i); s += d * d; i += 1 }
+      math.sqrt(s) < tol
+    }
 
   /** The Lloyd update step computed FROM a persisted (id, cluster)
     * assignment instead of an in-loop argmin: per-cluster coordinate

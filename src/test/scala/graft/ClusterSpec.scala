@@ -56,6 +56,51 @@ class ClusterSpec extends SparkSpec {
       s"new points must join their blob's cluster: $warm")
   }
 
+  test("watched: early-stop at tol=0 equals the full fixed-round run") {
+    // the watched contract: stopping at the exact fixed point (or an
+    // even-remainder 2-cycle) is indistinguishable from running the
+    // remaining rounds — on a corpus slice that converges well before
+    // the cap, watched(cap) must bit-match cold(cap) AND actually stop
+    // early (else this test only proves the loop can count)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    val (asgDf, rounds) = Cluster.kmeansAssignWatched(
+      emb, "vec_id", "embedding", k = 4, maxIters = 40, tol = 0.0)
+    assert(rounds < 40, s"watch must fire before the cap, ran $rounds")
+    val watched = asgDf.as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val cold = Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 40)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(watched == cold, "watched(tol=0) must equal cold(maxIters) exactly")
+  }
+
+  test("watched + warm: a converged prior confirms in one round") {
+    // daily-increment mode: yesterday's structure enters as round 0 —
+    // on an unchanged corpus the first update reproduces it and the
+    // watch fires immediately
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    val (prior, cold) = {
+      val (df, r) = Cluster.kmeansAssignWatched(
+        emb, "vec_id", "embedding", k = 4, maxIters = 40, tol = 0.0)
+      (df.cache(), r)
+    }
+    val (warm, rounds) = Cluster.kmeansAssignWatched(
+      emb, "vec_id", "embedding", k = 4, maxIters = 40, tol = 0.0,
+      init = Some(prior))
+    assert(rounds == 1, s"converged prior must confirm in 1 round, ran $rounds")
+    assert(warm.as[(Long, Int, Double)].collect().sortBy(_._1).toSeq ==
+      prior.as[(Long, Int, Double)].collect().sortBy(_._1).toSeq,
+      "re-watching a fixed point must reproduce it")
+  }
+
+  test("watched: production tol stops no later than tol=0 and assigns everything") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(150)
+    val (_, exact) = Cluster.fitCentroidsWatched(
+      emb, "vec_id", "embedding", k = 4, maxIters = 40, tol = 0.0)
+    val (asg, loose) = Cluster.kmeansAssignWatched(
+      emb, "vec_id", "embedding", k = 4, maxIters = 40, tol = 0.05)
+    assert(loose <= exact, s"tol=0.05 ran $loose > tol=0's $exact rounds")
+    assert(asg.count() == emb.count(), "every vector must be assigned")
+  }
+
   test("deterministic across runs and input order") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
     val a = Cluster.kmeansAssign(emb, "vec_id", "embedding", 4, 3)
