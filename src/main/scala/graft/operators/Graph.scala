@@ -579,8 +579,10 @@ object Graph {
     * asynchronous sweep — deliberately not ported — the update is a
     * pure function of the graph, exactly replayable by an independent
     * engine (the oracle contract). Fixed `iters` rounds: synchronous
-    * LPA can 2-cycle on bipartite-ish structures, so a fixpoint watch
-    * may never fire; bounded rounds keep the output total.
+    * LPA can 2-cycle on bipartite-ish structures, so a NAIVE fixpoint
+    * watch may never fire; bounded rounds keep the output total
+    * ([[labelPropagationWatched]] adds the cycle-aware watch for
+    * production runs — this fixed tier stays the oracle).
     *
     * Complements [[Dedup.connectedComponents]] on the same substrate:
     * CC answers "is there ANY path" (one bridge edge merges two
@@ -599,7 +601,39 @@ object Graph {
     * Expects a symmetrized edge list ([[symmetrize]]) so every node
     * appears as src. Returns (id, label), label = a member id of the
     * community. */
-  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame =
+    lpaLoop(edges, iters, watched = false)._1
+
+  /** Convergence-watched LPA — the 100 TB community-detection mode.
+    *
+    * The fixed-round tier's scaladoc names the reason it does NOT
+    * watch: synchronous LPA can 2-cycle (the canonical case is a
+    * single undirected edge — the two endpoints swap labels forever),
+    * so a naive fixpoint watch may never fire and the loop would run
+    * to its cap on exactly the structures that converged-in-spirit
+    * first. The watched family's PERIOD-2 CYCLE rule closes that gap:
+    * stop on a true fixed point (zero labels changed — every later
+    * round reproduces the state), or on an EXACT revisit of the state
+    * two rounds back when the remaining budget is even (a 2-cycle
+    * revisits itself every 2 rounds, so the returned state is
+    * bit-identical to the full fixed-round run). Both rules make
+    * early-stopping indistinguishable from running the remaining
+    * rounds: watched(maxIters) == labelPropagation(maxIters) at ANY
+    * knobs — the oracle contract.
+    *
+    * Labels are integers, so the probes are exact set+value
+    * comparisons (no tol, no quantization): one aggregate job per
+    * round over FULL outer joins (a node present on one side only
+    * counts as changed, so a node-set drift on a non-symmetrized
+    * input can never masquerade as convergence), skipped on the final
+    * round like the rest of the family. Returns ((id, label), rounds
+    * run). */
+  def labelPropagationWatched(edges: DataFrame,
+                              maxIters: Int = 50): (DataFrame, Int) =
+    lpaLoop(edges, maxIters, watched = true)
+
+  private def lpaLoop(edges: DataFrame, iters: Int,
+                      watched: Boolean): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -608,8 +642,10 @@ object Graph {
     try {
       var labels = e.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-      var r = 0
-      while (r < iters) {
+      var prev: DataFrame = null
+      var rounds = 0
+      var converged = false
+      while (rounds < iters && !converged) {
         val counts = e
           .join(labels.select(col("id").as("dst"), col("label").as("nl")),
             "dst")
@@ -618,13 +654,47 @@ object Graph {
         // (max count, then min label) via one struct-min: -c sorts the
         // count descending, the label ascends on ties — no window, no
         // second shuffle over the counts
-        labels = counts.groupBy("id")
+        val next = counts.groupBy("id")
           .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("p"))
           .select(col("id"), col("p.l").as("label"))
           .localCheckpoint() // eager — see [[pageRank]]
-        r += 1
+        // the probe only decides whether to CONTINUE — skip its job on
+        // the final round (the family convention)
+        if (watched && rounds + 1 < iters) {
+          // changed-label counts vs last round and (once available) vs
+          // two rounds back, in ONE aggregate job; full outer + null-
+          // safe equality so set drift counts as change, never as
+          // convergence
+          val chg = (a: Column, b: Column) =>
+            sum(when(a <=> b, 0L).otherwise(1L))
+          val (d1, d2) =
+            if (prev != null) {
+              val r = next
+                .join(labels.select(col("id"), col("label").as("p1")),
+                  Seq("id"), "full")
+                .join(prev.select(col("id"), col("label").as("p2")),
+                  Seq("id"), "full")
+                .agg(chg(col("label"), col("p1")).as("d1"),
+                  chg(col("label"), col("p2")).as("d2"))
+                .head()
+              (r.getLong(0), r.getLong(1))
+            } else {
+              val r = next
+                .join(labels.select(col("id"), col("label").as("p1")),
+                  Seq("id"), "full")
+                .agg(chg(col("label"), col("p1")).as("d1"))
+                .head()
+              (r.getLong(0), -1L)
+            }
+          if (d1 == 0L) converged = true
+          else if (d2 == 0L && (iters - (rounds + 1)) % 2 == 0)
+            converged = true
+        }
+        prev = labels
+        labels = next
+        rounds += 1
       }
-      labels
+      (labels, rounds)
     } finally { e.unpersist(); () }
   }
 

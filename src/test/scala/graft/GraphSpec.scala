@@ -429,6 +429,44 @@ class GraphSpec extends SparkSpec {
     assert(more == lpa, "settled LPA labels must be round-count invariant")
   }
 
+  test("labelPropagationWatched: early-stop == fixed-round on a settling graph") {
+    // the clique fixture settles in ~2 rounds; the watch must fire
+    // before a 12-round cap and reproduce labelPropagation(12) exactly
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val sym = Graph.symmetrize(
+      (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val (watchedDf, rounds) = Graph.labelPropagationWatched(sym, maxIters = 12)
+    assert(rounds < 12, s"watch must fire before the cap, ran $rounds")
+    val watched = watchedDf.as[(Long, Long)].collect().toMap
+    val fixed = Graph.labelPropagation(sym, iters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(watched == fixed, "watched must equal the full fixed-round run")
+  }
+
+  test("labelPropagationWatched: the canonical 2-cycle stops on even remainder only") {
+    // a single undirected edge is synchronous LPA's textbook 2-cycle:
+    // the endpoints swap labels forever, so a naive fixpoint watch
+    // never fires. The cycle watch first sees state(2) == state(0) at
+    // round 2; with an even cap the remainder is even and it stops
+    // there, with an odd cap it must defer one round (state(3) ==
+    // state(1), remainder even again) so the returned state equals the
+    // full run at BOTH cap parities.
+    val sym = Graph.symmetrize(Seq((1L, 2L)).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    for (cap <- Seq(9, 10)) {
+      val (df, rounds) = Graph.labelPropagationWatched(sym, maxIters = cap)
+      val expect = if (cap % 2 == 0) 2 else 3
+      assert(rounds == expect,
+        s"cap $cap: 2-cycle must stop at round $expect, ran $rounds")
+      val watched = df.as[(Long, Long)].collect().toMap
+      val fixed = Graph.labelPropagation(sym, iters = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(watched == fixed,
+        s"cap $cap: watched 2-cycle result must equal fixed($cap)")
+    }
+  }
+
   test("labelPropagationWeighted: uniform weights == unweighted; weights decide ties") {
     // parity arm: weight 1.0 everywhere must reproduce the unweighted
     // operator exactly (count IS the uniform-weight sum)
