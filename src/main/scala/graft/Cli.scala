@@ -41,6 +41,10 @@ import graft.sources.FileIngest
   *                    [--ngram 5] [--max-overlap 0] [--report <dir>]
   *   graft.Cli scorecard --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--src-col source] [--text-col text] [--min-words 50]
+  *   graft.Cli plan --docs <dir|corpus.jsonl|parquet> --out <dir>
+  *                    --budget <tokens> [--weights src=3,src2=1]
+  *                    [--src-col source] [--tokens-col <col>]
+  *                    [--apply <dir> [--seed plan] [--id-col <col>]]
   *   graft.Cli overlap --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
@@ -221,7 +225,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
-      "|compact|export|import|clean|dedup|curate|scorecard|analyze|overlap|tokenize|select-dsir|export-training" +
+      "|compact|export|import|clean|dedup|curate|scorecard|plan|analyze|overlap|tokenize|select-dsir|export-training" +
       "|ann-build|ann-search|ann-rebalance|serve|mcp|config> ...")
     val (pos, flags) = parse(args.toSeq.tail)
     args.head match {
@@ -601,6 +605,80 @@ object Cli {
         println(s"scorecard: $n source rows -> $out")
         spark.stop()
 
+      case "plan" =>
+        // Token-budget mixture plan (TrainExport.mixturePlan): the
+        // water-filling allocation between the scorecard ("what do I
+        // have") and the sampling draw ("take it") — per-source
+        // allocations at target weights, capped sources spilling their
+        // unfilled quota to the rest.
+        val plUsage = "usage: plan --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "--budget <tokens> [--weights src=3,src2=1] " +
+          "[--src-col source] [--tokens-col <col>] [--text-col text]"
+        val docsDir = flags.getOrElse("docs", fail(plUsage))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val budget = flags.get("budget").map(_.toLong).getOrElse(
+          fail("--budget <tokens> required"))
+        val srcCol = flags.getOrElse("src-col", "source")
+        val spark = session()
+        import org.apache.spark.sql.functions.{col, length}
+        val docs0 = ingestText(spark, docsDir)
+        if (!docs0.columns.contains(srcCol)) fail(
+          s"--docs has no '$srcCol' column (have: " +
+            s"${docs0.columns.mkString(", ")}); set --src-col")
+        // token column precedence: --tokens-col > n_tokens > n_chars >
+        // text length (chars as the budget unit — documented fallback)
+        val tokCol = flags.get("tokens-col").getOrElse {
+          if (docs0.columns.contains("n_tokens")) "n_tokens"
+          else if (docs0.columns.contains("n_chars")) "n_chars"
+          else "n_chars"
+        }
+        val docs =
+          if (docs0.columns.contains(tokCol)) docs0
+          else if (tokCol == "n_chars")
+            docs0.withColumn("n_chars",
+              length(col(flags.getOrElse("text-col", "text"))).cast("long"))
+          else fail(s"--tokens-col $tokCol not in the corpus " +
+            s"(have: ${docs0.columns.mkString(", ")})")
+        // --weights src=3,src2=1 (raw weights, normalized internally);
+        // omitted = uniform over the corpus's sources. Sources missing
+        // from an explicit list get weight 0 — visible in the output.
+        val weights: Map[String, Double] = flags.get("weights") match {
+          case Some(spec) => spec.split(",").map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              val i = kv.lastIndexOf('=')
+              if (i <= 0) fail(s"--weights entry '$kv' is not src=w")
+              kv.substring(0, i) -> kv.substring(i + 1).toDouble
+            }.toMap
+          case None => docs.select(col(srcCol)).where(col(srcCol).isNotNull)
+            .distinct().collect().map(_.get(0).toString -> 1.0).toMap
+        }
+        val plan = graft.operators.TrainExport.mixturePlan(
+          docs, srcCol, tokCol, weights, budget)
+        plan.coalesce(1).write.mode("overwrite").parquet(out)
+        val rows2 = spark.read.parquet(out).orderBy("source").collect()
+        println(f"${"source"}%-24s ${"available"}%12s ${"allocated"}%14s ${"rate"}%8s cap")
+        rows2.take(20).foreach { r =>
+          println(f"  ${r.getAs[String]("source")}%-22s ${r.getAs[Long]("available")}%12d " +
+            f"${r.getAs[Double]("allocated")}%14.1f ${r.getAs[Double]("rate")}%8.4f " +
+            f"${if (r.getAs[Int]("capped") == 1) "*" else ""}")
+        }
+        if (rows2.length > 20) println(s"  ... ${rows2.length - 20} more sources")
+        val planned = rows2.map(_.getAs[Double]("allocated")).sum
+        println(f"plan: ${rows2.length} sources, $planned%.0f of $budget tokens planned -> $out")
+        // --apply <dir>: execute the plan — draw each source at its
+        // planned rate (rateSample's md5-hex-threshold keep) and write
+        // the surviving docs
+        flags.get("apply").foreach { applyOut =>
+          val idc = flags.getOrElse("id-col",
+            if (docs.columns.contains("doc_id")) "doc_id" else srcCol)
+          graft.operators.TrainExport.rateSample(
+              docs, idc, srcCol, spark.read.parquet(out),
+              flags.getOrElse("seed", "plan"))
+            .write.mode("overwrite").parquet(applyOut)
+          println(s"plan: drew ${spark.read.parquet(applyOut).count()} docs -> $applyOut")
+        }
+        spark.stop()
+
       case "dedup" =>
         // Corpus deduplication: fingerprint, resolve duplicate
         // clusters, write the surviving documents. Text methods: exact
@@ -831,9 +909,10 @@ object Cli {
                 tables = flags.get("tables").map(_.toInt).getOrElse(4))
             } else G.knnGraph(emb, idCol, vecCol, k)
         }
-        // --tol switches pagerank/spread to the convergence-watched
-        // variants (iterate until the L1 delta <= tol, --iters as the
-        // round cap — the 100 TB mode); without it, fixed rounds.
+        // --tol switches pagerank/spread/kmeans to the convergence-
+        // watched variants (iterate until the L1 delta / centroid
+        // shift <= tol, --iters as the round cap — the 100 TB mode);
+        // without it, fixed rounds.
         val tol = flags.get("tol").map(_.toDouble)
         var roundsNote = ""
         val result = op match {
@@ -924,6 +1003,9 @@ object Cli {
             // strong neighbor outvotes several weak ones
             val cIters = flags.get("iters").map(_.toInt).getOrElse(5)
             if (flags.contains("weighted")) {
+              if (tol.isDefined) fail(
+                "--weighted is the fixed-round tier only (no watched " +
+                  "weighted variant); drop --tol")
               val g = graph()
               if (!g.columns.contains("score")) fail(
                 "--weighted needs edge weights: use the kNN build (it " +
@@ -931,6 +1013,16 @@ object Cli {
               G.labelPropagationWeighted(
                 G.symmetrizeWeighted(g.select(col("id"), col("nb"),
                   col("score")), "id", "nb", "score"), iters = cIters)
+            } else if (tol.isDefined) {
+              // --tol switches to the convergence-watched LPA; labels
+              // are integers so the value is ignored (the stop rules
+              // are exact fixed point / even-remainder 2-cycle) —
+              // --iters is the round cap
+              val (r, rounds) = G.labelPropagationWatched(
+                G.symmetrize(graph()),
+                maxIters = flags.get("iters").map(_.toInt).getOrElse(50))
+              roundsNote = s", converged in $rounds rounds"
+              r
             } else G.labelPropagation(G.symmetrize(graph()), iters = cIters)
           case "spread" =>
             val seeds = spark.read.parquet(
@@ -951,15 +1043,28 @@ object Cli {
                   iters = flags.get("iters").map(_.toInt).getOrElse(4))
             }
           case "kmeans" =>
-            flags.get("init") match {
-              case Some(p) =>
+            (tol, flags.get("init")) match {
+              case (Some(t), init) =>
+                // --tol: convergence-watched Lloyd (iterate until the
+                // requantized centroids stop moving; --iters caps).
+                // With --init this is the daily-increment mode: resume
+                // from yesterday's assignment, stop when stable.
+                val (asg, rounds) = graft.operators.Cluster.kmeansAssignWatched(
+                  emb, idCol, vecCol,
+                  k = flags.get("clusters").map(_.toInt).getOrElse(8),
+                  maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                  tol = t,
+                  init = init.map(p => spark.read.parquet(p)))
+                roundsNote = s", converged in $rounds rounds"
+                asg
+              case (None, Some(p)) =>
                 // warm start from a prior run's (id, cluster) output:
                 // resume Lloyd from the centroids it implies — lands on
                 // the cold trajectory exactly (Cluster.kmeansAssignWarm)
                 graft.operators.Cluster.kmeansAssignWarm(emb, idCol, vecCol,
                   init = spark.read.parquet(p),
                   iters = flags.get("iters").map(_.toInt).getOrElse(1))
-              case None =>
+              case (None, None) =>
                 graft.operators.Cluster.kmeansAssign(emb, idCol, vecCol,
                   k = flags.get("clusters").map(_.toInt).getOrElse(8),
                   iters = flags.get("iters").map(_.toInt).getOrElse(5))

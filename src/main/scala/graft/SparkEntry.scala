@@ -895,6 +895,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // CONVERGENCE-WATCHED community detection under the hash gate —
+    // the same clique-block fixture with an 8-round cap. The watch
+    // fires at the fixture's measured fixed point (round <= 4,
+    // GraphSpec round-count-invariance arm), and the stop rules make
+    // early-stop == the full run, so the 8-round unrolled replay is
+    // valid at any knobs — the gate proves the watched machinery, not
+    // just that the loop counts (the cluster_kmeans_watched stance).
+    "graph_communities_watched" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      Graph.labelPropagationWatched(
+        Graph.symmetrize(cliques.union(bridges), "a", "b"), maxIters = 8)._1
+        .orderBy("id")
+    }),
+
     // WEIGHTED community detection on the same clique-block fixture,
     // with dyadic edge weights ((1 + (a+b)%3)/4 intra, 5/2 on bridges)
     // so every vote sum is exact in doubles on BOTH engines by
@@ -988,6 +1009,23 @@ object SparkEntry {
         emb, "vec_id", "embedding", k = 4, iters = 3)
       graft.operators.Cluster.kmeansAssignWarm(
           emb, "vec_id", "embedding", prior, iters = 0)
+        .orderBy("id")
+    }),
+
+    // CONVERGENCE-WATCHED k-means under the hash gate — the watched-
+    // family discipline (graph_pagerank_watched) applied to clustering.
+    // tol=0 stops only at the exact fixed point of the 6-decimal-
+    // quantized update (or an even-remainder period-2 revisit), where
+    // stopping is indistinguishable from running the remaining rounds —
+    // so the oracle replays a FIXED 25-round recursion and the equality
+    // is valid at any knobs. At sf0.01 the watch genuinely fires
+    // (measured convergence at round 19 of the 25-round cap); the gate
+    // therefore proves the early-stopped run == the full fixed-round
+    // run, not just that the loop can count to 25.
+    "cluster_kmeans_watched" -> ((s, dir) => {
+      graft.operators.Cluster.kmeansAssignWatched(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 4, maxIters = 25, tol = 0.0)._1
         .orderBy("id")
     }),
 
@@ -1359,6 +1397,43 @@ object SparkEntry {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
+    // Token-budget mixture PLAN (water-filling): per-source
+    // allocations at target weights under a total budget, capped
+    // sources spilling their quota — the closed-form pivot scan under
+    // the hash gate. Weights cycle powers of two over the sorted
+    // source list (dyadic raw weights -> exact integer sum -> the
+    // normalization divides identically in both engines); budget =
+    // half the corpus chars (integer division both sides). The skewed
+    // weights force real cascading caps at every SF.
+    "mixture_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sources = docs.select("source").where(col("source").isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted
+      val weights = sources.zipWithIndex
+        .map { case (src, i) => src -> (1L << (i % 4)).toDouble }.toMap
+      val budget = docs.agg(sum("n_chars")).collect()(0).getLong(0) / 2
+      graft.operators.TrainExport.mixturePlan(
+        docs, "source", "n_chars", weights, budget)
+    }),
+
+    // Plan -> DRAW composed under the hash gate: the mixture_plan
+    // rates applied by rateSample's md5-hex-threshold keep — the
+    // training draw a planned recipe actually executes. Capped sources
+    // (rate 1) survive whole; the rest thin at their planned rate.
+    "sample_plan_draw" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sources = docs.select("source").where(col("source").isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted
+      val weights = sources.zipWithIndex
+        .map { case (src, i) => src -> (1L << (i % 4)).toDouble }.toMap
+      val budget = docs.agg(sum("n_chars")).collect()(0).getLong(0) / 2
+      val plan = graft.operators.TrainExport.mixturePlan(
+        docs, "source", "n_chars", weights, budget)
+      graft.operators.TrainExport.rateSample(
+          docs, "doc_id", "source", plan, "plan42")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // Temperature-reweighted mixture (target class mass ∝ n^alpha):
     // alpha=0.5 thins common languages less aggressively than the
     // uniform mixture; same no-full-shuffle plan.
@@ -1652,6 +1727,61 @@ object SparkEntry {
 /** DuckDB-dialect oracle SQL for each query above. Shares the constants
   * (k, rounding, decimal casts, query strings) with the Spark plans. */
 private object OracleSql {
+
+  /** Unrolled synchronous-LPA replay rounds for the communities
+    * oracles: `n` chained (count, struct-min pick) CTE pairs from
+    * `l0` — round i reads l(i-1), exactly the graph_communities text
+    * generalized to any round count. */
+  private def lpaRounds(n: Int): String =
+    (1 to n).map { i =>
+      s"""c$i AS (SELECT e.s AS id, n.label AS nl, count(*) AS c
+         |       FROM e JOIN l${i - 1} n ON n.id = e.d GROUP BY e.s, n.label),
+         |l$i AS (SELECT id, nl AS label FROM (
+         |         SELECT id, nl,
+         |                row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+         |         FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** The mixture_plan water-filling CTE chain (shared by the plan and
+    * draw oracles): per-source available tokens, the dyadic weight
+    * family over sorted sources, integer-division budget, and the
+    * cross-multiplied capped-prefix scan (TrainExport.mixturePlan's
+    * proof-sketch scaladoc). Ends at `flag` (per-source is_capped) and
+    * `agg` (capped sums). */
+  private val mixturePlanCtes =
+    """a AS (SELECT source, sum(n_chars)::BIGINT AS available
+      |      FROM documents WHERE source IS NOT NULL GROUP BY source),
+      |wr AS (SELECT source,
+      |         (CASE (row_number() OVER (ORDER BY source) - 1) % 4
+      |            WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8
+      |          END)::DOUBLE AS wraw
+      |       FROM a),
+      |ws AS (SELECT sum(wraw) AS tot FROM wr),
+      |w AS (SELECT source, wraw / tot AS w FROM wr, ws),
+      |b AS (SELECT (sum(available) // 2)::BIGINT AS budget FROM a),
+      |s AS (SELECT a.source, a.available, w.w,
+      |             round(a.available / w.w, 6) AS r
+      |      FROM a JOIN w USING (source)),
+      |scan AS (SELECT *,
+      |    coalesce(sum(available) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE AS pc,
+      |    coalesce(sum(w) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pw
+      |  FROM s),
+      |flag AS (SELECT scan.*, b.budget,
+      |    (available * (1.0 - pw) <= (budget - pc) * w) AS is_capped
+      |  FROM scan, b),
+      |agg AS (SELECT
+      |    sum(CASE WHEN is_capped THEN available ELSE 0 END)::DOUBLE AS cc,
+      |    sum(CASE WHEN is_capped THEN w ELSE 0.0 END) AS cw FROM flag)""".stripMargin
+
+  /** The per-source allocation expression over `flag f, agg` (capped =
+    * full supply; else the final water level times the weight). */
+  private val mixturePlanAllocated =
+    """CASE WHEN f.is_capped THEN f.available::DOUBLE
+      |       ELSE round((CASE WHEN agg.cw >= 1.0 THEN 0.0
+      |              ELSE (f.budget - agg.cc) / (1.0 - agg.cw) END) * f.w, 6)
+      |  END""".stripMargin
 
   /** DuckDB CTEs reproducing BM25 stats over `documents` with the
     * reference tokenizer (`[a-zA-Z0-9]+` lowercased, len>1). */
@@ -3106,6 +3236,25 @@ private object OracleSql {
         |         FROM c4) WHERE rn = 1)
         |SELECT id, label FROM l4 ORDER BY id""".stripMargin,
 
+    // Watched-LPA replay: the graph_communities recursion unrolled to
+    // the full 8-round cap (lpaRounds) — valid at any knobs because
+    // the watch stops only at an exact fixed point or an even-
+    // remainder 2-cycle revisit, where the remaining rounds change
+    // nothing (Graph.labelPropagationWatched scaladoc).
+    "graph_communities_watched" ->
+      ("""WITH ids AS (
+        |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1 FROM ids WHERE id % 8 = 7 AND id < 199),
+        |e AS (SELECT DISTINCT s, d FROM (
+        |        SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p)),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+        |""".stripMargin + lpaRounds(8) +
+       "\nSELECT id, label FROM l8 ORDER BY id"),
+
     // Weighted-PageRank replay: the graph_pagerank recursion with
     // sum(w)-normalized weighted contributions (floor-grid of
     // rank * w / outw per term). The weighted fixture is symmetric, so
@@ -3305,6 +3454,46 @@ private object OracleSql {
         |  GROUP BY iter, cluster
         |),
         |fin AS (SELECT cluster, c FROM cent WHERE iter = 4)
+        |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
+        |FROM (
+        |  SELECT e.vec_id,
+        |         min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                - 2 * list_inner_product(e.v, fin.c)
+        |                + list_inner_product(fin.c, fin.c), 6),
+        |             cl := fin.cluster)) AS m
+        |  FROM e, fin
+        |  GROUP BY e.vec_id)
+        |ORDER BY id""".stripMargin,
+
+    // Fixed 25-round replay of the watched run (see the queries-side
+    // comment: tol=0 stops only where the remaining rounds change
+    // nothing, so watched(<=25) == cold(25) at any data).
+    "cluster_kmeans_watched" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |cent(iter, cluster, c) AS (
+        |  SELECT 0, cluster, v FROM init
+        |  UNION ALL
+        |  SELECT iter + 1, cluster, list(cm ORDER BY pos)
+        |  FROM (
+        |    SELECT a.iter, a.cluster, p.pos, round(avg(a.v[p.pos]), 6) AS cm
+        |    FROM (
+        |      SELECT c.iter, e.vec_id, e.v,
+        |             min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                    - 2 * list_inner_product(e.v, c.c)
+        |                    + list_inner_product(c.c, c.c), 6),
+        |                 cl := c.cluster)).cl AS cluster
+        |      FROM cent c, e
+        |      WHERE c.iter < 25
+        |      GROUP BY c.iter, e.vec_id, e.v
+        |    ) a, (SELECT unnest(generate_series(1, 64)) AS pos) p
+        |    GROUP BY a.iter, a.cluster, p.pos
+        |  )
+        |  GROUP BY iter, cluster
+        |),
+        |fin AS (SELECT cluster, c FROM cent WHERE iter = 25)
         |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
         |FROM (
         |  SELECT e.vec_id,
@@ -4196,6 +4385,33 @@ private object OracleSql {
         |   OR substr(md5('mix42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
         |      < printf('%08x', CAST(FLOOR(min_cnt * 4294967296.0 / cnt) AS BIGINT))
         |ORDER BY doc_id""".stripMargin,
+
+    // Water-filling replay: same weight family (powers of two cycling
+    // over the sorted sources), same integer-division budget, same
+    // cross-multiplied capped test on the raw-prefix scan, same
+    // roundings (see TrainExport.mixturePlan's proof-sketch scaladoc).
+    "mixture_plan" ->
+      ("WITH\n" + mixturePlanCtes + s"""
+        |SELECT f.source, f.available, round(f.w, 9) AS weight,
+        |  $mixturePlanAllocated AS allocated,
+        |  round(($mixturePlanAllocated) / f.available, 6) AS rate,
+        |  CASE WHEN f.is_capped THEN 1 ELSE 0 END AS capped
+        |FROM flag f, agg
+        |ORDER BY f.source""".stripMargin),
+
+    // The plan's rates applied by the md5-hex-threshold draw (the
+    // sample_mixture_temp mechanism with table-supplied rates).
+    "sample_plan_draw" ->
+      ("WITH\n" + mixturePlanCtes + s""",
+        |plan AS (SELECT f.source,
+        |    round(($mixturePlanAllocated) / f.available, 6) AS rate
+        |  FROM flag f, agg)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN plan p USING (source)
+        |WHERE p.rate >= 1.0
+        |   OR substr(md5('plan42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < printf('%08x', CAST(FLOOR(p.rate * 4294967296.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin),
 
     // rate rounds to 6 before the hex threshold so cross-engine pow
     // ulps can't flip boundary docs.

@@ -334,6 +334,130 @@ object TrainExport {
       .drop("_one", "_ck", "_ths", "_r")
   }
 
+  /** Token-budget mixture plan — the allocation step every LLM data
+    * recipe runs between "what do I have" ([[graft.operators.Profile
+    * .sourceScorecard]]) and "draw the sample" ([[mixtureSample]]/
+    * [[writeTrainingShards]]): given per-source available tokens,
+    * target weights, and a total budget, allocate `alloc_i =
+    * min(available_i, lambda * w_i)` with the water level `lambda`
+    * chosen so allocations sum to the budget — sources that run dry
+    * (capped) spill their unfilled quota to the rest in proportion to
+    * weight, the standard water-filling allocation.
+    *
+    * CLOSED FORM, no iteration: sort sources by `r_i = available_i /
+    * w_i` ascending; the capped set is a prefix of that order, and a
+    * row is capped iff `r_i <= lambda_before_it`, tested CROSS-
+    * MULTIPLIED (`available * (1 - prefixW) <= (budget - prefixC) *
+    * w`) so no division enters the decision. (Proof sketch, for the
+    * replayer: if row j is uncapped then lambda_j < lambda_{j-1} while
+    * r_{j+1} >= r_j > lambda_{j-1}, so every later row is uncapped
+    * too — raw prefix sums therefore agree with capped-only prefix
+    * sums everywhere the test matters.) One corpus-scale exchange (the
+    * per-source token sum, map-side combinable); everything after runs
+    * on the <= S-row aggregate — the windows are single-partition BY
+    * DESIGN and guarded loudly by `maxSources` (the sourceOverlap
+    * stance: a per-URL source column would silently make "S rows"
+    * corpus-scale).
+    *
+    * Determinism / engine parity: weights normalize by their sum
+    * (exact when raw weights are small integers — integer sums are
+    * order-independent in doubles); the scan order key is
+    * `round(r, 6)` with a source tie-break, so both engines sort
+    * identically; allocations and rates round to 6 decimals. Sources
+    * present in the corpus but absent from `weights` (or weighted 0)
+    * get allocation 0 and `capped = 0` — visible in the output, never
+    * silently dropped. When total available <= budget every source
+    * caps at its own supply (the scan yields this without a special
+    * case) and the plan simply cannot fill the budget.
+    *
+    * Output: (source, available, weight, allocated, rate, capped)
+    * ordered by source; `rate` is the sampling rate `allocated /
+    * available` ready for a hex-threshold draw, `capped` is 1 where
+    * the source's full supply is taken. */
+  def mixturePlan(docs: DataFrame, sourceCol: String, tokensCol: String,
+                  weights: Map[String, Double], budget: Long,
+                  maxSources: Int = 10000): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0,
+      "weights must be non-empty, non-negative, with a positive sum")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wSum = weights.values.sum
+    val wDf = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, w / wSum) }.toDF("source", "w")
+    val avail = docs
+      .where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(tokensCol)).cast("long").as("available"))
+    val nSrc = avail.count()
+    require(nSrc <= maxSources,
+      s"mixturePlan plans over an S-row source table (single-partition " +
+        s"windows by design): got $nSrc distinct '$sourceCol' values > " +
+        s"$maxSources. Aggregate sources first (e.g. path -> domain) " +
+        "or raise maxSources deliberately.")
+    val joined = avail.join(broadcast(wDf), Seq("source"), "left")
+      .na.fill(Map("w" -> 0.0))
+    // zero-weight sources are excluded from the water-filling but kept
+    // in the output (allocation 0) — an unweighted source must be a
+    // visible decision, not a silent drop
+    val zero = joined.filter(col("w") <= 0.0)
+      .select(col("source"), col("available"),
+        lit(0.0).as("weight"), lit(0.0).as("allocated"),
+        lit(0.0).as("rate"), lit(0).as("capped"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val scanned = joined.filter(col("w") > 0.0)
+      .withColumn("r", round(col("available") / col("w"), 6))
+      .withColumn("pc", coalesce(sum("available").over(ord), lit(0L)))
+      .withColumn("pw", coalesce(sum("w").over(ord), lit(0.0)))
+      .withColumn("is_capped",
+        col("available") * (lit(1.0) - col("pw")) <=
+          (lit(budget.toDouble) - col("pc")) * col("w"))
+    val caps = scanned.agg(
+      sum(when(col("is_capped"), col("available")).otherwise(lit(0L))).as("cc"),
+      sum(when(col("is_capped"), col("w")).otherwise(lit(0.0))).as("cw"))
+    val planned = scanned.crossJoin(broadcast(caps))
+      .withColumn("lambda",
+        when(col("cw") >= lit(1.0), lit(0.0))
+          .otherwise((lit(budget.toDouble) - col("cc")) / (lit(1.0) - col("cw"))))
+      .withColumn("allocated",
+        when(col("is_capped"), col("available").cast("double"))
+          .otherwise(round(col("lambda") * col("w"), 6)))
+      .select(col("source"), col("available"),
+        round(col("w"), 9).as("weight"), col("allocated"),
+        round(col("allocated") / col("available"), 6).as("rate"),
+        when(col("is_capped"), lit(1)).otherwise(lit(0)).as("capped"))
+    planned.unionByName(zero).orderBy("source")
+  }
+
+  /** Draw a [[mixturePlan]] (or any per-source rate table): keep each
+    * doc of source s with probability rate_s via the md5-hex-threshold
+    * draw — [[mixtureSampleTemperature]]'s mechanism with the rates
+    * supplied by a table instead of a formula, so plan → draw composes
+    * end to end. `rates` needs (source, rate) columns; rates are
+    * re-rounded to 6 decimals before the threshold (a no-op on
+    * mixturePlan output, a guard on hand-built tables), rate >= 1
+    * keeps everything, and sources ABSENT from the table are dropped —
+    * the same stance as the plan's zero-allocation rows, which arrive
+    * here as rate 0 and keep nothing. The rate table broadcasts (<= S
+    * rows); the keep decision is a map-side filter — no shuffle at any
+    * corpus size, and the kept set is a pure function of
+    * (corpus, rates, seed). */
+  def rateSample(docs: DataFrame, idCol: String, sourceCol: String,
+                 rates: DataFrame, seed: String): DataFrame = {
+    val r6 = round(col("_rate").cast("double"), 6)
+    val threshold = lower(lpad(hex(
+      floor(r6 * lit(4294967296.0)).cast("long")), 8, "0"))
+    docs
+      .join(broadcast(rates.select(col("source").as("_rs"),
+        col("rate").as("_rate"))),
+        docs(sourceCol) === col("_rs"))
+      .filter(r6 >= 1.0 || uniformHexKey(seed, col(idCol)) < threshold)
+      .drop("_rs", "_rate")
+  }
+
   /** Hashed n-gram feature occurrences for DSIR: one row per unigram
     * AND word-bigram occurrence (multiset — importance weights count
     * repetitions), bucketed by md5 mod `buckets`. Token array

@@ -142,6 +142,9 @@ object E2eDrive {
     // (unchanged graph => unchanged clusters)
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa",
       "--op", "communities", "--iters", "4"))
+    // watched communities (--tol): cycle-aware early stop; same edges
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_tol",
+      "--op", "communities", "--tol", "0", "--iters", "40"))
     // weighted communities + weighted pagerank: the persisted knn table
     // carries score, and the --edges reader passes it through
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_w",
@@ -158,16 +161,33 @@ object E2eDrive {
       "--op", "kmeans", "--clusters", "4", "--iters", "2"))
     Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/km_warm",
       "--op", "kmeans", "--init", s"$prOut/km", "--iters", "1"))
+    // watched k-means (--tol): converge instead of fixed rounds, then
+    // watched+warm from its own output (the daily-increment mode —
+    // must confirm the fixed point and reproduce it)
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/km_tol",
+      "--op", "kmeans", "--clusters", "4", "--tol", "0.0", "--iters", "40"))
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/km_tol2",
+      "--op", "kmeans", "--tol", "0.0", "--iters", "40",
+      "--init", s"$prOut/km_tol"))
     val spark4b = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
     val kmWarmN = spark4b.read.parquet(s"$prOut/km_warm").count()
     assert(kmWarmN == 500, s"warm kmeans must assign every vector: $kmWarmN")
+    val kmTol = spark4b.read.parquet(s"$prOut/km_tol").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kmTol2 = spark4b.read.parquet(s"$prOut/km_tol2").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kmTol.size == 500 && kmTol == kmTol2,
+      s"watched+warm kmeans must reproduce the fixed point " +
+        s"(${kmTol.size}/${kmTol2.size} rows)")
     val warmN = spark4b.read.parquet(s"$prOut/pr_warm").count()
     val pprN = spark4b.read.parquet(s"$prOut/ppr").count()
     val triN = spark4b.read.parquet(s"$prOut/tri").count()
     assert(warmN == 500 && pprN > 0 && triN == 500,
       s"warm/ppr/capped-tri CLI arms: $warmN/$pprN/$triN")
     val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
+    val lpaTolN = spark4b.read.parquet(s"$prOut/lpa_tol").count()
+    assert(lpaTolN == 500, s"watched communities must assign every node: $lpaTolN")
     val lpaWN = spark4b.read.parquet(s"$prOut/lpa_w").count()
     assert(lpaWN == 500, s"weighted communities must assign every node: $lpaWN")
     val prWN = spark4b.read.parquet(s"$prOut/pr_w").count()
@@ -264,5 +284,32 @@ object E2eDrive {
       s"scorecard docs must sum to the corpus size: $docsTotal vs $corpusN")
     println(s"CLI_SCORECARD sources=${card.count()} docs=$docsTotal")
     spark8.stop()
+
+    // plan end to end: the hand water-filling fixture from
+    // TrainExportSpec through Cli.main — capped source at full supply,
+    // the rest split the remainder at equal weights
+    val plDir = java.nio.file.Files.createTempDirectory("graft-e2e-pl").toString
+    val plJsonl = s"$plDir/corpus.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(plJsonl),
+      (j("a", "x" * 10) + "\n" + j("b", "y" * 20) + "\n" +
+       j("c", "z" * 100) + "\n").getBytes("UTF-8"))
+    Cli.main(Array("plan", "--docs", plJsonl, "--out", s"$plDir/plan",
+      "--budget", "40", "--weights", "a=1,b=1,c=1", "--src-col", "source",
+      "--apply", s"$plDir/kept"))
+    val spark9 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val planRows = spark9.read.parquet(s"$plDir/plan").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("allocated"), r.getAs[Int]("capped"))).toMap
+    assert(planRows("a") == ((10.0, 1)) && planRows("b") == ((15.0, 0)) &&
+      planRows("c") == ((15.0, 0)), s"plan water-filling off: $planRows")
+    // --apply drew the plan: the capped source survives whole (rate 1);
+    // with one doc per source here, b/c (rate 0.75/0.15) may keep or
+    // drop their single doc — a must be present
+    val keptSrc = spark9.read.parquet(s"$plDir/kept")
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(keptSrc.contains("a"), s"capped source must survive the draw: $keptSrc")
+    println(s"CLI_PLAN $planRows applied=$keptSrc")
+    spark9.stop()
   }
 }

@@ -17,6 +17,86 @@ class TrainExportSpec extends SparkSpec {
         if (i % 7 == 0) "rare" else if (i % 2 == 0) "en" else "de"))
       .toDF("id", "toks", "lang")
 
+  private def planOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("source", "available", "allocated", "rate", "capped")
+      .as[(String, Long, Double, Double, Int)].collect()
+      .map(t => t._1 -> t).toMap
+
+  test("mixturePlan: hand water-filling — capped source spills to the rest") {
+    // availabilities (10, 20, 100), equal weights, budget 40:
+    // lambda = 40/3 caps the 10; the respill lambda = (40-10)/2 = 15
+    // caps nothing else -> alloc (10, 15, 15)
+    val d = Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .flatMap { case (s, n) => (1L to n).map(i => (s, 1L)) }
+      .toDF("source", "n_tok")
+    val plan = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), budget = 40L))
+    assert(plan("a") == ("a", 10L, 10.0, 1.0, 1))
+    assert(plan("b") == ("b", 20L, 15.0, 0.75, 0))
+    assert(plan("c") == ("c", 100L, 15.0, 0.15, 0))
+  }
+
+  test("mixturePlan: cascading caps resolve in one closed-form pass") {
+    // budget 90, equal weights: first water level 30 caps a(10);
+    // respill (90-10)/2 = 40 caps b(20); final lambda = (90-30)/1 = 60
+    val d = Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .map { case (s, n) => (s, n) }.toDF("source", "n_tok")
+    val plan = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), budget = 90L))
+    assert(plan("a")._3 == 10.0 && plan("a")._5 == 1)
+    assert(plan("b")._3 == 20.0 && plan("b")._5 == 1)
+    assert(plan("c")._3 == 60.0 && plan("c")._5 == 0)
+    assert(plan.values.map(_._3).sum == 90.0, "allocations must sum to budget")
+  }
+
+  test("mixturePlan: under-budget corpus caps everything at its supply") {
+    val d = Seq(("a", 10L), ("b", 20L)).toDF("source", "n_tok")
+    val plan = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 3.0, "b" -> 1.0), budget = 1000L))
+    assert(plan("a") == ("a", 10L, 10.0, 1.0, 1))
+    assert(plan("b") == ("b", 20L, 20.0, 1.0, 1))
+  }
+
+  test("mixturePlan: unweighted sources surface with allocation 0") {
+    val d = Seq(("a", 50L), ("ghost", 50L)).toDF("source", "n_tok")
+    val plan = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 1.0), budget = 30L))
+    assert(plan("ghost") == ("ghost", 50L, 0.0, 0.0, 0))
+    assert(plan("a")._3 == 30.0)
+  }
+
+  test("mixturePlan: weights skew allocations proportionally") {
+    // plenty of supply everywhere -> alloc_i = budget * w_i exactly
+    val d = Seq(("a", 1000L), ("b", 1000L)).toDF("source", "n_tok")
+    val plan = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 3.0, "b" -> 1.0), budget = 100L))
+    assert(plan("a")._3 == 75.0 && plan("b")._3 == 25.0)
+    assert(plan("a")._5 == 0 && plan("b")._5 == 0)
+  }
+
+  test("rateSample: draws a plan — capped whole, rate-0 empty, deterministic") {
+    val d = (Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .flatMap { case (s, n) => (1L to n).map(i => (s"$s$i", s, 1L)) })
+      .toDF("id", "source", "n_tok")
+    val plan = TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 1.0, "b" -> 1.0), budget = 25L) // c unweighted -> rate 0
+    val kept = TrainExport.rateSample(d, "id", "source", plan, "s1")
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.getOrElse("a", 0L) == 10L,
+      s"capped source must survive whole: $bySrc") // a: 10 <= 25/2 -> rate 1
+    assert(!bySrc.contains("c"), s"rate-0 source must draw nothing: $bySrc")
+    assert(bySrc.getOrElse("b", 0L) < 20L,
+      s"thinned source must actually thin: $bySrc")
+    val again = TrainExport.rateSample(d, "id", "source", plan, "s1")
+      .select("id").as[String].collect().toSet
+    assert(again == kept.select("id").as[String].collect().toSet,
+      "the draw must be a pure function of (corpus, rates, seed)")
+    val other = TrainExport.rateSample(d, "id", "source", plan, "s2")
+      .select("id").as[String].collect().toSet
+    assert(other != again, "a different seed must draw a different set")
+  }
+
   test("global prefix sum matches the naive window across partition counts") {
     val d = docs(500)
     val naive = d.withColumn("cum",
