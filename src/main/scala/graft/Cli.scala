@@ -48,7 +48,7 @@ import graft.sources.FileIngest
   *   graft.Cli overlap --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
-  *                    --op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca
+  *                    --op knn|pagerank|ppr|triangles|components|communities|kcore|spread|degrees|kmeans|pca
   *                    [--k 3] [--lsh] [--weighted] [--clusters 8] [--iters n] [--tol t] [--init p]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
@@ -849,7 +849,7 @@ object Cli {
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
-          "--op knn|pagerank|ppr|triangles|components|communities|spread|degrees|kmeans|pca [--id-col vec_id] " +
+          "--op knn|pagerank|ppr|triangles|components|communities|kcore|spread|degrees|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits 8] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
@@ -857,7 +857,7 @@ object Cli {
         val idCol = flags.getOrElse("id-col", "vec_id")
         val vecCol = flags.getOrElse("vec-col", "embedding")
         val k = flags.get("k").map(_.toInt).getOrElse(3)
-        val graphOp = Set("pagerank", "ppr", "triangles", "components",
+        val graphOp = Set("pagerank", "ppr", "triangles", "components", "kcore",
           "communities", "spread", "degrees")(op)
         // --k sizes the kNN graph; kmeans reads --clusters. Passing --k
         // to kmeans is an easy misuse that silently did nothing — fail
@@ -867,7 +867,7 @@ object Cli {
             "use --clusters <n> for the k-means cluster count")
         if (flags.contains("edges") && !graphOp) fail(
           s"--edges applies to graph ops " +
-            s"(pagerank|ppr|triangles|components|communities|spread|degrees), not --op $op")
+            s"(pagerank|ppr|triangles|components|communities|kcore|spread|degrees), not --op $op")
         // At scale the kNN-graph build is hours and the analytics
         // minutes: --edges lets the graph ops consume a persisted
         // neighbor/pair table — `analyze --op knn` output (id, nb, ...)
@@ -994,6 +994,16 @@ object Cli {
                 pairs, spark.read.parquet(p))
               case None => graft.operators.Dedup.connectedComponents(pairs)
             }
+          case "kcore" =>
+            // dense-substrate extraction: iteratively peel nodes of
+            // degree < --min-degree; on a similarity graph the high-k
+            // cores are the template/boilerplate families. Fail-loud
+            // round cap (--iters) — the CC stance.
+            val (core, rounds) = G.kCore(G.symmetrize(graph()),
+              k = flags.get("min-degree").map(_.toInt).getOrElse(3),
+              maxIters = flags.get("iters").map(_.toInt).getOrElse(100))
+            roundsNote = s", settled in $rounds rounds"
+            core
           case "communities" =>
             // density-based community discovery (synchronous LPA,
             // deterministic max-count/min-label tie rule): splits what

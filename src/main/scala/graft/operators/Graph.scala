@@ -454,6 +454,71 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("nodes"))
 
+  /** k-core: the maximal subgraph in which every surviving node keeps
+    * degree >= k — computed by the standard iterative peel (drop all
+    * nodes under k, recount, repeat). Where [[degreeProfile]] reads the
+    * degree DISTRIBUTION, the k-core finds the dense SUBSTRATE: on a
+    * near-dup similarity graph the high-k cores are the template/
+    * boilerplate families whose members all resemble many others (the
+    * curation targets), while sparse chains of borderline matches peel
+    * away.
+    *
+    * Termination is different in kind from the watched family: peeling
+    * is MONOTONE (the node set only shrinks), so the fixpoint watch
+    * always fires and there is no cycle case — equal edge COUNTS
+    * between rounds therefore imply the equal edge SET, and the
+    * count that each round's materialization already needs doubles as
+    * the convergence probe (zero extra jobs). `maxIters` is a
+    * fail-loud guard, not a result knob (the CC-maxIter stance): a
+    * pathological chain peels O(n) rounds (a k=2 path loses only its
+    * two endpoints per round), and refusing loudly beats returning a
+    * partially-peeled set that silently isn't a core. A replay capped
+    * at R >= the peel depth is exact for ANY such R — extra rounds are
+    * identity on the settled set (what makes the unrolled oracle
+    * valid).
+    *
+    * Scale shape per round: one degree aggregation (map-side
+    * combinable) + two id-keyed joins filtering the edge set; edge
+    * state localCheckpoints per round (the family convention), and the
+    * input edge list materializes ONCE up front so an expensive
+    * upstream (a kNN build) is never recomputed across rounds.
+    *
+    * Expects the symmetrized directed representation ([[symmetrize]]);
+    * returns ((id, deg) of the surviving core with deg counted INSIDE
+    * the core, rounds run — the final confirming no-op round
+    * included). An empty core (k above the densest node) returns zero
+    * rows. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 100): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    var nEdges = e.count()
+    var rounds = 0
+    var stable = nEdges == 0L
+    while (!stable) {
+      if (rounds >= maxIters) throw new IllegalStateException(
+        s"kCore did not settle in $maxIters rounds (edge set still " +
+          s"shrinking at $nEdges edges): a long borderline chain peels " +
+          "one layer per round — raise maxIters deliberately")
+      val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = e.join(alive, "src")
+        .join(alive.select(col("src").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+      val n = next.count()
+      rounds += 1
+      stable = n == nEdges || n == 0L
+      e = next
+      nEdges = n
+    }
+    (e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg")), rounds)
+  }
+
   /** Similarity-WEIGHTED PageRank over a (src, dst, w) edge list: the
     * random surfer follows edges in proportion to their weight
     * (contribution = rank · w / outgoing-weight-sum), so centrality

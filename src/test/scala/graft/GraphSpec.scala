@@ -429,6 +429,41 @@ class GraphSpec extends SparkSpec {
     assert(more == lpa, "settled LPA labels must be round-count invariant")
   }
 
+  test("kCore: a clique with a tail — the tail peels layer by layer") {
+    // 4-clique (every degree 3) + a path tail 3-20-21-22: at k=2 the
+    // tail peels one endpoint layer per round (22, then 21, then 20),
+    // the canonical multi-round case; the clique itself survives as
+    // the 2-core together with nothing else
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val tail = Seq((3L, 20L), (20L, 21L), (21L, 22L))
+    val sym = Graph.symmetrize((cliqueA ++ tail).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    val (core, rounds) = Graph.kCore(sym, k = 2, maxIters = 10)
+    val ids = core.select("id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 3L), s"2-core must be the clique: $ids")
+    assert(rounds == 4, s"three peel layers + the confirming round, got $rounds")
+    // every surviving degree is counted INSIDE the core
+    val degs = core.as[(Long, Long)].collect().toMap
+    assert(degs.values.forall(_ == 3L), s"clique core degrees must be 3: $degs")
+    // k above the densest node -> empty core, no throw
+    val (empty, _) = Graph.kCore(sym, k = 4, maxIters = 10)
+    assert(empty.count() == 0L, "k above max degree must return an empty core")
+  }
+
+  test("kCore: refuses loudly when the peel outlives maxIters") {
+    // a long path at k=2 peels two endpoints per round: 12 nodes need
+    // 6+ rounds — a cap of 3 must throw, not return a partial peel
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val sym = Graph.symmetrize(path.toDF("id_a", "id_b"), "id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(sym, k = 2, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not settle"), e.getMessage)
+    // and with budget it settles to the empty core (a path has no 2-core)
+    val (core, _) = Graph.kCore(sym, k = 2, maxIters = 20)
+    assert(core.count() == 0L, "a path has no 2-core")
+  }
+
   test("labelPropagationWatched: early-stop == fixed-round on a settling graph") {
     // the clique fixture settles in ~2 rounds; the watch must fire
     // before a 12-round cap and reproduce labelPropagation(12) exactly
