@@ -502,6 +502,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Asymmetric containment pairs — the near-SUPERSET dedup read
+    // (wrapper pages swallowing short docs score jaccard -> 0 but
+    // containment 1.0 on the contained side); capped-set semantics
+    // like dedup_jaccard, min-side normalizer.
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minC = 0.8, maxShingleDf = 20)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
           n = 3, numHashes = 8, bandSize = 2, minJ = 0.3)
@@ -824,6 +834,31 @@ object SparkEntry {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRankWatched(edges, damping = 0.5, maxIters = 10,
         tol = 0.0, quantBits = 26)._1.orderBy("id")
+    }),
+
+    // k-CORE under the hash gate: iterative peel over a sparsified
+    // supplier<->customer graph ((src+dst) % 4 keeps ~1/4 of the
+    // pairs, enough to make real peeling happen — half the sf0.001
+    // nodes drop). The oracle unrolls a FIXED 8 peel rounds; rounds
+    // past the settle point are identity on the settled edge set
+    // (peeling is monotone), so the replay is valid at any cap >= the
+    // measured depth (2 at every SF) — and if the Spark side ever
+    // outlived its own cap it would THROW, failing the gate loudly
+    // rather than hash-mismatching.
+    "graph_kcore" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey").cast("long") + 1000000L).as("dst"))
+        .distinct()
+        .filter((col("src") + col("dst")) % 4 === 0)
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.kCore(edges, k = 3, maxIters = 8)._1
+        .orderBy("id")
     }),
 
     "graph_ppr" -> ((s, dir) => {
@@ -1783,6 +1818,21 @@ private object OracleSql {
       |              ELSE (f.budget - agg.cc) / (1.0 - agg.cw) END) * f.w, 6)
       |  END""".stripMargin
 
+  /** Unrolled k-core peel rounds: each round recomputes degrees from
+    * the prior edge set, keeps nodes at >= k, and filters both edge
+    * endpoints — identity once the set settles, which is what lets a
+    * fixed unroll replay Graph.kCore's converged result. */
+  private def kcoreRounds(n: Int, k: Int): String =
+    (1 to n).map { i =>
+      // each round reads e(i-1) TWICE (degree count + edge filter):
+      // MATERIALIZED stops DuckDB's default CTE inlining from doubling
+      // the plan per round (2^n base scans — observed as an fd blowup)
+      s"""d$i AS (SELECT s, count(*) AS c FROM e${i - 1} GROUP BY s),
+         |a$i AS (SELECT s FROM d$i WHERE c >= $k),
+         |e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e
+         |        JOIN a$i x ON e.s = x.s JOIN a$i y ON e.d = y.s)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB CTEs reproducing BM25 stats over `documents` with the
     * reference tokenizer (`[a-zA-Z0-9]+` lowercased, len>1). */
   private val bm25Ctes =
@@ -2287,6 +2337,38 @@ private object OracleSql {
         |  JOIN sz sb ON id_b = sb.id)
         |SELECT id_a, id_b, jaccard FROM jac
         |WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The dedup_jaccard recursion with the min-side normalizer: both
+    // directional containments, kept when either reaches the floor.
+    "dedup_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM tk),
+        |dfs AS (SELECT s, count(*) AS shdf FROM sh0 GROUP BY 1),
+        |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN dfs USING (s) WHERE shdf <= 20),
+        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.id < b.id
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT id_a, id_b,
+        |         round(inter / sa.sz, 6) AS c_a,
+        |         round(inter / sb.sz, 6) AS c_b
+        |  FROM pairs
+        |  JOIN sz sa ON id_a = sa.id
+        |  JOIN sz sb ON id_b = sb.id)
+        |SELECT id_a, id_b, c_a, c_b FROM cont
+        |WHERE greatest(c_a, c_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_minhash" ->
@@ -2975,6 +3057,20 @@ private object OracleSql {
     // early-stopped or not, the round-10 state is identical. Same
     // 2^-26 state grid / 2^-48 term grid discipline as graph_pagerank;
     // the supplier<->customer edge derivation replayed relationally.
+    // Unrolled 8-round peel replay over the sparsified graph (see the
+    // queries-side comment for why a fixed unroll is valid).
+    "graph_kcore" ->
+      ("""WITH
+        |cs AS (SELECT DISTINCT l.l_suppkey::BIGINT AS src,
+        |              (o.o_custkey::BIGINT + 1000000) AS dst
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sp AS (SELECT src, dst FROM cs WHERE (src + dst) % 4 = 0),
+        |e0 AS MATERIALIZED (SELECT src AS s, dst AS d FROM sp
+        |       UNION ALL SELECT dst, src FROM sp),
+        |""".stripMargin + kcoreRounds(8, 3) + """
+        |SELECT s AS id, count(*) AS deg FROM e8 GROUP BY s ORDER BY id"""
+        .stripMargin),
+
     "graph_pagerank_watched" ->
       """WITH RECURSIVE
         |cs AS (SELECT DISTINCT l.l_suppkey::BIGINT AS src,

@@ -172,6 +172,54 @@ object Dedup {
     }
   }
 
+  /** Asymmetric CONTAINMENT pairs: for each candidate pair, c_a =
+    * |A∩B| / |A| (the fraction of A's shingles inside B) and the
+    * symmetric c_b — kept when either reaches `minC`. Catches the
+    * near-SUPERSET duplication [[jaccardPairs]] structurally misses: a
+    * long aggregator page swallowing a short doc whole scores
+    * jaccard ≈ |B|/|A| → 0 as the wrapper grows, while c_b stays 1.0
+    * (the [[sourceOverlap]] asymmetry argument at DOC grain — the
+    * contained side is the redundant one). Same plan as jaccardPairs,
+    * same knobs, same capped-set semantics at `maxShingleDf > 0`: only
+    * the final normalizer differs (min-side instead of union). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minC: Double,
+                       maxShingleDf: Long = 0L): DataFrame = {
+    require(maxShingleDf <= Int.MaxValue,
+      s"maxShingleDf must fit in Int (posting lists are cap-bounded in memory): $maxShingleDf")
+    val (inter, sz) =
+      if (maxShingleDf <= 0) {
+        val sh = holdCached("containmentPairs.shingles",
+          shingleTable(docs, idCol, textCol, n))
+        val a = sh.select(col("sh"), col("id").as("id_a"))
+        val b = sh.select(col("sh"), col("id").as("id_b"))
+        (a.join(b, "sh")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter")),
+          shingleSizes(sh))
+      } else {
+        val boundedIds = org.apache.spark.sql.functions.udaf(
+          new graft.functions.BoundedIds(maxShingleDf.toInt),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val posting = holdCached("containmentPairs.postings",
+          shingleTable(docs, idCol, textCol, n)
+            .groupBy("sh").agg(boundedIds(col("id")).as("acc"))
+            .filter(col("acc.n") <= maxShingleDf)
+            .select(col("acc.ids").as("ids")))
+        (postingPairCounts(posting, "inter"),
+          posting.select(explode(col("ids")).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("sz")))
+      }
+    inter
+      .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("sz_a"), 6).as("c_a"),
+        round(col("inter") / col("sz_b"), 6).as("c_b"))
+      .filter(greatest(col("c_a"), col("c_b")) >= minC)
+  }
+
   /** Universal-hash family over the shingle's md5-derived base hash:
     * seed s maps h to ((h mod P) * (2s+1) + s + 1) mod P with the
     * Mersenne prime P = 2^31 - 1. One md5 per shingle (instead of one

@@ -145,6 +145,10 @@ object E2eDrive {
     // watched communities (--tol): cycle-aware early stop; same edges
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_tol",
       "--op", "communities", "--tol", "0", "--iters", "40"))
+    // k-core over the same persisted edges: the symmetrized k=3 kNN
+    // graph has min degree 3, so the 3-core keeps every node
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/kcore",
+      "--op", "kcore", "--min-degree", "3"))
     // weighted communities + weighted pagerank: the persisted knn table
     // carries score, and the --edges reader passes it through
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_w",
@@ -188,6 +192,8 @@ object E2eDrive {
     val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
     val lpaTolN = spark4b.read.parquet(s"$prOut/lpa_tol").count()
     assert(lpaTolN == 500, s"watched communities must assign every node: $lpaTolN")
+    val kcoreN = spark4b.read.parquet(s"$prOut/kcore").count()
+    assert(kcoreN == 500, s"3-core of the k=3 kNN graph must keep all: $kcoreN")
     val lpaWN = spark4b.read.parquet(s"$prOut/lpa_w").count()
     assert(lpaWN == 500, s"weighted communities must assign every node: $lpaWN")
     val prWN = spark4b.read.parquet(s"$prOut/pr_w").count()

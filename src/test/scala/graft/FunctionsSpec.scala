@@ -278,6 +278,32 @@ class DedupSpec extends SparkSpec {
     assert(d.contains((0L, 1L, 1.0)))
   }
 
+  test("containment catches the near-superset pair jaccard misses") {
+    // B's 6 tokens (4 shingles) sit verbatim inside A's 18-token
+    // wrapper (16 shingles): jaccard = 4/16 = 0.25 — invisible at any
+    // useful minJ — while c_b = 4/4 = 1.0 flags B as swallowed whole
+    val short = "the quick brown fox jumps high"
+    val wrapper = "posted by admin on monday morning " + short +
+      " share this story subscribe below"
+    val sup = Seq((10L, wrapper), (11L, short),
+      (12L, "completely different words about gardens and rivers flowing"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(sup, "doc_id", "text", n = 3, minC = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(cont.exists(t => t._1 == 10L && t._2 == 11L && t._4 == 1.0),
+      s"wrapper pair must surface with c_b = 1.0: $cont")
+    assert(!cont.exists(t => t._1 == 12L || t._2 == 12L),
+      s"unrelated doc must not pair: $cont")
+    val jac = Dedup.jaccardPairs(sup, "doc_id", "text", n = 3, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jac.isEmpty, s"jaccard at 0.5 must miss the superset pair: $jac")
+    // capped == uncapped on this fixture (no shingle reaches the cap)
+    val capped = Dedup.containmentPairs(sup, "doc_id", "text", n = 3,
+        minC = 0.9, maxShingleDf = 10)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(capped == cont, s"capped tier must agree: $capped vs $cont")
+  }
+
   test("dedup operators leave no unbounded SQL-cache growth (r6 ADVICE fix)") {
     // In a long-lived session (serve, bench loop) an unreleased
     // Dataset.persist accumulates CacheManager blocks forever. Every
