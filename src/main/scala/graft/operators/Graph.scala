@@ -454,6 +454,47 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("nodes"))
 
+  /** Newman modularity of a community assignment, per community:
+    * Q_c = m_c/m − (d_c/2m)² — the fraction of edges INSIDE community
+    * c minus the fraction expected under the degree-preserving random
+    * rewiring. Σ Q_c is the standard did-the-communities-mean-anything
+    * read over [[labelPropagation]]'s (or any) assignment: ~0 for one
+    * blob or a random split, toward 1 for well-separated dense blocks.
+    * On the symmetrized directed representation (2m rows): per
+    * community, `ends` = directed rows leaving c (= d_c) and
+    * `internal_ends` = rows with BOTH endpoints in c (= 2·m_c), so
+    * Q_c = internal_ends/rows − (ends/rows)².
+    *
+    * Plan: two id-keyed joins stamping each edge end with its
+    * community, ONE (community)-keyed aggregation (map-side
+    * combinable), a broadcast 1-row total — no window, no iteration.
+    * `assign` must cover every node in the edge list ((id, label) —
+    * exactly what the community/CC ops emit); edges whose endpoint is
+    * missing from the assignment are dropped by the inner join, which
+    * would silently skew Q, so coverage is the caller's contract (a
+    * composed `analyze --op communities` output always satisfies it).
+    * Returns (label, internal_ends, ends, q) per community. */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val lab = assign.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    val stamped = e
+      .join(lab.select(col("id").as("src"), col("label").as("c_s")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("c_d")), "dst")
+    val per = stamped.groupBy(col("c_s").as("label"))
+      .agg(count(lit(1)).as("ends"),
+        sum(when(col("c_s") === col("c_d"), 1L).otherwise(0L))
+          .as("internal_ends"))
+    val total = per.agg(sum("ends").as("rows2m"))
+    per.crossJoin(broadcast(total))
+      .select(col("label"), col("internal_ends"), col("ends"),
+        round(col("internal_ends") / col("rows2m") -
+          (col("ends") / col("rows2m")) * (col("ends") / col("rows2m")),
+          6).as("q"))
+  }
+
   /** k-core: the maximal subgraph in which every surviving node keeps
     * degree >= k — computed by the standard iterative peel (drop all
     * nodes under k, recount, repeat). Where [[degreeProfile]] reads the

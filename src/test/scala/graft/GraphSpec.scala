@@ -429,6 +429,34 @@ class GraphSpec extends SparkSpec {
     assert(more == lpa, "settled LPA labels must be round-count invariant")
   }
 
+  test("modularity: two clean cliques score 0.5, one-blob labels score 0") {
+    // two disjoint 4-cliques: 24 directed rows, each community owns 12
+    // ends, all internal -> Q_c = 12/24 - (12/24)^2 = 0.25, total 0.5
+    // (the textbook two-equal-communities maximum); collapsing
+    // everything into ONE label gives Q = 1 - 1 = 0 (the null read)
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val sym = Graph.symmetrize((cliqueA ++ cliqueB).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    val split = (0L to 3L).map(i => (i, 0L)) ++ (10L to 13L).map(i => (i, 10L))
+    val q = Graph.modularity(sym, split.toDF("id", "label"))
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t._4).toMap
+    assert(q == Map(0L -> 0.25, 10L -> 0.25), s"clean split must score 0.25 each: $q")
+    val blob = (0L to 3L).map(i => (i, 0L)) ++ (10L to 13L).map(i => (i, 0L))
+    val q1 = Graph.modularity(sym, blob.toDF("id", "label"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(q1.length == 1 && q1.head._4 == 0.0,
+      s"one blob must score exactly 0: ${q1.toSeq}")
+    // LPA's own labels on the bridged fixture recover the clean split's
+    // score shape: both communities positive, total well above 0
+    val bridged = Graph.symmetrize(
+      (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val lpa = Graph.labelPropagation(bridged, iters = 4)
+    val qs = Graph.modularity(bridged, lpa)
+      .as[(Long, Long, Long, Double)].collect().map(_._4)
+    assert(qs.length == 2 && qs.sum > 0.4, s"LPA split must score high: ${qs.toSeq}")
+  }
+
   test("kCore: a clique with a tail — the tail peels layer by layer") {
     // 4-clique (every degree 3) + a path tail 3-20-21-22: at k=2 the
     // tail peels one endpoint layer per round (22, then 21, then 20),
