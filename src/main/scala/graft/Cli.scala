@@ -31,12 +31,12 @@ import graft.sources.FileIngest
   *   graft.Cli clean  --docs <dir|corpus.jsonl> --out <dir>
   *                    [--min-words 50] [--min-lm -9.0]
   *   graft.Cli dedup  --docs <dir|corpus.jsonl|media dir|embeddings.parquet> --out <dir>
-  *                    [--method exact|minhash|simhash|phash|audiofp|embed|semantic]
+  *                    [--method exact|minhash|simhash|containment|phash|audiofp|embed|semantic]
   *                    [--minj 0.8] [--max-dist 3] [--min-cosine 0.95]
   *                    [--tau 0.95] [--clusters 8] [--quality-col <col>]
   *   graft.Cli curate --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--min-words 50] [--min-lm <f>]
-  *                    [--dedup minhash|exact|simhash|none] [--minj 0.8]
+  *                    [--dedup minhash|exact|simhash|containment|none] [--minj 0.8]
   *                    [--max-dist 3] [--decontaminate <bench>]
   *                    [--ngram 5] [--max-overlap 0] [--report <dir>]
   *   graft.Cli scorecard --docs <dir|corpus.jsonl|parquet> --out <dir>
@@ -48,7 +48,7 @@ import graft.sources.FileIngest
   *   graft.Cli overlap --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
   *   graft.Cli analyze (--embeddings <parquet> | --edges <parquet>) --out <dir>
-  *                    --op knn|pagerank|ppr|triangles|components|communities|kcore|spread|degrees|kmeans|pca
+  *                    --op knn|pagerank|ppr|triangles|components|communities|kcore|modularity|spread|degrees|kmeans|pca
   *                    [--k 3] [--lsh] [--weighted] [--clusters 8] [--iters n] [--tol t] [--init p]
   *                    [--seeds <parquet>]
   *   graft.Cli ann-build <name> [--clusters 16] [--pq-m 8] [--pq-k 16]
@@ -193,11 +193,14 @@ object Cli {
     * exact = normalized-md5 groups (NULL-fingerprint docs carry no
     * signal and all survive), minhash = MinHash-LSH candidates +
     * true-Jaccard verify + connected components, simhash = class-level
-    * Hamming clustering. One canonical survivor (min id) per cluster. */
+    * Hamming clustering, containment = df-capped inverted-index pairs
+    * dropping the CONTAINED side (the near-superset read — minJ doubles
+    * as the containment floor). One canonical survivor (min id) per
+    * cluster/pair. */
   private[graft] def textDedupSurvivors(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, method: String,
       minJ: Double, maxDist: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, greatest, when}
     val D = graft.operators.Dedup
     method match {
       case "exact" =>
@@ -217,8 +220,23 @@ object Cli {
         val clusters = D.simhashClusters(docs, idCol, textCol, maxDist = maxDist)
         docs.join(clusters.filter(!col("keep")).select(col("id").as(idCol)),
           Seq(idCol), "left_anti")
+      case "containment" =>
+        // near-superset dedup: drop the CONTAINED side of each pair
+        // (its shingles live inside the other doc); when both sides
+        // contain each other (near-identical), keep the smaller id —
+        // the family's canonical-survivor convention. minJ doubles as
+        // the containment floor.
+        val pairs = D.containmentPairs(docs, idCol, textCol, n = 3,
+          minC = minJ, maxShingleDf = 20)
+        val losers = pairs.select(
+          when(col("c_a") >= minJ && col("c_b") >= minJ,
+            greatest(col("id_a"), col("id_b")))
+            .when(col("c_a") >= minJ, col("id_a"))
+            .otherwise(col("id_b"))
+            .as(idCol)).distinct()
+        docs.join(losers, Seq(idCol), "left_anti")
       case other => fail(
-        s"unknown text dedup method '$other' (exact|minhash|simhash)")
+        s"unknown text dedup method '$other' (exact|minhash|simhash|containment)")
     }
   }
 
@@ -484,14 +502,14 @@ object Cli {
         // each boundary is one materialization, the funnel numbers are
         // byproducts of it, and nothing upstream recomputes.
         val usage = "usage: curate --docs <dir|corpus.jsonl|parquet> --out <dir> " +
-          "[--min-words 50] [--min-lm <f>] [--dedup minhash|exact|simhash|none] " +
+          "[--min-words 50] [--min-lm <f>] [--dedup minhash|exact|simhash|containment|none] " +
           "[--minj 0.8] [--max-dist 3] [--decontaminate <bench dir|jsonl|parquet>] " +
           "[--ngram 5] [--max-overlap 0] [--report <dir>]"
         val docsDir = flags.getOrElse("docs", fail(usage))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val method = flags.getOrElse("dedup", "minhash")
-        if (!Set("minhash", "exact", "simhash", "none").contains(method))
-          fail(s"--dedup '$method' (minhash|exact|simhash|none)")
+        if (!Set("minhash", "exact", "simhash", "containment", "none").contains(method))
+          fail(s"--dedup '$method' (minhash|exact|simhash|containment|none)")
         val spark = session()
         import org.apache.spark.sql.functions.col
         import org.apache.spark.storage.StorageLevel
@@ -692,7 +710,7 @@ object Cli {
         // canonical survivor per cluster (min id); docs/files with no
         // signal (token-less text, undecodable media) always survive.
         val dedupUsage = "usage: dedup --docs <dir|corpus.jsonl|embeddings.parquet> --out <dir> " +
-          "[--method exact|minhash|simhash|phash|audiofp|embed|semantic] " +
+          "[--method exact|minhash|simhash|containment|phash|audiofp|embed|semantic] " +
           "[--minj 0.8] [--max-dist 3] [--id-col vec_id] [--vec-col embedding] " +
           "[--min-cosine 0.95] [--tau 0.95] [--clusters 8] [--quality-col <col>]"
         val docsDir = flags.getOrElse("docs", fail(dedupUsage))
@@ -736,7 +754,7 @@ object Cli {
             Seq("source"), "left_anti")
         val maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3)
         val survivors = method match {
-          case "exact" | "minhash" | "simhash" =>
+          case "exact" | "minhash" | "simhash" | "containment" =>
             // Shared text tiers (see textDedupSurvivors for the
             // per-method semantics, incl. the NULL-signal stance).
             textDedupSurvivors(docs, "source", "text", method,
@@ -798,7 +816,7 @@ object Cli {
               .filter(!col("keep")).select(col("id").as(idCol))
             docs.join(losers, Seq(idCol), "left_anti")
           case other => fail(
-            s"unknown dedup method '$other' (exact|minhash|simhash|phash|audiofp|embed|semantic)")
+            s"unknown dedup method '$other' (exact|minhash|simhash|containment|phash|audiofp|embed|semantic)")
         }
         survivors.write.mode("overwrite").parquet(out)
         val kept = spark.read.parquet(out).count()
@@ -849,7 +867,7 @@ object Cli {
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
-          "--op knn|pagerank|ppr|triangles|components|communities|kcore|spread|degrees|kmeans|pca [--id-col vec_id] " +
+          "--op knn|pagerank|ppr|triangles|components|communities|kcore|modularity|spread|degrees|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits 8] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
@@ -857,7 +875,7 @@ object Cli {
         val idCol = flags.getOrElse("id-col", "vec_id")
         val vecCol = flags.getOrElse("vec-col", "embedding")
         val k = flags.get("k").map(_.toInt).getOrElse(3)
-        val graphOp = Set("pagerank", "ppr", "triangles", "components", "kcore",
+        val graphOp = Set("pagerank", "ppr", "triangles", "components", "kcore", "modularity",
           "communities", "spread", "degrees")(op)
         // --k sizes the kNN graph; kmeans reads --clusters. Passing --k
         // to kmeans is an easy misuse that silently did nothing — fail
@@ -867,7 +885,7 @@ object Cli {
             "use --clusters <n> for the k-means cluster count")
         if (flags.contains("edges") && !graphOp) fail(
           s"--edges applies to graph ops " +
-            s"(pagerank|ppr|triangles|components|communities|kcore|spread|degrees), not --op $op")
+            s"(pagerank|ppr|triangles|components|communities|kcore|modularity|spread|degrees), not --op $op")
         // At scale the kNN-graph build is hours and the analytics
         // minutes: --edges lets the graph ops consume a persisted
         // neighbor/pair table — `analyze --op knn` output (id, nb, ...)
@@ -994,6 +1012,15 @@ object Cli {
                 pairs, spark.read.parquet(p))
               case None => graft.operators.Dedup.connectedComponents(pairs)
             }
+          case "modularity" =>
+            // community-quality score over a persisted (id, label)
+            // assignment (--labels = an --op communities/components
+            // output): per-community Newman Q — a near-zero total says
+            // the labels carry no density signal and shouldn't drive
+            // curation decisions
+            val labels = spark.read.parquet(flags.getOrElse("labels",
+              fail("--labels <parquet (id, label)> required for modularity")))
+            G.modularity(G.symmetrize(graph()), labels)
           case "kcore" =>
             // dense-substrate extraction: iteratively peel nodes of
             // degree < --min-degree; on a similarity graph the high-k

@@ -951,6 +951,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Community QUALITY composed under the hash gate: LPA labels on the
+    // clique-block fixture scored by Newman modularity — per community
+    // internal-edge fraction minus the degree-random expectation, the
+    // did-the-split-mean-anything read the communities arm needs to be
+    // trustworthy at scale (a near-zero Q says don't weight a mixture
+    // by these labels).
+    "graph_modularity" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val sym = Graph.symmetrize(cliques.union(bridges), "a", "b")
+      Graph.modularity(sym, Graph.labelPropagation(sym, iters = 4))
+        .orderBy("label")
+    }),
+
     // WEIGHTED community detection on the same clique-block fixture,
     // with dyadic edge weights ((1 + (a+b)%3)/4 intra, 5/2 on bridges)
     // so every vote sum is exact in doubles on BOTH engines by
@@ -3337,6 +3357,33 @@ private object OracleSql {
     // the watch stops only at an exact fixed point or an even-
     // remainder 2-cycle revisit, where the remaining rounds change
     // nothing (Graph.labelPropagationWatched scaladoc).
+    // LPA (the graph_communities 4-round replay via lpaRounds) + the
+    // modularity aggregates: per community, directed edge-ends and
+    // internal ends, Q = internal/rows − (ends/rows)².
+    "graph_modularity" ->
+      ("""WITH ids AS (
+        |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1 FROM ids WHERE id % 8 = 7 AND id < 199),
+        |e AS (SELECT DISTINCT s, d FROM (
+        |        SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p)),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+        |""".stripMargin + lpaRounds(4) + """,
+        |st AS (SELECT ls.label AS c_s, ld.label AS c_d
+        |       FROM e JOIN l4 ls ON e.s = ls.id JOIN l4 ld ON e.d = ld.id),
+        |per AS (SELECT c_s AS label, count(*) AS ends,
+        |               sum(CASE WHEN c_s = c_d THEN 1 ELSE 0 END)::BIGINT
+        |                 AS internal_ends
+        |        FROM st GROUP BY c_s),
+        |tot AS (SELECT sum(ends) AS rows2m FROM per)
+        |SELECT label, internal_ends, ends,
+        |       round(internal_ends / rows2m
+        |             - (ends / rows2m) * (ends / rows2m), 6) AS q
+        |FROM per, tot ORDER BY label""".stripMargin),
+
     "graph_communities_watched" ->
       ("""WITH ids AS (
         |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),

@@ -179,38 +179,36 @@ object Dedup {
     * long aggregator page swallowing a short doc whole scores
     * jaccard ≈ |B|/|A| → 0 as the wrapper grows, while c_b stays 1.0
     * (the [[sourceOverlap]] asymmetry argument at DOC grain — the
-    * contained side is the redundant one). Same plan as jaccardPairs,
-    * same knobs, same capped-set semantics at `maxShingleDf > 0`: only
-    * the final normalizer differs (min-side instead of union). */
+    * contained side is the redundant one). Same shingle grammar and
+    * capped-SET semantics as [[jaccardPairs]] (shingles shared by more
+    * than `maxShingleDf` docs drop from intersections AND sizes), but
+    * the pair generation stays the inverted-index SELF-JOIN rather
+    * than Long-typed posting lists or MinHash banding, for two
+    * reasons: (1) banding approximates JACCARD, and the asymmetric
+    * pairs this operator exists for (tiny doc inside a huge wrapper)
+    * have jaccard → 0 — banding would structurally miss exactly them;
+    * (2) the id column stays type-generic (the CLI surface keys text
+    * corpora by string source). The per-shingle join fanout is bounded
+    * by the same cap² as the posting formulation; the cost is one
+    * extra exchange of the df-filtered shingle table. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, minC: Double,
                        maxShingleDf: Long = 0L): DataFrame = {
-    require(maxShingleDf <= Int.MaxValue,
-      s"maxShingleDf must fit in Int (posting lists are cap-bounded in memory): $maxShingleDf")
-    val (inter, sz) =
-      if (maxShingleDf <= 0) {
-        val sh = holdCached("containmentPairs.shingles",
-          shingleTable(docs, idCol, textCol, n))
-        val a = sh.select(col("sh"), col("id").as("id_a"))
-        val b = sh.select(col("sh"), col("id").as("id_b"))
-        (a.join(b, "sh")
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("inter")),
-          shingleSizes(sh))
-      } else {
-        val boundedIds = org.apache.spark.sql.functions.udaf(
-          new graft.functions.BoundedIds(maxShingleDf.toInt),
-          org.apache.spark.sql.Encoders.scalaLong)
-        val posting = holdCached("containmentPairs.postings",
-          shingleTable(docs, idCol, textCol, n)
-            .groupBy("sh").agg(boundedIds(col("id")).as("acc"))
-            .filter(col("acc.n") <= maxShingleDf)
-            .select(col("acc.ids").as("ids")))
-        (postingPairCounts(posting, "inter"),
-          posting.select(explode(col("ids")).as("id"))
-            .groupBy("id").agg(count(lit(1)).as("sz")))
-      }
+    val shAll = holdCached("containmentPairs.sh0",
+      shingleTable(docs, idCol, textCol, n))
+    val sh =
+      if (maxShingleDf <= 0) shAll
+      else holdCached("containmentPairs.shingles",
+        shAll.join(shAll.groupBy("sh").agg(count(lit(1)).as("shdf"))
+            .filter(col("shdf") > maxShingleDf).select("sh"),
+          Seq("sh"), "left_anti"))
+    val a = sh.select(col("sh"), col("id").as("id_a"))
+    val b = sh.select(col("sh"), col("id").as("id_b"))
+    val inter = a.join(b, "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val sz = shingleSizes(sh)
     inter
       .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")

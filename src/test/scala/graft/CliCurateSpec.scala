@@ -44,6 +44,22 @@ class CliCurateSpec extends SparkSpec {
       !kept.contains("s2"), s"got $kept")
   }
 
+  test("textDedupSurvivors: containment drops the swallowed doc, keeps the wrapper") {
+    // w wraps s (c_s = 1.0, one direction only) -> s drops, w stays;
+    // near-identical m1/m2 (mutual containment) -> the larger id drops
+    val short = "the quick brown fox jumps high over lazy dogs"
+    val d = Seq(
+      ("w", "posted by admin on monday " + short + " share this story now"),
+      ("s", short),
+      ("m1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("m2", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("u", "completely unrelated words about rivers and gardens tonight")
+    ).toDF("source", "text")
+    val kept = Cli.textDedupSurvivors(d, "source", "text", "containment",
+      minJ = 0.9, maxDist = 3).select("source").as[String].collect().toSet
+    assert(kept == Set("w", "m1", "u"), s"got $kept")
+  }
+
   test("curate composition: clean -> dedup -> decontaminate funnel counts") {
     val (kept, _) = graft.operators.CorpusClean.cleanCorpus(
       docs, "source", "text", minWords = 5)

@@ -149,6 +149,10 @@ object E2eDrive {
     // graph has min degree 3, so the 3-core keeps every node
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/kcore",
       "--op", "kcore", "--min-degree", "3"))
+    // modularity of the persisted LPA labels over the same edges — the
+    // composed quality read (communities output feeds --labels)
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/modq",
+      "--op", "modularity", "--labels", s"$prOut/lpa"))
     // weighted communities + weighted pagerank: the persisted knn table
     // carries score, and the --edges reader passes it through
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_w",
@@ -194,6 +198,10 @@ object E2eDrive {
     assert(lpaTolN == 500, s"watched communities must assign every node: $lpaTolN")
     val kcoreN = spark4b.read.parquet(s"$prOut/kcore").count()
     assert(kcoreN == 500, s"3-core of the k=3 kNN graph must keep all: $kcoreN")
+    val modRows = spark4b.read.parquet(s"$prOut/modq")
+    assert(modRows.count() > 0 &&
+      modRows.columns.toSet == Set("label", "internal_ends", "ends", "q"),
+      s"modularity arm must emit per-community Q rows: ${modRows.columns.toSeq}")
     val lpaWN = spark4b.read.parquet(s"$prOut/lpa_w").count()
     assert(lpaWN == 500, s"weighted communities must assign every node: $lpaWN")
     val prWN = spark4b.read.parquet(s"$prOut/pr_w").count()
