@@ -43,7 +43,7 @@ import graft.sources.FileIngest
   *                    [--src-col source] [--text-col text] [--min-words 50]
   *   graft.Cli plan --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    --budget <tokens> [--weights src=3,src2=1]
-  *                    [--src-col source] [--tokens-col <col>]
+  *                    [--src-col source] [--tokens-col <col>] [--max-rate 1.0]
   *                    [--apply <dir> [--seed plan] [--id-col <col>]]
   *   graft.Cli overlap --docs <dir|corpus.jsonl|parquet> --out <dir>
   *                    [--sketch] [--n 3] [--hashes 64] [--src-col source] [--text-col text]
@@ -630,8 +630,9 @@ object Cli {
         // allocations at target weights, capped sources spilling their
         // unfilled quota to the rest.
         val plUsage = "usage: plan --docs <dir|corpus.jsonl|parquet> --out <dir> " +
-          "--budget <tokens> [--weights src=3,src2=1] " +
-          "[--src-col source] [--tokens-col <col>] [--text-col text]"
+          "--budget <tokens> [--weights src=3,src2=1] [--max-rate 1.0] " +
+          "[--src-col source] [--tokens-col <col>] [--text-col text] " +
+          "[--apply <dir> [--seed plan] [--id-col <col>]]"
         val docsDir = flags.getOrElse("docs", fail(plUsage))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val budget = flags.get("budget").map(_.toLong).getOrElse(
@@ -670,8 +671,11 @@ object Cli {
           case None => docs.select(col(srcCol)).where(col(srcCol).isNotNull)
             .distinct().collect().map(_.get(0).toString -> 1.0).toMap
         }
+        // --max-rate > 1: capped sources UPSAMPLE (epoch repeats up to
+        // the cap) instead of stopping at their own supply
+        val maxRate = flags.get("max-rate").map(_.toDouble).getOrElse(1.0)
         val plan = graft.operators.TrainExport.mixturePlan(
-          docs, srcCol, tokCol, weights, budget)
+          docs, srcCol, tokCol, weights, budget, maxRate = maxRate)
         plan.coalesce(1).write.mode("overwrite").parquet(out)
         val rows2 = spark.read.parquet(out).orderBy("source").collect()
         println(f"${"source"}%-24s ${"available"}%12s ${"allocated"}%14s ${"rate"}%8s cap")
@@ -689,11 +693,18 @@ object Cli {
         flags.get("apply").foreach { applyOut =>
           val idc = flags.getOrElse("id-col",
             if (docs.columns.contains("doc_id")) "doc_id" else srcCol)
-          graft.operators.TrainExport.rateSample(
+          val drawn =
+            if (maxRate > 1.0)
+              // epoch-aware: floor(rate) full copies + a fractional
+              // draw, copy index in an `epoch` column
+              graft.operators.TrainExport.rateSampleEpochs(
+                docs, idc, srcCol, spark.read.parquet(out),
+                flags.getOrElse("seed", "plan"))
+            else graft.operators.TrainExport.rateSample(
               docs, idc, srcCol, spark.read.parquet(out),
               flags.getOrElse("seed", "plan"))
-            .write.mode("overwrite").parquet(applyOut)
-          println(s"plan: drew ${spark.read.parquet(applyOut).count()} docs -> $applyOut")
+          drawn.write.mode("overwrite").parquet(applyOut)
+          println(s"plan: drew ${spark.read.parquet(applyOut).count()} rows -> $applyOut")
         }
         spark.stop()
 

@@ -1471,6 +1471,39 @@ object SparkEntry {
         docs, "source", "n_chars", weights, budget)
     }),
 
+    // The epoch knob under the hash gate: full-total budget with
+    // maxRate 2.5 makes the heavy-weight sources OVERSUBSCRIBE their
+    // supply — capped rows land at rate 2.5 (upsampled epochs), the
+    // rest absorb the spill. 2.5 is dyadic, so cap products are exact
+    // in both engines.
+    "mixture_plan_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sources = docs.select("source").where(col("source").isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted
+      val weights = sources.zipWithIndex
+        .map { case (src, i) => src -> (1L << (i % 4)).toDouble }.toMap
+      val budget = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+      graft.operators.TrainExport.mixturePlan(
+        docs, "source", "n_chars", weights, budget, maxRate = 2.5)
+    }),
+
+    // Epoch DRAW composed: floor(rate) full copies per doc plus an
+    // md5-fractional extra — the repeat-high-quality-sources recipe
+    // materialized, with the copy index as an epoch column.
+    "sample_plan_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sources = docs.select("source").where(col("source").isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted
+      val weights = sources.zipWithIndex
+        .map { case (src, i) => src -> (1L << (i % 4)).toDouble }.toMap
+      val budget = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+      val plan = graft.operators.TrainExport.mixturePlan(
+        docs, "source", "n_chars", weights, budget, maxRate = 2.5)
+      graft.operators.TrainExport.rateSampleEpochs(
+          docs, "doc_id", "source", plan, "epoch42")
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    }),
+
     // Plan -> DRAW composed under the hash gate: the mixture_plan
     // rates applied by rateSample's md5-hex-threshold keep — the
     // training draw a planned recipe actually executes. Capped sources
@@ -1799,12 +1832,14 @@ private object OracleSql {
 
   /** The mixture_plan water-filling CTE chain (shared by the plan and
     * draw oracles): per-source available tokens, the dyadic weight
-    * family over sorted sources, integer-division budget, and the
-    * cross-multiplied capped-prefix scan (TrainExport.mixturePlan's
-    * proof-sketch scaladoc). Ends at `flag` (per-source is_capped) and
-    * `agg` (capped sums). */
-  private val mixturePlanCtes =
-    """a AS (SELECT source, sum(n_chars)::BIGINT AS available
+    * family over sorted sources, integer-division budget
+    * (total // budgetDiv), capacities `available * maxRate` (the epoch
+    * knob — pass dyadic maxRate literals so the products are exact),
+    * and the cross-multiplied capped-prefix scan
+    * (TrainExport.mixturePlan's proof-sketch scaladoc). Ends at `flag`
+    * (per-source is_capped) and `agg` (capped sums). */
+  private def mixturePlanCtes(budgetDiv: Int, maxRate: String): String =
+    s"""a AS (SELECT source, sum(n_chars)::BIGINT AS available
       |      FROM documents WHERE source IS NOT NULL GROUP BY source),
       |wr AS (SELECT source,
       |         (CASE (row_number() OVER (ORDER BY source) - 1) % 4
@@ -1813,27 +1848,27 @@ private object OracleSql {
       |       FROM a),
       |ws AS (SELECT sum(wraw) AS tot FROM wr),
       |w AS (SELECT source, wraw / tot AS w FROM wr, ws),
-      |b AS (SELECT (sum(available) // 2)::BIGINT AS budget FROM a),
-      |s AS (SELECT a.source, a.available, w.w,
-      |             round(a.available / w.w, 6) AS r
+      |b AS (SELECT (sum(available) // $budgetDiv)::BIGINT AS budget FROM a),
+      |s AS (SELECT a.source, a.available, a.available * $maxRate AS cap,
+      |             w.w, round(a.available * $maxRate / w.w, 6) AS r
       |      FROM a JOIN w USING (source)),
       |scan AS (SELECT *,
-      |    coalesce(sum(available) OVER (ORDER BY r, source
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE AS pc,
+      |    coalesce(sum(cap) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pc,
       |    coalesce(sum(w) OVER (ORDER BY r, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pw
       |  FROM s),
       |flag AS (SELECT scan.*, b.budget,
-      |    (available * (1.0 - pw) <= (budget - pc) * w) AS is_capped
+      |    (cap * (1.0 - pw) <= (budget - pc) * w) AS is_capped
       |  FROM scan, b),
       |agg AS (SELECT
-      |    sum(CASE WHEN is_capped THEN available ELSE 0 END)::DOUBLE AS cc,
+      |    sum(CASE WHEN is_capped THEN cap ELSE 0.0 END) AS cc,
       |    sum(CASE WHEN is_capped THEN w ELSE 0.0 END) AS cw FROM flag)""".stripMargin
 
   /** The per-source allocation expression over `flag f, agg` (capped =
-    * full supply; else the final water level times the weight). */
+    * the full capacity; else the final water level times the weight). */
   private val mixturePlanAllocated =
-    """CASE WHEN f.is_capped THEN f.available::DOUBLE
+    """CASE WHEN f.is_capped THEN round(f.cap, 6)
       |       ELSE round((CASE WHEN agg.cw >= 1.0 THEN 0.0
       |              ELSE (f.budget - agg.cc) / (1.0 - agg.cw) END) * f.w, 6)
       |  END""".stripMargin
@@ -4534,7 +4569,7 @@ private object OracleSql {
     // cross-multiplied capped test on the raw-prefix scan, same
     // roundings (see TrainExport.mixturePlan's proof-sketch scaladoc).
     "mixture_plan" ->
-      ("WITH\n" + mixturePlanCtes + s"""
+      ("WITH\n" + mixturePlanCtes(2, "1.0") + s"""
         |SELECT f.source, f.available, round(f.w, 9) AS weight,
         |  $mixturePlanAllocated AS allocated,
         |  round(($mixturePlanAllocated) / f.available, 6) AS rate,
@@ -4542,10 +4577,40 @@ private object OracleSql {
         |FROM flag f, agg
         |ORDER BY f.source""".stripMargin),
 
+    // The maxRate=2.5 plan (full-total budget): same chain, scaled
+    // capacities.
+    "mixture_plan_epochs" ->
+      ("WITH\n" + mixturePlanCtes(1, "2.5") + s"""
+        |SELECT f.source, f.available, round(f.w, 9) AS weight,
+        |  $mixturePlanAllocated AS allocated,
+        |  round(($mixturePlanAllocated) / f.available, 6) AS rate,
+        |  CASE WHEN f.is_capped THEN 1 ELSE 0 END AS capped
+        |FROM flag f, agg
+        |ORDER BY f.source""".stripMargin),
+
+    // Epoch expansion replay: floor(rate) full copies + the
+    // md5-fractional extra, unrolled via generate_series.
+    "sample_plan_epochs" ->
+      ("WITH\n" + mixturePlanCtes(1, "2.5") + s""",
+        |plan AS (SELECT f.source,
+        |    round(($mixturePlanAllocated) / f.available, 6) AS rate
+        |  FROM flag f, agg),
+        |cp AS (SELECT d.doc_id, d.source,
+        |    (floor(p.rate)::INT + CASE
+        |       WHEN substr(md5('epoch42:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |            < printf('%08x', CAST(FLOOR((p.rate - floor(p.rate))
+        |                * 4294967296.0) AS BIGINT))
+        |       THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN plan p USING (source))
+        |SELECT doc_id, source,
+        |       unnest(generate_series(0, copies - 1))::INT AS epoch
+        |FROM cp WHERE copies >= 1
+        |ORDER BY doc_id, epoch""".stripMargin),
+
     // The plan's rates applied by the md5-hex-threshold draw (the
     // sample_mixture_temp mechanism with table-supplied rates).
     "sample_plan_draw" ->
-      ("WITH\n" + mixturePlanCtes + s""",
+      ("WITH\n" + mixturePlanCtes(2, "1.0") + s""",
         |plan AS (SELECT f.source,
         |    round(($mixturePlanAllocated) / f.available, 6) AS rate
         |  FROM flag f, agg)

@@ -376,8 +376,10 @@ object TrainExport {
     * the source's full supply is taken. */
   def mixturePlan(docs: DataFrame, sourceCol: String, tokensCol: String,
                   weights: Map[String, Double], budget: Long,
-                  maxSources: Int = 10000): DataFrame = {
+                  maxSources: Int = 10000,
+                  maxRate: Double = 1.0): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(maxRate > 0.0, s"maxRate must be > 0, got $maxRate")
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
       weights.values.sum > 0.0,
       "weights must be non-empty, non-negative, with a positive sum")
@@ -408,22 +410,31 @@ object TrainExport {
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(col("r"), col("source"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // the water-filling capacity is `available * maxRate`: at the
+    // default 1.0 a source caps at its own supply; above it a capped
+    // source UPSAMPLES — its docs repeat up to maxRate epochs (the
+    // Wikipedia-times-3 recipe knob). maxRate scales every capacity
+    // uniformly, so the pivot scan is unchanged in structure; at 1.0
+    // every cap expression is exactly the integer supply, so the
+    // default plan is bit-identical to the capless formulation (the
+    // existing oracle replays it unchanged).
     val scanned = joined.filter(col("w") > 0.0)
-      .withColumn("r", round(col("available") / col("w"), 6))
-      .withColumn("pc", coalesce(sum("available").over(ord), lit(0L)))
+      .withColumn("cap", col("available") * lit(maxRate))
+      .withColumn("r", round(col("cap") / col("w"), 6))
+      .withColumn("pc", coalesce(sum("cap").over(ord), lit(0.0)))
       .withColumn("pw", coalesce(sum("w").over(ord), lit(0.0)))
       .withColumn("is_capped",
-        col("available") * (lit(1.0) - col("pw")) <=
+        col("cap") * (lit(1.0) - col("pw")) <=
           (lit(budget.toDouble) - col("pc")) * col("w"))
     val caps = scanned.agg(
-      sum(when(col("is_capped"), col("available")).otherwise(lit(0L))).as("cc"),
+      sum(when(col("is_capped"), col("cap")).otherwise(lit(0.0))).as("cc"),
       sum(when(col("is_capped"), col("w")).otherwise(lit(0.0))).as("cw"))
     val planned = scanned.crossJoin(broadcast(caps))
       .withColumn("lambda",
         when(col("cw") >= lit(1.0), lit(0.0))
           .otherwise((lit(budget.toDouble) - col("cc")) / (lit(1.0) - col("cw"))))
       .withColumn("allocated",
-        when(col("is_capped"), col("available").cast("double"))
+        when(col("is_capped"), round(col("cap"), 6))
           .otherwise(round(col("lambda") * col("w"), 6)))
       .select(col("source"), col("available"),
         round(col("w"), 9).as("weight"), col("allocated"),
@@ -456,6 +467,39 @@ object TrainExport {
         docs(sourceCol) === col("_rs"))
       .filter(r6 >= 1.0 || uniformHexKey(seed, col(idCol)) < threshold)
       .drop("_rs", "_rate")
+  }
+
+  /** Epoch-aware draw of a [[mixturePlan]] with `maxRate > 1`: a doc
+    * whose source plans rate r materializes `floor(r)` full copies plus
+    * one more with probability `r - floor(r)` (the md5-hex draw on the
+    * fractional part) — in expectation exactly r copies per doc, the
+    * standard repeat-high-quality-sources-N-epochs recipe move
+    * (Wikipedia ×3). Output = the doc columns plus `epoch` (0-based
+    * copy index); rate <= 1 degenerates to [[rateSample]] with a
+    * constant epoch 0 column, and sources absent from `rates` emit
+    * nothing. Deterministic per (corpus, rates, seed); the copy
+    * expansion is a map-side `explode(sequence(...))` over the
+    * broadcast-rate join — no shuffle, and the blow-up factor is the
+    * plan's own maxRate bound. */
+  def rateSampleEpochs(docs: DataFrame, idCol: String, sourceCol: String,
+                       rates: DataFrame, seed: String): DataFrame = {
+    val r6 = round(col("_rate").cast("double"), 6)
+    val full = floor(r6).cast("int")
+    val frac = r6 - floor(r6)
+    val threshold = lower(lpad(hex(
+      floor(frac * lit(4294967296.0)).cast("long")), 8, "0"))
+    val copies = (full +
+      when(uniformHexKey(seed, col(idCol)) < threshold, 1).otherwise(0))
+      .as("_copies")
+    docs
+      .join(broadcast(rates.select(col("source").as("_rs"),
+        col("rate").as("_rate"))),
+        docs(sourceCol) === col("_rs"))
+      .withColumn("_copies", copies)
+      .filter(col("_copies") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_rs", "_rate", "_copies")
   }
 
   /** Hashed n-gram feature occurrences for DSIR: one row per unigram

@@ -323,7 +323,29 @@ object E2eDrive {
     val keptSrc = spark9.read.parquet(s"$plDir/kept")
       .select("source").collect().map(_.getString(0)).toSet
     assert(keptSrc.contains("a"), s"capped source must survive the draw: $keptSrc")
-    println(s"CLI_PLAN $planRows applied=$keptSrc")
     spark9.stop()
+    // --max-rate 3: the scarce source upsamples — its one doc repeats
+    // as epochs 0..2 in the applied output (the spec fixture through
+    // the CLI end to end: a=10 chars, b=100, budget 60 -> a rate 3.0)
+    val epJsonl = s"$plDir/ep.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(epJsonl),
+      (j("a", "x" * 10) + "\n" + j("b", "y" * 100) + "\n").getBytes("UTF-8"))
+    Cli.main(Array("plan", "--docs", epJsonl, "--out", s"$plDir/eplan",
+      "--budget", "60", "--weights", "a=1,b=1", "--max-rate", "3",
+      "--apply", s"$plDir/ekept"))
+    val spark9b = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val eplan = spark9b.read.parquet(s"$plDir/eplan").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("rate"), r.getAs[Int]("capped"))).toMap
+    assert(eplan("a") == ((3.0, 1)), s"scarce source must plan 3 epochs: $eplan")
+    val aEpochs = spark9b.read.parquet(s"$plDir/ekept")
+      .filter(org.apache.spark.sql.functions.col("source") === "a")
+      .select("epoch")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(aEpochs == Seq(0, 1, 2),
+      s"rate-3 doc must materialize epochs 0..2: $aEpochs")
+    println(s"CLI_PLAN $planRows applied=$keptSrc epochs(a)=$aEpochs")
+    spark9b.stop()
   }
 }

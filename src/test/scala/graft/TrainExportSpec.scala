@@ -74,6 +74,38 @@ class TrainExportSpec extends SparkSpec {
     assert(plan("a")._5 == 0 && plan("b")._5 == 0)
   }
 
+  test("mixturePlan maxRate: an under-supplied source upsamples to its epoch cap") {
+    // avail (10, 100), equal weights, budget 60, maxRate 3: capacities
+    // (30, 300); the scarce source caps at 3 epochs (alloc 30, rate 3),
+    // the spill leaves the big source thinned at 0.3
+    val d = Seq(("a", 10L), ("b", 100L)).toDF("source", "n_tok")
+    val plan = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 1.0, "b" -> 1.0), budget = 60L, maxRate = 3.0))
+    assert(plan("a") == ("a", 10L, 30.0, 3.0, 1), s"got ${plan("a")}")
+    assert(plan("b") == ("b", 100L, 30.0, 0.3, 0), s"got ${plan("b")}")
+  }
+
+  test("rateSampleEpochs: integer rates copy exactly, fractional rates draw, absent emit nothing") {
+    val d = (1L to 20L).map(i =>
+      (i, if (i <= 10) "a" else if (i <= 18) "b" else "c"))
+      .toDF("id", "source")
+    val rates = Seq(("a", 2.0), ("b", 0.5)).toDF("source", "rate")
+    val out = TrainExport.rateSampleEpochs(d, "id", "source", rates, "e1")
+    val byId = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(byId.get(_).contains(2L)),
+      s"rate 2.0 must copy every doc exactly twice: $byId")
+    assert((11L to 18L).forall(i => byId.getOrElse(i, 0L) <= 1L),
+      s"rate 0.5 emits at most one copy: $byId")
+    assert(!byId.keySet.exists(_ > 18L), s"absent source must emit nothing: $byId")
+    val epochs = out.filter(col("id") === 1L)
+      .select("epoch").as[Int].collect().sorted.toSeq
+    assert(epochs == Seq(0, 1), s"epochs must be 0-based copy indexes: $epochs")
+    val again = TrainExport.rateSampleEpochs(d, "id", "source", rates, "e1")
+      .select("id", "epoch").as[(Long, Int)].collect().toSet
+    assert(again == out.select("id", "epoch").as[(Long, Int)].collect().toSet,
+      "the epoch draw must be deterministic")
+  }
+
   test("rateSample: draws a plan — capped whole, rate-0 empty, deterministic") {
     val d = (Seq(("a", 10L), ("b", 20L), ("c", 100L))
       .flatMap { case (s, n) => (1L to n).map(i => (s"$s$i", s, 1L)) })
