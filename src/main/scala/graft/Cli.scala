@@ -1065,13 +1065,21 @@ object Cli {
               // --tol switches to the convergence-watched LPA; labels
               // are integers so the value is ignored (the stop rules
               // are exact fixed point / even-remainder 2-cycle) —
-              // --iters is the round cap
+              // --iters is the round cap. --init <parquet> warm-starts
+              // from a prior run's (id, label) output (the incremental
+              // community mode).
               val (r, rounds) = G.labelPropagationWatched(
                 G.symmetrize(graph()),
-                maxIters = flags.get("iters").map(_.toInt).getOrElse(50))
+                maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                init = flags.get("init").map(p => spark.read.parquet(p)))
               roundsNote = s", converged in $rounds rounds"
               r
-            } else G.labelPropagation(G.symmetrize(graph()), iters = cIters)
+            } else {
+              if (flags.contains("init")) fail(
+                "--init (warm start) requires --tol: the fixed-round " +
+                  "tier always starts cold (it is the oracle tier)")
+              G.labelPropagation(G.symmetrize(graph()), iters = cIters)
+            }
           case "spread" =>
             val seeds = spark.read.parquet(
               flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))

@@ -733,21 +733,42 @@ object Graph {
     * counts as changed, so a node-set drift on a non-symmetrized
     * input can never masquerade as convergence), skipped on the final
     * round like the rest of the family. Returns ((id, label), rounds
-    * run). */
+    * run).
+    *
+    * `init` = WARM START (the family's incremental mode, cf.
+    * [[pageRankWatched]]/[[kmeansAssignWarm]]): round 0 labels come
+    * from a prior (id, label) assignment instead of each-node-its-own-
+    * id; nodes new since the prior run enter as their own label,
+    * departed ids drop (inner-joined against the current node set). An
+    * unchanged graph confirms its prior communities in 1 round; a
+    * perturbed one re-converges in rounds tracking the perturbation,
+    * not the cold-start mixing. Not cold-equal by construction (a
+    * different round-0 state is a different trajectory) — spec-pinned,
+    * not oracled, the labelSpreadWatched(init) stance. */
   def labelPropagationWatched(edges: DataFrame,
-                              maxIters: Int = 50): (DataFrame, Int) =
-    lpaLoop(edges, maxIters, watched = true)
+                              maxIters: Int = 50,
+                              init: Option[DataFrame] = None): (DataFrame, Int) =
+    lpaLoop(edges, maxIters, watched = true, init)
 
   private def lpaLoop(edges: DataFrame, iters: Int,
-                      watched: Boolean): (DataFrame, Int) = {
+                      watched: Boolean,
+                      init: Option[DataFrame] = None): (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = e.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+      val nodes = e.select(col("src").as("id")).distinct()
+      var labels = init match {
+        case Some(prior) =>
+          // warm start: prior labels where known, own id for new nodes;
+          // departed ids drop via the node-set join
+          nodes.join(prior.select(col("id").cast("long").as("id"),
+              col("label").cast("long").as("pl")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("pl"), col("id")).as("label"))
+        case None => nodes.withColumn("label", col("id"))
+      }
       var prev: DataFrame = null
       var rounds = 0
       var converged = false

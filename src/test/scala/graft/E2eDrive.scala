@@ -153,6 +153,10 @@ object E2eDrive {
     // composed quality read (communities output feeds --labels)
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/modq",
       "--op", "modularity", "--labels", s"$prOut/lpa"))
+    // warm communities: re-run seeded from the watched run's own output
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_warm",
+      "--op", "communities", "--tol", "0", "--iters", "40",
+      "--init", s"$prOut/lpa_tol"))
     // weighted communities + weighted pagerank: the persisted knn table
     // carries score, and the --edges reader passes it through
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/lpa_w",
@@ -196,6 +200,12 @@ object E2eDrive {
     val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
     val lpaTolN = spark4b.read.parquet(s"$prOut/lpa_tol").count()
     assert(lpaTolN == 500, s"watched communities must assign every node: $lpaTolN")
+    val lpaTolSet = spark4b.read.parquet(s"$prOut/lpa_tol").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpaWarmSet = spark4b.read.parquet(s"$prOut/lpa_warm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpaWarmSet == lpaTolSet,
+      "warm communities over an unchanged graph must reproduce the prior")
     val kcoreN = spark4b.read.parquet(s"$prOut/kcore").count()
     assert(kcoreN == 500, s"3-core of the k=3 kNN graph must keep all: $kcoreN")
     val modRows = spark4b.read.parquet(s"$prOut/modq")

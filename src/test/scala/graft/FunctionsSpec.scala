@@ -316,6 +316,7 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
     def runAll(): Unit = {
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 10).count()
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9, maxShingleDf = 10).count()
       Dedup.minhashDedup(docs, "doc_id", "text", 3, 8, 2, 0.9).count()
       Dedup.winnowPairs(docs, "doc_id", "text").count()
       Dedup.removeSharedSpans(docs, "doc_id", "text").count()

@@ -530,6 +530,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagationWatched + init: an unchanged graph confirms its prior in 1 round") {
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j) yield (i, j)
+    val sym = Graph.symmetrize(
+      (cliqueA ++ cliqueB :+ (3L, 10L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val (priorDf, _) = Graph.labelPropagationWatched(sym, maxIters = 12)
+    val prior = priorDf.cache()
+    val (warm, rounds) = Graph.labelPropagationWatched(sym, maxIters = 12,
+      init = Some(prior))
+    assert(rounds == 1, s"converged prior must confirm in 1 round, ran $rounds")
+    assert(warm.as[(Long, Long)].collect().toMap ==
+      prior.as[(Long, Long)].collect().toMap,
+      "re-running from a fixed point must reproduce it")
+    // a NEW node attached to clique A enters as its own label and gets
+    // absorbed by the clique's community in the warm re-run
+    val grown = Graph.symmetrize(
+      (cliqueA ++ cliqueB ++ Seq((3L, 10L), (0L, 77L), (1L, 77L), (2L, 77L)))
+        .toDF("id_a", "id_b"), "id_a", "id_b")
+    val (regrown, r2) = Graph.labelPropagationWatched(grown, maxIters = 12,
+      init = Some(prior))
+    val m = regrown.as[(Long, Long)].collect().toMap
+    assert(m(77L) == m(0L), s"the new node must join clique A's community: $m")
+    assert(r2 <= 4, s"a local perturbation must re-converge fast, ran $r2")
+  }
+
   test("labelPropagationWeighted: uniform weights == unweighted; weights decide ties") {
     // parity arm: weight 1.0 everywhere must reproduce the unweighted
     // operator exactly (count IS the uniform-weight sum)
