@@ -74,6 +74,43 @@ class TrainExportSpec extends SparkSpec {
     assert(plan("a")._5 == 0 && plan("b")._5 == 0)
   }
 
+  test("mixturePlan property: water-filling invariants under generated inputs") {
+    // the closed-form pivot scan has subtle edge surface (rounded sort
+    // keys, ties, all-capped, zero budget): fuzz it and assert the
+    // invariants the proof promises — no allocation exceeds its
+    // capacity, capped rows take exactly their capacity, and the total
+    // lands on min(budget, total capacity) up to 6-decimal rounding
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    val srcGen = for {
+      s <- Gen.choose(1, 7)
+      avails <- Gen.listOfN(s, Gen.choose(1L, 10000L))
+      ws <- Gen.listOfN(s, Gen.oneOf(1.0, 2.0, 4.0, 8.0))
+    } yield avails.zip(ws).zipWithIndex.map { case ((a, w), i) => (s"s$i", a, w) }
+    val gen = for {
+      rows <- srcGen
+      budget <- Gen.choose(0L, rows.map(_._2).sum * 3)
+      maxRate <- Gen.oneOf(1.0, 2.0, 2.5)
+    } yield (rows, budget, maxRate)
+    val p = Prop.forAll(gen) { case (rows, budget, maxRate) =>
+      val docs = rows.map { case (s, a, _) => (s, a) }.toDF("source", "n_tok")
+      val weights = rows.map { case (s, _, w) => s -> w }.toMap
+      val plan = TrainExport.mixturePlan(docs, "source", "n_tok",
+          weights, budget, maxRate = maxRate)
+        .as[(String, Long, Double, Double, Double, Int)].collect()
+      val totalCap = rows.map { case (_, a, _) => a * maxRate }.sum
+      val eps = 1e-4 * (rows.size + 1)
+      plan.forall { case (_, avail, _, alloc, rate, capped) =>
+        alloc <= avail * maxRate + 1e-6 &&
+        rate <= maxRate + 1e-6 &&
+        (capped == 0 || math.abs(alloc - BigDecimal(avail * maxRate)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      } && math.abs(plan.map(_._4).sum - math.min(budget.toDouble, totalCap)) < eps
+    }
+    val r = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("mixturePlan maxRate: an under-supplied source upsamples to its epoch cap") {
     // avail (10, 100), equal weights, budget 60, maxRate 3: capacities
     // (30, 300); the scarce source caps at 3 epochs (alloc 30, rate 3),
