@@ -1374,6 +1374,26 @@ object SparkEntry {
         .orderBy("doc_id").limit(500)
     }),
 
+    // Tokenizer FERTILITY per source: tokens per raw character under
+    // the fixed merge list — the tokenizer-health read (a source that
+    // compresses badly under the vocab is the wrong language/domain
+    // for it, or noise); feeds the scorecard -> plan loop when the
+    // budget is counted in TOKENS of a specific tokenizer rather than
+    // chars. Composes the bpe_encode path with a source rollup.
+    "bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = graft.operators.Bpe.encodeDocs(
+        docs, "doc_id", "text", BpeDemoMerges)
+      enc.join(docs.select(col("doc_id").as("id"), col("source"),
+          col("n_chars")), "id")
+        .groupBy("source")
+        .agg(sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(col("source"), col("n_tokens"), col("n_chars"),
+          round(col("n_tokens") / col("n_chars"), 6).as("fertility"))
+        .orderBy("source")
+    }),
+
     // Token-ID encoding: the trainer-consumable output. Vocab = base
     // chars + one symbol per merge, a pure function of the merge list;
     // the id lookup is a zero-shuffle literal-map transform.
@@ -4407,6 +4427,35 @@ private object OracleSql {
         |GROUP BY 1
         |ORDER BY doc_id
         |LIMIT 500""".stripMargin,
+
+    // The bpe_encode replay rolled up per source (tokens / raw chars;
+    // docs with zero valid tokens drop via the inner join on both
+    // engines — the encode path never emits them).
+    "bpe_fertility" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             t -> length(t) > 1) AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, pos, toks[pos] AS word
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks))) AS pos
+        |        FROM tk)),
+        |v AS (SELECT DISTINCT word FROM w),
+        |seg AS (
+        |  SELECT word, string_split(trim($bpeEncodeExpr, '_'), '__') AS subw
+        |  FROM v),
+        |doc_tok AS (
+        |  SELECT w.doc_id, sum(len(subw)) AS n_tokens
+        |  FROM w JOIN seg USING (word)
+        |  GROUP BY 1)
+        |SELECT d.source,
+        |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+        |       sum(d.n_chars)::BIGINT AS n_chars,
+        |       round(sum(t.n_tokens) / sum(d.n_chars), 6) AS fertility
+        |FROM documents d JOIN doc_tok t USING (doc_id)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // bpe_encode's segmentation CTEs + the vocab as a literal VALUES
     // table reconstructed from the same merge-list constant.
