@@ -532,6 +532,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    // Convergence probe fused into the round's ONE materialization job:
+    // each row carries a `_chg` flag (new label != last round's) whose
+    // evaluation — forced by the eager localCheckpoint over the full
+    // frame — bumps this accumulator, so the round costs zero extra
+    // jobs (the kCore discipline; previously a separate driver-sync
+    // join+count per round, the r11 bench-gate breach). Retry/
+    // speculation over-count is harmless: min-label propagation is
+    // MONOTONE (labels only ever decrease), so a truly-converged round
+    // has _chg=false on EVERY row and the accumulator stays 0 under
+    // any re-execution; a non-zero value can only over-state genuine
+    // change, never invent convergence.
+    val acc = pairs.sparkSession.sparkContext.longAccumulator("cc_changed")
+    val markChg = udf { c: Boolean => if (c) acc.add(1L); c }.asNondeterministic()
     var converged = false
     var i = 0
     try {
@@ -541,7 +554,7 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nmin"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
       // Pointer jumping (path halving): adopt the label of the node my
       // label points at. Labels only ever move to labels of nodes in the
@@ -553,15 +566,16 @@ object Dedup {
       // left every round's persisted table in the cache. Checkpointing
       // truncates the plan; superseded rounds' blocks are reclaimed by
       // the ContextCleaner when their references drop.
+      acc.reset()
       val next = propagated.join(
           propagated.select(col("id").as("component"), col("component").as("jump")),
           Seq("component"), "left")
-        .select(col("id"), coalesce(col("jump"), col("component")).as("component"))
+        .select(col("id"),
+          coalesce(col("jump"), col("component")).as("component"),
+          markChg(coalesce(col("jump"), col("component")) =!= col("_old")).as("_chg"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      labels = next.drop("_chg")
+      converged = acc.value == 0L
       i += 1
     }
     // finally, not fall-through: an exception mid-loop must not leave
