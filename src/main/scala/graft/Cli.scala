@@ -187,6 +187,37 @@ object Cli {
     else FileIngest.readDocuments(spark, path)
   }
 
+  /** Resolve the per-document id column for the doc-grained funnel arms
+    * (`clean`/`curate`): `--id-col` wins, else a `doc_id` column, else
+    * fall back to `source`. The fallback is only safe when `source`
+    * really is one-row-per-doc (the dir/jsonl ingests key docs by
+    * path) — on a corpus where `source` is a multi-doc grain column
+    * (exactly the shape the scorecard/plan/overlap arms consume) the
+    * funnel's doc-keyed joins would fan out quadratically within each
+    * source and the dedup/decontamination grain would silently be
+    * wrong. So the chosen column is verified unique with ONE
+    * count/countDistinct aggregate (a map-side-combined pass the
+    * funnel's own ingest count already pays for in spirit) and a
+    * non-unique grain fails loudly — including an explicit but typo'd
+    * `--id-col`, which is the same silent corruption. */
+  private[graft] def resolveUniqueDocId(docs: org.apache.spark.sql.DataFrame,
+      flags: Map[String, String], arm: String): String = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val idCol = flags.getOrElse("id-col",
+      if (docs.columns.contains("doc_id")) "doc_id" else "source")
+    if (!docs.columns.contains(idCol)) fail(
+      s"$arm: id column '$idCol' not in corpus " +
+        s"(have: ${docs.columns.mkString(", ")}); set --id-col")
+    val r = docs.agg(count(lit(1)).as("n"),
+      countDistinct(col(idCol)).as("d")).head()
+    if (r.getLong(0) != r.getLong(1)) fail(
+      s"$arm: id column '$idCol' is not one-row-per-document " +
+        s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct values) — the " +
+        "per-doc joins would fan out within each id class and the dedup " +
+        "grain would silently be wrong; pass --id-col <unique doc id>")
+    idCol
+  }
+
   /** Survivors of a TEXT dedup tier over (idCol, textCol) — the shared
     * engine of the `dedup` and `curate` arms (one implementation, so
     * the composed pipeline and the standalone arm can't drift):
@@ -469,19 +500,25 @@ object Cli {
         // per-rule failure report a pipeline owner reads before
         // shipping the corpus.
         val docsDir = flags.getOrElse("docs", fail(
-          "usage: clean --docs <dir|corpus.jsonl> --out <dir> " +
-          "[--min-words 50] [--min-lm -9.0]"))
+          "usage: clean --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "[--id-col <unique doc id>] [--min-words 50] [--min-lm -9.0]"))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val spark = session()
-        val docs =
-          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
-            FileIngest.readJsonl(spark, docsDir)
-          else FileIngest.readDocuments(spark, docsDir)
+        val docs = ingestText(spark, docsDir)
+        val cleanIdCol = resolveUniqueDocId(docs, flags, "clean")
         val (kept, report) = graft.operators.CorpusClean.cleanCorpus(
-          docs, "source", "text",
+          docs, cleanIdCol, "text",
           minWords = flags.get("min-words").map(_.toInt).getOrElse(50),
           minLmScore = flags.get("min-lm").map(_.toDouble))
-        kept.write.mode("overwrite").parquet(out)
+        // keep the survivors consumable by the source-grained siblings
+        // (scorecard/plan/overlap) when the id grain wasn't source
+        val keptOut =
+          if (cleanIdCol == "source" || !docs.columns.contains("source")) kept
+          else kept.join(
+            docs.select(org.apache.spark.sql.functions.col(cleanIdCol)
+              .as("doc_id"), org.apache.spark.sql.functions.col("source")),
+            Seq("doc_id"), "left")
+        keptOut.write.mode("overwrite").parquet(out)
         report.collect().foreach(r =>
           println(f"  ${r.getString(0)}%-16s ${r.getLong(1)}%8d"))
         println(s"clean: wrote surviving documents to $out")
@@ -502,6 +539,7 @@ object Cli {
         // each boundary is one materialization, the funnel numbers are
         // byproducts of it, and nothing upstream recomputes.
         val usage = "usage: curate --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "[--id-col <unique doc id>] " +
           "[--min-words 50] [--min-lm <f>] [--dedup minhash|exact|simhash|containment|none] " +
           "[--minj 0.8] [--max-dist 3] [--decontaminate <bench dir|jsonl|parquet>] " +
           "[--ngram 5] [--max-overlap 0] [--report <dir>]"
@@ -519,12 +557,17 @@ object Cli {
             s"--docs needs 'source' and 'text' columns " +
               s"(have: ${docs.columns.mkString(", ")})")
         }
+        // Every stage keys by ONE verified-unique doc id (doc_id when
+        // the corpus carries it, else source, else --id-col): on a
+        // multi-doc-per-source corpus the old source-keyed grain fanned
+        // the per-doc joins out quadratically within each source.
+        val idCol = resolveUniqueDocId(docs, flags, "curate")
         val n0 = docs.count()
         // Stage 1: quality clean (Gopher + repetition + optional LM
         // floor; survivors are PII-scrubbed — dedup then runs over the
         // text that would actually ship).
         val (kept, ruleReport) = graft.operators.CorpusClean.cleanCorpus(
-          docs, "source", "text",
+          docs, idCol, "text",
           minWords = flags.get("min-words").map(_.toInt).getOrElse(50),
           minLmScore = flags.get("min-lm").map(_.toDouble))
         val cleaned = kept.persist(StorageLevel.MEMORY_AND_DISK)
@@ -558,7 +601,17 @@ object Cli {
               .select("doc_id")
             deduped.join(contaminated, Seq("doc_id"), "left_anti")
         }
-        survivors.write.mode("overwrite").parquet(out)
+        // Re-attach the source column when the funnel keyed by a
+        // separate doc id (cleanCorpus's output carries only the id +
+        // scrubbed text): the funnel's output stays consumable by the
+        // source-grained siblings (scorecard / plan / overlap). One
+        // doc-keyed join against the already-read input.
+        val survivorsOut =
+          if (idCol == "source") survivors
+          else survivors.join(
+            docs.select(col(idCol).as("doc_id"), col("source")),
+            Seq("doc_id"), "left")
+        survivorsOut.write.mode("overwrite").parquet(out)
         val n3 = spark.read.parquet(out).count()
         val funnel = Seq(
           ("ingest", n0, n0, 0L),
@@ -851,11 +904,11 @@ object Cli {
         val textCol = flags.getOrElse("text-col", "text")
         val n = flags.get("n").map(_.toInt).getOrElse(3)
         val spark = session()
-        val docs =
-          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
-            FileIngest.readJsonl(spark, docsDir)
-          else if (docsDir.endsWith(".parquet")) spark.read.parquet(docsDir)
-          else FileIngest.readDocuments(spark, docsDir)
+        // ingestText, not inline resolution: a parquet DIRECTORY
+        // (standard Spark output, e.g. curate's own --out) must read as
+        // a table, not be re-ingested part-file-by-part-file as opaque
+        // documents — which would produce a silently meaningless matrix.
+        val docs = ingestText(spark, docsDir)
         val m =
           if (flags.contains("sketch"))
             graft.operators.Dedup.sourceOverlapSketch(docs, textCol, srcCol,
@@ -943,6 +996,15 @@ object Cli {
         // shift <= tol, --iters as the round cap — the 100 TB mode);
         // without it, fixed rounds.
         val tol = flags.get("tol").map(_.toDouble)
+        // Warm starts exist only where an incremental re-run is
+        // well-defined; everywhere else a passed --init must fail, not
+        // be silently ignored (ppr's loop takes no init — dropping the
+        // flag would look like a warm start that "worked").
+        val initOps = Set("pagerank", "communities", "spread", "kmeans",
+          "components")
+        if (flags.contains("init") && !initOps(op)) fail(
+          s"--init (warm start) is not supported by --op $op " +
+            s"(supported: ${initOps.toSeq.sorted.mkString("|")})")
         var roundsNote = ""
         val result = op match {
           case "knn" =>
@@ -1029,8 +1091,17 @@ object Cli {
             // output): per-community Newman Q — a near-zero total says
             // the labels carry no density signal and shouldn't drive
             // curation decisions
-            val labels = spark.read.parquet(flags.getOrElse("labels",
+            val labels0 = spark.read.parquet(flags.getOrElse("labels",
               fail("--labels <parquet (id, label)> required for modularity")))
+            // an --op components output is (id, component) — the same
+            // assignment shape under the CC family's column name, so
+            // accept it directly instead of throwing AnalysisException
+            val labels =
+              if (labels0.columns.contains("label")) labels0
+              else if (labels0.columns.contains("component"))
+                labels0.withColumnRenamed("component", "label")
+              else fail("--labels needs (id, label) or (id, component) " +
+                s"columns (have: ${labels0.columns.mkString(", ")})")
             G.modularity(G.symmetrize(graph()), labels)
           case "kcore" =>
             // dense-substrate extraction: iteratively peel nodes of
@@ -1141,14 +1212,11 @@ object Cli {
         // plus the learned merges as _merges.json — the artifact a
         // training run pins for reproducible re-tokenization.
         val docsDir = flags.getOrElse("docs", fail(
-          "usage: tokenize --docs <dir|corpus.jsonl> --out <dir> " +
+          "usage: tokenize --docs <dir|corpus.jsonl|parquet> --out <dir> " +
           "[--merges 200] [--min-freq 2]"))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val spark = session()
-        val docs =
-          if (docsDir.endsWith(".jsonl") || docsDir.endsWith(".jsonl.gz"))
-            FileIngest.readJsonl(spark, docsDir)
-          else FileIngest.readDocuments(spark, docsDir)
+        val docs = ingestText(spark, docsDir)
         val merges = graft.operators.Bpe.trainMerges(
           graft.operators.Bpe.wordFreqs(docs, "text"),
           numMerges = flags.get("merges").map(_.toInt).getOrElse(200),
@@ -1176,10 +1244,7 @@ object Cli {
         val k = flags.get("k").map(_.toInt).getOrElse(
           fail("--k <rows> required"))
         val spark = session()
-        def load(d: String) =
-          if (d.endsWith(".jsonl") || d.endsWith(".jsonl.gz"))
-            FileIngest.readJsonl(spark, d)
-          else FileIngest.readDocuments(spark, d)
+        def load(d: String) = ingestText(spark, d)
         val raw = load(docsDir)
         val drawn = graft.operators.TrainExport.dsirSample(
           raw, "source", "text", load(targetDir), "text", k,

@@ -359,9 +359,14 @@ object TrainExport {
     * stance: a per-URL source column would silently make "S rows"
     * corpus-scale).
     *
-    * Determinism / engine parity: weights normalize by their sum
-    * (exact when raw weights are small integers — integer sums are
-    * order-independent in doubles); the scan order key is
+    * Determinism / engine parity: weights normalize by their sum over
+    * the sources actually PRESENT in the corpus — a weighted source
+    * the scan never saw (typo'd name, empty split) does not reserve
+    * its share of the water level (it would silently under-fill the
+    * budget by exactly that share), and a corpus containing NO
+    * weighted source fails loudly. (Exact when raw weights are small
+    * integers — integer sums are order-independent in doubles.) The
+    * scan order key is
     * `round(r, 6)` with a source tie-break, so both engines sort
     * identically; allocations and rates round to 6 decimals. Sources
     * present in the corpus but absent from `weights` (or weighted 0)
@@ -388,18 +393,37 @@ object TrainExport {
     val wSum = weights.values.sum
     val wDf = weights.toSeq.sortBy(_._1)
       .map { case (s, w) => (s, w / wSum) }.toDF("source", "w")
+    // Eager checkpoint: the per-source availability scan is the only
+    // corpus-scale cost here, and the S-row result feeds three driver
+    // actions (the guard count, the present-weight probe, the plan
+    // itself) — materialize it once instead of re-scanning per action.
     val avail = docs
       .where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).cast("string").as("source"))
       .agg(sum(col(tokensCol)).cast("long").as("available"))
+      .localCheckpoint()
     val nSrc = avail.count()
     require(nSrc <= maxSources,
       s"mixturePlan plans over an S-row source table (single-partition " +
         s"windows by design): got $nSrc distinct '$sourceCol' values > " +
         s"$maxSources. Aggregate sources first (e.g. path -> domain) " +
         "or raise maxSources deliberately.")
-    val joined = avail.join(broadcast(wDf), Seq("source"), "left")
+    val joined0 = avail.join(broadcast(wDf), Seq("source"), "left")
       .na.fill(Map("w" -> 0.0))
+    // Renormalize over the weight mass actually PRESENT in the corpus:
+    // a weighted source the scan never saw (typo'd --weights name, an
+    // empty split) must not keep reserving its share of the water
+    // level — with the full-map denominator, (1 - cw) still counted
+    // the absent share and every allocation silently shrank by it,
+    // under-filling the budget. Weights are relative proportions over
+    // what exists; a corpus with NO weighted source present is a
+    // mistake, not an empty plan, so it fails loudly.
+    val presentW = joined0.agg(coalesce(sum("w"), lit(0.0))).head().getDouble(0)
+    require(presentW > 0.0,
+      s"mixturePlan: none of the weighted sources (${weights.keys.toSeq.sorted.take(5).mkString(", ")}" +
+        s"${if (weights.size > 5) ", ..." else ""}) appear in '$sourceCol' — " +
+        "check the weight names against the corpus")
+    val joined = joined0.withColumn("w", col("w") / lit(presentW))
     // zero-weight sources are excluded from the water-filling but kept
     // in the output (allocation 0) — an unweighted source must be a
     // visible decision, not a silent drop

@@ -80,4 +80,18 @@ class CliCurateSpec extends SparkSpec {
     assert(survivors == Set("s1", "s5"),
       s"decontamination should drop s4 only, got $survivors")
   }
+
+  test("resolveUniqueDocId: prefers doc_id over the source fallback, --id-col wins") {
+    // the funnel must never key a multi-doc-per-source corpus by
+    // source (the fan-out grain); the resolution order is --id-col >
+    // doc_id > source, with a uniqueness gate on the result. The gate's
+    // failure path is Cli.fail (process exit — E2eDrive territory);
+    // here we pin the resolution order on unique grains.
+    val bySource = docs // source is unique here
+    assert(Cli.resolveUniqueDocId(bySource, Map.empty, "t") == "source")
+    val withDocId = docs.withColumn("doc_id", concat(lit("d_"), col("source")))
+    assert(Cli.resolveUniqueDocId(withDocId, Map.empty, "t") == "doc_id")
+    assert(Cli.resolveUniqueDocId(withDocId, Map("id-col" -> "source"), "t")
+      == "source")
+  }
 }

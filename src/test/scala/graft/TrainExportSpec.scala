@@ -111,6 +111,29 @@ class TrainExportSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("mixturePlan: a weighted source absent from the corpus doesn't shrink the plan") {
+    // weights name a typo'd/absent source: its share must NOT stay in
+    // the water level's denominator (that silently under-filled the
+    // budget by the share) — the plan equals the one with the absent
+    // entry removed
+    val d = Seq(("a", 1000L), ("b", 1000L)).toDF("source", "n_tok")
+    val withGhost = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 3.0, "b" -> 1.0, "tpyo" -> 4.0), budget = 100L))
+    val without = planOf(TrainExport.mixturePlan(d, "source", "n_tok",
+      Map("a" -> 3.0, "b" -> 1.0), budget = 100L))
+    assert(withGhost == without, s"ghost source changed the plan: $withGhost")
+    assert(withGhost("a")._3 + withGhost("b")._3 == 100.0,
+      "budget must fill despite the absent weighted source")
+  }
+
+  test("mixturePlan: no weighted source present fails loudly") {
+    val d = Seq(("a", 1000L)).toDF("source", "n_tok")
+    intercept[IllegalArgumentException] {
+      TrainExport.mixturePlan(d, "source", "n_tok",
+        Map("nope" -> 1.0), budget = 100L)
+    }
+  }
+
   test("mixturePlan maxRate: an under-supplied source upsamples to its epoch cap") {
     // avail (10, 100), equal weights, budget 60, maxRate 3: capacities
     // (30, 300); the scarce source caps at 3 epochs (alloc 30, rate 3),
