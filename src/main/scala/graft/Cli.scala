@@ -1014,17 +1014,29 @@ object Cli {
           case "pagerank" =>
             tol match {
               case Some(t) =>
-                if (flags.contains("weighted")) fail(
-                  "--weighted is the fixed-round tier only (no watched " +
-                    "weighted variant); drop --tol")
                 // --init <parquet>: warm-start from a prior run's
                 // (id, rank) output — the incremental re-run mode
+                if (flags.contains("weighted")) {
+                  val g = graph()
+                  if (!g.columns.contains("score")) fail(
+                    "--weighted needs edge weights: use the kNN build or " +
+                      "an --edges table with a score/w column")
+                  val (r, rounds) = G.pageRankWeightedWatched(
+                    G.symmetrizeWeighted(g.select(col("id"), col("nb"),
+                      col("score")), "id", "nb", "score"),
+                    maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                    tol = t,
+                    init = flags.get("init").map(p => spark.read.parquet(p)))
+                  roundsNote = s", converged in $rounds rounds"
+                  r
+                } else {
                 val (r, rounds) = G.pageRankWatched(G.symmetrize(graph()),
                   maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
                   tol = t,
                   init = flags.get("init").map(p => spark.read.parquet(p)))
                 roundsNote = s", converged in $rounds rounds"
                 r
+                }
               case None =>
                 if (flags.contains("init")) fail(
                   "--init (warm start) requires --tol: the fixed-round " +
@@ -1122,16 +1134,27 @@ object Cli {
             // strong neighbor outvotes several weak ones
             val cIters = flags.get("iters").map(_.toInt).getOrElse(5)
             if (flags.contains("weighted")) {
-              if (tol.isDefined) fail(
-                "--weighted is the fixed-round tier only (no watched " +
-                  "weighted variant); drop --tol")
               val g = graph()
               if (!g.columns.contains("score")) fail(
                 "--weighted needs edge weights: use the kNN build (it " +
                   "carries score) or an --edges table with a score/w column")
-              G.labelPropagationWeighted(
-                G.symmetrizeWeighted(g.select(col("id"), col("nb"),
-                  col("score")), "id", "nb", "score"), iters = cIters)
+              val sym = G.symmetrizeWeighted(g.select(col("id"), col("nb"),
+                col("score")), "id", "nb", "score")
+              if (tol.isDefined) {
+                // watched weighted tier: integer labels, so tol's value
+                // is ignored (exact stop rules) — --iters is the cap;
+                // --init warm-starts from a prior (id, label) output
+                val (r, rounds) = G.labelPropagationWeightedWatched(sym,
+                  maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
+                  init = flags.get("init").map(p => spark.read.parquet(p)))
+                roundsNote = s", converged in $rounds rounds"
+                r
+              } else {
+                if (flags.contains("init")) fail(
+                  "--init (warm start) requires --tol: the fixed-round " +
+                    "tier always starts cold (it is the oracle tier)")
+                G.labelPropagationWeighted(sym, iters = cIters)
+              }
             } else if (tol.isDefined) {
               // --tol switches to the convergence-watched LPA; labels
               // are integers so the value is ignored (the stop rules

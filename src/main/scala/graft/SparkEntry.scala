@@ -997,6 +997,52 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // CONVERGENCE-WATCHED weighted community detection under the hash
+    // gate — the graph_communities_watched contract carried to the
+    // weighted tier that closed the family asymmetry: same dyadic-
+    // weight fixture, 8-round cap. The stop rules (exact fixed point,
+    // or an exact period-2 revisit on an even remaining budget) make
+    // early-stop == the full run, so the 8-round unrolled weighted
+    // replay is valid whatever round the watch fires at.
+    "graph_communities_weighted_watched" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+        .withColumn("w", (lit(1) + (col("a") + col("b")) % 3) * lit(0.25))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"),
+          lit(2.5).as("w"))
+      Graph.labelPropagationWeightedWatched(
+        Graph.symmetrizeWeighted(cliques.union(bridges), "a", "b", "w"),
+        maxIters = 8)._1
+        .orderBy("id")
+    }),
+
+    // CONVERGENCE-WATCHED weighted PageRank under the hash gate: the
+    // graph_pagerank_watched discipline (tol=0 L1 watch + period-2
+    // cycle watch, early-stop == full run) over the rank*w/outw
+    // update on the dyadic-weight fixture, 10-round cap — the oracle
+    // unrolls exactly 10 weighted rounds.
+    "graph_pagerank_weighted_watched" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy("doc_id").limit(200)
+      val cliques = ids.select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")),
+          floor(col("a") / 8) === floor(col("b") / 8) && col("a") < col("b"))
+        .withColumn("w", (lit(1) + (col("a") + col("b")) % 3) * lit(0.25))
+      val bridges = ids.filter(col("doc_id") % 8 === 7 &&
+          col("doc_id") < 199)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"),
+          lit(2.5).as("w"))
+      Graph.pageRankWeightedWatched(
+        Graph.symmetrizeWeighted(cliques.union(bridges), "a", "b", "w"),
+        maxIters = 10, tol = 0.0)._1
+        .orderBy("id")
+    }),
+
     // WEIGHTED PageRank on the same dyadic-weight fixture: the surfer
     // follows edges in proportion to weight (rank * w / outw terms,
     // 2^-48-floored, 2^-30 state grid — the graph_pagerank discipline
@@ -1840,6 +1886,19 @@ private object OracleSql {
     * oracles: `n` chained (count, struct-min pick) CTE pairs from
     * `l0` — round i reads l(i-1), exactly the graph_communities text
     * generalized to any round count. */
+  /** [[lpaRounds]] with weighted votes: sum(w) instead of count(*),
+    * same (wv DESC, nl) row_number pick — the
+    * [[graft.operators.Graph.labelPropagationWeighted]] update. */
+  private def lpaWeightedRounds(n: Int): String =
+    (1 to n).map { i =>
+      s"""c$i AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
+         |       FROM e JOIN l${i - 1} n ON n.id = e.d GROUP BY e.s, n.label),
+         |l$i AS (SELECT id, nl AS label FROM (
+         |         SELECT id, nl,
+         |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
+         |         FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
   private def lpaRounds(n: Int): String =
     (1 to n).map { i =>
       s"""c$i AS (SELECT e.s AS id, n.label AS nl, count(*) AS c
@@ -3496,7 +3555,7 @@ private object OracleSql {
     // every sum exact, so no quantization CTE is needed — engine
     // parity is by construction.
     "graph_communities_weighted" ->
-      """WITH ids AS (
+      ("""WITH ids AS (
         |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
         |p AS (
         |  SELECT x.id AS a, y.id AS b,
@@ -3509,31 +3568,64 @@ private object OracleSql {
         |        SELECT a AS s, b AS d, w FROM p
         |        UNION ALL SELECT b, a, w FROM p) GROUP BY 1, 2),
         |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
-        |c1 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
-        |       FROM e JOIN l0 n ON n.id = e.d GROUP BY e.s, n.label),
-        |l1 AS (SELECT id, nl AS label FROM (
-        |         SELECT id, nl,
-        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
-        |         FROM c1) WHERE rn = 1),
-        |c2 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
-        |       FROM e JOIN l1 n ON n.id = e.d GROUP BY e.s, n.label),
-        |l2 AS (SELECT id, nl AS label FROM (
-        |         SELECT id, nl,
-        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
-        |         FROM c2) WHERE rn = 1),
-        |c3 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
-        |       FROM e JOIN l2 n ON n.id = e.d GROUP BY e.s, n.label),
-        |l3 AS (SELECT id, nl AS label FROM (
-        |         SELECT id, nl,
-        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
-        |         FROM c3) WHERE rn = 1),
-        |c4 AS (SELECT e.s AS id, n.label AS nl, sum(e.w) AS wv
-        |       FROM e JOIN l3 n ON n.id = e.d GROUP BY e.s, n.label),
-        |l4 AS (SELECT id, nl AS label FROM (
-        |         SELECT id, nl,
-        |                row_number() OVER (PARTITION BY id ORDER BY wv DESC, nl) AS rn
-        |         FROM c4) WHERE rn = 1)
-        |SELECT id, label FROM l4 ORDER BY id""".stripMargin,
+        |""".stripMargin + lpaWeightedRounds(4) +
+      "\nSELECT id, label FROM l4 ORDER BY id"),
+
+    // Watched weighted LPA: the graph_communities_watched replay
+    // stance over the weighted fixture — the stop rules make the
+    // watched run equal the full 8-round unroll at any firing round.
+    "graph_communities_weighted_watched" ->
+      ("""WITH ids AS (
+        |  SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b,
+        |         (1 + (x.id + y.id) % 3) * 0.25::DOUBLE AS w
+        |  FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1, 2.5::DOUBLE FROM ids WHERE id % 8 = 7 AND id < 199),
+        |e AS (SELECT s, d, max(w) AS w FROM (
+        |        SELECT a AS s, b AS d, w FROM p
+        |        UNION ALL SELECT b, a, w FROM p) GROUP BY 1, 2),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM e),
+        |""".stripMargin + lpaWeightedRounds(8) +
+       "\nSELECT id, label FROM l8 ORDER BY id"),
+
+    // Watched weighted PageRank: the graph_pagerank_weighted recursion
+    // run to the watched tier's 10-round cap — early-stop == full run
+    // by the tol=0 / period-2 stop rules.
+    "graph_pagerank_weighted_watched" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id AS id FROM documents ORDER BY doc_id LIMIT 200),
+        |p AS (
+        |  SELECT x.id AS a, y.id AS b,
+        |         (1 + (x.id + y.id) % 3) * 0.25::DOUBLE AS w
+        |  FROM ids x JOIN ids y
+        |    ON x.id // 8 = y.id // 8 AND x.id < y.id
+        |  UNION ALL
+        |  SELECT id, id + 1, 2.5::DOUBLE FROM ids WHERE id % 8 = 7 AND id < 199),
+        |edges AS (SELECT src, dst, max(w) AS w FROM (
+        |            SELECT a AS src, b AS dst, w FROM p
+        |            UNION ALL SELECT b, a, w FROM p) GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |pr(iter, id, rank) AS (
+        |  SELECT 0, id, floor((1.0::DOUBLE / (SELECT count(*) FROM nodes))
+        |                 * 1073741824.0) / 1073741824.0
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT p.iter + 1, e2.dst,
+        |         floor(((1.0::DOUBLE - 0.85) / (SELECT count(*) FROM nodes)
+        |               + 0.85 * (sum(floor(p.rank * e2.w / d.outw * 281474976710656.0) / 281474976710656.0) + 0.0))
+        |               * 1073741824.0) / 1073741824.0
+        |  FROM pr p
+        |  JOIN edges e2 ON e2.src = p.id
+        |  JOIN ow d ON d.src = p.id
+        |  WHERE p.iter < 10
+        |  GROUP BY p.iter, e2.dst
+        |)
+        |SELECT id, rank FROM pr WHERE iter = 10
+        |ORDER BY id""".stripMargin,
 
     // Label spreading replayed recursively: sparse (id, label, score)
     // state; the FULL OUTER join re-injects the clamped seed term each

@@ -577,7 +577,33 @@ object Graph {
     * loudly rather than silently leaking walk mass (the PPR stance) —
     * use [[pageRank]]'s dangling redistribution for those. */
   def pageRankWeighted(edges: DataFrame, damping: Double = 0.85,
-                       iters: Int = 5, quantBits: Int = 30): DataFrame = {
+                       iters: Int = 5, quantBits: Int = 30): DataFrame =
+    pageRankWeightedLoop(edges, damping, iters, watchTol = None,
+      quantBits)._1
+
+  /** Convergence-watched WEIGHTED PageRank — [[pageRankWatched]]'s
+    * contract (L1-delta watch, period-2 cycle watch on an even
+    * remaining budget, warm `init` with mass renormalization) over
+    * [[pageRankWeighted]]'s rank·w/outw update, closing the family
+    * asymmetry where the 100 TB watched mode stopped at the unweighted
+    * tier. `tol = 0.0` runs to the exact fixed point of the quantized
+    * update, so early-stop is indistinguishable from running out
+    * `maxIters` — the fixed-round-replay oracle equality. The same
+    * no-weighted-dangling refusal applies (symmetrized inputs).
+    * Returns (ranks, roundsRun). */
+  def pageRankWeightedWatched(edges: DataFrame, damping: Double = 0.85,
+                              maxIters: Int = 50, tol: Double = 0.0,
+                              quantBits: Int = 30,
+                              init: Option[DataFrame] = None)
+      : (DataFrame, Int) =
+    pageRankWeightedLoop(edges, damping, maxIters, watchTol = Some(tol),
+      quantBits, init)
+
+  private def pageRankWeightedLoop(edges: DataFrame, damping: Double,
+                                   iters: Int, watchTol: Option[Double],
+                                   quantBits: Int,
+                                   init: Option[DataFrame] = None)
+      : (DataFrame, Int) = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
       .filter(col("src") =!= col("dst") && col("w").isNotNull && col("w") > 0)
@@ -600,23 +626,68 @@ object Graph {
             "(a symmetrizeWeighted graph); dangling nodes would leak walk " +
             "mass — use pageRank's dangling redistribution instead")
         val teleport = (1.0 - damping) / n
-        var rank = nodes.select(col("id"),
-          quant(lit(1.0 / n), quantBits).as("rank"))
-        var r = 0
-        while (r < iters) {
+        var rank = init match {
+          case Some(prior) =>
+            // warm start: prior ranks where known, uniform mass for new
+            // nodes, RENORMALIZED to total mass 1 (the pageRankLoop
+            // rule — without it a grown graph's seed-mass excess decays
+            // only geometrically and floors the round count)
+            val seeded = nodes.join(
+                prior.select(col("id").cast("long").as("id"),
+                  col("rank").cast("double").as("r0")), Seq("id"), "left")
+              .select(col("id"),
+                coalesce(col("r0"), lit(1.0 / n)).as("r0"))
+            val t = seeded.agg(sum(col("r0"))).head().getDouble(0)
+            require(t > 0,
+              "pageRankWeighted warm start needs positive total mass")
+            seeded.select(col("id"),
+                quant(col("r0") / lit(t), quantBits).as("rank"))
+              .localCheckpoint()
+          case None => nodes.select(col("id"),
+            quant(lit(1.0 / n), quantBits).as("rank"))
+        }
+        var prev: DataFrame = null
+        var rounds = 0
+        var converged = false
+        while (rounds < iters && !converged) {
           val contrib = eout
             .join(rank.withColumnRenamed("id", "src"), "src")
             .groupBy(col("dst").as("id"))
             .agg(sum(termQuant(col("rank") * col("w") / col("outw")))
               .as("contrib"))
-          rank = nodes.join(contrib, Seq("id"), "left")
+          val next = nodes.join(contrib, Seq("id"), "left")
             .select(col("id"),
               quant(lit(teleport) + lit(damping) *
                 coalesce(col("contrib"), lit(0.0)), quantBits).as("rank"))
             .localCheckpoint() // eager — see [[pageRank]]
-          r += 1
+          // one fused L1+cycle probe aggregate per round, skipped on
+          // the final round (the pageRankLoop discipline)
+          if (rounds + 1 < iters) watchTol.foreach { t =>
+            val (delta, delta2) =
+              if (prev != null) {
+                val r = next
+                  .join(rank.select(col("id"), col("rank").as("p1")), "id")
+                  .join(prev.select(col("id"), col("rank").as("p2")), "id")
+                  .agg(sum(abs(col("rank") - col("p1"))).as("d1"),
+                    sum(abs(col("rank") - col("p2"))).as("d2"))
+                  .head()
+                (r.getDouble(0), r.getDouble(1))
+              } else {
+                val r = next
+                  .join(rank.select(col("id"), col("rank").as("p1")), "id")
+                  .agg(sum(abs(col("rank") - col("p1"))).as("d1"))
+                  .head()
+                (r.getDouble(0), -1.0)
+              }
+            if (delta <= t) converged = true
+            else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
+              converged = true
+          }
+          prev = rank
+          rank = next
+          rounds += 1
         }
-        rank
+        (rank, rounds)
       } finally { nodes.unpersist(); () }
     } finally { eout.unpersist(); e.unpersist(); () }
   }
@@ -650,29 +721,97 @@ object Graph {
     * remains. Expects [[symmetrizeWeighted]] edges ((src, dst, w) rows,
     * w > 0 — zero/negative/null-weight edges are dropped up front since
     * they carry no vote). */
-  def labelPropagationWeighted(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagationWeighted(edges: DataFrame, iters: Int = 5): DataFrame =
+    lpaWeightedLoop(edges, iters, watched = false)._1
+
+  /** Convergence-watched WEIGHTED LPA — [[labelPropagationWatched]]'s
+    * contract over [[labelPropagationWeighted]]'s vote rule, closing
+    * the family asymmetry where the 100 TB watched mode stopped at the
+    * unweighted tier. Labels are integers and the 2^-48-floored vote
+    * sums are exact, so the probes are the same exact set+value
+    * comparisons (full outer joins — node-set drift counts as change),
+    * and the stop rules (true fixed point, or an exact period-2
+    * revisit on an even remaining budget) make
+    * `watched(maxIters) == labelPropagationWeighted(maxIters)` at any
+    * knobs — the oracle contract the unweighted twin carries.
+    *
+    * `init` = warm start (the family's incremental mode): round 0
+    * labels from a prior (id, label) assignment; new nodes enter as
+    * their own label, departed ids drop. An unchanged graph confirms
+    * its prior communities in 1 round. */
+  def labelPropagationWeightedWatched(edges: DataFrame,
+                                      maxIters: Int = 50,
+                                      init: Option[DataFrame] = None)
+      : (DataFrame, Int) =
+    lpaWeightedLoop(edges, maxIters, watched = true, init)
+
+  private def lpaWeightedLoop(edges: DataFrame, iters: Int,
+                              watched: Boolean,
+                              init: Option[DataFrame] = None)
+      : (DataFrame, Int) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
       .filter(col("src") =!= col("dst") && col("w").isNotNull && col("w") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = e.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-      var r = 0
-      while (r < iters) {
+      val nodes = e.select(col("src").as("id")).distinct()
+      var labels = init match {
+        case Some(prior) =>
+          // warm start: prior labels where known, own id for new nodes;
+          // departed ids drop via the node-set join (the lpaLoop rule)
+          nodes.join(prior.select(col("id").cast("long").as("id"),
+              col("label").cast("long").as("pl")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("pl"), col("id")).as("label"))
+        case None => nodes.withColumn("label", col("id"))
+      }
+      var prev: DataFrame = null
+      var rounds = 0
+      var converged = false
+      while (rounds < iters && !converged) {
         val votes = e
           .join(labels.select(col("id").as("dst"), col("label").as("nl")),
             "dst")
           .groupBy(col("src").as("id"), col("nl"))
           .agg(sum(termQuant(col("w"))).as("wv"))
-        labels = votes.groupBy("id")
+        val next = votes.groupBy("id")
           .agg(min(struct((-col("wv")).as("nw"), col("nl").as("l"))).as("p"))
           .select(col("id"), col("p.l").as("label"))
           .localCheckpoint() // eager — see [[pageRank]]
-        r += 1
+        // probe only decides whether to CONTINUE — skipped on the
+        // final round (the family convention); exact integer-label
+        // comparisons over full outer joins, one aggregate job
+        if (watched && rounds + 1 < iters) {
+          val chg = (a: Column, b: Column) =>
+            sum(when(a <=> b, 0L).otherwise(1L))
+          val (d1, d2) =
+            if (prev != null) {
+              val r = next
+                .join(labels.select(col("id"), col("label").as("p1")),
+                  Seq("id"), "full")
+                .join(prev.select(col("id"), col("label").as("p2")),
+                  Seq("id"), "full")
+                .agg(chg(col("label"), col("p1")).as("d1"),
+                  chg(col("label"), col("p2")).as("d2"))
+                .head()
+              (r.getLong(0), r.getLong(1))
+            } else {
+              val r = next
+                .join(labels.select(col("id"), col("label").as("p1")),
+                  Seq("id"), "full")
+                .agg(chg(col("label"), col("p1")).as("d1"))
+                .head()
+              (r.getLong(0), -1L)
+            }
+          if (d1 == 0L) converged = true
+          else if (d2 == 0L && (iters - (rounds + 1)) % 2 == 0)
+            converged = true
+        }
+        prev = labels
+        labels = next
+        rounds += 1
       }
-      labels
+      (labels, rounds)
     } finally { e.unpersist(); () }
   }
 

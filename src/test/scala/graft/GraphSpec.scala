@@ -620,6 +620,94 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("outgoing weight"))
   }
 
+  test("labelPropagationWeightedWatched: early-stop == fixed-round; warm confirms in 1 round") {
+    // weighted clique fixture (heavy bridge so weights matter): the
+    // watch must fire before the cap and reproduce the fixed-round run
+    // exactly — the unweighted twin's oracle contract
+    val cliqueA = for (i <- 0L to 3L; j <- 0L to 3L if i < j)
+      yield (i, j, 0.25 + 0.25 * ((i + j) % 3))
+    val cliqueB = for (i <- 10L to 13L; j <- 10L to 13L if i < j)
+      yield (i, j, 0.25 + 0.25 * ((i + j) % 3))
+    val sym = Graph.symmetrizeWeighted(
+      (cliqueA ++ cliqueB :+ ((3L, 10L, 2.5)))
+        .toDF("id_a", "id_b", "w"), "id_a", "id_b", "w")
+    val (watchedDf, rounds) =
+      Graph.labelPropagationWeightedWatched(sym, maxIters = 12)
+    assert(rounds < 12, s"watch must fire before the cap, ran $rounds")
+    val watched = watchedDf.as[(Long, Long)].collect().toMap
+    val fixed = Graph.labelPropagationWeighted(sym, iters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(watched == fixed, "watched must equal the full fixed-round run")
+    // warm start from the converged prior: the heavy 2.5 bridge
+    // outweighs the tails' internal votes, so this fixture settles on
+    // a period-2 CYCLE (the tails swap labels) — the warm re-run
+    // stops via the cycle rule in 2 rounds and, because the even-
+    // remainder rule returns the revisited state, reproduces the
+    // prior exactly; a true fixed point would confirm in 1
+    val prior = watchedDf.cache()
+    val (warm, r2) = Graph.labelPropagationWeightedWatched(sym,
+      maxIters = 12, init = Some(prior))
+    assert(r2 <= 2, s"converged prior must confirm in <= 2 rounds, ran $r2")
+    assert(warm.as[(Long, Long)].collect().toMap == watched,
+      "re-running from the settled state must reproduce it")
+  }
+
+  test("labelPropagationWeightedWatched: the weighted 2-cycle stops on even remainder only") {
+    // one weighted undirected edge — synchronous LPA's textbook
+    // 2-cycle is weight-independent, so the weighted watch needs the
+    // same even-remainder stop rule to preserve fixed-round equality
+    val sym = Graph.symmetrizeWeighted(
+      Seq((1L, 2L, 0.5)).toDF("id_a", "id_b", "w"), "id_a", "id_b", "w")
+    for (cap <- Seq(9, 10)) {
+      val (df, rounds) =
+        Graph.labelPropagationWeightedWatched(sym, maxIters = cap)
+      val expect = if (cap % 2 == 0) 2 else 3
+      assert(rounds == expect,
+        s"cap $cap: 2-cycle must stop at round $expect, ran $rounds")
+      val watched = df.as[(Long, Long)].collect().toMap
+      val fixed = Graph.labelPropagationWeighted(sym, iters = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(watched == fixed,
+        s"cap $cap: watched 2-cycle result must equal fixed($cap)")
+    }
+  }
+
+  test("pageRankWeightedWatched: early-stop == fixed-round; warm confirms fast") {
+    // dyadic-weight triangle+extra so vote terms are grid-exact; the
+    // tol=0 watch must reach the quantized fixed point before a
+    // 40-round cap and equal the fixed-round run at that cap
+    val tri = Seq((1L, 2L, 0.5), (2L, 3L, 1.0), (1L, 3L, 0.25),
+      (3L, 4L, 2.0)).toDF("id_a", "id_b", "w")
+    val sym = Graph.symmetrizeWeighted(tri, "id_a", "id_b", "w")
+    // damping 0.5 (the pageRankWatched spec's contraction rate): at
+    // 0.85 the quantized weighted map can wander adjacent grid cells
+    // for a long time before settling
+    val (watchedDf, rounds) = Graph.pageRankWeightedWatched(sym,
+      damping = 0.5, maxIters = 60, tol = 0.0)
+    assert(rounds < 60, s"watch must fire before the cap, ran $rounds")
+    val watched = watchedDf.as[(Long, Double)].collect().toMap
+    val fixed = Graph.pageRankWeighted(sym, damping = 0.5, iters = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(watched == fixed, "watched must equal the full fixed-round run")
+    // warm start from the fixed point: the renormalizing division
+    // shifts grid cells, and under tol=0 the re-settle is a grid
+    // crawl (the pageRankWatched warm spec's measured lesson) — so
+    // the contract here is warm <= cold rounds and a tight node-wise
+    // drift envelope, not an exact round count
+    val prior = watchedDf.cache()
+    val (warm, r2) = Graph.pageRankWeightedWatched(sym, damping = 0.5,
+      maxIters = 60, tol = 0.0, init = Some(prior))
+    assert(r2 <= rounds,
+      s"warm from the fixed point ($r2 rounds) must not exceed cold ($rounds)")
+    val wm = warm.as[(Long, Double)].collect().toMap
+    val cell = math.pow(2, -30)
+    assert(wm.keySet == watched.keySet)
+    wm.foreach { case (id, r) =>
+      assert(math.abs(r - watched(id)) <= 4 * cell,
+        s"node $id drifted: $r vs ${watched(id)}")
+    }
+  }
+
   test("pageRank hubs rank above peripheral nodes on a star") {
     // star: 0 connected to 1..9 (symmetric) — hub must dominate
     val edges = (1L to 9L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
