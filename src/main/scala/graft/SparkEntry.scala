@@ -641,6 +641,26 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // The DOMAIN-CARDINALITY overlap tier under the hash gate: banded
+    // per-source-signature candidate generation instead of the S×S
+    // cross join (no maxSources guard — the millions-of-domains
+    // regime). The fixture doubles the corpus under '__m'-suffixed
+    // mirror source names, so identical-signature pairs exist and MUST
+    // collide on every band (j_est = 1 rows), while the quadratic bulk
+    // of near-zero cross pairs is exactly what banding refuses to
+    // materialize. Membership is a pure function of the signatures
+    // (full ordered band keys), so the oracle replays emit-or-not
+    // exactly — not just the estimates.
+    "corpus_source_overlap_banded" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val d = Tables.documents(s, dir)
+      val mirrored = d.unionByName(
+        d.withColumn("source", concat(col("source"), lit("__m"))))
+      Dedup.sourceOverlapBanded(mirrored, "text", "source",
+        numHashes = 64, bandSize = 8)
+        .orderBy("src_a", "src_b")
+    }),
+
     // Audio near-dup tier: banded-energy fingerprint (AudioFp64
     // expression, the Haitsma-Kalker sign-of-energy-delta bit rule
     // over time-domain block energies) + the same banded Hamming pair
@@ -2894,6 +2914,50 @@ private object OracleSql {
         |  SELECT a.id AS src_a, b.id AS src_b,
         |         sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS eq
         |  FROM sig a JOIN sig b ON a.seed = b.seed AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, round(eq / 64.0, 6) AS j_est
+        |FROM m ORDER BY src_a, src_b""".stripMargin,
+
+    // The banded tier replayed exactly: same long-form signature CTE
+    // over the mirror-doubled corpus, band keys = the 8 ordered minh
+    // values per (id, seed // 8) group, candidates = pairs agreeing on
+    // at least one full band, estimates = the sketch formula on the
+    // candidate set only. List equality on the ordered band key is the
+    // same predicate Spark's struct join key evaluates.
+    "corpus_source_overlap_banded" ->
+      """WITH tk AS (
+        |  SELECT source AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT source || '__m' AS id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     t -> length(t) > 1) AS toks
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |sh AS (
+        |  SELECT DISTINCT id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM tk),
+        |sig AS (
+        |  SELECT id, seed,
+        |         min(((h % 2147483647) * (2 * seed + 1) + seed + 1) % 2147483647) AS minh
+        |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh)
+        |  CROSS JOIN range(0, 64) r(seed)
+        |  GROUP BY id, seed),
+        |bk AS (
+        |  SELECT id, seed // 8 AS band, list(minh ORDER BY seed) AS key
+        |  FROM sig GROUP BY id, seed // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS src_a, b.id AS src_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |                     AND a.id < b.id),
+        |m AS (
+        |  SELECT a.id AS src_a, b.id AS src_b,
+        |         sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS eq
+        |  FROM sig a JOIN sig b ON a.seed = b.seed AND a.id < b.id
+        |  JOIN cand c ON c.src_a = a.id AND c.src_b = b.id
         |  GROUP BY 1, 2)
         |SELECT src_a, src_b, round(eq / 64.0, 6) AS j_est
         |FROM m ORDER BY src_a, src_b""".stripMargin,

@@ -423,6 +423,67 @@ object Dedup {
         round(matches.cast("double") / numHashes, 6).as("j_est"))
   }
 
+  /** Domain-cardinality overlap tier: [[sourceOverlapSketch]]'s
+    * per-source MinHash estimate with the S×S cross join replaced by
+    * BANDED candidate generation (the [[minhashDedup]] move applied to
+    * source signatures), so it scales past [[requireFewSources]]'s
+    * guard to the millions-of-registered-domains regime real mixture
+    * weighting runs at — there is deliberately NO maxSources here.
+    *
+    * Membership is EXACT, not sampled: a pair is emitted iff the two
+    * sources agree on EVERY hash of at least one band (the full
+    * ordered band as the join key — not the min/max compression
+    * [[minhashCandidates]] uses — so the emitted set is a pure
+    * function of the signatures, replayable in SQL), and its `j_est`
+    * is bit-identical to the sketch tier's. Banding is the standard
+    * recall trade: P[emit] = 1 − (1 − J^bandSize)^numBands (~0.97 at
+    * J = 0.5 with 64/8 defaults; 1.0 at J = 1), so high-overlap
+    * pairs — the ones that change a mixture decision — survive and
+    * the quadratic bulk of near-zero pairs never materializes.
+    *
+    * Scale shape: the signature pass is the sketch tier's one
+    * corpus-scale exchange into S rows; band rows are S × numBands;
+    * the candidate join is band-bucket-keyed (mirror families with
+    * identical band keys produce their quadratic pairs — that IS the
+    * answer, the hammingBandedPairs completeness stance); the final
+    * estimate join is two id-keyed joins against the S-row signature
+    * table. Nothing S² ever forms. */
+  def sourceOverlapBanded(docs: DataFrame, textCol: String, srcCol: String,
+                          n: Int = 3, numHashes: Int = 64,
+                          bandSize: Int = 8): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must divide into bands")
+    val numBands = numHashes / bandSize
+    val sh = shingleTable(
+      docs.where(col(srcCol).isNotNull && col(textCol).isNotNull),
+      srcCol, textCol, n)
+    // deferred-release persist: band rows and both estimate sides read
+    // the S-row signature table; without it the corpus-scale signature
+    // exchange would run once per consumer
+    val sigs = holdCached("sourceOverlapBanded.sigs",
+      minhashSignaturesWide(sh, numHashes))
+    val bandStructs = (0 until numBands).map { b =>
+      struct((b * bandSize until (b + 1) * bandSize)
+        .map(s => col(s"m$s").as(s"k${s - b * bandSize}")): _*)
+    }
+    val bands = sigs.select(col("id"),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
+    val cands = bands.select(col("id").as("src_a"), col("band"), col("bk"))
+      .join(bands.select(col("id").as("src_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("src_a") < col("src_b"))
+      .select("src_a", "src_b").distinct()
+    val a = sigs.select(col("id").as("src_a") +:
+      (0 until numHashes).map(s => col(s"m$s").as(s"a$s")): _*)
+    val b = sigs.select(col("id").as("src_b") +:
+      (0 until numHashes).map(s => col(s"m$s").as(s"b$s")): _*)
+    val matches = (0 until numHashes)
+      .map(s => when(col(s"a$s") === col(s"b$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(a, "src_a").join(b, "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(matches.cast("double") / numHashes, 6).as("j_est"))
+  }
+
   def minhashDecontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
       n: Int = 3, numHashes: Int = 16, bandSize: Int = 4,

@@ -424,6 +424,48 @@ class DedupSpec extends SparkSpec {
     assert(s1 == Seq(("x", "y", 1.0)), s"identical sets must match: $s1")
   }
 
+  test("sourceOverlapBanded: membership == some-band-equal, estimates == sketch, no S guard") {
+    // mirrors (identical shingle sets), a related pair, and noise
+    val mk3 = (p: String, i: Int) => s"${p}aa$i ${p}bb$i ${p}cc$i"
+    val docs = ((0 until 8).map(i => ("a", mk3("s", i))) ++
+      (0 until 8).map(i => ("a2", mk3("s", i))) ++  // mirror of a
+      (0 until 6).map(i => ("b", mk3("s", i))) ++   // high-J with a
+      Seq(("c", mk3("u", 0)))).toDF("source", "text")
+    val banded = Dedup.sourceOverlapBanded(docs, "text", "source",
+        numHashes = 16, bandSize = 4)
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    val sketch = Dedup.sourceOverlapSketch(docs, "text", "source",
+        numHashes = 16)
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    // estimates on emitted pairs are bit-identical to the sketch tier
+    banded.foreach { case (pair, j) =>
+      assert(sketch(pair) == j, s"$pair: banded $j != sketch ${sketch(pair)}")
+    }
+    // the mirror pair must be present at j_est 1 (all bands equal)
+    assert(banded(("a", "a2")) == 1.0, s"mirror pair missing/off: $banded")
+    // membership is EXACTLY the some-band-equal predicate on the wide
+    // signatures — recompute it independently
+    val sigs = Dedup.minhashSignaturesWide(
+        Dedup.shingleTable(docs, "source", "text", 3), 16)
+      .collect().map(r => r.getString(0) ->
+        (1 until 17).map(r.getLong)).toMap
+    val expected = (for {
+      (x, sx) <- sigs.toSeq; (y, sy) <- sigs.toSeq if x < y
+      if (0 until 4).exists(b =>
+        (b * 4 until (b + 1) * 4).forall(s => sx(s) == sy(s)))
+    } yield (x, y)).toSet
+    assert(banded.keySet == expected,
+      s"banded emitted ${banded.keySet}, band predicate says $expected")
+    // no source-cardinality guard: hundreds of sources just work
+    val wide = (0 until 60).map(i => (s"dom$i", mk3("v", i)))
+      .toDF("source", "text")
+    assert(Dedup.sourceOverlapBanded(wide, "text", "source",
+      numHashes = 16, bandSize = 4).count() == 0L)
+    Dedup.releaseCaches()
+  }
+
   test("sourceOverlap: refuses corpus-scale source cardinality loudly") {
     // a per-file/per-url source column silently turns the S-bounded
     // matrix into a corpus-scale one — must fail, not stall
