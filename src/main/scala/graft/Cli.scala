@@ -148,7 +148,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch", "--weighted")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch", "--weighted", "--warm")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -1369,12 +1369,20 @@ object Cli {
         spark.stop()
 
       case "serve" =>
-        val name = pos.headOption.getOrElse(fail("usage: serve <index> [--port N]"))
+        val name = pos.headOption.getOrElse(fail(
+          "usage: serve <index> [--port N] [--warm]"))
         val spark = session()
+        // --warm: load the layout into driver arrays once and serve
+        // plain vector requests with zero Spark jobs (~ms latency, the
+        // reference's in-process regime); refuses loudly if the index
+        // exceeds the driver-RAM bound. Filtered/hybrid requests still
+        // run the Spark plans.
         val srv = new SearchServer(spark, warehouse, name, provider,
-          port = flags.get("port").map(_.toInt).getOrElse(8080))
+          port = flags.get("port").map(_.toInt).getOrElse(8080),
+          warm = flags.contains("warm"))
         srv.start()
-        println(s"serving '$name' on port ${srv.boundPort} (POST /search, GET /health /info /indexes)")
+        println(s"serving '$name' on port ${srv.boundPort} (POST /search, GET /health /info /indexes)" +
+          (if (flags.contains("warm")) " [warm tier]" else ""))
         Thread.currentThread().join() // until killed
 
       case other => fail(s"unknown command '$other'")

@@ -1,0 +1,117 @@
+package graft
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.embedding.HashEmbedder
+import graft.pipeline.Index
+import graft.serve.SearchServer
+
+/** Per-request serving latency probe (Test/runMain): builds an index
+  * over the sf0.001 documents table, starts the Spark-path server and
+  * the warm-tier server on the same index, fires N sequential /search
+  * requests at each, and prints p50/p95/p99 wall-clock per tier —
+  * the numbers BASELINE.md's serving paragraph records. The warm tier
+  * is the latency answer to the reference's in-process index walk
+  * (ms-scale); the Spark path pays the per-job scheduler floor and is
+  * the batch-parity tier. */
+object ServeLatencyDrive {
+
+  private def http(method: String, url: String, body: Option[String]): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    (code, new String(is.readAllBytes(), StandardCharsets.UTF_8))
+  }
+
+  private def pct(sorted: Array[Double], p: Double): Double =
+    sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val n = sys.env.get("SPARK_GRAFT_SERVE_N").map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .appName("graft-serve-latency").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val wh = Files.createTempDirectory("graft-serve-lat").toString
+      val provider = new HashEmbedder(64)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("text", "cast(doc_id as string) as source")
+      Index.build(docs, s"$wh/main", provider, strategy = "simple")
+      val indexDir = Index.locate(wh, "main").get
+      Index.buildIvf(spark, indexDir, numClusters = 16)
+
+      val queries = Array(
+        "governance throughput latency", "partition shuffle mechanics",
+        "the quick brown document", "training data curation pipeline",
+        "embedding similarity search")
+
+      def drive(srv: SearchServer, label: String, extra: String): Unit = {
+        val base = s"http://127.0.0.1:${srv.boundPort}"
+        // warmup (JIT + first-plan costs are not the steady state)
+        (0 until 10).foreach { i =>
+          http("POST", s"$base/search",
+            Some(s"""{"query":"${queries(i % queries.length)}","top_k":5$extra}"""))
+        }
+        val lat = (0 until n).map { i =>
+          val t0 = System.nanoTime()
+          val (code, _) = http("POST", s"$base/search",
+            Some(s"""{"query":"${queries(i % queries.length)}","top_k":5$extra}"""))
+          require(code == 200, s"request failed: $code")
+          (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        println(f"[serve-latency] $label%-22s n=$n p50=${pct(lat, 0.5)}%8.2f ms  " +
+          f"p95=${pct(lat, 0.95)}%8.2f ms  p99=${pct(lat, 0.99)}%8.2f ms")
+      }
+
+      val cold = new SearchServer(spark, wh, "main", provider)
+      cold.start()
+      try drive(cold, "spark-path", "") finally cold.stop()
+
+      val hot = new SearchServer(spark, wh, "main", provider, warm = true)
+      hot.start()
+      try {
+        // /health isolates HTTP+handler overhead from search cost
+        val base = s"http://127.0.0.1:${hot.boundPort}"
+        val hlat = (0 until n).map { _ =>
+          val t0 = System.nanoTime()
+          http("GET", s"$base/health", None)
+          (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        println(f"[serve-latency] http-floor(/health)    n=$n p50=${pct(hlat, 0.5)}%8.2f ms  " +
+          f"p95=${pct(hlat, 0.95)}%8.2f ms  p99=${pct(hlat, 0.99)}%8.2f ms")
+        drive(hot, "warm-exact", "")
+        drive(hot, "warm-nprobe4", ""","nprobe":4""")
+      } finally hot.stop()
+
+      // in-process warm search (no HTTP): the engine-side latency the
+      // tier actually adds — the HTTP rows above carry the JDK
+      // URLConnection's ~40 ms small-POST floor on top
+      val wi = graft.serve.WarmIndex.load(spark, indexDir, provider)
+      (0 until 20).foreach(i => wi.search(queries(i % queries.length), 5))
+      def probe(label: String, nprobe: Int): Unit = {
+        val lat = (0 until n).map { i =>
+          val t0 = System.nanoTime()
+          wi.search(queries(i % queries.length), 5, nprobe)
+          (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        println(f"[serve-latency] $label%-22s n=$n p50=${pct(lat, 0.5)}%8.2f ms  " +
+          f"p95=${pct(lat, 0.95)}%8.2f ms  p99=${pct(lat, 0.99)}%8.2f ms")
+      }
+      probe("warm-inproc-exact", Int.MaxValue)
+      probe("warm-inproc-nprobe4", 4)
+    } finally spark.stop()
+  }
+}

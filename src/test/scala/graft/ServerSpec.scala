@@ -110,4 +110,61 @@ class ServerSpec extends SparkSpec {
       assert(drained(), "the drain must run on error responses too")
     } finally srv.stop()
   }
+
+  test("warm tier: zero-job path returns results identical to the Spark path") {
+    val wh = Files.createTempDirectory("graft-serve-warm").toString
+    val provider = new HashEmbedder(16)
+    Index.build((1 to 40).map(i =>
+      (s"document number $i about topic ${i % 7} and subject ${i % 5}",
+        s"doc$i.md")).toDF("text", "source"),
+      s"$wh/main", provider, strategy = "simple")
+    val indexDir = Index.locate(wh, "main").get
+    // IVF layout so the warm tier exercises centroid ranking + buckets
+    Index.buildIvf(spark, indexDir, numClusters = 4)
+
+    val cold = new SearchServer(spark, wh, "main", provider)
+    val hot = new SearchServer(spark, wh, "main", provider, warm = true)
+    cold.start(); hot.start()
+    try {
+      def results(port: Int, body: String): String = {
+        val (code, resp) = http("POST", s"http://127.0.0.1:$port/search", Some(body))
+        assert(code == 200, resp)
+        resp.substring(resp.indexOf("\"results\""), resp.indexOf(",\"took_ms\""))
+      }
+      // full-scan warm (default nprobe = all buckets) must equal the
+      // Spark exact path row for row — ids, 6-rounded scores, text,
+      // source, order
+      for (q <- Seq("topic 3 subject", "document number 17", "about")) {
+        val body = s"""{"query":"$q","top_k":5}"""
+        val w = results(hot.boundPort, body)
+        val s = results(cold.boundPort, body)
+        assert(w == s, s"warm != spark for '$q':\n$w\n$s")
+      }
+      // the warm response declares its tier; filtered/hybrid requests
+      // fall back to the Spark plans
+      val (_, wresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"topic","top_k":2}"""))
+      assert(wresp.contains("\"tier\":\"warm\""), wresp)
+      val (_, fresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"topic","top_k":2,"hybrid":true}"""))
+      assert(fresp.contains("\"tier\":\"spark\""), fresp)
+      // nprobe-pruned warm search stays well-formed (recall, not
+      // parity, is the knob's trade — membership is a subset question)
+      val (pc, presp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"topic","top_k":3,"nprobe":1}"""))
+      assert(pc == 200 && presp.contains("\"tier\":\"warm\""), presp)
+    } finally { cold.stop(); hot.stop() }
+  }
+
+  test("warm tier: refuses an over-budget index loudly") {
+    val wh = Files.createTempDirectory("graft-serve-warmcap").toString
+    val provider = new HashEmbedder(8)
+    Index.build(Seq(("tiny doc one", "a.md"), ("tiny doc two", "b.md"))
+      .toDF("text", "source"), s"$wh/main", provider, strategy = "simple")
+    val e = intercept[IllegalArgumentException] {
+      graft.serve.WarmIndex.load(spark, Index.locate(wh, "main").get,
+        provider, maxVectors = 1)
+    }
+    assert(e.getMessage.contains("driver-RAM-bounded"), e.getMessage)
+  }
 }
