@@ -1307,6 +1307,183 @@ object Cli {
             spark.stop()
         }
 
+      case "pretrain" =>
+        // The one-command pretraining export: curate funnel → optional
+        // water-filling mixture draw → BPE tokenize → sequence pack →
+        // deterministic shards, with ONE manifest covering funnel
+        // attrition, mixture plan, vocab, and per-shard counts. Every
+        // stage is the standalone arm's operator (cleanCorpus,
+        // textDedupSurvivors, decontaminate, mixturePlan, rateSample,
+        // Bpe, deterministicShuffle, packSequences) so the composed
+        // pipeline and the arms cannot drift; stage boundaries persist
+        // once (the curate stance) and each stage's table lands under
+        // --out for inspection. The whole export is a pure function of
+        // (corpus, flags, seed): re-running writes a byte-identical
+        // manifest (E2eDrive-pinned).
+        val ptUsage = "usage: pretrain --docs <dir|corpus.jsonl|parquet> --out <dir> " +
+          "[--id-col <unique doc id>] [--min-words 50] [--min-lm <f>] " +
+          "[--dedup minhash|exact|simhash|containment|none] [--minj 0.8] [--max-dist 3] " +
+          "[--decontaminate <bench dir|jsonl|parquet>] [--ngram 5] [--max-overlap 0] " +
+          "[--budget <chars> [--weights src=3,src2=1] [--max-rate 1.0]] " +
+          "[--merges 200] [--min-freq 2] [--pack-budget <toks>] [--shards 8] [--seed graft]"
+        val docsDir = flags.getOrElse("docs", fail(ptUsage))
+        val out = flags.getOrElse("out", fail("--out <dir> required"))
+        val method = flags.getOrElse("dedup", "minhash")
+        if (!Set("minhash", "exact", "simhash", "containment", "none").contains(method))
+          fail(s"--dedup '$method' (minhash|exact|simhash|containment|none)")
+        val seed = flags.getOrElse("seed", "graft")
+        val spark = session()
+        import org.apache.spark.sql.functions.{col, concat_ws, length}
+        import org.apache.spark.storage.StorageLevel
+        val docs = ingestText(spark, docsDir)
+        Seq("source", "text").foreach { c =>
+          if (!docs.columns.contains(c)) fail(
+            s"--docs needs 'source' and 'text' columns " +
+              s"(have: ${docs.columns.mkString(", ")})")
+        }
+        val idCol = resolveUniqueDocId(docs, flags, "pretrain")
+        val n0 = docs.count()
+        // Stages 1-3: the curate funnel (clean → dedup → decontaminate)
+        val (kept, _) = graft.operators.CorpusClean.cleanCorpus(
+          docs, idCol, "text",
+          minWords = flags.get("min-words").map(_.toInt).getOrElse(50),
+          minLmScore = flags.get("min-lm").map(_.toDouble))
+        val cleaned = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        val n1 = cleaned.count()
+        val deduped = (method match {
+          case "none" => cleaned
+          case m => textDedupSurvivors(cleaned, "doc_id", "text", m,
+            minJ = flags.get("minj").map(_.toDouble).getOrElse(0.8),
+            maxDist = flags.get("max-dist").map(_.toInt).getOrElse(3))
+        }).persist(StorageLevel.MEMORY_AND_DISK)
+        val n2 = deduped.count()
+        val survivors = flags.get("decontaminate") match {
+          case None => deduped
+          case Some(benchPath) =>
+            val bench = ingestText(spark, benchPath)
+            if (!bench.columns.contains("text")) fail(
+              s"--decontaminate $benchPath has no 'text' column")
+            val benchId =
+              if (bench.columns.contains("doc_id")) "doc_id" else "source"
+            val contaminated = graft.operators.CorpusClean.decontaminate(
+                deduped, "doc_id", "text", bench, benchId, "text",
+                n = flags.get("ngram").map(_.toInt).getOrElse(5))
+              .filter(col("n_overlap_grams") >
+                flags.get("max-overlap").map(_.toLong).getOrElse(0L))
+              .select("doc_id")
+            deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        }
+        // re-attach source (the curate rule): mixture + manifest need it
+        val curated = (if (idCol == "source") survivors
+          else survivors.join(
+            docs.select(col(idCol).as("doc_id"), col("source")),
+            Seq("doc_id"), "left"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        curated.write.mode("overwrite").parquet(s"$out/curated")
+        val n3 = curated.count()
+        // Stage 4 (only with --budget): water-filling mixture plan +
+        // md5-threshold draw; epoch upsampling when --max-rate > 1
+        val maxRate = flags.get("max-rate").map(_.toDouble).getOrElse(1.0)
+        var planRows = 0L
+        val drawn = flags.get("budget").map(_.toLong) match {
+          case None => curated
+          case Some(budget) =>
+            val withChars = curated.withColumn("n_chars",
+              length(col("text")).cast("long"))
+            val weights: Map[String, Double] = flags.get("weights") match {
+              case Some(spec) => spec.split(",").map(_.trim).filter(_.nonEmpty)
+                .map { kv =>
+                  val i = kv.lastIndexOf('=')
+                  if (i <= 0) fail(s"--weights entry '$kv' is not src=w")
+                  kv.substring(0, i) -> kv.substring(i + 1).toDouble
+                }.toMap
+              case None => withChars.select(col("source"))
+                .where(col("source").isNotNull).distinct()
+                .collect().map(_.get(0).toString -> 1.0).toMap
+            }
+            val plan = graft.operators.TrainExport.mixturePlan(
+              withChars, "source", "n_chars", weights, budget,
+              maxRate = maxRate)
+            plan.coalesce(1).write.mode("overwrite").parquet(s"$out/plan")
+            planRows = spark.read.parquet(s"$out/plan").count()
+            if (maxRate > 1.0)
+              graft.operators.TrainExport.rateSampleEpochs(
+                withChars, "doc_id", "source",
+                spark.read.parquet(s"$out/plan"), seed)
+            else graft.operators.TrainExport.rateSample(
+              withChars, "doc_id", "source",
+              spark.read.parquet(s"$out/plan"), seed)
+        }
+        // Stage 5: BPE — learn the vocab on the DRAWN corpus (the text
+        // the model will actually see), encode to (id, tokens,
+        // n_tokens). Epoch copies key by doc_id:epoch so the shuffle
+        // id stays unique.
+        val keyed = (if (drawn.columns.contains("epoch"))
+            drawn.withColumn("_pid",
+              concat_ws(":", col("doc_id"), col("epoch")))
+          else drawn.withColumn("_pid", col("doc_id").cast("string")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nDrawn = keyed.count()
+        val merges = graft.operators.Bpe.trainMerges(
+          graft.operators.Bpe.wordFreqs(keyed, "text"),
+          numMerges = flags.get("merges").map(_.toInt).getOrElse(200),
+          minFreq = flags.get("min-freq").map(_.toLong).getOrElse(2L))
+        val encoded = graft.operators.Bpe.encodeDocs(
+          keyed, "_pid", "text", merges)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "_merges.json"),
+          graft.util.Json.write(merges.map { case (a, b) => Seq(a, b) })
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // Stage 6: deterministic shuffle → (optional) GPT-style pack
+        // over the REAL BPE token counts → round-robin shards
+        val shuffled = graft.operators.TrainExport.deterministicShuffle(
+          encoded, "id", seed,
+          nShards = flags.get("shards").map(_.toInt).getOrElse(8))
+        val packBudget = flags.get("pack-budget").map(_.toInt)
+        val laid = packBudget match {
+          case None => shuffled
+          case Some(b) => graft.operators.TrainExport.packSequences(
+            shuffled, "pos", "n_tokens", b)
+        }
+        laid.write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$out/shards")
+        val perShard = spark.read.parquet(s"$out/shards")
+          .groupBy("shard").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .collect().map(r => r.get(0).toString -> r.getLong(1))
+          .sortBy(_._1).toList
+        // ONE manifest for the whole export — funnel, plan, vocab,
+        // shards; a pure function of (corpus, flags, seed), so
+        // re-running is byte-identical (E2eDrive-pinned)
+        val manifest = scala.collection.immutable.ListMap(
+          "seed" -> seed,
+          "funnel" -> scala.collection.immutable.ListMap(
+            "ingest" -> n0, "clean" -> n1, "dedup" -> n2,
+            "decontaminate" -> n3, "drawn" -> nDrawn),
+          "plan_sources" -> planRows,
+          "max_rate" -> maxRate,
+          "merges" -> merges.length,
+          "pack_budget" -> packBudget.getOrElse(0),
+          "shards" -> flags.get("shards").map(_.toInt).getOrElse(8),
+          "rows" -> perShard.map(_._2).sum,
+          "per_shard" -> scala.collection.immutable.ListMap(perShard: _*))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "_manifest.json"),
+          graft.util.Json.write(manifest)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println("stage            docs")
+        Seq(("ingest", n0), ("clean", n1), ("dedup", n2),
+          ("decontaminate", n3), ("drawn", nDrawn)).foreach { case (s, v) =>
+          println(f"  $s%-14s $v%8d") }
+        println(s"pretrain: ${merges.length} merges, " +
+          s"${perShard.map(_._2).sum} rows across ${perShard.length} " +
+          s"shards -> $out (_manifest.json, _merges.json written)")
+        cleaned.unpersist(); deduped.unpersist(); curated.unpersist()
+        keyed.unpersist()
+        graft.operators.Dedup.releaseCaches() // see clean
+        spark.stop()
+
       case "ann-build" =>
         val name = pos.headOption.getOrElse(
           fail("usage: ann-build <index> [--clusters 16] [--pq-m 8] [--pq-k 16]"))

@@ -251,8 +251,13 @@ object Bpe {
       val cap = math.min(batchCap, numMerges - merges.length)
       // Exact mode needs cap+1 rows (the first EXCLUDED weight feeds
       // selectBatch's boundary-tie trim); the relaxed skip-scan needs a
-      // wider window since skipped pairs consume it.
-      val window = if (relaxed) cap * 4 + 1 else cap + 1
+      // wider window since skipped pairs consume it. 16x, not 4x: on a
+      // small-alphabet corpus the top of the ranking is conflict-dense
+      // (every pair shares one of few hot symbols), and a starved
+      // window caps the batch far below batchCap — measured 29-wide
+      // batches at cap 512 under 4x on the vocab-scale drive; the
+      // window rows are (string, string, long) KBs either way.
+      val window = if (relaxed) cap * 16 + 1 else cap + 1
       // tuple struct fields are _1/_2; ties break lexicographically
       val ranked = words.flatMap { case (syms, f) =>
         (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), f))

@@ -357,5 +357,44 @@ object E2eDrive {
       s"rate-3 doc must materialize epochs 0..2: $aEpochs")
     println(s"CLI_PLAN $planRows applied=$keptSrc epochs(a)=$aEpochs")
     spark9b.stop()
+
+    // One-command pretrain export, end to end through Cli.main twice:
+    // the whole chain (curate funnel -> mixture draw -> BPE -> pack ->
+    // shards) is a pure function of (corpus, flags, seed), so two runs
+    // into different dirs must write BYTE-IDENTICAL manifests and
+    // merges — the reproducibility contract a training run pins.
+    val ptRoot = java.nio.file.Files.createTempDirectory("e2e-pretrain").toString
+    val ptArgs = (o: String) => Array("pretrain",
+      "--docs", "/root/testdata/sf0.001/documents.parquet", "--out", o,
+      "--min-words", "3", "--dedup", "exact", "--budget", "20000",
+      "--merges", "40", "--pack-budget", "64", "--shards", "4",
+      "--seed", "e2e")
+    Cli.main(ptArgs(s"$ptRoot/a"))
+    Cli.main(ptArgs(s"$ptRoot/b"))
+    val mA = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ptRoot/a/_manifest.json"))
+    val mB = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ptRoot/b/_manifest.json"))
+    assert(java.util.Arrays.equals(mA, mB),
+      s"pretrain manifest must be byte-identical across runs:\n" +
+        s"${new String(mA)}\n${new String(mB)}")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ptRoot/a/_merges.json")),
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$ptRoot/b/_merges.json"))),
+      "learned merges must be identical across runs")
+    val spark10 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val shardRows = spark10.read.parquet(s"$ptRoot/a/shards")
+    val nsh = shardRows.select("shard").distinct().count()
+    val nrows = shardRows.count()
+    assert(nsh == 4 && nrows > 0, s"expected 4 non-empty shards, got $nsh/$nrows")
+    // packed layout present with real BPE token counts underneath
+    assert(shardRows.columns.contains("seq_id") &&
+      shardRows.columns.contains("n_tokens"),
+      s"packed columns missing: ${shardRows.columns.mkString(",")}")
+    println(s"CLI_PRETRAIN rows=$nrows shards=$nsh manifest=${new String(mA).take(160)}")
+    spark10.stop()
   }
 }
