@@ -92,15 +92,19 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
             val filterStr = jsonStr(body, "filter")
             val hybrid = jsonBool(body, "hybrid").getOrElse(false)
             val t0 = System.nanoTime()
-            // warm tier serves the plain vector path (no filter, no
-            // hybrid — those features live in the Spark plans) with
-            // zero Spark jobs; results are pinned identical to the
-            // Spark path (ServerSpec)
+            // warm tier serves the plain vector path AND (when the
+            // index persisted its bm25 tables within the driver
+            // budget) the hybrid path with zero Spark jobs; results
+            // are pinned identical to the Spark path (ServerSpec).
+            // Filtered requests stay on the Spark plans.
+            val alpha = jsonNum(body, "hybrid_alpha")
+              .orElse(jsonNum(body, "alpha")).getOrElse(0.7)
             val (results, tier) = warmIndex match {
-              case Some(wi) if filterStr.isEmpty && !hybrid =>
-                (wi.search(query, topK,
-                    nprobe = jsonNum(body, "nprobe").map(_.toInt)
-                      .getOrElse(Int.MaxValue))
+              case Some(wi) if filterStr.isEmpty && (!hybrid || wi.hasBm25) =>
+                val nprobe = jsonNum(body, "nprobe").map(_.toInt)
+                  .getOrElse(Int.MaxValue)
+                ((if (hybrid) wi.searchHybrid(query, topK, alpha, nprobe)
+                  else wi.search(query, topK, nprobe))
                   .map { case (id, score, text, source) =>
                     s"""{"id":${q(id)},"score":$score,""" +
                       s""""text":${q(text)},"source":${q(source)}}"""
@@ -108,8 +112,7 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
               case _ =>
                 (Index.search(spark, indexDir, query, provider,
                     topK = topK, filterStr = filterStr, hybrid = hybrid,
-                    alpha = jsonNum(body, "hybrid_alpha")
-                      .orElse(jsonNum(body, "alpha")).getOrElse(0.7))
+                    alpha = alpha)
                   .collect()
                   .map { r =>
                     s"""{"id":${q(r.getString(0))},"score":${r.getDouble(1)},""" +

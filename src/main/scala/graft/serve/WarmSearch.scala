@@ -39,31 +39,48 @@ import graft.pipeline.Index
   * indexes past the bound stay on the Spark path, which scales with
   * the cluster. Loading pays one Spark collect of the embeddings +
   * passages tables; every request after is scheduler-free. */
+/** Driver-resident BM25 statistics for [[WarmIndex]]'s hybrid path:
+  * the persisted bm25_tf/dl/df/g tables as in-memory postings — the
+  * same RAM-resident shape the reference's scorer holds
+  * (`src/index/bm25.rs`). */
+private[serve] final class WarmBm25(
+    val postings: java.util.HashMap[String, Array[(String, Long)]],
+    val dl: java.util.HashMap[String, Long],
+    val df: java.util.HashMap[String, Long],
+    val numDocs: Long,
+    val avgdl: Double)
+
 final class WarmIndex private (
     val dims: Int,
     centroids: Array[Array[Double]],
     bucketIds: Array[Array[String]],
     bucketVecs: Array[Array[Float]],
     passages: java.util.HashMap[String, Array[String]],
+    bm25: Option[WarmBm25],
     provider: EmbeddingProvider,
     template: String) {
 
   def numClusters: Int = bucketIds.length
   def numVectors: Int = bucketIds.iterator.map(_.length).sum
+  def hasBm25: Boolean = bm25.isDefined
 
   // Spark Round semantics for DoubleType: BigDecimal.valueOf (the
   // Double.toString form, NOT the DECIMAL128 constructor) + HALF_UP
   private def round6(v: Double): Double =
     JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
-  /** Exact top-k over the probed buckets; `nprobe >= numClusters`
-    * (default) scans everything = [[Index.search]] parity. */
-  def search(query: String, topK: Int = 5,
-             nprobe: Int = Int.MaxValue): Seq[(String, Double, String, String)] = {
-    val qv = provider.embedWithTemplate(Seq(query), template).head
-      .map(_.toDouble)
-    require(qv.length == dims,
-      s"query embedding dims ${qv.length} != index dims $dims")
+  // "better" = higher score, ties to the SMALLER id; heap root = the
+  // worst kept row (so the root comparator is the reverse)
+  private val ord = new java.util.Comparator[(String, Double)] {
+    def compare(a: (String, Double), b: (String, Double)): Int = {
+      val c = java.lang.Double.compare(a._2, b._2)
+      if (c != 0) c else b._1.compareTo(a._1)
+    }
+  }
+
+  /** Top-k (id, round6(dot)) over the probed buckets, (score desc, id
+    * asc) — the [[Index.search]] `scored.orderBy.limit` semantics. */
+  private def topVec(qv: Array[Double], k: Int, nprobe: Int): Seq[(String, Double)] = {
     val probe: Seq[Int] =
       if (nprobe >= numClusters || centroids.isEmpty) bucketIds.indices
       else {
@@ -79,16 +96,7 @@ final class WarmIndex private (
           .sortBy { case (c, s) => (-s, c) }
           .take(nprobe).map(_._1)
       }
-    // k-bounded heap: root = the worst kept row; "better" = higher
-    // score, ties to the SMALLER id (so the root comparator is the
-    // reverse)
-    val ord = new java.util.Comparator[(String, Double)] {
-      def compare(a: (String, Double), b: (String, Double)): Int = {
-        val c = java.lang.Double.compare(a._2, b._2)
-        if (c != 0) c else b._1.compareTo(a._1)
-      }
-    }
-    val heap = new java.util.PriorityQueue[(String, Double)](topK max 1, ord)
+    val heap = new java.util.PriorityQueue[(String, Double)](k max 1, ord)
     probe.foreach { c =>
       val ids = bucketIds(c)
       val vecs = bucketVecs(c)
@@ -99,7 +107,7 @@ final class WarmIndex private (
         val base = r * dims
         while (i < dims) { s += vecs(base + i).toDouble * qv(i); i += 1 }
         val scored = (ids(r), round6(s))
-        if (heap.size < topK) heap.add(scored)
+        if (heap.size < k) heap.add(scored)
         else if (ord.compare(scored, heap.peek()) > 0) {
           heap.poll(); heap.add(scored)
         }
@@ -109,11 +117,108 @@ final class WarmIndex private (
     val out = new Array[(String, Double)](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
-    out.toSeq.map { case (id, score) =>
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  private def embed(query: String): Array[Double] = {
+    val qv = provider.embedWithTemplate(Seq(query), template).head
+      .map(_.toDouble)
+    require(qv.length == dims,
+      s"query embedding dims ${qv.length} != index dims $dims")
+    qv
+  }
+
+  private def resolve(ranked: Seq[(String, Double)]): Seq[(String, Double, String, String)] =
+    ranked.map { case (id, score) =>
       val p = passages.get(id)
       if (p == null) (id, score, "", "")
       else (id, score, p(0), p(1))
     }
+
+  /** Exact top-k over the probed buckets; `nprobe >= numClusters`
+    * (default) scans everything = [[Index.search]] parity. */
+  def search(query: String, topK: Int = 5,
+             nprobe: Int = Int.MaxValue): Seq[(String, Double, String, String)] =
+    resolve(topVec(embed(query), topK, nprobe))
+
+  /** Hybrid (vector + BM25 min-max fusion) in-process — the reference's
+    * interactive hybrid path (`src/index/searcher.rs:152-165` +
+    * `src/index/bm25.rs:135-170`) with [[Index.search]]'s exact
+    * arithmetic: candidates = vector top-fetchK ∪ BM25 top-fetchK
+    * (vector score 0 for BM25-only rows — deliberately NOT the true
+    * dot, mirroring the plan), vector min/max over the candidate set,
+    * BM25 min/max over the WHOLE corpus score vector (absent docs
+    * score 0), ranges floored at 1e-6, fused scores rounded to 6,
+    * (score desc, id) top-k. The one permitted divergence is
+    * summation order inside a doc's multi-term BM25 sum (Spark's
+    * aggregate order is plan-dependent; both sides round to 6 after
+    * summing, so a mismatch needs a true value within ~1 ulp of a
+    * rounding boundary). Requires the persisted bm25 tables —
+    * [[hasBm25]]; callers route to the Spark path otherwise. */
+  def searchHybrid(query: String, topK: Int = 5, alpha: Double = 0.7,
+                   nprobe: Int = Int.MaxValue): Seq[(String, Double, String, String)] = {
+    val b = bm25.getOrElse(throw new IllegalStateException(
+      "warm hybrid needs the persisted bm25 tables — index has none"))
+    val fetchK = topK * 5
+    val vec = topVec(embed(query), fetchK, nprobe)
+    // qn per distinct query term, the tokenizeString grouping
+    val qn = graft.functions.TextFunctions.tokenizeString(query)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+    // per-doc BM25 sum over the query terms' postings (docs absent
+    // from every posting list keep score 0 via the bmin/bmax floor)
+    val acc = new java.util.HashMap[String, Double]()
+    qn.foreach { case (term, n) =>
+      val dfT = b.df.get(term)
+      val posts = b.postings.get(term)
+      if (posts != null) {
+        val idf = math.log(
+          (b.numDocs.toDouble - dfT + 0.5) / (dfT + 0.5) + 1.0)
+        posts.foreach { case (id, tf) =>
+          val norm = 1.0 - graft.operators.BM25.B +
+            graft.operators.BM25.B * (b.dl.get(id).toDouble / b.avgdl)
+          val s = n * idf * (tf * (graft.operators.BM25.K1 + 1.0)) /
+            (tf + graft.operators.BM25.K1 * norm)
+          acc.merge(id, s, (x, y) => x + y)
+        }
+      }
+    }
+    // bmAll = every passage id, round6(score or 0); bmin/bmax over it
+    var bmin = Double.MaxValue
+    var bmax = Double.MinValue
+    val bscore = new java.util.HashMap[String, Double](passages.size() * 2)
+    passages.keySet().forEach { id =>
+      val raw = acc.get(id)
+      val sc = round6(if (raw == null) 0.0 else raw.doubleValue())
+      bscore.put(id, sc)
+      if (sc < bmin) bmin = sc
+      if (sc > bmax) bmax = sc
+    }
+    // BM25 top-fetchK of the positive scores, (bscore desc, id asc)
+    val bheap = new java.util.PriorityQueue[(String, Double)](fetchK max 1, ord)
+    bscore.forEach { (id, sc) =>
+      if (sc > 0) {
+        val e = (id, sc)
+        if (bheap.size < fetchK) bheap.add(e)
+        else if (ord.compare(e, bheap.peek()) > 0) { bheap.poll(); bheap.add(e) }
+      }
+    }
+    val bmTop = new scala.collection.mutable.HashSet[String]
+    while (!bheap.isEmpty) bmTop += bheap.poll()._1
+    // candidate union: vector top rows keep their vscore, BM25-only
+    // rows enter at 0.0
+    val vmap = vec.toMap
+    val candIds = vmap.keySet ++ bmTop
+    val vmin = candIds.iterator.map(id => vmap.getOrElse(id, 0.0)).min
+    val vmax = candIds.iterator.map(id => vmap.getOrElse(id, 0.0)).max
+    val vrange = math.max(vmax - vmin, 1e-6)
+    val brange = math.max(bmax - bmin, 1e-6)
+    val fused = candIds.toSeq.map { id =>
+      val vs = vmap.getOrElse(id, 0.0)
+      val bs = bscore.get(id)
+      (id, round6(alpha * (vs - vmin) / vrange +
+        (1.0 - alpha) * (bs - bmin) / brange))
+    }.sortBy { case (id, s) => (-s, id) }.take(topK)
+    resolve(fused)
   }
 }
 
@@ -128,7 +233,8 @@ object WarmIndex {
     * contract, and silently OOMing a serving driver is worse than
     * falling back to the Spark path. */
   def load(spark: SparkSession, dir: String, provider: EmbeddingProvider,
-           maxVectors: Int = 1000000): WarmIndex = {
+           maxVectors: Int = 1000000,
+           maxPostings: Long = 5000000L): WarmIndex = {
     val meta = Index.readMeta(dir)
     val hasIvf = new java.io.File(s"$dir/embeddings_ivf").exists()
     val embPath = if (hasIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings"
@@ -192,7 +298,44 @@ object WarmIndex {
       .collect()
       .foreach(r => passages.put(r.getString(0),
         Array(r.getString(1), r.getString(2))))
+    // BM25 stats for the warm HYBRID path, when the index persisted
+    // them and they fit the driver budget. Over-budget postings mean
+    // hybrid requests ROUTE to the Spark path (same results, job
+    // latency) rather than failing the whole warm tier — a routing
+    // decision, surfaced on stderr, never silent wrong answers.
+    val bm25: Option[WarmBm25] =
+      if (!new java.io.File(s"$dir/bm25_tf").exists()) None
+      else {
+        val tfDf = spark.read.parquet(s"$dir/bm25_tf")
+        val nPost = tfDf.count()
+        if (nPost > maxPostings) {
+          System.err.println(
+            s"[warm] bm25_tf has $nPost postings > maxPostings " +
+              s"$maxPostings — hybrid requests will use the Spark path")
+          None
+        } else {
+          val posts = new java.util.HashMap[String, Array[(String, Long)]]()
+          tfDf.select(col("term"), col("id").cast("string"),
+              col("tf").cast("long")).collect()
+            .groupBy(_.getString(0))
+            .foreach { case (t, rs) =>
+              posts.put(t, rs.map(r => (r.getString(1), r.getLong(2))))
+            }
+          val dl = new java.util.HashMap[String, Long]()
+          spark.read.parquet(s"$dir/bm25_dl")
+            .select(col("id").cast("string"), col("dl").cast("long"))
+            .collect().foreach(r => dl.put(r.getString(0), r.getLong(1)))
+          val dfm = new java.util.HashMap[String, Long]()
+          spark.read.parquet(s"$dir/bm25_df")
+            .select(col("term"), col("df").cast("long"))
+            .collect().foreach(r => dfm.put(r.getString(0), r.getLong(1)))
+          val g = spark.read.parquet(s"$dir/bm25_g")
+            .select(col("num_docs").cast("long"), col("avgdl").cast("double"))
+            .head()
+          Some(new WarmBm25(posts, dl, dfm, g.getLong(0), g.getDouble(1)))
+        }
+      }
     new WarmIndex(dims, centroids, bucketIds, bucketVecs, passages,
-      provider, meta.queryPromptTemplate)
+      bm25, provider, meta.queryPromptTemplate)
   }
 }

@@ -112,6 +112,17 @@ object ServeLatencyDrive {
       }
       probe("warm-inproc-exact", Int.MaxValue)
       probe("warm-inproc-nprobe4", 4)
+      // hybrid in-process: vector fetchK + driver BM25 + fusion
+      if (wi.hasBm25) {
+        (0 until 20).foreach(i => wi.searchHybrid(queries(i % queries.length), 5))
+        val lat = (0 until n).map { i =>
+          val t0 = System.nanoTime()
+          wi.searchHybrid(queries(i % queries.length), 5)
+          (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        println(f"[serve-latency] warm-inproc-hybrid     n=$n p50=${pct(lat, 0.5)}%8.2f ms  " +
+          f"p95=${pct(lat, 0.95)}%8.2f ms  p99=${pct(lat, 0.99)}%8.2f ms")
+      }
     } finally spark.stop()
   }
 }

@@ -133,20 +133,27 @@ class ServerSpec extends SparkSpec {
       }
       // full-scan warm (default nprobe = all buckets) must equal the
       // Spark exact path row for row — ids, 6-rounded scores, text,
-      // source, order
-      for (q <- Seq("topic 3 subject", "document number 17", "about")) {
-        val body = s"""{"query":"$q","top_k":5}"""
+      // source, order — on the plain vector path AND the hybrid path
+      // (the warm tier holds the bm25 tables in driver RAM)
+      for (q <- Seq("topic 3 subject", "document number 17", "about");
+           extra <- Seq("", ""","hybrid":true""",
+             ""","hybrid":true,"hybrid_alpha":0.2""")) {
+        val body = s"""{"query":"$q","top_k":5$extra}"""
         val w = results(hot.boundPort, body)
         val s = results(cold.boundPort, body)
-        assert(w == s, s"warm != spark for '$q':\n$w\n$s")
+        assert(w == s, s"warm != spark for '$body':\n$w\n$s")
       }
-      // the warm response declares its tier; filtered/hybrid requests
-      // fall back to the Spark plans
+      // the warm response declares its tier; hybrid is warm-served on
+      // this index (persisted bm25 tables); FILTERED requests fall
+      // back to the Spark plans
       val (_, wresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
         Some("""{"query":"topic","top_k":2}"""))
       assert(wresp.contains("\"tier\":\"warm\""), wresp)
-      val (_, fresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+      val (_, hresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
         Some("""{"query":"topic","top_k":2,"hybrid":true}"""))
+      assert(hresp.contains("\"tier\":\"warm\""), hresp)
+      val (_, fresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"topic","top_k":2,"filter":"source == \"doc3.md\""}"""))
       assert(fresp.contains("\"tier\":\"spark\""), fresp)
       // nprobe-pruned warm search stays well-formed (recall, not
       // parity, is the knob's trade — membership is a subset question)
