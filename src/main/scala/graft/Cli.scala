@@ -1539,8 +1539,11 @@ object Cli {
 
       case "mcp" =>
         // stdout carries only protocol frames; anything human goes to stderr.
+        // --warm: per-index driver-resident layouts, loaded on first use
+        // (the serve --warm tier over the MCP surface).
         val spark = session()
-        val srv = new graft.serve.McpServer(spark, warehouse, flags.get("index"), provider)
+        val srv = new graft.serve.McpServer(spark, warehouse,
+          flags.get("index"), provider, warm = flags.contains("warm"))
         System.err.println(s"graft MCP server ready (stdio, warehouse $warehouse)")
         srv.serve(System.in, System.out)
         spark.stop()

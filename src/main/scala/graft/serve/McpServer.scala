@@ -29,7 +29,27 @@ import graft.util.Json
   */
 final class McpServer(spark: SparkSession, warehouse: String,
                       defaultIndex: Option[String],
-                      provider: EmbeddingProvider) {
+                      provider: EmbeddingProvider,
+                      warm: Boolean = false) {
+
+  // Warm tier (opt-in, the SearchServer stance): one driver-resident
+  // layout per index, loaded on FIRST use (MCP requests name their
+  // index per call, unlike the single-index HTTP server). None after a
+  // failed load = that index stays on the Spark path (over the RAM
+  // budget / no persisted embeddings) — a routing decision surfaced on
+  // stderr, never a protocol error.
+  private val warmCache =
+    scala.collection.mutable.HashMap.empty[String, Option[WarmIndex]]
+  private def warmFor(dir: String): Option[WarmIndex] =
+    if (!warm) None
+    else warmCache.getOrElseUpdate(dir,
+      try Some(WarmIndex.load(spark, dir, provider))
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(
+            s"[warm] $dir stays on the Spark path: ${e.getMessage}")
+          None
+      })
 
   /** Protocol revisions whose initialize/tools surface we implement;
     * an unknown requested version gets our latest supported one back
@@ -162,16 +182,25 @@ final class McpServer(spark: SparkSession, warehouse: String,
     }
     val hybrid = args.get("hybrid").contains(true)
     val filter = args.get("filter").map(String.valueOf)
-    val rows = Index.search(spark, dir, query, provider,
-      topK = topK, filterStr = filter, hybrid = hybrid).collect()
+    // warm path for plain/hybrid unfiltered requests — results pinned
+    // identical to the Spark path (the ServerSpec parity contract)
+    val rows: Seq[(String, Double, String, String)] = warmFor(dir) match {
+      case Some(wi) if filter.isEmpty && (!hybrid || wi.hasBm25) =>
+        if (hybrid) wi.searchHybrid(query, topK)
+        else wi.search(query, topK)
+      case _ => Index.search(spark, dir, query, provider,
+          topK = topK, filterStr = filter, hybrid = hybrid).collect()
+        .map(r => (r.getString(0), r.getDouble(1),
+          r.getString(2), r.getString(3))).toSeq
+    }
 
     val b = new StringBuilder
     b ++= s"## Search Results for \"$query\"\n\n"
     b ++= s"Found ${rows.length} results in index '$indexName'.\n\n"
-    rows.zipWithIndex.foreach { case (r, i) =>
-      b ++= f"### Result ${i + 1} (score: ${r.getDouble(1)}%.4f)\n\n"
-      b ++= s"**Source:** `${r.getString(3)}`\n\n"
-      b ++= r.getString(2)
+    rows.zipWithIndex.foreach { case ((_, score, text, source), i) =>
+      b ++= f"### Result ${i + 1} (score: $score%.4f)\n\n"
+      b ++= s"**Source:** `$source`\n\n"
+      b ++= text
       b ++= "\n\n---\n\n"
     }
     b.result()

@@ -463,6 +463,15 @@ class DedupSpec extends SparkSpec {
       .toDF("source", "text")
     assert(Dedup.sourceOverlapBanded(wide, "text", "source",
       numHashes = 16, bandSize = 4).count() == 0L)
+    // the tier's whole point: candidate generation is a band-keyed
+    // equi-join — the plan must contain NO cartesian/nested-loop join
+    // (the sketch tier's S x S shape)
+    val plan = Dedup.sourceOverlapBanded(wide, "text", "source",
+        numHashes = 16, bandSize = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded overlap must never form an S x S join:\n$plan")
     Dedup.releaseCaches()
   }
 

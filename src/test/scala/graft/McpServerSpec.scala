@@ -73,6 +73,26 @@ class McpServerSpec extends SparkSpec {
     assert(text.contains("**Source:** `"))
   }
 
+  test("warm MCP server returns byte-identical search markdown (plain + hybrid)") {
+    val hot = new McpServer(spark, warehouse, Some("notes"),
+      new HashEmbedder(16), warm = true)
+    def text(s: McpServer, args: String): String =
+      Json.parseObject(s.handleLine(
+          """{"jsonrpc":"2.0","id":9,"method":"tools/call",""" +
+            s""""params":{"name":"search","arguments":$args}}""").get)("result")
+        .asInstanceOf[Map[String, Any]]("content")
+        .asInstanceOf[List[Map[String, Any]]].head("text").asInstanceOf[String]
+    for (args <- Seq(
+        """{"query":"columnar parquet","top_k":2}""",
+        """{"query":"spark shuffle","top_k":3,"hybrid":true}""")) {
+      assert(text(hot, args) == text(srv, args),
+        s"warm MCP output diverged for $args")
+    }
+    // filtered requests route to the Spark path and still agree
+    val fargs = """{"query":"spark","top_k":3,"filter":"source^a"}"""
+    assert(text(hot, fargs) == text(srv, fargs))
+  }
+
   test("tools/call search honors a metadata filter") {
     val resp = call("""{"jsonrpc":"2.0","id":4,"method":"tools/call",""" +
       """"params":{"name":"search","arguments":{"query":"spark","top_k":3,""" +
