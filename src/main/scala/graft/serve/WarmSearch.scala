@@ -247,12 +247,19 @@ object WarmIndex {
       s"warm serving tier is driver-RAM-bounded: index has $n vectors > " +
         s"maxVectors $maxVectors — serve it on the Spark path or raise " +
         "the bound against your driver memory deliberately")
+    // the Spark path semi-joins embeddings against passages before
+    // scoring (Index.search) — mirror it so an id present only in the
+    // embeddings table (a partially-updated index) can never surface
+    // from the warm scan
     val rows = (if (hasIvf)
         emb.select(col("centroid_id").cast("int"), col("id").cast("string"),
           col("embedding"))
       else
         emb.select(org.apache.spark.sql.functions.lit(0).as("centroid_id"),
           col("id").cast("string"), col("embedding")))
+      .join(spark.read.parquet(s"$dir/passages").select(col("id").cast("string")),
+        Seq("id"), "left_semi")
+      .select("centroid_id", "id", "embedding") // join reordered columns
       .collect()
     require(rows.nonEmpty, s"empty embeddings table under $dir")
     val dims = rows.head.getSeq[Float](2).length

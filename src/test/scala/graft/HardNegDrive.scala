@@ -17,7 +17,8 @@ object HardNegDrive {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val emb = Tables.embeddings(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val assigned = Knn.ivfAssign(emb, "embedding", numClusters = 16, seed = 42L)
       .persist()
     assigned.count()
