@@ -833,24 +833,56 @@ object Dedup {
     * vectors sharing a `bits`-bit sign signature are candidates, then
     * exact cosine verifies. The bucket join replaces the all-pairs
     * product — the LSH analog of [[embeddingTopPairs]]'s explicit
-    * blocking column when no cluster assignment exists yet. */
+    * blocking column when no cluster assignment exists yet.
+    *
+    * Duplicate-flood posture (the [[hammingBandedPairs]]
+    * distinct-signature stance lifted to raw vectors): identical
+    * vectors collapse to one CLASS before the bucket self-join, so a
+    * vector with m mirrored copies is bucketed, candidate-paired and
+    * cosine-VERIFIED once, not m^2 times; class pairs that pass the
+    * threshold expand back to member pairs afterwards, so expansion
+    * volume is proportional to the TRUE pair output — inherent to the
+    * pairs contract (callers wanting linear output under mass
+    * duplication compose with [[dupClusters]] / [[hammingClusters]]'
+    * ownership shape instead). */
   def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
                         dims: Int, bits: Int, minCosine: Double): DataFrame = {
-    // per-side norm hoist (see semanticDedup): one dot per pair
-    val keyed = emb.select(col(idCol).as("id"),
-      VectorFunctions.asDouble(col(vecCol)).as("v"),
-      Knn.signLshKey(col(vecCol), dims, bits).as("bucket"))
+    val base = emb.select(col(idCol).as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
+    // identical-vector classes: one map-side-combined groupBy (hot
+    // classes absorb in the combiner) + one membership join back — the
+    // only vector-carrying exchanges in the plan
+    val cls = base.groupBy("v")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
       .withColumn("n", VectorFunctions.l2Norm(col("v")))
-    val a = keyed.select(col("bucket"), col("id").as("id_a"),
+      .withColumn("bucket", Knn.signLshKey(col("v"), dims, bits))
+    val members = base.join(cls.select("v", "rep"), Seq("v"))
+      .select("id", "rep")
+    val a = cls.select(col("bucket"), col("rep").as("rep_a"),
       col("v").as("v_a"), col("n").as("n_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val b = cls.select(col("bucket"), col("rep").as("rep_b"),
+      col("v").as("v_b"), col("n").as("n_b"), col("cnt").as("cnt_b"))
+    // class pairs: cross (rep_a < rep_b, once per unordered class pair
+    // since a class has ONE bucket) + intra (a multi-member class's
+    // copies are mutual candidates at the self-cosine)
+    val classPairs = a.join(b, "bucket")
+      .filter(col("rep_a") < col("rep_b") ||
+        (col("rep_a") === col("rep_b") && col("cnt_b") >= 2))
+      .select(col("rep_a"), col("rep_b"),
         round(VectorFunctions.dot(col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
+    // expand verified class pairs to member pairs: disjoint member sets
+    // give each unordered pair exactly once (intra keeps ia < ib)
+    classPairs
+      .join(members.select(col("rep").as("rep_a"), col("id").as("ia")),
+        Seq("rep_a"))
+      .join(members.select(col("rep").as("rep_b"), col("id").as("ib")),
+        Seq("rep_b"))
+      .filter(col("rep_a") =!= col("rep_b") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1109,21 +1141,78 @@ object Dedup {
   }
 
   /** Top-N most-similar embedding pairs within a blocking column (label
-    * or IVF centroid id): the scale-safe cosine near-dup report. */
+    * or IVF centroid id): the scale-safe cosine near-dup report.
+    * Requires a numeric (Long-castable) id column (the capped-tier id
+    * contract of [[jaccardPairs]]).
+    *
+    * Duplicate-flood posture (see [[embeddingLshPairs]]): identical
+    * (block, vector) rows collapse to one CLASS before the block
+    * self-join, so pair SCORING is quadratic in a block's distinct
+    * vectors, never its row count. The global top-N then resolves at
+    * class level first — class pairs ranked by (cosine desc, smallest
+    * member pair asc), where a cross pair's smallest member pair is
+    * (rep_a, rep_b) (reps ARE the class minima) and an intra pair's is
+    * (rep, 2nd-smallest): any class pair ranked above another supplies
+    * at least one member pair that outranks all of the other's, so the
+    * global top-N only ever draws from the top-N class pairs. Those
+    * expand through each class's N+1 smallest member ids (a member pair
+    * using any id outside that window is dominated by N+1 smaller
+    * pairs) — at most N^3 bounded rows into the final ordered limit,
+    * identical output to the id-level formulation. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, topN: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(blockCol).as("blk"),
+      col(idCol).cast("long").as("id"),
+      VectorFunctions.asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
+    val cls = base.groupBy("blk", "v")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
+      .withColumn("n", VectorFunctions.l2Norm(col("v")))
+    // N+1 smallest member ids per class (constant score -> TopKByScore
+    // orders by id asc: an exact bounded smallest-ids aggregator)
+    val smallIds = base.join(cls.select("blk", "v", "rep"), Seq("blk", "v"))
+      .select("id", "rep").as[(Long, Long)]
+      .groupByKey(_._2)
+      .mapValues { case (id, _) => ScoredId(id, 0.0) }
+      .agg(new TopKByScore(topN + 1).toColumn.name("top"))
+      .toDF("rep", "top")
+      .select(col("rep"), col("top.id").as("ids"))
     // per-side norm hoist (see semanticDedup): one dot per pair
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      VectorFunctions.asDouble(col(vecCol)).as("v_a"))
-      .withColumn("n_a", VectorFunctions.l2Norm(col("v_a")))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      VectorFunctions.asDouble(col(vecCol)).as("v_b"))
-      .withColumn("n_b", VectorFunctions.l2Norm(col("v_b")))
-    a.join(b, "blk")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val a = cls.select(col("blk"), col("rep").as("rep_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = cls.select(col("blk"), col("rep").as("rep_b"),
+      col("v").as("v_b"), col("n").as("n_b"), col("cnt").as("cnt_b"))
+    val classPairs = a.join(b, "blk")
+      .filter(col("rep_a") < col("rep_b") ||
+        (col("rep_a") === col("rep_b") && col("cnt_b") >= 2))
+      .select(col("rep_a"), col("rep_b"),
         round(VectorFunctions.dot(col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).as("cosine"))
+    // top-N class pairs by (cosine desc, smallest member pair asc)
+    val topCls = classPairs
+      .join(smallIds.select(col("rep").as("rep_a"), col("ids").as("ids_a")),
+        Seq("rep_a"))
+      .join(smallIds.select(col("rep").as("rep_b"), col("ids").as("ids_b")),
+        Seq("rep_b"))
+      .withColumn("tie1", when(col("rep_a") === col("rep_b"),
+        element_at(col("ids_a"), 1)).otherwise(col("rep_a")))
+      .withColumn("tie2", when(col("rep_a") === col("rep_b"),
+        element_at(col("ids_a"), 2)).otherwise(col("rep_b")))
+      .orderBy(desc("cosine"), col("tie1"), col("tie2"))
+      .limit(topN)
+    // expand the <= N selected class pairs (constant-bounded tail) and
+    // take the global top-N member pairs
+    topCls
+      .select(col("cosine"), col("rep_a"), col("rep_b"),
+        explode(col("ids_a")).as("ia"), col("ids_b"))
+      .select(col("cosine"), col("rep_a"), col("rep_b"), col("ia"),
+        explode(col("ids_b")).as("ib"))
+      .filter(col("rep_a") =!= col("rep_b") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
       .orderBy(desc("cosine"), col("id_a"), col("id_b"))
       .limit(topN)
   }

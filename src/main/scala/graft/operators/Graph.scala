@@ -70,24 +70,73 @@ object Graph {
     * same partitions its buckets hash to. Recall vs [[knnGraph]] is
     * measured in GraphSpec at the (bits, tables) knobs — more tables
     * raise recall, more bits shrink buckets; both are restatements of
-    * the probe/recall trade every ANN tier in this repo makes. */
+    * the probe/recall trade every ANN tier in this repo makes.
+    *
+    * ==Duplicate-flood posture== (the [[Dedup.hammingBandedPairs]]
+    * distinct-signature lesson lifted to raw vectors): a mirrored crawl
+    * gives a vector m byte-identical copies, and a raw id-level bucket
+    * self-join then scores m^2 candidate pairs PER TABLE for that one
+    * vector — quadratic in the duplication factor. Here identical
+    * vectors collapse to one CLASS (rep = min member id) first; bucket
+    * joins, candidate dedup and cosine scoring all run over class reps
+    * (one row per distinct vector), and members re-attach through two
+    * provably sufficient bounded windows:
+    *
+    *   1. per class, the top `k+1` neighbor classes by
+    *      (score desc, rep asc): any class outside that window cannot
+    *      contribute to ANY member's top-k, because each class ranked
+    *      above it supplies at least one member that outranks all of
+    *      its members under the (score desc, id asc) member order —
+    *      the `+1` absorbs the one exceptional case where a member's
+    *      OWN class wins its tie-break through the member itself;
+    *   2. per class, its `k+1` smallest member ids: within a class all
+    *      scores tie, so the member order falls to id asc and only the
+    *      smallest ids can surface (`+1` covers a member that is itself
+    *      among its class's k smallest and must skip itself).
+    *
+    * The final [[topKPerNode]] pass then selects exactly the same top-k
+    * set as the id-level formulation (same candidate superset, same
+    * rounded scores, same tie-breaks) while pair mass stays linear in
+    * corpus size: n x (k+1)^2 narrow expansion rows, never
+    * (duplication factor)^2. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
       .where(col("id").isNotNull && col("v").isNotNull &&
         dot(col("v"), col("v")) > 0) // see knnGraph
+    // Identical-vector class collapse: ONE map-side-combined groupBy on
+    // the vector value (a hot class absorbs in the combiner), one
+    // membership join back. These are the only vector-carrying
+    // exchanges; everything downstream ships reps, buckets and scores.
+    val classes = base.groupBy("v")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    // Candidate generation shuffles ID PAIRS ONLY: each bucket join
-    // projects (id, bkt) per side, so the bucket exchanges and the
+    val members = base.join(classes.select("v", "rep"), Seq("v"))
+      .select("id", "rep")
+    // k+1 smallest member ids per class (window 2 above). ScoredId with
+    // a constant score makes TopKByScore's (score desc, id asc) order
+    // collapse to id asc — an exact bounded smallest-ids aggregator.
+    val smallIds = members.as[(Long, Long)]
+      .groupByKey(_._2)
+      .mapValues { case (id, _) => ScoredId(id, 0.0) }
+      .agg(new TopKByScore(k + 1).toColumn.name("top"))
+      .toDF("rep", "top")
+      .select(col("rep"), col("top.id").as("ids"))
+    // Candidate generation shuffles REP PAIRS ONLY: each bucket join
+    // projects (rep, bkt) per side, so the bucket exchanges and the
     // union + dropDuplicates dedup exchange carry 16-byte rows — the
     // Hamming-family exchange discipline — instead of two dims-wide
     // double vectors per candidate (~12 KB at 768 dims). Vectors and
-    // norms rejoin AFTER the dedup from the base projection, one
-    // corpus-cardinality pass per side rather than one per surviving
+    // norms rejoin AFTER the dedup from the class projection, one
+    // class-cardinality pass per side rather than one per surviving
     // candidate per table. Same candidate set, same scores.
+    val crep = classes.select(col("rep").as("id"), col("v"), col("n"))
     val candidates = (0 until tables).map { t =>
-      val keyed = base.select(col("id"),
+      val keyed = crep.select(col("id"),
         Knn.signLshKey(col("v"), dims, bits, seed = 1000L + t).as("bkt"))
       keyed.join(keyed.select(col("id").as("nb"), col("bkt")), "bkt")
         .filter(col("id") =!= col("nb"))
@@ -95,15 +144,42 @@ object Graph {
     }.reduce(_ union _).dropDuplicates("id", "nb")
     // per-side norm hoist (the knnGraph stance): one dot per scored
     // pair instead of three; bit-identical scores
-    val scored = candidates
-      .join(base.select(col("id"), col("v").as("va"), col("n").as("na")),
-        "id")
-      .join(base.select(col("id").as("nb"), col("v").as("vb"),
+    val scoredClasses = candidates
+      .join(crep.select(col("id"), col("v").as("va"), col("n")
+        .as("na")), "id")
+      .join(crep.select(col("id").as("nb"), col("v").as("vb"),
         col("n").as("nb_n")), "nb")
-      .select(col("id"), col("nb"),
+      .select(col("id").as("rep_a"), col("nb").as("rep_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
           .as("score"))
-    topKPerNode(scored, k)
+    // Members of a multi-member class are mutual neighbors at the
+    // self-cosine (identical vectors share every bucket, so the
+    // id-level formulation always paired them).
+    val intra = classes.filter(col("cnt") >= 2)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        round(dot(col("v"), col("v")) / (col("n") * col("n")), 6)
+          .as("score"))
+    // window 1: top-(k+1) neighbor classes per class. ScoredId's id is
+    // the neighbor's rep = its min member id, exactly the tie-break the
+    // member order needs.
+    val topClasses = scoredClasses.union(intra)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, rb, s) => ScoredId(rb, s) }
+      .agg(new TopKByScore(k + 1).toColumn.name("top"))
+      .toDF("rep_a", "top")
+      .select(col("rep_a"), explode(col("top")).as("t"))
+      .select(col("rep_a"), col("t.id").as("rep_b"),
+        col("t.score").as("score"))
+    // expand: every member of A x the k+1 smallest ids of each of A's
+    // top classes — narrow (id, nb, score) rows, linear in corpus
+    val expanded = members.withColumnRenamed("rep", "rep_a")
+      .join(topClasses, Seq("rep_a"))
+      .join(smallIds.select(col("rep").as("rep_b"), col("ids")),
+        Seq("rep_b"))
+      .select(col("id"), explode(col("ids")).as("nb"), col("score"))
+      .filter(col("id") =!= col("nb"))
+    topKPerNode(expanded, k)
   }
 
   /** Bounded per-node top-k over a scored (id, nb, score) pair table:

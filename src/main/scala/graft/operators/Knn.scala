@@ -166,19 +166,56 @@ object Knn {
         .withColumn(s"n$suffix", l2Norm(col(s"v$suffix")))
     }
     val a = prep(anchors, "_a")
-    val c = prep(candidates, "_c")
-    val joined = blockCol match {
-      case Some(_) => a.join(c, "blk")
-      case None    => a.drop("blk").crossJoin(c.drop("blk"))
-    }
-    val scored = joined
+    // Candidate-side identical-vector class collapse (the knnGraphLsh /
+    // embeddingLshPairs duplicate-flood posture): a mirrored corpus
+    // gives a candidate vector m copies, and scoring raw rows costs
+    // every anchor m dot products for the same value. Classes key on
+    // (block, label, vector) — one map-side-combined groupBy — so each
+    // anchor scores each distinct (label, vector) ONCE; only a class's
+    // k smallest member ids can surface in any anchor's top-k (within a
+    // class scores tie and the member order falls to id asc), and only
+    // an anchor's top-k classes by (cosine desc, rep asc = min member
+    // id) can contribute (each class ranked above supplies >= 1 member
+    // outranking all of the lower class's members). Expansion is
+    // therefore k^2-bounded per anchor; the final bounded top-k
+    // reproduces the id-level output exactly.
+    val cBase = candidates.select(col(idCol).cast("long").as("id_c"),
+      col(labelCol).as("lbl_c"), asDouble(col(vecCol)).as("v_c"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val cls = cBase.groupBy("blk", "lbl_c", "v_c")
+      .agg(min(col("id_c")).as("rep"))
+      .withColumn("n_c", l2Norm(col("v_c")))
+    // k smallest member ids per class (constant score -> TopKByScore
+    // orders by id asc: an exact bounded smallest-ids aggregator)
+    val smallIds = cBase
+      .join(cls.select("blk", "lbl_c", "v_c", "rep"),
+        Seq("blk", "lbl_c", "v_c"))
+      .select("id_c", "rep").as[(Long, Long)]
+      .groupByKey(_._2)
+      .mapValues { case (id, _) => ScoredId(id, 0.0) }
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("rep", "top")
+      .select(col("rep"), col("top.id").as("ids"))
+    val scored = a.join(cls, "blk")
       .filter(col("lbl_a") =!= col("lbl_c"))
-      .select(col("id_a"), col("id_c"),
+      .select(col("id_a"), col("rep"),
         round(dot(col("v_a"), col("v_c")) /
           (col("n_a") * col("n_c")),
           6).as("cosine"))
       .as[(Long, Long, Double)]
-    scored.groupByKey(_._1)
+    // per-anchor top-k classes, expanded through each class's k
+    // smallest ids, then the final bounded member-level top-k
+    val topCls = scored.groupByKey(_._1)
+      .mapValues { case (_, rep, cos) => ScoredId(rep, cos) }
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("id_a", "top")
+      .select(col("id_a"), explode(col("top")).as("t"))
+      .select(col("id_a"), col("t.id").as("rep"),
+        col("t.score").as("cosine"))
+    topCls.join(smallIds, Seq("rep"))
+      .select(col("id_a"), explode(col("ids")).as("id_c"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
       .mapValues { case (_, id, cos) => ScoredId(id, cos) }
       .agg(new TopKByScore(k).toColumn.name("top"))
       .toDF("id", "top")
