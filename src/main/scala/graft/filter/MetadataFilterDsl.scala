@@ -257,4 +257,133 @@ object MetadataFilterDsl {
   /** Parse + compile; None when the filter string is unparseable. */
   def toColumn(filterStr: String, df: DataFrame): Option[Column] =
     parse(filterStr).map(compile(_, df))
+
+  // ---------- driver-side (Column-free) evaluation ----------
+  //
+  // The warm serving tier filters its RESIDENT passage metadata without
+  // a Spark plan: same parse, same AST, and an interpreter whose every
+  // branch mirrors [[compile]]'s. The two "missing" shapes the compiler
+  // distinguishes (field absent from the schema → constant; field
+  // present but NULL → missing branch) evaluate to the same truth value
+  // for every operator, so the interpreter folds them into one
+  // `lookup(path) == None` case. ParityFilterSpec pins eval == compile
+  // over the full grammar on the same rows.
+
+  /** Evaluate against one row's field lookup: `lookup(path)` resolves a
+    * dotted path to Some(value) (Long/Int/Double/Float/Boolean/String,
+    * or nested Map for structs) or None when absent/null. */
+  def eval(node: Node, lookup: String => Option[Any]): Boolean = node match {
+    case And(cs) => cs.forall(eval(_, lookup))
+    case Or(cs)  => cs.exists(eval(_, lookup))
+    case Cond(field, op, value, list) =>
+      lookup(field) match {
+        case None => op == "ne" || op == "not_in"
+        case Some(x) => op match {
+          case "exists" => true
+          case "eq"     => eqVal(x, value)
+          case "ne"     => !eqVal(x, value)
+          case "in"     => list.exists(eqVal(x, _))
+          case "not_in" => !list.exists(eqVal(x, _))
+          case "contains" => x match {
+            case s: String => s.contains(value.asInstanceOf[VStr].v)
+            case _ => false
+          }
+          case "starts_with" => x match {
+            case s: String => s.startsWith(value.asInstanceOf[VStr].v)
+            case _ => false
+          }
+          case "ends_with" => x match {
+            case s: String => s.endsWith(value.asInstanceOf[VStr].v)
+            case _ => false
+          }
+          case cmp => cmpVal(x, value).exists { c =>
+            cmp match {
+              case "gt"  => c > 0
+              case "gte" => c >= 0
+              case "lt"  => c < 0
+              case "lte" => c <= 0
+            }
+          }
+        }
+      }
+  }
+
+  private def asIntegral(x: Any): Option[Long] = x match {
+    case b: Byte  => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case _        => None
+  }
+
+  private def asNum(x: Any): Option[Double] = x match {
+    case b: Byte   => Some(b.toDouble)
+    case s: Short  => Some(s.toDouble)
+    case i: Int    => Some(i.toDouble)
+    case l: Long   => Some(l.toDouble)
+    case f: Float  => Some(f.toDouble)
+    case d: Double => Some(d)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case d: BigDecimal => Some(d.toDouble)
+    case _         => None
+  }
+
+  /** [[eqCol]]'s semantics on runtime values: integral field + whole
+    * literal compares in Long (the pushdown-exact branch), any other
+    * numeric pairing in Double, bool/string typed, cross-type false. */
+  private def eqVal(x: Any, v: Value): Boolean = (x, v) match {
+    case (_, VNum(d)) if asNum(x).isDefined =>
+      (asIntegral(x), asWholeLong(d)) match {
+        case (Some(l), Some(lw)) => l == lw
+        case _                   => asNum(x).get == d
+      }
+    case (b: Boolean, VBool(bv)) => b == bv
+    case (s: String, VStr(sv))   => s == sv
+    case _                       => false
+  }
+
+  /** UTF-8 binary string order — Spark's UTF8String comparison, which
+    * differs from Java's UTF-16 code-unit order above the BMP. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** [[cmpCols]]'s semantics on runtime values: Some(sign) when the
+    * pairing is comparable, None otherwise (→ false upstream). */
+  private def cmpVal(x: Any, v: Value): Option[Int] = (x, v) match {
+    case (_, VNum(d)) if asNum(x).isDefined =>
+      (asIntegral(x), asWholeLong(d)) match {
+        case (Some(l), Some(lw)) => Some(java.lang.Long.compare(l, lw))
+        case _ => Some(java.lang.Double.compare(asNum(x).get, d))
+      }
+    case (s: String, VStr(sv)) => Some(utf8Cmp(s, sv))
+    case _                     => None
+  }
+
+  /** Dotted-path lookup over a nested Map[String, Any] row (structs as
+    * nested Maps); absent keys and null values are both None. */
+  def lookupIn(row: Map[String, Any])(path: String): Option[Any] = {
+    val parts = path.split('.')
+    parts.foldLeft(Option[Any](row)) {
+      case (Some(m: Map[String, Any] @unchecked), seg) =>
+        m.get(seg).filter(_ != null)
+      case _ => None
+    } match {
+      case Some(m: Map[_, _]) if parts.nonEmpty =>
+        // a struct itself: exists-able, but never eq/cmp-comparable —
+        // matches compile(), where a struct column fails every typed
+        // branch except isNotNull
+        Some(m)
+      case other => other
+    }
+  }
 }

@@ -390,9 +390,13 @@ object TrainExport {
       "weights must be non-empty, non-negative, with a positive sum")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wSum = weights.values.sum
-    val wDf = weights.toSeq.sortBy(_._1)
-      .map { case (s, w) => (s, w / wSum) }.toDF("source", "w")
+    // RAW weights ride into the plan; normalization happens ONCE below,
+    // against the present-source raw sum — a pre-normalized w/wSum
+    // followed by a renormalizing division would compound two double
+    // roundings (three equal weights: 1/3 * 3 != 1) and nudge
+    // allocations across their round-6 boundary even when every
+    // weighted source is present.
+    val wDf = weights.toSeq.sortBy(_._1).toDF("source", "wraw")
     // Eager checkpoint: the per-source availability scan is the only
     // corpus-scale cost here, and the S-row result feeds three driver
     // actions (the guard count, the present-weight probe, the plan
@@ -409,21 +413,30 @@ object TrainExport {
         s"$maxSources. Aggregate sources first (e.g. path -> domain) " +
         "or raise maxSources deliberately.")
     val joined0 = avail.join(broadcast(wDf), Seq("source"), "left")
-      .na.fill(Map("w" -> 0.0))
-    // Renormalize over the weight mass actually PRESENT in the corpus:
-    // a weighted source the scan never saw (typo'd --weights name, an
+      .na.fill(Map("wraw" -> 0.0))
+    // Normalize over the weight mass actually PRESENT in the corpus: a
+    // weighted source the scan never saw (typo'd --weights name, an
     // empty split) must not keep reserving its share of the water
     // level — with the full-map denominator, (1 - cw) still counted
     // the absent share and every allocation silently shrank by it,
-    // under-filling the budget. Weights are relative proportions over
-    // what exists; a corpus with NO weighted source present is a
-    // mistake, not an empty plan, so it fails loudly.
-    val presentW = joined0.agg(coalesce(sum("w"), lit(0.0))).head().getDouble(0)
+    // under-filling the budget. The denominator is the sum of RAW
+    // weights of present sources, computed on the DRIVER in sorted-name
+    // order over the S-row table: deterministic regardless of plan
+    // order, exact for small-integer weights, and — when every weighted
+    // source is present — identical to the plain w/sum(w) the oracle
+    // replays (one division, no compounding). Weights are relative
+    // proportions over what exists; a corpus with NO weighted source
+    // present is a mistake, not an empty plan, so it fails loudly.
+    val presentSources = joined0.filter(col("wraw") > 0.0)
+      .select("source").as[String].collect().toSet
+    val presentW = weights.toSeq.sortBy(_._1)
+      .collect { case (s, w) if w > 0.0 && presentSources.contains(s) => w }
+      .sum
     require(presentW > 0.0,
       s"mixturePlan: none of the weighted sources (${weights.keys.toSeq.sorted.take(5).mkString(", ")}" +
         s"${if (weights.size > 5) ", ..." else ""}) appear in '$sourceCol' — " +
         "check the weight names against the corpus")
-    val joined = joined0.withColumn("w", col("w") / lit(presentW))
+    val joined = joined0.withColumn("w", col("wraw") / lit(presentW)).drop("wraw")
     // zero-weight sources are excluded from the water-filling but kept
     // in the output (allocation 0) — an unweighted source must be a
     // visible decision, not a silent drop

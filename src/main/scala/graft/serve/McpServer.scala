@@ -36,20 +36,38 @@ final class McpServer(spark: SparkSession, warehouse: String,
   // layout per index, loaded on FIRST use (MCP requests name their
   // index per call, unlike the single-index HTTP server). None after a
   // failed load = that index stays on the Spark path (over the RAM
-  // budget / no persisted embeddings) — a routing decision surfaced on
-  // stderr, never a protocol error.
+  // budget / no persisted embeddings / corrupt table) — a routing
+  // decision surfaced on stderr, never a protocol error, so ANY load
+  // failure is caught (NonFatal), not just argument checks.
+  //
+  // Staleness contract: entries are keyed by the directory's content
+  // FINGERPRINT (a stat walk per call, microseconds). An index rebuilt
+  // or updated on disk reloads instead of serving the stale snapshot,
+  // and an index that failed to load but later gains persisted
+  // embeddings gets a fresh load attempt rather than being pinned to
+  // the Spark path for the session.
   private val warmCache =
-    scala.collection.mutable.HashMap.empty[String, Option[WarmIndex]]
-  private def warmFor(dir: String): Option[WarmIndex] =
-    if (!warm) None
-    else warmCache.getOrElseUpdate(dir,
-      try Some(WarmIndex.load(spark, dir, provider))
-      catch {
-        case e: IllegalArgumentException =>
-          System.err.println(
-            s"[warm] $dir stays on the Spark path: ${e.getMessage}")
-          None
-      })
+    scala.collection.mutable.HashMap.empty[String, (Long, Option[WarmIndex])]
+  private def warmFor(dir: String): Option[WarmIndex] = {
+    if (!warm) return None
+    val fp = WarmIndex.fingerprint(dir)
+    warmCache.get(dir) match {
+      case Some((cachedFp, cached)) if cachedFp == fp => cached
+      case stale =>
+        if (stale.isDefined)
+          System.err.println(s"[warm] $dir changed on disk — reloading")
+        val loaded =
+          try Some(WarmIndex.load(spark, dir, provider))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[warm] $dir stays on the Spark path: ${e.getMessage}")
+              None
+          }
+        warmCache.put(dir, (fp, loaded))
+        loaded
+    }
+  }
 
   /** Protocol revisions whose initialize/tools surface we implement;
     * an unknown requested version gets our latest supported one back
@@ -182,12 +200,13 @@ final class McpServer(spark: SparkSession, warehouse: String,
     }
     val hybrid = args.get("hybrid").contains(true)
     val filter = args.get("filter").map(String.valueOf)
-    // warm path for plain/hybrid unfiltered requests — results pinned
-    // identical to the Spark path (the ServerSpec parity contract)
+    // warm path for plain/filtered/hybrid requests — results pinned
+    // identical to the Spark path (the ServerSpec parity contract);
+    // filters evaluate in-process over the resident metadata
     val rows: Seq[(String, Double, String, String)] = warmFor(dir) match {
-      case Some(wi) if filter.isEmpty && (!hybrid || wi.hasBm25) =>
-        if (hybrid) wi.searchHybrid(query, topK)
-        else wi.search(query, topK)
+      case Some(wi) if !hybrid || wi.hasBm25 =>
+        if (hybrid) wi.searchHybrid(query, topK, filterStr = filter)
+        else wi.search(query, topK, filterStr = filter)
       case _ => Index.search(spark, dir, query, provider,
           topK = topK, filterStr = filter, hybrid = hybrid).collect()
         .map(r => (r.getString(0), r.getDouble(1),

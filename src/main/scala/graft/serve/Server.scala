@@ -35,15 +35,48 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
   private val indexDir = Index.locate(warehouse, indexName)
     .getOrElse(throw new IllegalArgumentException(s"no index '$indexName' in $warehouse"))
 
-  // Warm tier (opt-in): the index layout loaded ONCE into driver
-  // arrays at startup so plain vector requests run zero Spark jobs —
-  // the per-request latency answer to the reference's in-process walk
-  // (see [[WarmIndex]]). Filtered/hybrid requests stay on the Spark
-  // path, whose plans those features live in. Loading fails loudly
-  // (index too big for the driver-RAM bound, no persisted embeddings)
-  // at CONSTRUCTION, not first request.
-  private val warmIndex: Option[WarmIndex] =
+  // Warm tier (opt-in): the index layout loaded into driver arrays so
+  // vector/hybrid/filtered requests run zero Spark jobs — the
+  // per-request latency answer to the reference's in-process walk (see
+  // [[WarmIndex]]). The initial load fails loudly (index too big for
+  // the driver-RAM bound, no persisted embeddings) at CONSTRUCTION,
+  // not first request.
+  @volatile private var warmIndex: Option[WarmIndex] =
     if (warm) Some(WarmIndex.load(spark, indexDir, provider)) else None
+
+  // Staleness contract: WarmIndex is an immutable snapshot, but the
+  // index DIRECTORY can move under a long-lived server (Index.update /
+  // appendIvf) — serving the snapshot then means silently stale
+  // results. Every warm-routed request probes the directory
+  // fingerprint (a stat walk, microseconds) and RELOADS on drift; a
+  // reload that now fails (index grew past the driver budget, table
+  // mid-write) routes this and subsequent requests to the Spark path —
+  // loud on stderr, never stale.
+  private def currentWarm(): Option[WarmIndex] = warmIndex match {
+    case None => None
+    case some @ Some(wi) =>
+      val fp = WarmIndex.fingerprint(indexDir)
+      if (fp == wi.fingerprint) some
+      else synchronized {
+        // re-check under the lock: another request may have reloaded
+        val cur = warmIndex
+        if (cur.exists(_.fingerprint == fp)) cur
+        else {
+          System.err.println(s"[warm] $indexDir changed on disk — reloading")
+          try {
+            val fresh = WarmIndex.load(spark, indexDir, provider)
+            warmIndex = Some(fresh)
+            warmIndex
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[warm] reload failed, serving from the Spark path: ${e.getMessage}")
+              warmIndex = None
+              None
+          }
+        }
+      }
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -92,19 +125,21 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
             val filterStr = jsonStr(body, "filter")
             val hybrid = jsonBool(body, "hybrid").getOrElse(false)
             val t0 = System.nanoTime()
-            // warm tier serves the plain vector path AND (when the
-            // index persisted its bm25 tables within the driver
-            // budget) the hybrid path with zero Spark jobs; results
-            // are pinned identical to the Spark path (ServerSpec).
-            // Filtered requests stay on the Spark plans.
+            // warm tier serves the plain vector path, the FILTERED
+            // path (in-process DSL evaluation over resident metadata)
+            // AND — when the index persisted its bm25 tables within
+            // the driver budget — the hybrid path, all with zero Spark
+            // jobs; results are pinned identical to the Spark path
+            // (ServerSpec).
             val alpha = jsonNum(body, "hybrid_alpha")
               .orElse(jsonNum(body, "alpha")).getOrElse(0.7)
-            val (results, tier) = warmIndex match {
-              case Some(wi) if filterStr.isEmpty && (!hybrid || wi.hasBm25) =>
-                val nprobe = jsonNum(body, "nprobe").map(_.toInt)
-                  .getOrElse(Int.MaxValue)
-                ((if (hybrid) wi.searchHybrid(query, topK, alpha, nprobe)
-                  else wi.search(query, topK, nprobe))
+            val nprobeReq = jsonNum(body, "nprobe").map(_.toInt)
+            val (results, tier) = currentWarm() match {
+              case Some(wi) if !hybrid || wi.hasBm25 =>
+                val nprobe = nprobeReq.getOrElse(Int.MaxValue)
+                ((if (hybrid)
+                    wi.searchHybrid(query, topK, alpha, nprobe, filterStr)
+                  else wi.search(query, topK, nprobe, filterStr))
                   .map { case (id, score, text, source) =>
                     s"""{"id":${q(id)},"score":$score,""" +
                       s""""text":${q(text)},"source":${q(source)}}"""
@@ -120,8 +155,14 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
                   }.mkString("[", ",", "]"), "spark")
             }
             val tookMs = (System.nanoTime() - t0) / 1e6
+            // nprobe only prunes on the warm tier; a Spark-path
+            // response to a request that asked for it says so instead
+            // of silently serving exact results under a pruning knob
+            val note =
+              if (tier == "spark" && nprobeReq.isDefined)
+                s""","note":"nprobe_ignored"""" else ""
             respond(ex, 200,
-              s"""{"results":$results,"took_ms":$tookMs,"tier":${q(tier)}}""")
+              s"""{"results":$results,"took_ms":$tookMs,"tier":${q(tier)}$note}""")
           } catch {
             case e: Exception => respond(ex, 500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
           }

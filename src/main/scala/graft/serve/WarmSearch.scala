@@ -56,9 +56,13 @@ final class WarmIndex private (
     bucketIds: Array[Array[String]],
     bucketVecs: Array[Array[Float]],
     passages: java.util.HashMap[String, Array[String]],
+    metaRows: java.util.HashMap[String, Map[String, Any]],
     bm25: Option[WarmBm25],
     provider: EmbeddingProvider,
-    template: String) {
+    template: String,
+    /** Index-directory content fingerprint at load time (see
+      * [[WarmIndex.fingerprint]]) — the staleness probe's baseline. */
+    val fingerprint: Long) {
 
   def numClusters: Int = bucketIds.length
   def numVectors: Int = bucketIds.iterator.map(_.length).sum
@@ -79,8 +83,11 @@ final class WarmIndex private (
   }
 
   /** Top-k (id, round6(dot)) over the probed buckets, (score desc, id
-    * asc) — the [[Index.search]] `scored.orderBy.limit` semantics. */
-  private def topVec(qv: Array[Double], k: Int, nprobe: Int): Seq[(String, Double)] = {
+    * asc) — the [[Index.search]] `scored.orderBy.limit` semantics.
+    * `allowed` (null = unfiltered) restricts the scan to a filter's
+    * surviving ids, mirroring the Spark path's pre-scoring semi-join. */
+  private def topVec(qv: Array[Double], k: Int, nprobe: Int,
+                     allowed: java.util.HashSet[String] = null): Seq[(String, Double)] = {
     val probe: Seq[Int] =
       if (nprobe >= numClusters || centroids.isEmpty) bucketIds.indices
       else {
@@ -102,14 +109,16 @@ final class WarmIndex private (
       val vecs = bucketVecs(c)
       var r = 0
       while (r < ids.length) {
-        var s = 0.0
-        var i = 0
-        val base = r * dims
-        while (i < dims) { s += vecs(base + i).toDouble * qv(i); i += 1 }
-        val scored = (ids(r), round6(s))
-        if (heap.size < k) heap.add(scored)
-        else if (ord.compare(scored, heap.peek()) > 0) {
-          heap.poll(); heap.add(scored)
+        if (allowed == null || allowed.contains(ids(r))) {
+          var s = 0.0
+          var i = 0
+          val base = r * dims
+          while (i < dims) { s += vecs(base + i).toDouble * qv(i); i += 1 }
+          val scored = (ids(r), round6(s))
+          if (heap.size < k) heap.add(scored)
+          else if (ord.compare(scored, heap.peek()) > 0) {
+            heap.poll(); heap.add(scored)
+          }
         }
         r += 1
       }
@@ -135,11 +144,42 @@ final class WarmIndex private (
       else (id, score, p(0), p(1))
     }
 
+  /** Evaluate a metadata-filter AST over the resident flat passage
+    * rows (id, text, metadata.*) — the Spark path's pre-scoring
+    * semi-join, in-process: a driver loop over <= maxVectors rows, no
+    * jobs. Returns the surviving id set. */
+  private def allowedIds(node: graft.filter.MetadataFilterDsl.Node): java.util.HashSet[String] = {
+    import graft.filter.MetadataFilterDsl
+    val out = new java.util.HashSet[String]()
+    metaRows.forEach { (id, row) =>
+      if (MetadataFilterDsl.eval(node, MetadataFilterDsl.lookupIn(row)))
+        out.add(id)
+    }
+    out
+  }
+
+  /** Parse a request filter or refuse with [[Index.search]]'s exact
+    * contract: a typo'd filter is an error, never silently-unfiltered
+    * results. None in = no filter = null allowed-set (scan all). */
+  private def allowedFor(filterStr: Option[String]): java.util.HashSet[String] =
+    filterStr match {
+      case None => null
+      case Some(f) =>
+        val node = graft.filter.MetadataFilterDsl.parse(f).getOrElse(
+          throw new IllegalArgumentException(
+            s"unparseable metadata filter: '$f'"))
+        allowedIds(node)
+    }
+
   /** Exact top-k over the probed buckets; `nprobe >= numClusters`
-    * (default) scans everything = [[Index.search]] parity. */
+    * (default) scans everything = [[Index.search]] parity. `filterStr`
+    * (metadata filter DSL) restricts scoring to matching passages
+    * in-process — the reference's interactive filtered path
+    * (`src/index/searcher.rs:172-207`) without the Spark job. */
   def search(query: String, topK: Int = 5,
-             nprobe: Int = Int.MaxValue): Seq[(String, Double, String, String)] =
-    resolve(topVec(embed(query), topK, nprobe))
+             nprobe: Int = Int.MaxValue,
+             filterStr: Option[String] = None): Seq[(String, Double, String, String)] =
+    resolve(topVec(embed(query), topK, nprobe, allowedFor(filterStr)))
 
   /** Hybrid (vector + BM25 min-max fusion) in-process — the reference's
     * interactive hybrid path (`src/index/searcher.rs:152-165` +
@@ -156,16 +196,22 @@ final class WarmIndex private (
     * rounding boundary). Requires the persisted bm25 tables —
     * [[hasBm25]]; callers route to the Spark path otherwise. */
   def searchHybrid(query: String, topK: Int = 5, alpha: Double = 0.7,
-                   nprobe: Int = Int.MaxValue): Seq[(String, Double, String, String)] = {
+                   nprobe: Int = Int.MaxValue,
+                   filterStr: Option[String] = None): Seq[(String, Double, String, String)] = {
     val b = bm25.getOrElse(throw new IllegalStateException(
       "warm hybrid needs the persisted bm25 tables — index has none"))
+    val allowed = allowedFor(filterStr)
     val fetchK = topK * 5
-    val vec = topVec(embed(query), fetchK, nprobe)
+    val vec = topVec(embed(query), fetchK, nprobe, allowed)
     // qn per distinct query term, the tokenizeString grouping
     val qn = graft.functions.TextFunctions.tokenizeString(query)
       .groupBy(identity).view.mapValues(_.size).toSeq
     // per-doc BM25 sum over the query terms' postings (docs absent
-    // from every posting list keep score 0 via the bmin/bmax floor)
+    // from every posting list keep score 0 via the bmin/bmax floor).
+    // A posting id with no bm25_dl row (inconsistent / partially
+    // updated stats tables) is SKIPPED — the Spark path's inner join
+    // on dl drops it, so scoring it here (Scala unboxes the missing
+    // Long to 0 -> norm 1-B) would silently diverge.
     val acc = new java.util.HashMap[String, Double]()
     qn.foreach { case (term, n) =>
       val dfT = b.df.get(term)
@@ -174,24 +220,29 @@ final class WarmIndex private (
         val idf = math.log(
           (b.numDocs.toDouble - dfT + 0.5) / (dfT + 0.5) + 1.0)
         posts.foreach { case (id, tf) =>
-          val norm = 1.0 - graft.operators.BM25.B +
-            graft.operators.BM25.B * (b.dl.get(id).toDouble / b.avgdl)
-          val s = n * idf * (tf * (graft.operators.BM25.K1 + 1.0)) /
-            (tf + graft.operators.BM25.K1 * norm)
-          acc.merge(id, s, (x, y) => x + y)
+          if (b.dl.containsKey(id)) {
+            val norm = 1.0 - graft.operators.BM25.B +
+              graft.operators.BM25.B * (b.dl.get(id).toDouble / b.avgdl)
+            val s = n * idf * (tf * (graft.operators.BM25.K1 + 1.0)) /
+              (tf + graft.operators.BM25.K1 * norm)
+            acc.merge(id, s, (x, y) => x + y)
+          }
         }
       }
     }
-    // bmAll = every passage id, round6(score or 0); bmin/bmax over it
+    // bmAll = every (filter-surviving) passage id, round6(score or 0);
+    // bmin/bmax over it — the Spark path computes its BM25 min/max over
+    // the FILTERED corpus score vector (bmAll joins filtered passages)
     var bmin = Double.MaxValue
     var bmax = Double.MinValue
     val bscore = new java.util.HashMap[String, Double](passages.size() * 2)
     passages.keySet().forEach { id =>
-      val raw = acc.get(id)
-      val sc = round6(if (raw == null) 0.0 else raw.doubleValue())
-      bscore.put(id, sc)
-      if (sc < bmin) bmin = sc
-      if (sc > bmax) bmax = sc
+      if (allowed == null || allowed.contains(id)) {
+        val sc = round6(acc.getOrDefault(id, 0.0))
+        bscore.put(id, sc)
+        if (sc < bmin) bmin = sc
+        if (sc > bmax) bmax = sc
+      }
     }
     // BM25 top-fetchK of the positive scores, (bscore desc, id asc)
     val bheap = new java.util.PriorityQueue[(String, Double)](fetchK max 1, ord)
@@ -208,6 +259,7 @@ final class WarmIndex private (
     // rows enter at 0.0
     val vmap = vec.toMap
     val candIds = vmap.keySet ++ bmTop
+    if (candIds.isEmpty) return Seq.empty // filter matched nothing
     val vmin = candIds.iterator.map(id => vmap.getOrElse(id, 0.0)).min
     val vmax = candIds.iterator.map(id => vmap.getOrElse(id, 0.0)).max
     val vrange = math.max(vmax - vmin, 1e-6)
@@ -232,9 +284,42 @@ object WarmIndex {
     * above `maxVectors` — the driver-RAM budget is this tier's
     * contract, and silently OOMing a serving driver is worse than
     * falling back to the Spark path. */
+  /** Content fingerprint of an index directory: a 64-bit mix of every
+    * file's (relative path, mtime, length), walked recursively in
+    * sorted order. A pure stat walk — no reads — so probing it per
+    * request is microseconds; any rebuild/update/append touches at
+    * least one parquet file or the meta json and moves it. */
+  def fingerprint(dir: String): Long = {
+    def mix(h: Long, v: Long): Long = {
+      val x = (h ^ v) * 0x9e3779b97f4a7c15L
+      x ^ (x >>> 32)
+    }
+    def walk(f: java.io.File, h: Long): Long = {
+      val base = mix(mix(h, f.getName.hashCode.toLong), f.lastModified())
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        kids.foldLeft(base)((acc, k) => walk(k, acc))
+      } else mix(base, f.length())
+    }
+    walk(new java.io.File(dir), 0x6c62272e07bb0142L)
+  }
+
+  /** Spark Row → nested Map[String, Any] (structs recurse; null values
+    * stay null and read as missing through [[MetadataFilterDsl.lookupIn]]). */
+  private def rowToMap(r: org.apache.spark.sql.Row): Map[String, Any] =
+    r.schema.fields.iterator.zipWithIndex.map { case (f, i) =>
+      f.name -> (r.get(i) match {
+        case sub: org.apache.spark.sql.Row => rowToMap(sub)
+        case other => other
+      })
+    }.toMap
+
   def load(spark: SparkSession, dir: String, provider: EmbeddingProvider,
            maxVectors: Int = 1000000,
            maxPostings: Long = 5000000L): WarmIndex = {
+    // fingerprint BEFORE reading: a write racing the load shows as
+    // drift on the first post-load probe instead of hiding behind it
+    val fp = fingerprint(dir)
     val meta = Index.readMeta(dir)
     val hasIvf = new java.io.File(s"$dir/embeddings_ivf").exists()
     val embPath = if (hasIvf) s"$dir/embeddings_ivf" else s"$dir/embeddings"
@@ -298,13 +383,32 @@ object WarmIndex {
           }
         clusterIdx.map(c => cm.getOrElse(c, new Array[Double](dims)))
       } else Array.empty
+    // One passages collect feeds BOTH driver maps: (text, source) for
+    // result resolution and the flat (id, text, metadata.*) row for the
+    // in-process filter evaluator — string instances shared, so the
+    // metadata residency costs the metadata, not a second text copy.
     val passages = new java.util.HashMap[String, Array[String]](n.toInt * 2)
+    val metaRows = new java.util.HashMap[String, Map[String, Any]](n.toInt * 2)
     spark.read.parquet(s"$dir/passages")
-      .select(col("id").cast("string"), col("text"),
-        col("metadata.source").as("source"))
+      .select(col("id").cast("string"), col("text"), col("metadata"))
       .collect()
-      .foreach(r => passages.put(r.getString(0),
-        Array(r.getString(1), r.getString(2))))
+      .foreach { r =>
+        val id = r.getString(0)
+        val text = r.getString(1)
+        val md = r.get(2) match {
+          case sub: org.apache.spark.sql.Row => rowToMap(sub)
+          case _ => Map.empty[String, Any]
+        }
+        val src = md.getOrElse("source", null) match {
+          case s: String => s
+          case _ => null
+        }
+        passages.put(id, Array(text, src))
+        // flat-view field order parity: metadata.* fields, with the
+        // outer id/text winning a name collision (Spark's resolve finds
+        // the first schema match)
+        metaRows.put(id, md ++ Map("id" -> id, "text" -> text))
+      }
     // BM25 stats for the warm HYBRID path, when the index persisted
     // them and they fit the driver budget. Over-budget postings mean
     // hybrid requests ROUTE to the Spark path (same results, job
@@ -343,6 +447,6 @@ object WarmIndex {
         }
       }
     new WarmIndex(dims, centroids, bucketIds, bucketVecs, passages,
-      bm25, provider, meta.queryPromptTemplate)
+      metaRows, bm25, provider, meta.queryPromptTemplate, fp)
   }
 }

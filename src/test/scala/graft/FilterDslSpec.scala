@@ -67,4 +67,58 @@ class FilterDslSpec extends SparkSpec {
     assert(MetadataFilterDsl.parse("").isEmpty)
     assert(MetadataFilterDsl.parse("noop").isEmpty)
   }
+
+  test("driver-side eval == Catalyst compile over the full grammar") {
+    // The warm serving tier evaluates the SAME AST in-process
+    // (MetadataFilterDsl.eval over nested-Map rows); every branch must
+    // agree with the compiled Column on the same data — including the
+    // missing-field truth table, numeric Long/Double coercion, string
+    // ordering, dotted struct paths and type mismatches.
+    val rows: Seq[Map[String, Any]] = Seq(
+      Map("id" -> 1, "source" -> "main.rs", "type" -> "code",
+        "lines" -> 100L, "lang" -> "rust",
+        "meta" -> Map("depth" -> 2, "tag" -> "x")),
+      Map("id" -> 2, "type" -> "code", "lang" -> "rust"),
+      Map("id" -> 3, "source" -> "/path/to/main.rs",
+        "meta" -> Map("depth" -> 5)),
+      Map("id" -> 4, "source" -> "zz.txt", "lines" -> 49.5,
+        "flag" -> true))
+    val df4 = Seq(
+      (1, Some("main.rs"), Some("code"), Some(100.0), Some("rust"),
+        Some((Some(2), Some("x"))), None: Option[Boolean]),
+      (2, None, Some("code"), None, Some("rust"), None, None),
+      (3, Some("/path/to/main.rs"), None, None, None,
+        Some((Some(5), None: Option[String])), None),
+      (4, Some("zz.txt"), None, Some(49.5), None, None, Some(true)))
+      .toDF("id", "source", "type", "lines", "lang", "meta", "flag")
+      .withColumn("meta", org.apache.spark.sql.functions.col("meta")
+        .cast("struct<depth:int,tag:string>"))
+    // lines differs in TYPE across the two fixtures (Long vs Double in
+    // the maps, Double column in the df) — the coercion rules make the
+    // comparisons agree regardless
+    val filters = Seq(
+      "source:*.rs", "type=code", "type:code", "lines>50", "lines>=100",
+      "lines<=100", "lines<50", "lines=100", "lines!=100",
+      "type!=text", "type!=code", "type in [code,text,doc]",
+      "type not_in [text,doc]", "type not_in [code]",
+      "type=code,lines>50", "type=code AND lines>50",
+      "lines>50 OR source:*to*", "source~main", "source:*main*",
+      "source^/path", "source:main*", "source$.rs", "source?",
+      "missing_field=1", "missing_field!=1", "missing_field?",
+      "type in [code,text],lines>50", "flag=true", "flag!=false",
+      "meta.depth>3", "meta.depth=2", "meta.tag=x", "meta.tag?",
+      "meta?", "meta=x", "source>a", "source<zz", "type>5",
+      "meta.depth in [2,5]", "lines>49", "lines>49.4")
+    filters.foreach { f =>
+      val node = MetadataFilterDsl.parse(f)
+      assert(node.isDefined, s"unparseable: $f")
+      val compiled = df4.filter(MetadataFilterDsl.compile(node.get, df4))
+        .select("id").as[Int].collect().toSet
+      val evaled = rows.filter(r =>
+        MetadataFilterDsl.eval(node.get, MetadataFilterDsl.lookupIn(r)))
+        .map(_("id").asInstanceOf[Int]).toSet
+      assert(evaled == compiled,
+        s"eval/compile disagree on '$f': eval=$evaled compile=$compiled")
+    }
+  }
 }

@@ -88,9 +88,37 @@ class McpServerSpec extends SparkSpec {
       assert(text(hot, args) == text(srv, args),
         s"warm MCP output diverged for $args")
     }
-    // filtered requests route to the Spark path and still agree
-    val fargs = """{"query":"spark","top_k":3,"filter":"source^a"}"""
-    assert(text(hot, fargs) == text(srv, fargs))
+    // filtered requests are warm-served (in-process DSL evaluation
+    // over the resident metadata) and still byte-identical
+    for (fargs <- Seq(
+        """{"query":"spark","top_k":3,"filter":"source^a"}""",
+        """{"query":"spark","top_k":3,"hybrid":true,"filter":"source^a OR source^b"}""",
+        """{"query":"fox","top_k":2,"filter":"chunk_type=simple"}"""))
+      assert(text(hot, fargs) == text(srv, fargs),
+        s"warm MCP filtered output diverged for $fargs")
+  }
+
+  test("warm MCP cache reloads an index that changed on disk (per-index staleness)") {
+    val w = Files.createTempDirectory("graft-mcp-stale").toString
+    Index.build(Seq(("delta document about streams", "d.md"))
+      .toDF("text", "source"), s"$w/live", new HashEmbedder(16),
+      strategy = "simple")
+    val hot = new McpServer(spark, w, Some("live"), new HashEmbedder(16),
+      warm = true)
+    def text(args: String): String =
+      Json.parseObject(hot.handleLine(
+          """{"jsonrpc":"2.0","id":11,"method":"tools/call",""" +
+            s""""params":{"name":"search","arguments":$args}}""").get)("result")
+        .asInstanceOf[Map[String, Any]]("content")
+        .asInstanceOf[List[Map[String, Any]]].head("text").asInstanceOf[String]
+    val before = text("""{"query":"epsilon appended","top_k":3}""")
+    assert(!before.contains("e.md"), before)
+    Index.update(Seq(("epsilon appended passage", "e.md"))
+      .toDF("text", "source"), Index.locate(w, "live").get,
+      new HashEmbedder(16), strategy = "simple")
+    val after = text("""{"query":"epsilon appended","top_k":3}""")
+    assert(after.contains("e.md"),
+      s"warm MCP cache served a stale snapshot after an on-disk update: $after")
   }
 
   test("tools/call search honors a metadata filter") {

@@ -133,19 +133,24 @@ class ServerSpec extends SparkSpec {
       }
       // full-scan warm (default nprobe = all buckets) must equal the
       // Spark exact path row for row — ids, 6-rounded scores, text,
-      // source, order — on the plain vector path AND the hybrid path
-      // (the warm tier holds the bm25 tables in driver RAM)
+      // source, order — on the plain vector path, the hybrid path (the
+      // warm tier holds the bm25 tables in driver RAM) AND the
+      // FILTERED variants of both (in-process DSL evaluation over the
+      // resident metadata vs the Spark pre-scoring semi-join)
       for (q <- Seq("topic 3 subject", "document number 17", "about");
            extra <- Seq("", ""","hybrid":true""",
-             ""","hybrid":true,"hybrid_alpha":0.2""")) {
-        val body = s"""{"query":"$q","top_k":5$extra}"""
+             ""","hybrid":true,"hybrid_alpha":0.2""");
+           filt <- Seq("", ""","filter":"source$7.md"""",
+             ""","filter":"chunk_type=simple,source^doc1"""",
+             ""","filter":"source^doc1 OR source^doc2"""")) {
+        val body = s"""{"query":"$q","top_k":5$extra$filt}"""
         val w = results(hot.boundPort, body)
         val s = results(cold.boundPort, body)
         assert(w == s, s"warm != spark for '$body':\n$w\n$s")
       }
-      // the warm response declares its tier; hybrid is warm-served on
-      // this index (persisted bm25 tables); FILTERED requests fall
-      // back to the Spark plans
+      // the warm response declares its tier; hybrid AND filtered
+      // requests are warm-served (the reference serves filters
+      // in-process too, searcher.rs:172-207)
       val (_, wresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
         Some("""{"query":"topic","top_k":2}"""))
       assert(wresp.contains("\"tier\":\"warm\""), wresp)
@@ -153,14 +158,58 @@ class ServerSpec extends SparkSpec {
         Some("""{"query":"topic","top_k":2,"hybrid":true}"""))
       assert(hresp.contains("\"tier\":\"warm\""), hresp)
       val (_, fresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
-        Some("""{"query":"topic","top_k":2,"filter":"source == \"doc3.md\""}"""))
-      assert(fresp.contains("\"tier\":\"spark\""), fresp)
+        Some("""{"query":"topic","top_k":2,"filter":"source^doc3"}"""))
+      assert(fresp.contains("\"tier\":\"warm\"") && fresp.contains("doc3.md"), fresp)
+      // an unparseable filter is an error on BOTH tiers (the
+      // compileFilter contract), never silently-unfiltered results
+      assert(http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"topic","filter":"garbage"}"""))._1 == 500)
+      assert(http("POST", s"http://127.0.0.1:${cold.boundPort}/search",
+        Some("""{"query":"topic","filter":"garbage"}"""))._1 == 500)
       // nprobe-pruned warm search stays well-formed (recall, not
       // parity, is the knob's trade — membership is a subset question)
       val (pc, presp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
         Some("""{"query":"topic","top_k":3,"nprobe":1}"""))
       assert(pc == 200 && presp.contains("\"tier\":\"warm\""), presp)
+      assert(!presp.contains("nprobe_ignored"), presp)
+      // ... but a Spark-path response to a request that asked for
+      // nprobe SAYS the knob was dropped instead of silently serving
+      // exact results under it
+      val (ic, iresp) = http("POST", s"http://127.0.0.1:${cold.boundPort}/search",
+        Some("""{"query":"topic","top_k":3,"nprobe":1}"""))
+      assert(ic == 200 && iresp.contains("\"tier\":\"spark\"") &&
+        iresp.contains("\"note\":\"nprobe_ignored\""), iresp)
     } finally { cold.stop(); hot.stop() }
+  }
+
+  test("warm tier: serves updated index content after an on-disk update (staleness probe)") {
+    val wh = Files.createTempDirectory("graft-serve-stale").toString
+    val provider = new HashEmbedder(16)
+    Index.build(Seq(
+      ("alpha document about spark", "a.md"),
+      ("beta document about shuffles", "b.md")).toDF("text", "source"),
+      s"$wh/main", provider, strategy = "simple")
+    val indexDir = Index.locate(wh, "main").get
+
+    val hot = new SearchServer(spark, wh, "main", provider, warm = true)
+    hot.start()
+    val base = s"http://127.0.0.1:${hot.boundPort}"
+    try {
+      val before = http("POST", s"$base/search",
+        Some("""{"query":"gamma freshly appended","top_k":3}"""))._2
+      assert(before.contains("\"tier\":\"warm\""), before)
+      assert(!before.contains("c.md"), before)
+      // update the index ON DISK behind the running server
+      Index.update(Seq(("gamma freshly appended rows", "c.md"))
+        .toDF("text", "source"), indexDir, provider, strategy = "simple")
+      // the per-request fingerprint probe must catch the drift and
+      // RELOAD: the appended passage is served, never the stale snapshot
+      val after = http("POST", s"$base/search",
+        Some("""{"query":"gamma freshly appended","top_k":3}"""))._2
+      assert(after.contains("\"tier\":\"warm\""), after)
+      assert(after.contains("c.md"),
+        s"warm tier served stale results after an on-disk update: $after")
+    } finally hot.stop()
   }
 
   test("warm tier: refuses an over-budget index loudly") {
