@@ -86,6 +86,74 @@ object SparkEntry {
     array_join(lines, "\n")
   }
 
+  /** The symmetrized exact-kNN edge fixture the graph_* operator rows
+    * consume: built once per (session, dir) and persisted via the
+    * DfCache registry (the graph_build row rebuilds and re-registers
+    * it; any other access order builds lazily). Splitting fixture from
+    * operator keeps each bench row measuring its own iteration cost —
+    * production consumes persisted `--edges` (the CLI contract), so a
+    * row that re-pays the O(n^2) oracle-tier build per query measures
+    * the fixture, not the operator. Oracle outputs are unchanged:
+    * same edges, same content, only persistence moved. */
+  private def graphEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.util.DfCache.getOrHold(s"SparkEntry.graphEdges:$dir")(
+      Graph.symmetrize(Graph.knnGraph(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)))
+
+  /** Committed code fixtures for the chunk_ast oracle row (see the
+    * query's comment): python exercises indent-block extraction, the
+    * over-size `transform` function part-splits at chunkSize=160, the
+    * class/methods overlap-dedupe, and module-level lines gap-fill;
+    * rust exercises brace-block extraction; the txt file exercises the
+    * extension dispatch to the simple chunker. */
+  private[graft] val astFixturePy: String =
+    """import os
+      |
+      |def load(path):
+      |    with open(path) as f:
+      |        return f.read()
+      |
+      |def transform(rows, keep_empty, marker):
+      |    out = []
+      |    for row in rows:
+      |        cleaned = row.strip().lower().replace(marker, "")
+      |        if cleaned or keep_empty:
+      |            out.append(cleaned + marker + str(len(cleaned)))
+      |    counts = {value: len(value) for value in out if value}
+      |    return sorted(set(out)), counts
+      |
+      |class Store:
+      |    def __init__(self, root):
+      |        self.root = root
+      |
+      |    def get(self, key):
+      |        return load(os.path.join(self.root, key))
+      |
+      |print("module ready")""".stripMargin
+
+  private[graft] val astFixtureRs: String =
+    """use std::fs;
+      |
+      |pub fn read_all(path: &str) -> String {
+      |    fs::read_to_string(path).unwrap()
+      |}
+      |
+      |pub struct Store {
+      |    root: String,
+      |}
+      |
+      |impl Store {
+      |    pub fn new(root: String) -> Self {
+      |        Store { root }
+      |    }
+      |}
+      |
+      |const VERSION: i32 = 1;""".stripMargin
+
+  private[graft] val astFixtureTxt: String =
+    "plain prose that the strategy dispatcher must route to the simple " +
+      "chunker because txt is not a code extension."
+
   /** The shared image fixture for the dedup_phash / dedup_phash_clusters
     * queries: 200 grayscale 9x8 PNGs generated IN the plan from md5
     * pixel arithmetic — 25 groups x 8 one-pixel variants, so near-dup
@@ -795,6 +863,22 @@ object SparkEntry {
         .orderBy("id", "rnk")
     }),
 
+    // The shared graph FIXTURE as its own row: build + persist the
+    // symmetrized kNN edge table the graph_* operator rows consume.
+    // Splitting the rows makes the bench measure each operator's
+    // iteration cost instead of re-paying the O(n^2) exact fixture
+    // build per query (production consumes persisted --edges, the CLI
+    // contract); this row REBUILDS unconditionally so its own timing
+    // is always the build, and re-registers the cache for the rows
+    // after it (bench executes queries in name order: graph_build
+    // sorts before every other graph_* row).
+    "graph_build" -> ((s, dir) => {
+      val edges = Graph.symmetrize(Graph.knnGraph(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3))
+      graft.util.DfCache.holdCached(s"SparkEntry.graphEdges:$dir", edges)
+        .orderBy("src", "dst")
+    }),
+
     // PageRank centrality over the symmetrized kNN graph: a node whose
     // similarity neighborhood is dense and well-connected is a
     // template/mirror hub — a curation signal no per-document quality
@@ -804,9 +888,7 @@ object SparkEntry {
     // contribution sum EXACT in doubles and thus order-independent
     // (engine-portable determinism — see Graph.quant/termQuant).
     "graph_pagerank" -> ((s, dir) => {
-      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 3)
-      Graph.pageRank(Graph.symmetrize(g), damping = 0.85, iters = 5)
+      Graph.pageRank(graphEdges(s, dir), damping = 0.85, iters = 5)
         .orderBy("id")
     }),
 
@@ -882,11 +964,10 @@ object SparkEntry {
     }),
 
     "graph_ppr" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val g = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
-      val seeds = emb.filter(col("vec_id") % 50 === 0)
+      val seeds = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("id"))
-      Graph.personalizedPageRank(Graph.symmetrize(g), seeds, iters = 5)
+      Graph.personalizedPageRank(graphEdges(s, dir), seeds, iters = 5)
         .orderBy(desc("rank"), col("id")).limit(50)
     }),
 
@@ -896,9 +977,7 @@ object SparkEntry {
     // wedge-join counting; each triangle counted once at its smallest
     // vertex, credited to all three corners.
     "graph_triangles" -> ((s, dir) => {
-      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 3)
-      Graph.triangleCounts(Graph.symmetrize(g)).orderBy("id")
+      Graph.triangleCounts(graphEdges(s, dir)).orderBy("id")
     }),
 
     // The degree-capped SAMPLED triangle tier under the oracle gate:
@@ -914,15 +993,11 @@ object SparkEntry {
     // read that sizes triangleCountsCapped's cap (cap at the histogram
     // knee) and confirms the kNN composition's degree bound holds.
     "graph_degree_profile" -> ((s, dir) => {
-      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 3)
-      Graph.degreeProfile(Graph.symmetrize(g)).orderBy("degree")
+      Graph.degreeProfile(graphEdges(s, dir)).orderBy("degree")
     }),
 
     "graph_triangles_capped" -> ((s, dir) => {
-      val g = Graph.knnGraph(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = 3)
-      Graph.triangleCountsCapped(Graph.symmetrize(g), maxDegree = 64)
+      Graph.triangleCountsCapped(graphEdges(s, dir), maxDegree = 64)
         .orderBy("id")
     }),
 
@@ -1093,10 +1168,9 @@ object SparkEntry {
     "graph_label_spread" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
-      val g = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
       val seeds = emb.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id").as("id"), col("label"))
-      val spread = Graph.labelSpread(Graph.symmetrize(g), seeds,
+      val spread = Graph.labelSpread(graphEdges(s, dir), seeds,
         alpha = 0.85, iters = 4)
       val w = Window.partitionBy("id").orderBy(desc("score"), col("label"))
       spread.withColumn("rn", row_number().over(w))
@@ -1873,6 +1947,37 @@ object SparkEntry {
     }),
 
     // ----- chunking (SURVEY §2.2, T1) -----
+    // T2 (AST-aware code chunker) under the hash gate: a COMMITTED
+    // code fixture (python indent blocks incl. an over-size function
+    // that part-splits, rust brace blocks, and a .txt that must
+    // dispatch to the simple chunker) runs through the real
+    // strategy="ast" path; the oracle replays the expected chunks from
+    // a golden VALUES table, so any chunker drift — block detection,
+    // gap fill, id derivation, metadata — trips the gate, not just the
+    // CodeChunkerSpec goldens. SF-independent by design (the fixture
+    // is the contract, not the corpus).
+    "chunk_ast" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Seq(
+        (SparkEntry.astFixturePy, "fixture/store.py"),
+        (SparkEntry.astFixtureRs, "fixture/store.rs"),
+        (SparkEntry.astFixtureTxt, "fixture/notes.txt"))
+        .toDF("text", "source")
+      graft.pipeline.Index.chunkDocs(docs, "text", "source",
+          strategy = "ast", chunkSize = 64, chunkOverlap = 16)
+        .toDF()
+        .select(col("id"), col("text").as("chunk_text"),
+          col("metadata.source").as("source"),
+          col("metadata.chunk_type").as("chunk_type"),
+          col("metadata.block_type").as("block_type"),
+          col("metadata.name").as("name"),
+          col("metadata.language").as("language"),
+          col("metadata.start_line").as("start_line"),
+          col("metadata.end_line").as("end_line"),
+          col("metadata.part").as("part"))
+        .orderBy("id")
+    }),
+
     "chunk_fixed" -> ((s, dir) => {
       val size = 128
       val step = 96
@@ -3202,6 +3307,27 @@ private object OracleSql {
         |      FROM p)
         |SELECT id, nb, rnk, score FROM r WHERE rnk <= 3
         |ORDER BY id, rnk""".stripMargin,
+
+    // The persisted graph fixture row: the same kNN window, then the
+    // symmetrize union-distinct — the edge table every graph_* oracle
+    // re-derives inline.
+    "graph_build" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS nb,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS score
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT id, nb FROM (
+        |        SELECT id, nb,
+        |               row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk
+        |        FROM p) WHERE rnk <= 3)
+        |SELECT DISTINCT src, dst FROM (
+        |  SELECT id AS src, nb AS dst FROM r
+        |  UNION ALL
+        |  SELECT nb AS src, id AS dst FROM r)
+        |ORDER BY src, dst""".stripMargin,
 
     // PageRank over the symmetrized kNN graph, replayed as a recursive
     // CTE: 5 rounds, rank FLOORED onto the 2^-30 binary grid per round
@@ -5326,6 +5452,27 @@ private object OracleSql {
         |FROM x
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    // The AST chunker's golden replay: the committed fixture files are
+    // the inputs, these VALUES are the expected chunks (verified
+    // against the reference semantics via CodeChunkerSpec's
+    // golden/property arms) — any drift in block detection, part
+    // splitting, gap fill, dispatch, id derivation or metadata trips
+    // the hash gate.
+    "chunk_ast" ->
+      """SELECT * FROM (VALUES
+        |  ('fixture/notes.txt#0', 'plain prose that the strategy dispatcher must route to the simple chunker because txt is not a code extension.', 'fixture/notes.txt', 'simple', NULL, NULL, NULL, NULL, NULL, NULL),
+        |  ('fixture/store.py#0', 'def load(path):' || chr(10) || '    with open(path) as f:' || chr(10) || '        return f.read()' || chr(10) || '', 'fixture/store.py', 'ast', 'function', 'load', 'python', 3, 6, NULL),
+        |  ('fixture/store.py#1', 'def transform(rows, keep_empty, marker):' || chr(10) || '    out = []' || chr(10) || '    for row in rows:' || chr(10) || '        cleaned = row.strip().lower().replace(marker, "")' || chr(10) || '        if cleaned or keep_empty:' || chr(10) || '            out.append(cleaned + marker + str(len(cleaned)))' || chr(10) || '    counts = {value: len(value) for value in out if value}', 'fixture/store.py', 'ast', 'function', 'transform_part0', 'python', 7, 15, 0),
+        |  ('fixture/store.py#2', '    return sorted(set(out)), counts' || chr(10) || '', 'fixture/store.py', 'ast', 'function', 'transform_part1', 'python', 7, 15, 1),
+        |  ('fixture/store.py#3', 'class Store:' || chr(10) || '    def __init__(self, root):' || chr(10) || '        self.root = root' || chr(10) || '' || chr(10) || '    def get(self, key):' || chr(10) || '        return load(os.path.join(self.root, key))' || chr(10) || '', 'fixture/store.py', 'ast', 'class', 'Store', 'python', 16, 22, NULL),
+        |  ('fixture/store.py#ctx0', 'print("module ready")', 'fixture/store.py', 'context', NULL, NULL, NULL, 23, 23, NULL),
+        |  ('fixture/store.rs#0', 'pub fn read_all(path: &str) -> String {' || chr(10) || '    fs::read_to_string(path).unwrap()' || chr(10) || '}', 'fixture/store.rs', 'ast', 'function', 'read_all', 'rust', 3, 5, NULL),
+        |  ('fixture/store.rs#1', 'pub struct Store {' || chr(10) || '    root: String,' || chr(10) || '}', 'fixture/store.rs', 'ast', 'struct', 'Store', 'rust', 7, 9, NULL),
+        |  ('fixture/store.rs#2', 'impl Store {' || chr(10) || '    pub fn new(root: String) -> Self {' || chr(10) || '        Store { root }' || chr(10) || '    }' || chr(10) || '}', 'fixture/store.rs', 'ast', 'impl', 'Store', 'rust', 11, 15, NULL),
+        |  ('fixture/store.rs#ctx0', '' || chr(10) || 'const VERSION: i32 = 1;', 'fixture/store.rs', 'context', NULL, NULL, NULL, 16, 17, NULL)
+        |) AS t(id, chunk_text, source, chunk_type, block_type, name, language, start_line, end_line, part)
+        |ORDER BY id""".stripMargin,
 
     "chunk_fixed" ->
       """SELECT doc_id, i AS chunk_index, substr(text, i * 96 + 1, 128) AS chunk_text
