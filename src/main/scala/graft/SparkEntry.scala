@@ -87,18 +87,31 @@ object SparkEntry {
   }
 
   /** The symmetrized exact-kNN edge fixture the graph_* operator rows
-    * consume: built once per (session, dir) and persisted via the
-    * DfCache registry (the graph_build row rebuilds and re-registers
-    * it; any other access order builds lazily). Splitting fixture from
-    * operator keeps each bench row measuring its own iteration cost —
-    * production consumes persisted `--edges` (the CLI contract), so a
-    * row that re-pays the O(n^2) oracle-tier build per query measures
-    * the fixture, not the operator. Oracle outputs are unchanged:
-    * same edges, same content, only persistence moved. */
+    * consume: built once per (session, dir) as an EAGER localCheckpoint
+    * (the graph_build row rebuilds and re-registers it; any other
+    * access order builds lazily). Splitting fixture from operator keeps
+    * each bench row measuring its own iteration cost — production
+    * consumes persisted `--edges` (the CLI contract), so a row that
+    * re-pays the O(n^2) oracle-tier build per query measures the
+    * fixture, not the operator. localCheckpoint rather than the DfCache
+    * persist registry because the bench clears the SQL cache between
+    * queries (intra-query persist hygiene) and a merely-cached fixture
+    * would silently recompute inside every operator row; checkpointed
+    * RDD blocks survive `catalog.clearCache()`. Oracle outputs are
+    * unchanged: same edges, same content, only persistence moved. */
+  private val graphEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private[graft] def buildGraphEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val df = Graph.symmetrize(Graph.knnGraph(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 3))
+      .localCheckpoint()
+    graphEdgesCache.put(dir, df)
+    df
+  }
+
   private def graphEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.util.DfCache.getOrHold(s"SparkEntry.graphEdges:$dir")(
-      Graph.symmetrize(Graph.knnGraph(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)))
+    graphEdgesCache.computeIfAbsent(dir, d => buildGraphEdges(s, d))
 
   /** Committed code fixtures for the chunk_ast oracle row (see the
     * query's comment): python exercises indent-block extraction, the
@@ -872,12 +885,8 @@ object SparkEntry {
     // is always the build, and re-registers the cache for the rows
     // after it (bench executes queries in name order: graph_build
     // sorts before every other graph_* row).
-    "graph_build" -> ((s, dir) => {
-      val edges = Graph.symmetrize(Graph.knnGraph(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 3))
-      graft.util.DfCache.holdCached(s"SparkEntry.graphEdges:$dir", edges)
-        .orderBy("src", "dst")
-    }),
+    "graph_build" -> ((s, dir) =>
+      SparkEntry.buildGraphEdges(s, dir).orderBy("src", "dst")),
 
     // PageRank centrality over the symmetrized kNN graph: a node whose
     // similarity neighborhood is dense and well-connected is a

@@ -29,15 +29,6 @@ object DfCache {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Return the key's live cached frame, or build + [[holdCached]] it.
-    * The shared-fixture read path: a consumer reuses whatever an
-    * earlier query persisted under the key (same session, same
-    * inputs); the first consumer pays the build. */
-  def getOrHold(key: String)(build: => DataFrame): DataFrame = {
-    val cur = held.get(key)
-    if (cur != null) cur else holdCached(key, build)
-  }
-
   /** Release every deferred-release intermediate (idempotent). */
   def releaseAll(): Unit = {
     held.values.forEach(df => { df.unpersist(blocking = true); () })

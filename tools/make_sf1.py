@@ -7,6 +7,17 @@ offset collides with another table's derived key arithmetic (the
 supplier<->customer graph queries add 1_000_000 to custkeys, so
 custkey offsets stay below that). Output: /tmp/sf1/*.parquet.
 
+With --perturb, replica copies of documents.text and
+embeddings.embedding are VARIED instead of byte-identical: exact
+replication is degenerate for similarity workloads (every vector gets
+10 exact clones -> the dedup tiers find trivial duplicates everywhere
+and pairwise candidate mass explodes by replication^2, neither of
+which real 10x data does). Perturbation is deterministic per replica:
+documents get a replica-salted prefix and a frequent-letter
+substitution (shifts most shingles/simhash segments), embeddings get
+an element-wise nonlinear nudge (changes DIRECTION, not just norm, so
+cosine/LSH signatures vary). rep 0 stays byte-identical to the source.
+
 Measurement harness only — the engine under test never reads this
 code; it just gets pointed at the directory via SPARK_GRAFT_SF_DIR.
 """
@@ -15,9 +26,11 @@ import sys
 
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+args = [a for a in sys.argv[1:] if a != "--perturb"]
+PERTURB = "--perturb" in sys.argv
+SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+DST = args[1] if len(args) > 1 else "/tmp/sf1"
+REPS = int(args[2]) if len(args) > 2 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -38,6 +51,22 @@ OFFSETS = {
     "embeddings": {"vec_id": 10_000_000},
 }
 
+# replica-perturbation expressions (rep = 0 must be the identity so one
+# pristine copy of the source survives)
+PERTURBED = {
+    "documents": {
+        "text": ("CASE WHEN rep = 0 THEN t.text ELSE "
+                 "'v' || rep || ' ' || "
+                 "replace(t.text, 'e', chr((97 + ((rep * 7) % 25 + 1))::INTEGER)) END"),
+    },
+    "embeddings": {
+        "embedding": ("CASE WHEN rep = 0 THEN t.embedding ELSE "
+                      "CAST(list_transform(t.embedding, x -> "
+                      "CAST(x + 0.05 * rep * sin(x * 37.0 + rep) AS FLOAT))"
+                      " AS FLOAT[]) END"),
+    },
+}
+
 for table, offs in OFFSETS.items():
     src = f"{SRC}/{table}.parquet"
     dst = f"{DST}/{table}.parquet"
@@ -46,12 +75,20 @@ for table, offs in OFFSETS.items():
     if offs is None:
         con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
     else:
-        sel = ", ".join(
-            f"t.{c} + rep * {offs[c]} AS {c}" if c in offs else f"t.{c}"
-            for c in cols)
+        pert = PERTURBED.get(table, {}) if PERTURB else {}
+        def expr(c):
+            if c in offs:
+                return f"t.{c} + rep * {offs[c]} AS {c}"
+            if c in pert:
+                return f"{pert[c]} AS {c}"
+            if PERTURB and table == "documents" and c == "n_chars":
+                # keep the char count honest against the perturbed text
+                return f"length({pert['text']})::BIGINT AS n_chars"
+            return f"t.{c}"
+        sel = ", ".join(expr(c) for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM '{src}' t CROSS JOIN reps ORDER BY rep) "
             f"TO '{dst}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
     print(f"{table}: {n} rows -> {dst}")
-print("done")
+print("done" + (" (perturbed replicas)" if PERTURB else ""))
