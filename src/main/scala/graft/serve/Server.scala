@@ -176,6 +176,23 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
     }
   })
 
+  // Concurrency: the JDK HttpServer with no executor runs every handler
+  // on its single dispatcher thread — requests would serialize exactly
+  // like the reference's RwLock'd searcher (src/cli/serve.rs:82-87).
+  // WarmIndex is an immutable snapshot (per-request scratch only) and
+  // Spark schedules concurrent actions from multiple threads, so both
+  // tiers are safe to serve in parallel; a cached pool of daemon
+  // threads lets warm-tier throughput scale with client concurrency.
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-serve-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+  server.setExecutor(pool)
+
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

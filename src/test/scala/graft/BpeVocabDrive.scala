@@ -34,13 +34,33 @@ object BpeVocabDrive {
         graft.operators.Bpe.wordFreqs(Tables.documents(spark, sfDir), "text")
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nWords = freqs.count()
+    // SPARK_GRAFT_BPE_RELAXED=0 measures the EXACT sequential-equivalent
+    // mode (cap+1 window, boundary-tie trim) at the same scale — the
+    // oracle-gated tier's bound, vs the relaxed tier's throughput.
+    val relaxed = sys.env.get("SPARK_GRAFT_BPE_RELAXED").forall(_ != "0")
     val t0 = System.nanoTime()
     val (m, r) = graft.operators.Bpe.trainMergesWithRounds(
-      freqs, target, batchCap = cap, relaxed = true)
+      freqs, target, batchCap = cap, relaxed = relaxed)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[bpe-vocab] sf=$sfDir words=$nWords target=$target cap=$cap " +
-      f"learned=${m.length} rounds=$r wall=${secs}%.1f s " +
+      f"relaxed=$relaxed learned=${m.length} rounds=$r wall=${secs}%.1f s " +
       f"merges_per_sec=${m.length / secs}%.1f rounds_per_sec=${r / secs}%.2f")
+    // SPARK_GRAFT_BPE_DIVERGE=1: train the OTHER mode too and report
+    // how far relaxed drifts from the exact sequence — positional
+    // agreement (same merge at same rank) and set overlap (same merges
+    // in any order) — the numbers a user trades for the relaxed tier's
+    // 6x round throughput.
+    if (sys.env.get("SPARK_GRAFT_BPE_DIVERGE").contains("1")) {
+      val (m2, r2) = graft.operators.Bpe.trainMergesWithRounds(
+        freqs, target, batchCap = cap, relaxed = !relaxed)
+      val (ex, rx) = if (relaxed) (m2, m) else (m, m2)
+      val k = math.min(ex.length, rx.length)
+      val pos = (0 until k).count(i => ex(i) == rx(i))
+      val inter = ex.toSet.intersect(rx.toSet).size
+      println(f"[bpe-vocab] diverge exact=${ex.length} relaxed=${rx.length} " +
+        f"rounds_other=$r2 positional_agree=${pos.toDouble / k}%.4f " +
+        f"set_overlap=${inter.toDouble / math.max(ex.length, rx.length)}%.4f")
+    }
     freqs.unpersist()
     spark.stop()
   }

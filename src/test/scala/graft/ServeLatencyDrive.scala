@@ -112,6 +112,61 @@ object ServeLatencyDrive {
       }
       probe("warm-inproc-exact", Int.MaxValue)
       probe("warm-inproc-nprobe4", 4)
+
+      // Concurrent arm: WarmIndex is an immutable snapshot and the
+      // server runs handlers on a thread pool, so throughput should
+      // scale with clients — the reference serializes every search
+      // behind a searcher RwLock (src/cli/serve.rs:82-87); beating it
+      // under load is the point of the JVM tier. Each client thread
+      // fires `n` requests; reported latency is per-request across all
+      // clients, throughput is total requests / wall.
+      def concurrentArm(label: String, threads: Int,
+                        fire: Int => Unit): Unit = {
+        val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val done = new java.util.concurrent.CountDownLatch(threads)
+        (0 until threads).foreach { t =>
+          val th = new Thread(() => {
+            start.await()
+            var i = 0
+            while (i < n) {
+              val t0 = System.nanoTime()
+              fire(t * n + i)
+              lats.add((System.nanoTime() - t0) / 1e6)
+              i += 1
+            }
+            done.countDown()
+          }, s"client-$t")
+          th.setDaemon(true); th.start()
+        }
+        val tw0 = System.nanoTime()
+        start.countDown(); done.await()
+        val wall = (System.nanoTime() - tw0) / 1e9
+        val sorted = lats.toArray(Array.empty[java.lang.Double]).map(_.doubleValue).sorted
+        println(f"[serve-latency] $label%-22s clients=$threads%2d n=${threads * n} " +
+          f"p50=${pct(sorted, 0.5)}%8.2f ms  p95=${pct(sorted, 0.95)}%8.2f ms  " +
+          f"throughput=${threads * n / wall}%9.0f req/s")
+      }
+      for (c <- Seq(8, 32)) {
+        concurrentArm(s"warm-inproc-conc", c,
+          i => wi.search(queries(i % queries.length), 5))
+        if (wi.hasBm25)
+          concurrentArm(s"warm-hybrid-conc", c,
+            i => wi.searchHybrid(queries(i % queries.length), 5))
+      }
+      val hot2 = new SearchServer(spark, wh, "main", provider, warm = true)
+      hot2.start()
+      try {
+        val base = s"http://127.0.0.1:${hot2.boundPort}"
+        (0 until 10).foreach(i => http("POST", s"$base/search",
+          Some(s"""{"query":"${queries(i % queries.length)}","top_k":5}""")))
+        for (c <- Seq(8, 32))
+          concurrentArm(s"warm-http-conc", c, { i =>
+            val (code, _) = http("POST", s"$base/search",
+              Some(s"""{"query":"${queries(i % queries.length)}","top_k":5}"""))
+            require(code == 200, s"request failed: $code")
+          })
+      } finally hot2.stop()
       // hybrid in-process: vector fetchK + driver BM25 + fusion
       if (wi.hasBm25) {
         (0 until 20).foreach(i => wi.searchHybrid(queries(i % queries.length), 5))
