@@ -55,7 +55,18 @@ object Graph {
       .where(col("nb").isNotNull && col("vb").isNotNull &&
         dot(col("vb"), col("vb")) > 0)
       .withColumn("nb_n", sqrt(dot(col("vb"), col("vb"))))
-    val scored = a.crossJoin(b).filter(col("id") =!= col("nb"))
+    // Parallelism must scale with the OUTPUT work (n^2 scored pairs),
+    // not the input bytes: a small corpus parquet is one file split, and
+    // a cross join inherits the stream side's partitioning, so without
+    // this the whole n^2 scoring runs in ONE task (measured: 20k
+    // vectors = 4e8 pairs pinned to a single core). One n-row hash
+    // exchange per side is noise next to the n^2 it parallelizes;
+    // repartitioning both sides keeps 32-way parallelism whichever side
+    // the planner broadcasts. Same pairs, same scores, and topKPerNode's
+    // bounded aggregator is merge-order-independent, so results are
+    // unchanged.
+    val scored = a.repartition(col("id")).crossJoin(b.repartition(col("nb")))
+      .filter(col("id") =!= col("nb"))
       .select(col("id"), col("nb"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
           .as("score"))

@@ -1,7 +1,7 @@
 package graft
 
-import java.net.{HttpURLConnection, URL}
-import java.nio.charset.StandardCharsets
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
@@ -20,16 +20,22 @@ import graft.serve.SearchServer
   * the batch-parity tier. */
 object ServeLatencyDrive {
 
+  // java.net.http.HttpClient, not URLConnection: the legacy client
+  // writes small POSTs as separate header/body packets with no
+  // TCP_NODELAY, which interacts with delayed ACKs into a flat ~40 ms
+  // per-request floor that measures the CLIENT, not the server (the
+  // r12 paragraph had to carry a /health control row to say so). The
+  // modern client (keep-alive pool, single write) reads the server's
+  // actual cost.
+  private val client = HttpClient.newHttpClient()
   private def http(method: String, url: String, body: Option[String]): (Int, String) = {
-    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod(method)
-    body.foreach { b =>
-      conn.setDoOutput(true)
-      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
-    }
-    val code = conn.getResponseCode
-    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
-    (code, new String(is.readAllBytes(), StandardCharsets.UTF_8))
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (body match {
+      case Some(s) => b.method(method, HttpRequest.BodyPublishers.ofString(s))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 
   private def pct(sorted: Array[Double], p: Double): Double =
