@@ -31,6 +31,13 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
                          provider: EmbeddingProvider, port: Int = 0,
                          warm: Boolean = false) {
 
+  // The JDK server writes status+headers and body as separate TCP
+  // segments; with Nagle on, segment 2 waits for the client's delayed
+  // ACK (~40 ms) — a flat per-request floor that buries the warm tier's
+  // sub-ms search cost. TCP_NODELAY on accepted sockets is only
+  // reachable via this documented system property, which the server
+  // reads at construction.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val indexDir = Index.locate(warehouse, indexName)
     .getOrElse(throw new IllegalArgumentException(s"no index '$indexName' in $warehouse"))

@@ -100,6 +100,11 @@ object ServeLatencyDrive {
           f"p95=${pct(hlat, 0.95)}%8.2f ms  p99=${pct(hlat, 0.99)}%8.2f ms")
         drive(hot, "warm-exact", "")
         drive(hot, "warm-nprobe4", ""","nprobe":4""")
+        // filtered requests are warm-served too (r13): the filter DSL
+        // evaluates in-process over the resident metadata — same parse,
+        // Column-free interpreter (MetadataFilterDsl.eval), parity
+        // pinned by ServerSpec
+        drive(hot, "warm-filtered", ""","filter":"source^1"""")
       } finally hot.stop()
 
       // in-process warm search (no HTTP): the engine-side latency the
@@ -118,6 +123,19 @@ object ServeLatencyDrive {
       }
       probe("warm-inproc-exact", Int.MaxValue)
       probe("warm-inproc-nprobe4", 4)
+      // filtered: pays one pass over the resident metadata rows per
+      // request (the allowed-id set) + the restricted scan
+      locally {
+        (0 until 20).foreach(i =>
+          wi.search(queries(i % queries.length), 5, Int.MaxValue, Some("source^1")))
+        val lat = (0 until n).map { i =>
+          val t0 = System.nanoTime()
+          wi.search(queries(i % queries.length), 5, Int.MaxValue, Some("source^1"))
+          (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        println(f"[serve-latency] warm-inproc-filtered   n=$n p50=${pct(lat, 0.5)}%8.2f ms  " +
+          f"p95=${pct(lat, 0.95)}%8.2f ms  p99=${pct(lat, 0.99)}%8.2f ms")
+      }
 
       // Concurrent arm: WarmIndex is an immutable snapshot and the
       // server runs handlers on a thread pool, so throughput should
@@ -153,6 +171,8 @@ object ServeLatencyDrive {
           f"p50=${pct(sorted, 0.5)}%8.2f ms  p95=${pct(sorted, 0.95)}%8.2f ms  " +
           f"throughput=${threads * n / wall}%9.0f req/s")
       }
+      if (wi.hasBm25) // JIT-warm the hybrid path before timing it
+        (0 until 20).foreach(i => wi.searchHybrid(queries(i % queries.length), 5))
       for (c <- Seq(8, 32)) {
         concurrentArm(s"warm-inproc-conc", c,
           i => wi.search(queries(i % queries.length), 5))
