@@ -932,7 +932,7 @@ object Cli {
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
           "--op knn|pagerank|ppr|triangles|components|communities|kcore|modularity|spread|degrees|kmeans|pca [--id-col vec_id] " +
-          "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits 8] [--tables 4] " +
+          "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits auto] [--tables 4] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val op = flags.getOrElse("op", fail("--op required; " + usage))
@@ -986,8 +986,11 @@ object Cli {
                 s"cannot derive embedding dims for --lsh: $embPath is empty " +
                   s"or its first '$vecCol' is null")
               val dims = head(0).getInt(0)
+              // bits defaults to 0 = auto-sized from the corpus count
+              // (expected bucket occupancy <= 64) — a pinned bit width
+              // scales pair mass as n^2/2^bits
               G.knnGraphLsh(emb, idCol, vecCol, k, dims,
-                bits = flags.get("bits").map(_.toInt).getOrElse(8),
+                bits = flags.get("bits").map(_.toInt).getOrElse(0),
                 tables = flags.get("tables").map(_.toInt).getOrElse(4))
             } else G.knnGraph(emb, idCol, vecCol, k)
         }

@@ -906,8 +906,15 @@ object SparkEntry {
     // bucket candidates, exact cosine re-rank — the formulation that
     // replaces knn_graph's O(n^2) cross join at 100 TB.
     "knn_graph_lsh" -> ((s, dir) => {
+      // bits = 0 -> AUTO-sized from the corpus count (smallest b in
+      // [4, 16] with 2^b * 64 >= n — expected bucket occupancy <= 64).
+      // The r12 sf1 sweep showed why the knob must scale with the
+      // data: pinned bits=4 means pair mass grows n^2/16, and the 10x
+      // corpus measured 61x (replicated) / 20x (perturbed). The oracle
+      // replays the same integer-exact bit selection, so the hash gate
+      // pins the auto path itself, at every SF.
       Graph.knnGraphLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-          k = 3, dims = 64, bits = 4, tables = 8)
+          k = 3, dims = 64, bits = 0, tables = 8)
         .orderBy("id", "rnk")
     }),
 
@@ -3436,7 +3443,12 @@ private object OracleSql {
     // self-join candidates, exact cosine re-rank. The oracle's plane
     // weights skip the final /2^63 scaling (sign-equivalent: only
     // proj > 0 matters, and the HUGEINT->DOUBLE cast is last-ulp
-    // portable where the scaled division is not).
+    // portable where the scaled division is not). The `nb` CTE replays
+    // Graph.autoLshBits's integer-exact bit selection (smallest b in
+    // [4,16] with 2^b*64 >= n) from count(*) — valid because the
+    // synthetic embeddings carry no null/zero vectors, so the Spark
+    // side's filtered count equals the raw count; real data with nulls
+    // would trip the hash gate loudly, not silently diverge.
     //
     // RESIDUAL RISK (documented, accepted): sign-equivalence holds in
     // exact arithmetic only. Spark's dot() sums the 64 products in
@@ -3449,9 +3461,12 @@ private object OracleSql {
     // boundary from 0 to the grid edges without shrinking it.
     "knn_graph_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nb AS (SELECT coalesce(
+        |         (SELECT min(c.b) FROM (SELECT unnest(generate_series(4, 16)) AS b) c
+        |          WHERE (1::BIGINT << c.b) * 64 >= (SELECT count(*) FROM e)), 16) AS bits),
         |bt AS (SELECT t.t, b.b, d.d, (1000 + t.t + b.b * 1000003 + d.d)::HUGEINT AS z0
         |       FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
-        |            (SELECT unnest(generate_series(0, 3)) AS b) b,
+        |            (SELECT unnest(generate_series(0, (SELECT bits - 1 FROM nb))) AS b) b,
         |            (SELECT unnest(generate_series(0, 63)) AS d) d),
         |p0 AS (SELECT t, b, d, (z0 + 11400714819323198485) % 18446744073709551616 AS z FROM bt),
         |p1 AS (SELECT t, b, d, xor(z, z // 1073741824) AS z FROM p0),

@@ -266,7 +266,7 @@ object MetadataFilterDsl {
   // distinguishes (field absent from the schema → constant; field
   // present but NULL → missing branch) evaluate to the same truth value
   // for every operator, so the interpreter folds them into one
-  // `lookup(path) == None` case. ParityFilterSpec pins eval == compile
+  // `lookup(path) == None` case. FilterDslSpec pins eval == compile
   // over the full grammar on the same rows.
 
   /** Evaluate against one row's field lookup: `lookup(path)` resolves a

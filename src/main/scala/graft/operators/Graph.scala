@@ -110,8 +110,22 @@ object Graph {
     * rounded scores, same tie-breaks) while pair mass stays linear in
     * corpus size: n x (k+1)^2 narrow expansion rows, never
     * (duplication factor)^2. */
+  /** Smallest bit width in [4, 16] whose bucket count keeps expected
+    * occupancy at or under `target` (64) for an `n`-vector corpus:
+    * with FIXED bits, within-bucket pair mass grows n^2/2^bits — 10x
+    * data means 100x pairs — so the production default must widen the
+    * key with the corpus. Integer-exact on purpose (no log2 floats):
+    * the oracle replays the same scan over [4, 16], and a
+    * last-ulp log2 disagreement at a power-of-two boundary would flip
+    * the whole signature layout between engines. Capped at 16 because
+    * past that the recall cost of ever-finer buckets outruns the pair
+    * savings — above ~4M vectors, raise `tables` or pre-block by IVF
+    * cluster instead (both knobs exist). */
+  private[graft] def autoLshBits(n: Long, target: Long = 64L): Int =
+    (4 to 16).find(b => (1L << b) * target >= n).getOrElse(16)
+
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                  dims: Int, bits: Int = 8, tables: Int = 4): DataFrame = {
+                  dims: Int, bits: Int = 0, tables: Int = 4): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
@@ -119,6 +133,10 @@ object Graph {
       asDouble(col(vecCol)).as("v"))
       .where(col("id").isNotNull && col("v").isNotNull &&
         dot(col("v"), col("v")) > 0) // see knnGraph
+    // bits <= 0 = auto: size the bucket key from a corpus count (one
+    // cheap action against the n^2/2^bits pair mass it controls).
+    // Callers who pinned bits keep their exact layout.
+    val useBits = if (bits > 0) bits else autoLshBits(base.count())
     // Identical-vector class collapse: ONE map-side-combined groupBy on
     // the vector value (a hot class absorbs in the combiner), one
     // membership join back. These are the only vector-carrying
@@ -148,7 +166,7 @@ object Graph {
     val crep = classes.select(col("rep").as("id"), col("v"), col("n"))
     val candidates = (0 until tables).map { t =>
       val keyed = crep.select(col("id"),
-        Knn.signLshKey(col("v"), dims, bits, seed = 1000L + t).as("bkt"))
+        Knn.signLshKey(col("v"), dims, useBits, seed = 1000L + t).as("bkt"))
       keyed.join(keyed.select(col("id").as("nb"), col("bkt")), "bkt")
         .filter(col("id") =!= col("nb"))
         .select("id", "nb")

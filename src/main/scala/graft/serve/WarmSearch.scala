@@ -158,6 +158,16 @@ final class WarmIndex private (
     out
   }
 
+  // Per-filter-string memo of the surviving id set: the snapshot is
+  // immutable, so a filter's allowed set never changes for this
+  // WarmIndex's lifetime (staleness is handled above it — the server's
+  // fingerprint probe swaps the whole WarmIndex on disk drift). Bounded
+  // so a crafted stream of distinct filter strings can't grow driver
+  // RAM; a full cache just degrades to the per-request scan.
+  private val allowedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+  private val allowedCacheMax = 256
+
   /** Parse a request filter or refuse with [[Index.search]]'s exact
     * contract: a typo'd filter is an error, never silently-unfiltered
     * results. None in = no filter = null allowed-set (scan all). */
@@ -165,10 +175,16 @@ final class WarmIndex private (
     filterStr match {
       case None => null
       case Some(f) =>
-        val node = graft.filter.MetadataFilterDsl.parse(f).getOrElse(
-          throw new IllegalArgumentException(
-            s"unparseable metadata filter: '$f'"))
-        allowedIds(node)
+        val hit = allowedCache.get(f)
+        if (hit != null) hit
+        else {
+          val node = graft.filter.MetadataFilterDsl.parse(f).getOrElse(
+            throw new IllegalArgumentException(
+              s"unparseable metadata filter: '$f'"))
+          val ids = allowedIds(node)
+          if (allowedCache.size < allowedCacheMax) allowedCache.put(f, ids)
+          ids
+        }
     }
 
   /** Exact top-k over the probed buckets; `nprobe >= numClusters`

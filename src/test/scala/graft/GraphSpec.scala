@@ -22,6 +22,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("autoLshBits: occupancy-bounded, integer-exact, clamped") {
+    // smallest b in [4,16] with 2^b * 64 >= n — expected bucket
+    // occupancy <= 64 at every corpus size, so pair mass stays ~linear
+    // (n * 64 per table) instead of n^2/2^pinnedBits
+    assert(Graph.autoLshBits(1) == 4)
+    assert(Graph.autoLshBits(1024) == 4)   // 16 * 64 boundary: exact
+    assert(Graph.autoLshBits(1025) == 5)
+    assert(Graph.autoLshBits(2000) == 5)   // sf0.1 embeddings
+    assert(Graph.autoLshBits(20000) == 9)  // 10x corpus -> wider key
+    assert(Graph.autoLshBits(4194304) == 16)
+    assert(Graph.autoLshBits(100000000L) == 16) // clamp: raise tables/blocking instead
+    // bits = 0 routes through the auto path and matches the pinned
+    // equivalent exactly (same layout, same edges)
+    val n = emb.count()
+    val auto = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+      dims = 64, bits = 0, tables = 4).collect().toSet
+    val pinned = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+      dims = 64, bits = Graph.autoLshBits(n), tables = 4).collect().toSet
+    assert(auto == pinned)
+  }
+
   test("knnGraphLsh recall vs exact at the default knobs") {
     val exact = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
       .select("id", "nb").as[(Long, Long)].collect().toSet
