@@ -60,6 +60,26 @@ object BpeVocabDrive {
       println(f"[bpe-vocab] diverge exact=${ex.length} relaxed=${rx.length} " +
         f"rounds_other=$r2 positional_agree=${pos.toDouble / k}%.4f " +
         f"set_overlap=${inter.toDouble / math.max(ex.length, rx.length)}%.4f")
+      // The metric a USER trades: encoding fertility (mean tokens per
+      // word occurrence) under each learned vocab over the same
+      // frequency table. Merge-sequence overlap can be low while both
+      // vocabs compress equally — greedy BPE has many near-equivalent
+      // merge orders on conflict-dense corpora.
+      def fertility(merges: Seq[(String, String)]): Double = {
+        // distributed: segment is O(|merges| x len) per word, so the
+        // 200k-word vocab table maps in tasks (merge list rides the
+        // closure, KBs), not on the driver
+        import spark.implicits._
+        val ms = merges.toIndexedSeq
+        val (toks, words) = freqs.selectExpr("word", "freq")
+          .as[(String, Long)]
+          .map { case (w, f) =>
+            (graft.operators.Bpe.segment(w, ms).length.toLong * f, f) }
+          .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        toks.toDouble / words
+      }
+      println(f"[bpe-vocab] fertility exact=${fertility(ex)}%.4f " +
+        f"relaxed=${fertility(rx)}%.4f (tokens/word, same freq table)")
     }
     freqs.unpersist()
     spark.stop()
