@@ -302,6 +302,15 @@ class DedupSpec extends SparkSpec {
         minC = 0.9, maxShingleDf = 10)
       .as[(Long, Long, Double, Double)].collect().toSet
     assert(capped == cont, s"capped tier must agree: $capped vs $cont")
+    // string ids route the capped tier through the df-filtered
+    // self-join (BoundedIds is Long-bound) — same pairs, string keys
+    val cappedStr = Dedup.containmentPairs(
+        sup.selectExpr("concat('d', doc_id) as doc_id", "text"),
+        "doc_id", "text", n = 3, minC = 0.9, maxShingleDf = 10)
+      .as[(String, String, Double, Double)].collect().toSet
+    assert(cappedStr.map(t => (t._1, t._2)) ==
+      capped.map(t => (s"d${t._1}", s"d${t._2}")),
+      s"string-id capped tier must agree: $cappedStr")
   }
 
   test("dedup operators leave no unbounded SQL-cache growth (r6 ADVICE fix)") {

@@ -136,7 +136,11 @@ class ServerSpec extends SparkSpec {
       // source, order — on the plain vector path, the hybrid path (the
       // warm tier holds the bm25 tables in driver RAM) AND the
       // FILTERED variants of both (in-process DSL evaluation over the
-      // resident metadata vs the Spark pre-scoring semi-join)
+      // resident metadata vs the Spark pre-scoring semi-join). Each
+      // filter string repeats across the query values, so iterations
+      // after the first serve from the warm tier's per-filter
+      // allowed-set memo — cache-HIT parity is asserted here too, not
+      // just first-compute.
       for (q <- Seq("topic 3 subject", "document number 17", "about");
            extra <- Seq("", ""","hybrid":true""",
              ""","hybrid":true,"hybrid_alpha":0.2""");
