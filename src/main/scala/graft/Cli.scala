@@ -932,7 +932,7 @@ object Cli {
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
           "--op knn|pagerank|ppr|triangles|components|communities|kcore|modularity|spread|degrees|kmeans|pca [--id-col vec_id] " +
-          "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits auto] [--tables 4] " +
+          "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits auto] [--tables 4] [--block-col <col>] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val op = flags.getOrElse("op", fail("--op required; " + usage))
@@ -991,7 +991,11 @@ object Cli {
               // scales pair mass as n^2/2^bits
               G.knnGraphLsh(emb, idCol, vecCol, k, dims,
                 bits = flags.get("bits").map(_.toInt).getOrElse(0),
-                tables = flags.get("tables").map(_.toInt).getOrElse(4))
+                tables = flags.get("tables").map(_.toInt).getOrElse(4),
+                // --block-col scopes neighborhoods to a pre-clustering
+                // (e.g. a persisted kmeans assignment) — the past-16-bits
+                // scale path when the auto key is at its recall cap
+                blockCol = flags.get("block-col"))
             } else G.knnGraph(emb, idCol, vecCol, k)
         }
         // --tol switches pagerank/spread/kmeans to the convergence-

@@ -124,13 +124,22 @@ object Graph {
   private[graft] def autoLshBits(n: Long, target: Long = 64L): Int =
     (4 to 16).find(b => (1L << b) * target >= n).getOrElse(16)
 
+  /** `blockCol` (optional) scopes the whole graph to within-block
+    * neighborhoods — bucket keys become (block, signature), so a
+    * pre-clustering (e.g. `Cluster.assign`'s centroid id) bounds every
+    * bucket by its block's size regardless of corpus scale. This is
+    * the documented past-16-bits path: when the auto key is already at
+    * its recall-driven cap, block first, then bucket. Same plan shape,
+    * one extra narrow key column through the exchanges. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                  dims: Int, bits: Int = 0, tables: Int = 4): DataFrame = {
+                  dims: Int, bits: Int = 0, tables: Int = 4,
+                  blockCol: Option[String] = None): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
+    val blk = blockCol.map(col).getOrElse(lit(0))
     val base = emb.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+      asDouble(col(vecCol)).as("v"), blk.as("blk"))
       .where(col("id").isNotNull && col("v").isNotNull &&
         dot(col("v"), col("v")) > 0) // see knnGraph
     // bits <= 0 = auto: size the bucket key from a corpus count (one
@@ -138,13 +147,15 @@ object Graph {
     // Callers who pinned bits keep their exact layout.
     val useBits = if (bits > 0) bits else autoLshBits(base.count())
     // Identical-vector class collapse: ONE map-side-combined groupBy on
-    // the vector value (a hot class absorbs in the combiner), one
-    // membership join back. These are the only vector-carrying
+    // the (block, vector) value (a hot class absorbs in the combiner),
+    // one membership join back. These are the only vector-carrying
     // exchanges; everything downstream ships reps, buckets and scores.
-    val classes = base.groupBy("v")
+    // Identical vectors in DIFFERENT blocks stay separate classes —
+    // their neighborhoods differ by construction.
+    val classes = base.groupBy("blk", "v")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val members = base.join(classes.select("v", "rep"), Seq("v"))
+    val members = base.join(classes.select("blk", "v", "rep"), Seq("blk", "v"))
       .select("id", "rep")
     // k+1 smallest member ids per class (window 2 above). ScoredId with
     // a constant score makes TopKByScore's (score desc, id asc) order
@@ -163,11 +174,15 @@ object Graph {
     // norms rejoin AFTER the dedup from the class projection, one
     // class-cardinality pass per side rather than one per surviving
     // candidate per table. Same candidate set, same scores.
-    val crep = classes.select(col("rep").as("id"), col("v"), col("n"))
+    val crep = classes.select(col("rep").as("id"), col("v"), col("n"),
+      col("blk"))
     val candidates = (0 until tables).map { t =>
-      val keyed = crep.select(col("id"),
+      // bucket key scoped by block: a block bounds its buckets no
+      // matter how large the corpus grows
+      val keyed = crep.select(col("id"), col("blk"),
         Knn.signLshKey(col("v"), dims, useBits, seed = 1000L + t).as("bkt"))
-      keyed.join(keyed.select(col("id").as("nb"), col("bkt")), "bkt")
+      keyed.join(keyed.select(col("id").as("nb"), col("blk"), col("bkt")),
+          Seq("blk", "bkt"))
         .filter(col("id") =!= col("nb"))
         .select("id", "nb")
     }.reduce(_ union _).dropDuplicates("id", "nb")

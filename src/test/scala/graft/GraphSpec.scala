@@ -43,6 +43,27 @@ class GraphSpec extends SparkSpec {
     assert(auto == pinned)
   }
 
+  test("knnGraphLsh blockCol scopes neighborhoods; constant block == unblocked") {
+    // a constant block column changes nothing (the unblocked plan IS
+    // the blocked plan at blk = lit(0))
+    val withConst = emb.withColumn("one", lit(1))
+    val unblocked = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+      dims = 64, bits = 4, tables = 4).collect().toSet
+    val constBlk = Graph.knnGraphLsh(withConst, "vec_id", "embedding", k = 3,
+      dims = 64, bits = 4, tables = 4, blockCol = Some("one")).collect().toSet
+    assert(constBlk == unblocked)
+    // a real block column: every edge stays within its block (the
+    // IVF-pre-clustering contract — the past-16-bits scale path)
+    val blocked = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+        dims = 64, bits = 4, tables = 4, blockCol = Some("label"))
+      .select("id", "nb").as[(Long, Long)].collect()
+    val lbl = emb.select(col("vec_id").cast("long"), col("label"))
+      .as[(Long, String)].collect().toMap
+    assert(blocked.nonEmpty)
+    assert(blocked.forall { case (a, b) => lbl(a) == lbl(b) },
+      "blocked kNN graph must keep every edge within its block")
+  }
+
   test("knnGraphLsh recall vs exact at the default knobs") {
     val exact = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
       .select("id", "nb").as[(Long, Long)].collect().toSet
