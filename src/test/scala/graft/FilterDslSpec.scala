@@ -121,4 +121,85 @@ class FilterDslSpec extends SparkSpec {
         s"eval/compile disagree on '$f': eval=$evaled compile=$compiled")
     }
   }
+
+  test("property: eval == compile on generated filters over generated rows") {
+    import org.scalacheck.{Gen, Prop, Test => PropTest}
+    import org.apache.spark.sql.functions.col
+    // Generated row set, built ONCE as both representations: the
+    // Dataset the Catalyst compiler filters and the nested-Map rows
+    // the warm tier's interpreter walks. Value pools are shared with
+    // the literal generator below so comparisons hit both truth
+    // branches, and every field is independently nullable (the
+    // missing-field truth table is where the two engines most easily
+    // drift).
+    val words = Vector("main", "zz", "code", "text", "alpha")
+    val nums = Vector(0L, 3L, 50L, 100L)
+    val dbls = Vector(0.5, 49.5, 100.0)
+    val rnd = new scala.util.Random(20260816L)
+    def opt[A](v: A): Option[A] = if (rnd.nextBoolean()) Some(v) else None
+    val tuples = (1 to 30).map { i =>
+      val meta: Option[(Option[Int], Option[String])] = {
+        val d = opt(rnd.nextInt(6))
+        val t = opt(words(rnd.nextInt(words.length)))
+        if (d.isEmpty && t.isEmpty) None else Some((d, t))
+      }
+      (i, opt(nums(rnd.nextInt(nums.length))),
+        opt(dbls(rnd.nextInt(dbls.length))),
+        opt(words(rnd.nextInt(words.length))),
+        opt(rnd.nextBoolean()), meta)
+    }
+    val pdf = tuples.toDF("id", "num", "dbl", "str", "flag", "meta")
+      .withColumn("meta", col("meta").cast("struct<depth:int,tag:string>"))
+      .cache()
+    pdf.count()
+    val mrows: Seq[Map[String, Any]] = tuples.map { case (i, n, d, s, f, m) =>
+      Map("id" -> i) ++ n.map("num" -> _) ++ d.map("dbl" -> _) ++
+        s.map("str" -> _) ++ f.map("flag" -> _) ++
+        m.map { case (dep, tag) =>
+          "meta" -> (Map.empty[String, Any] ++ dep.map("depth" -> _) ++
+            tag.map("tag" -> _)) }
+    }
+    val genField = Gen.oneOf("num", "dbl", "str", "flag",
+      "meta.depth", "meta.tag", "ghost")
+    val genLit = Gen.oneOf(
+      nums.map(_.toString) ++ dbls.map(_.toString) ++
+        words :+ "true" :+ "false")
+    val genCond: Gen[String] = for {
+      f <- genField
+      lit <- genLit
+      lit2 <- genLit
+      cond <- Gen.oneOf(
+        s"$f=$lit", s"$f!=$lit", s"$f>$lit", s"$f>=$lit", s"$f<$lit",
+        s"$f<=$lit", s"$f~$lit", s"$f^$lit", s"$f$$$lit", s"$f?",
+        s"$f:*$lit*", s"$f:$lit*", s"$f in [$lit,$lit2]",
+        s"$f not_in [$lit,$lit2]")
+    } yield cond
+    val genFilter: Gen[String] = for {
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, genCond)
+      sep <- Gen.oneOf(",", " OR ", " AND ")
+    } yield cs.mkString(sep)
+    val parsed = new java.util.concurrent.atomic.AtomicInteger()
+    val prop = Prop.forAll(genFilter) { f =>
+      MetadataFilterDsl.parse(f) match {
+        case None => true // generator produced something unparseable — fine
+        case Some(node) =>
+          parsed.incrementAndGet()
+          val compiled = pdf.filter(MetadataFilterDsl.compile(node, pdf))
+            .select("id").as[Int].collect().toSet
+          val evaled = mrows.filter(r =>
+            MetadataFilterDsl.eval(node, MetadataFilterDsl.lookupIn(r)))
+            .map(_("id").asInstanceOf[Int]).toSet
+          if (evaled != compiled)
+            println(s"DISAGREE '$f': eval=$evaled compile=$compiled")
+          evaled == compiled
+      }
+    }
+    val r = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(r.passed, r.status.toString)
+    // the property must not pass vacuously on an unparseable generator
+    assert(parsed.get() >= 60, s"only ${parsed.get()} of 120 filters parsed")
+    pdf.unpersist()
+  }
 }
