@@ -28,7 +28,7 @@ object ExplainDrive {
         "quality_ppl_buckets", "bpe_encode", "tokenize_pack",
         "embedding_drift", "knn_hard_negatives", "dedup_span_removal",
         "knn_graph_lsh", "graph_pagerank_watched", "graph_triangles_capped",
-        "dedup_embed")
+        "dedup_embed", "dedup_containment", "chunk_ast", "graph_build")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
