@@ -21,7 +21,7 @@ object DedupFirstDrive {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = Tables.embeddings(spark,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1p"))
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val tau = sys.env.get("SPARK_GRAFT_DEDUP_TAU").map(_.toDouble)
       .getOrElse(0.9)
 
