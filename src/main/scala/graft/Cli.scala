@@ -272,6 +272,13 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
+    // TCP_NODELAY for any HttpServer this process creates (serve/mcp):
+    // the JDK reads this property ONCE, at ServerConfig class-init —
+    // i.e. when the first HttpServer in the process is constructed —
+    // so it must be set at process entry, not in the server's own
+    // constructor, to be guaranteed effective (see SearchServer's
+    // rationale: Nagle + delayed ACK adds a flat ~40 ms per response).
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     if (args.isEmpty) fail(
       "usage: graft.Cli <build|search|ask|react|update|prune|list|remove" +
       "|compact|export|import|clean|dedup|curate|scorecard|plan|analyze|overlap|tokenize|select-dsir|export-training" +
@@ -931,6 +938,7 @@ object Cli {
         // Graph ops build the exact kNN graph by default; --lsh swaps in
         // the sign-LSH blocked tier (the 100 TB formulation).
         val usage = "usage: analyze (--embeddings <parquet> | --edges <parquet>) --out <dir> " +
+          "[--survivors-of <curate/dedup out parquet>] " +
           "--op knn|pagerank|ppr|triangles|components|communities|kcore|modularity|spread|degrees|kmeans|pca [--id-col vec_id] " +
           "[--vec-col embedding] [--k 3] [--lsh] [--weighted] [--bits auto] [--tables 4] [--block-col <col>] " +
           "[--clusters 8] [--iters <n>] [--tol <t>] [--init <parquet>] [--max-degree <d>] [--seeds <parquet>]"
@@ -961,7 +969,46 @@ object Cli {
         }
         val spark = session()
         import org.apache.spark.sql.functions.{col, size}
-        lazy val emb = spark.read.parquet(embPath)
+        // --survivors-of <parquet>: scope the analytics input to a
+        // funnel's survivor table (a `curate`/`dedup` --out result) —
+        // the measured dedup-first ordering (BASELINE.md /
+        // DedupFirstDrive: the survivor graph cost 77 s where the
+        // flooded graph cost 330 s at the 100x point; ONE quadratic
+        // toll at the funnel's dedup stage instead of one per
+        // analytic) as a one-command recipe instead of a hand-composed
+        // join. The survivor id column is --id-col when present, else
+        // doc_id/vec_id/id/source; both corpus sizes print and land in
+        // the output's _scope.json manifest.
+        var scopeNote: Option[(Long, Long, String)] = None
+        val survivorIds = flags.get("survivors-of").map { p =>
+          val sdf = spark.read.parquet(p)
+          val sid = (idCol +: Seq("doc_id", "vec_id", "id", "source"))
+            .find(sdf.columns.contains).getOrElse(fail(
+              s"--survivors-of $p needs an id column ($idCol, doc_id, " +
+                s"vec_id, id or source); have: ${sdf.columns.mkString(", ")}"))
+          (sdf.select(col(sid).as("survivor_id")).distinct(), p)
+        }
+        // Semi-join each named column against the survivor ids (edges
+        // scope BOTH endpoints: an edge to a dropped duplicate is
+        // itself dropped). Counts are two cheap aggregates per run —
+        // the manifest's amortization record.
+        def scoped(df: org.apache.spark.sql.DataFrame,
+                   on: String*): org.apache.spark.sql.DataFrame =
+          survivorIds match {
+            case None => df
+            case Some((ids, p)) =>
+              val n0 = df.count()
+              val res = on.foldLeft(df) { (acc, c) =>
+                acc.join(ids.select(col("survivor_id")
+                    .cast(df.schema(c).dataType)),
+                  col(c) === col("survivor_id"), "left_semi")
+              }
+              val n1 = res.count()
+              scopeNote = Some((n0, n1, p))
+              println(s"analyze: --survivors-of $p scoped input $n0 -> $n1 rows")
+              res
+          }
+        lazy val emb = scoped(spark.read.parquet(embPath), idCol)
         val G = graft.operators.Graph
         def graph(): org.apache.spark.sql.DataFrame = flags.get("edges") match {
           case Some(p) =>
@@ -971,12 +1018,14 @@ object Cli {
             // (id, nb) and ignores it
             val wCol = Seq("score", "w").find(e.columns.contains)
               .map(c => Seq(col(c).as("score"))).getOrElse(Nil)
-            if (e.columns.contains("id") && e.columns.contains("nb"))
-              e.select(Seq(col("id"), col("nb")) ++ wCol: _*)
-            else if (e.columns.contains("id_a") && e.columns.contains("id_b"))
-              e.select(Seq(col("id_a").as("id"), col("id_b").as("nb")) ++ wCol: _*)
-            else fail(s"--edges $p needs (id, nb) or (id_a, id_b) columns " +
-              s"(have: ${e.columns.mkString(", ")})")
+            val sel =
+              if (e.columns.contains("id") && e.columns.contains("nb"))
+                e.select(Seq(col("id"), col("nb")) ++ wCol: _*)
+              else if (e.columns.contains("id_a") && e.columns.contains("id_b"))
+                e.select(Seq(col("id_a").as("id"), col("id_b").as("nb")) ++ wCol: _*)
+              else fail(s"--edges $p needs (id, nb) or (id_a, id_b) columns " +
+                s"(have: ${e.columns.mkString(", ")})")
+            scoped(sel, "id", "nb")
           case None =>
             if (flags.contains("lsh")) {
               // empty parquet / null first vector would otherwise throw
@@ -990,7 +1039,10 @@ object Cli {
               // (expected bucket occupancy <= 64) — a pinned bit width
               // scales pair mass as n^2/2^bits
               G.knnGraphLsh(emb, idCol, vecCol, k, dims,
-                bits = flags.get("bits").map(_.toInt).getOrElse(0),
+                // accept the literal "auto" (what the usage string
+                // advertises) as well as 0 for the corpus-sized path
+                bits = flags.get("bits")
+                  .map(v => if (v == "auto") 0 else v.toInt).getOrElse(0),
                 tables = flags.get("tables").map(_.toInt).getOrElse(4),
                 // --block-col scopes neighborhoods to a pre-clustering
                 // (e.g. a persisted kmeans assignment) — the past-16-bits
@@ -1232,6 +1284,12 @@ object Cli {
           case other => fail(s"unknown --op $other; $usage")
         }
         result.write.mode("overwrite").parquet(out)
+        scopeNote.foreach { case (n0, n1, p) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/_scope.json"),
+            s"""{"survivors_of": "$p", "input_rows": $n0, "survivor_rows": $n1}""")
+          ()
+        }
         println(s"analyze: $op -> $out (${spark.read.parquet(out).count()} rows$roundsNote)")
         spark.stop()
 

@@ -411,6 +411,31 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // The PRODUCTION retrieval arm through the same metrics harness
+    // (r14): the IVF ladder's batched probe-then-scan
+    // (Knn.batchIvfTopK over label clusters, nprobe 4 of 8 — the
+    // knn_ivf probe discipline) feeds Eval.retrievalMetrics, so
+    // recall-vs-truth of the path users actually run at scale is
+    // itself a hash-gated number at any SF — not only the exact tier's.
+    "eval_retrieval_ivf" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"),
+          VectorFunctions.asDouble(col("embedding")).as("qv"))
+      val results = Knn.batchIvfTopK(emb, queries, "label",
+        nprobe = 4, k = 10)
+      val qrels = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"))
+        .join(emb.select(col("vec_id").as("rel_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("qid") =!= col("rel_id"))
+        .select(col("qid"), col("rel_id").as("vec_id"))
+      graft.operators.Eval.retrievalMetrics(results, qrels, k = 10,
+          docCol = "vec_id")
+        .orderBy("qid")
+    }),
+
     "knn_quantized" -> ((s, dir) => {
       import graft.functions.VectorFunctions._
       // Search over int8-quantized vectors: 4x smaller storage, ranked
@@ -847,6 +872,24 @@ object SparkEntry {
         .orderBy("id", "rank")
     }),
 
+    // The BLOCK-SCOPED hard-negative tier as its own hash-gated row
+    // (r14): production passes a pre-clustering (IVF centroid) as
+    // blockCol, so the plan the 100 TB path actually runs — class
+    // collapse keyed on (block, label, vector), candidates scoped to
+    // the anchor's block — must be oracle-checked, not only
+    // drive-measured (HardNegDrive) and spec-pinned. The block here is
+    // a deterministic vec_id % 7 so DuckDB replays the identical
+    // partition; the plan shape is byte-for-byte the centroid-blocked
+    // one (blockKey stringifies either).
+    "knn_hard_negatives_blocked" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("blk7", pmod(col("vec_id"), lit(7)))
+      graft.operators.Knn.hardNegatives(
+          emb.filter(col("vec_id") % 20 === 0), emb,
+          "vec_id", "embedding", "label", k = 5, blockCol = Some("blk7"))
+        .orderBy("id", "rank")
+    }),
+
     // Cross-document span REMOVAL (Lee et al. 2021 at winnow-window
     // granularity): spans whose fingerprint appears in >1 doc are cut
     // from every doc except the smallest-id owner; documents are
@@ -915,6 +958,20 @@ object SparkEntry {
       // pins the auto path itself, at every SF.
       Graph.knnGraphLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
           k = 3, dims = 64, bits = 0, tables = 8)
+        .orderBy("id", "rnk")
+    }),
+
+    // The block-scoped LSH kNN graph as its own hash-gated row (r14):
+    // blockCol is the documented past-16-bits scale path (bucket keys
+    // become (block, signature)), previously drive-measured
+    // (GraphBlockDrive) and spec-pinned but not oracle-gated. `label`
+    // is a deterministic column of the table, so the oracle replays
+    // the same block scoping by adding the label equality to the
+    // bucket self-join; bits stay auto-sized from the SAME corpus
+    // count as the unblocked row.
+    "knn_graph_lsh_blocked" -> ((s, dir) => {
+      Graph.knnGraphLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 3, dims = 64, bits = 0, tables = 8, blockCol = Some("label"))
         .orderBy("id", "rnk")
     }),
 
@@ -3219,6 +3276,28 @@ private object OracleSql {
         |FROM r WHERE rank <= 5
         |ORDER BY id, rank""".stripMargin,
 
+    // The blocked tier: identical to knn_hard_negatives plus the block
+    // equality (vec_id % 7) in the candidate join — DuckDB replays the
+    // same deterministic partition the Spark side passes as blockCol.
+    "knn_hard_negatives_blocked" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS id, c.vec_id AS neg_id,
+        |         round(list_inner_product(a.v, c.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
+        |  FROM e a JOIN e c ON a.label <> c.label
+        |                   AND a.vec_id % 7 = c.vec_id % 7
+        |  WHERE a.vec_id % 20 = 0),
+        |r AS (
+        |  SELECT id, neg_id, cosine,
+        |         row_number() OVER (PARTITION BY id
+        |                            ORDER BY cosine DESC, neg_id) AS rank
+        |  FROM s)
+        |SELECT id, rank, neg_id, cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY id, rank""".stripMargin,
+
     "dedup_winnow" ->
       """WITH tk AS (
         |  SELECT doc_id AS id,
@@ -3445,10 +3524,10 @@ private object OracleSql {
     // proj > 0 matters, and the HUGEINT->DOUBLE cast is last-ulp
     // portable where the scaled division is not). The `nb` CTE replays
     // Graph.autoLshBits's integer-exact bit selection (smallest b in
-    // [4,16] with 2^b*64 >= n) from count(*) — valid because the
-    // synthetic embeddings carry no null/zero vectors, so the Spark
-    // side's filtered count equals the raw count; real data with nulls
-    // would trip the hash gate loudly, not silently diverge.
+    // [4,16] with 2^b*64 >= n); the `e` CTE mirrors the Spark side's
+    // base filter (non-null id/vector, non-zero norm) so the two
+    // counts agree BY CONSTRUCTION — a single null or zero vector in
+    // the table must not flip the selected bit width between engines.
     //
     // RESIDUAL RISK (documented, accepted): sign-equivalence holds in
     // exact arithmetic only. Spark's dot() sums the 64 products in
@@ -3460,7 +3539,9 @@ private object OracleSql {
     // to a coarse grid, which merely relocates the same measure-zero
     // boundary from 0 to the grid edges without shrinking it.
     "knn_graph_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |             AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |nb AS (SELECT coalesce(
         |         (SELECT min(c.b) FROM (SELECT unnest(generate_series(4, 16)) AS b) c
         |          WHERE (1::BIGINT << c.b) * 64 >= (SELECT count(*) FROM e)), 16) AS bits),
@@ -3486,6 +3567,54 @@ private object OracleSql {
         |       FROM pj GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
         |         FROM ky a JOIN ky b ON a.t = b.t AND a.key = b.key AND a.vec_id <> b.vec_id),
+        |sc AS (SELECT c.id, c.nb,
+        |        round(list_inner_product(ea.v, eb.v) /
+        |              (sqrt(list_inner_product(ea.v, ea.v)) *
+        |               sqrt(list_inner_product(eb.v, eb.v))), 6) AS score
+        |       FROM cand c JOIN e ea ON ea.vec_id = c.id JOIN e eb ON eb.vec_id = c.nb),
+        |r AS (SELECT id, nb, score,
+        |        row_number() OVER (PARTITION BY id ORDER BY score DESC, nb) AS rnk FROM sc)
+        |SELECT id, nb, rnk, score FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    // The block-scoped variant: the same splitmix64 plane replay, with
+    // the label equality added to the bucket self-join — bucket keys
+    // are (block, table, signature) on the Spark side, so the oracle
+    // scopes candidates identically. The lbl CTE mirrors
+    // Knn.blockKey's null sentinel (chr(0) || 'null') so a null label
+    // would form its own block in BOTH engines rather than dropping
+    // from one; bits come from the same filtered count as the
+    // unblocked row (auto-sizing ignores blocks by design).
+    "knn_graph_lsh_blocked" ->
+      """WITH e AS (SELECT vec_id, coalesce(label::VARCHAR, chr(0) || 'null') AS lbl,
+        |                  embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |             AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |nb AS (SELECT coalesce(
+        |         (SELECT min(c.b) FROM (SELECT unnest(generate_series(4, 16)) AS b) c
+        |          WHERE (1::BIGINT << c.b) * 64 >= (SELECT count(*) FROM e)), 16) AS bits),
+        |bt AS (SELECT t.t, b.b, d.d, (1000 + t.t + b.b * 1000003 + d.d)::HUGEINT AS z0
+        |       FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+        |            (SELECT unnest(generate_series(0, (SELECT bits - 1 FROM nb))) AS b) b,
+        |            (SELECT unnest(generate_series(0, 63)) AS d) d),
+        |p0 AS (SELECT t, b, d, (z0 + 11400714819323198485) % 18446744073709551616 AS z FROM bt),
+        |p1 AS (SELECT t, b, d, xor(z, z // 1073741824) AS z FROM p0),
+        |p2 AS (SELECT t, b, d, (((z) % 4294967296) * 484763065 + ((((z) % 4294967296) * 3210233709 + ((z) // 4294967296) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p1),
+        |p3 AS (SELECT t, b, d, xor(z, z // 134217728) AS z FROM p2),
+        |p4 AS (SELECT t, b, d, (((z) % 4294967296) * 321982955 + ((((z) % 4294967296) * 2496678331 + ((z) // 4294967296) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM p3),
+        |p5 AS (SELECT t, b, d, xor(z, z // 2147483648) AS z FROM p4),
+        |pl AS (SELECT t, b, d,
+        |        (CASE WHEN z >= 9223372036854775808 THEN z - 18446744073709551616 ELSE z END)::DOUBLE AS w
+        |       FROM p5),
+        |ev AS (SELECT vec_id, d.d, v[d.d + 1] AS val
+        |       FROM e, (SELECT unnest(generate_series(0, 63)) AS d) d),
+        |pj AS (SELECT ev.vec_id, pl.t, pl.b, sum(ev.val * pl.w) AS proj
+        |       FROM ev JOIN pl USING (d) GROUP BY 1, 2, 3),
+        |ky AS (SELECT pj.vec_id, e2.lbl, pj.t,
+        |        sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END) AS key
+        |       FROM pj JOIN e e2 ON e2.vec_id = pj.vec_id GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
+        |         FROM ky a JOIN ky b ON a.t = b.t AND a.key = b.key
+        |                            AND a.lbl = b.lbl AND a.vec_id <> b.vec_id),
         |sc AS (SELECT c.id, c.nb,
         |        round(list_inner_product(ea.v, eb.v) /
         |              (sqrt(list_inner_product(ea.v, ea.v)) *
@@ -5203,6 +5332,65 @@ private object OracleSql {
         |  SELECT q.qid, q.ql, e.vec_id, e.label,
         |         round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
         |  FROM embeddings e CROSS JOIN q),
+        |res AS (
+        |  SELECT * FROM (
+        |    SELECT qid, ql, vec_id, label,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY score DESC, vec_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 10),
+        |nrel AS (
+        |  SELECT q.qid, count(*) AS n_rel
+        |  FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.qid
+        |  GROUP BY q.qid),
+        |hits AS (
+        |  SELECT qid, count(*) AS n_hits, min(rank) AS fr,
+        |         sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+        |  FROM res WHERE label = ql AND vec_id <> qid
+        |  GROUP BY qid)
+        |SELECT b.qid,
+        |       coalesce(n.n_rel, 0) AS n_rel,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 6) AS precision_k,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN coalesce(h.n_hits, 0)::DOUBLE / n.n_rel
+        |                  ELSE 0.0 END, 6) AS recall_k,
+        |       round(coalesce(1.0 / h.fr, 0.0), 6) AS rr,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN coalesce(h.dcg, 0.0) /
+        |                       list_sum(list_transform(
+        |                         generate_series(1, greatest(least(n.n_rel, 10), 1)),
+        |                         i -> ln(2.0) / ln(i + 1.0)))
+        |                  ELSE 0.0 END, 6) AS ndcg
+        |FROM (SELECT DISTINCT qid FROM scored UNION SELECT qid FROM nrel) b
+        |LEFT JOIN nrel n USING (qid)
+        |LEFT JOIN hits h USING (qid)
+        |ORDER BY qid""".stripMargin,
+    // The production-arm metrics (r14): identical harness SQL, with
+    // scored restricted to each query's nprobe=4 probed label clusters
+    // (the knn_ivf probe replay, batched per qid). recall_k here IS
+    // the IVF tier's recall-vs-truth, hash-gated per query.
+    "eval_retrieval_ivf" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 20 = 0),
+        |cent AS (
+        |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT q.qid, cluster, round(sum(cv * qv[pos]), 6) AS cscore
+        |       FROM cent, q GROUP BY 1, 2),
+        |probed AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT qid, cluster,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY cscore DESC, cluster) AS pr
+        |    FROM cs)
+        |  WHERE pr <= 4),
+        |scored AS (
+        |  SELECT q.qid, q.ql, e.vec_id, e.label,
+        |         round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+        |  FROM q JOIN probed p ON p.qid = q.qid
+        |         JOIN embeddings e ON e.label = p.cluster),
         |res AS (
         |  SELECT * FROM (
         |    SELECT qid, ql, vec_id, label,

@@ -1192,7 +1192,7 @@ object Dedup {
     import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
-    val base = emb.select(col(blockCol).as("blk"),
+    val base = emb.select(Knn.blockKey(Some(blockCol)).as("blk"),
       col(idCol).cast("long").as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("v"))
       .where(col("v").isNotNull)

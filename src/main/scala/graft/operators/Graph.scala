@@ -130,14 +130,17 @@ object Graph {
     * bucket by its block's size regardless of corpus scale. This is
     * the documented past-16-bits path: when the auto key is already at
     * its recall-driven cap, block first, then bucket. Same plan shape,
-    * one extra narrow key column through the exchanges. */
+    * one extra narrow key column through the exchanges. Rows whose
+    * block value is NULL coalesce into one shared sentinel block
+    * ([[Knn.blockKey]]) — they stay in the graph and pair among
+    * themselves instead of silently vanishing from the equi-joins. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 0, tables: Int = 4,
                   blockCol: Option[String] = None): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
-    val blk = blockCol.map(col).getOrElse(lit(0))
+    val blk = Knn.blockKey(blockCol)
     val base = emb.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"), blk.as("blk"))
       .where(col("id").isNotNull && col("v").isNotNull &&

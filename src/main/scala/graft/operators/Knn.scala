@@ -31,6 +31,21 @@ import graft.functions.VectorFunctions._
   */
 object Knn {
 
+  /** Internal block key from an optional user blocking column. Null
+    * block values coalesce into ONE shared sentinel block (the column
+    * is cast to string first so the sentinel types against any block
+    * column) instead of silently vanishing: every block-scoped
+    * operator equi-joins on this key, and SQL null never matches an
+    * equi-join, so without the coalesce a row with a missing block
+    * would drop from the output with no error. Nulls forming their own
+    * block keeps them analyzed — they pair among themselves — which
+    * beats a fail-fast require() that would cost a full validation
+    * pass per call. The key is internal-only (never projected into
+    * results), so the string cast can't leak into schemas. */
+  private[operators] def blockKey(blockCol: Option[String]): Column =
+    blockCol.map(c => coalesce(col(c).cast("string"), lit("\u0000null")))
+      .getOrElse(lit("0"))
+
   /** One-row DataFrame holding the query vector of `vecId`, ready to
     * broadcast into a scoring join. */
   def queryVector(emb: DataFrame, vecId: Long): DataFrame =
@@ -129,6 +144,55 @@ object Knn {
         col("t.id").as("vec_id"), col("t.score").as("score"))
   }
 
+  /** Batched IVF top-k: the production ANN ladder's probe-then-scan,
+    * for a whole query SET in one distributed plan (the shape a
+    * retrieval-eval harness feeds [[graft.operators.Eval.retrievalMetrics]]).
+    * Centroids derive ONCE from the cluster column (K x dims rows — at
+    * 100 TB this is the stored `centroids` table; here the
+    * oracle-replayable label-cluster means), each query ranks them
+    * driver-free in a tiny Q x K agg, and the corpus is scanned once:
+    * every row joins only the queries probing its cluster (broadcast
+    * Q x nprobe probe list), scores one dot, and forwards at most k
+    * rows per (map task, query) through the bounded [[graft.functions.TopKByScore]]
+    * aggregator. On a centroid-partitioned layout the probe join is a
+    * partition-pruning semi-join; nothing here shuffles vectors.
+    * Rounding/tie-breaks match [[batchTopKAgg]] so the two tiers are
+    * directly comparable per query. */
+  def batchIvfTopK(emb: DataFrame, queries: DataFrame, clusterCol: String,
+                   nprobe: Int, k: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val byPos = emb
+      .select(col(clusterCol).as("cluster"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+    val cscore = byPos.join(broadcast(queries))
+      .groupBy(col("qid"), col("cluster"))
+      .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6)
+        .as("cscore"))
+    // Q x K rows: the window is NOT a scale concern here (it ranks
+    // centroids, not the corpus)
+    val w = Window.partitionBy("qid").orderBy(desc("cscore"), col("cluster"))
+    val probes = cscore.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "cluster")
+      .join(queries, "qid") // (qid, cluster, qv): Q x nprobe, broadcastable
+    emb.join(broadcast(probes), col(clusterCol) === col("cluster"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(dot(col("embedding"), col("qv")), 6).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, sc) => ScoredId(id, sc) }
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("t.id").as("vec_id"), col("t.score").as("score"))
+  }
+
   /** Hard-negative mining for contrastive embedding training (the
     * DPR/SBERT data-prep step; Robinson et al. 2021 on why hard
     * negatives matter): for each anchor vector, the `k` most
@@ -158,7 +222,7 @@ object Knn {
     // per-ROW quantity — computing it inside the pair projection would
     // cost three dots per scored pair instead of one; bit-identical
     def prep(df: DataFrame, suffix: String) = {
-      val blk = blockCol.map(col).getOrElse(lit(0))
+      val blk = blockKey(blockCol)
       df.select(col(idCol).cast("long").as(s"id$suffix"),
         col(labelCol).as(s"lbl$suffix"),
         asDouble(col(vecCol)).as(s"v$suffix"),
@@ -181,7 +245,7 @@ object Knn {
     // reproduces the id-level output exactly.
     val cBase = candidates.select(col(idCol).cast("long").as("id_c"),
       col(labelCol).as("lbl_c"), asDouble(col(vecCol)).as("v_c"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      blockKey(blockCol).as("blk"))
     val cls = cBase.groupBy("blk", "lbl_c", "v_c")
       .agg(min(col("id_c")).as("rep"))
       .withColumn("n_c", l2Norm(col("v_c")))

@@ -35,8 +35,13 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
   // segments; with Nagle on, segment 2 waits for the client's delayed
   // ACK (~40 ms) — a flat per-request floor that buries the warm tier's
   // sub-ms search cost. TCP_NODELAY on accepted sockets is only
-  // reachable via this documented system property, which the server
-  // reads at construction.
+  // reachable via this system property, which the JDK reads ONCE at
+  // ServerConfig class-initialization (the first HttpServer created in
+  // the process). Cli.main sets it at process entry where that order
+  // is guaranteed; this set covers library embedders — but it is a
+  // no-op if the host application already created any HttpServer, and
+  // it affects every server this JVM creates afterwards (documented
+  // caveat; acceptable because the flag only disables Nagle).
   System.setProperty("sun.net.httpserver.nodelay", "true")
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   private val indexDir = Index.locate(warehouse, indexName)

@@ -25,8 +25,27 @@ object DfCache {
     // blocking: the registry's contract is "bounded live cache", which
     // tests pin by counting persisted RDDs — async removal would make
     // that count (and executor memory accounting) timing-dependent.
-    if (prev != null && (prev ne df)) { prev.unpersist(blocking = true); () }
+    if (prev != null && (prev ne df) && !planStillHeld(prev)) {
+      prev.unpersist(blocking = true); ()
+    }
     df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Spark's CacheManager dedupes logically-equal plans into ONE
+    * shared InMemoryRelation across persist calls, so unpersisting an
+    * evicted frame would also evict every equal-plan holder still in
+    * the registry — and force a fresh re-persist (a NEW RDD) on that
+    * holder's next registration, growing the persisted-RDD set across
+    * passes when two keys share a plan (e.g. jaccard's and
+    * containment's capped posting tables since r13). Skip the
+    * unpersist while any live entry — including the just-registered
+    * frame — resolves to the same canonical plan; the last equal-plan
+    * holder to leave the registry releases the relation. */
+  private def planStillHeld(evicted: DataFrame): Boolean = {
+    val p = evicted.queryExecution.analyzed
+    held.values.stream().anyMatch { h =>
+      (h ne evicted) && h.queryExecution.analyzed.sameResult(p)
+    }
   }
 
   /** Release every deferred-release intermediate (idempotent). */

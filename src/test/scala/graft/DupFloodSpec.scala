@@ -150,6 +150,20 @@ class DupFloodSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want") // ordered compare: same ranking
   }
 
+  test("embeddingTopPairs null blocks coalesce into one sentinel block (not dropped)") {
+    // Parity: null block values behave as one distinct block
+    // (Knn.blockKey sentinel) instead of dropping out of the blk joins.
+    def blk(v: org.apache.spark.sql.Column) =
+      when(col("vec_id") % 2 === 0, lit("a")).otherwise(v)
+    def run(v: org.apache.spark.sql.Column) =
+      Dedup.embeddingTopPairs(flooded.withColumn("b2", blk(v)),
+          "vec_id", "embedding", "b2", topN = 25)
+        .as[(Long, Long, Double)].collect().toSeq
+    val gotNull = run(lit(null))
+    assert(gotNull == run(lit("zz")))
+    assert(gotNull.nonEmpty)
+  }
+
   test("hardNegatives class collapse == id-level formulation under duplicate flood") {
     val anchors = flooded.filter(col("vec_id") % 20 === 0)
     val got = Knn.hardNegatives(anchors, flooded, "vec_id", "embedding",

@@ -99,6 +99,51 @@ object E2eDrive {
     println(s"CLI_ANALYZE_EDGES identical=${oneShot == viaEdges} watched_rows=$watchedN")
     spark4.stop()
 
+    // analyze --survivors-of: the measured dedup-first ordering
+    // (BASELINE.md / DedupFirstDrive: survivor graph 77 s vs flooded
+    // 330 s at the 100x point) as ONE command. Results must be
+    // IDENTICAL to hand-composing the survivor join, and the output
+    // manifest must record both corpus sizes.
+    val sparkSv = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val embDf = sparkSv.read.parquet(emb)
+    val survDir = s"$prOut/survivors"
+    // stage 1 of the funnel (DedupFirstDrive's): SemDeDup survivors
+    val assigned = graft.operators.Knn.ivfAssign(embDf, "embedding",
+      numClusters = 8, seed = 42L)
+    graft.operators.Dedup.semanticDedup(assigned, "vec_id", "embedding",
+        "centroid_id", tau = 0.3)
+      .filter(!org.apache.spark.sql.functions.col("is_dup"))
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(survDir)
+    // the hand-composed recipe: survivor-filtered embeddings on disk
+    embDf.join(sparkSv.read.parquet(survDir), "vec_id")
+      .write.mode("overwrite").parquet(s"$prOut/emb_slim")
+    val nAll = embDf.count()
+    val nSurv = sparkSv.read.parquet(survDir).count()
+    sparkSv.stop()
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/pr_surv",
+      "--op", "pagerank", "--k", "3", "--survivors-of", survDir))
+    Cli.main(Array("analyze", "--embeddings", s"$prOut/emb_slim",
+      "--out", s"$prOut/pr_hand", "--op", "pagerank", "--k", "3"))
+    val sparkSv2 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val viaFlag = sparkSv2.read.parquet(s"$prOut/pr_surv").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byHand = sparkSv2.read.parquet(s"$prOut/pr_hand").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaFlag == byHand,
+      s"--survivors-of pagerank diverged from the hand-composed recipe " +
+        s"(${viaFlag.size} vs ${byHand.size} nodes)")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$prOut/pr_surv/_scope.json")), "UTF-8")
+    assert(manifest.contains(s""""input_rows": $nAll""") &&
+      manifest.contains(s""""survivor_rows": $nSurv"""),
+      s"scope manifest must record both corpus sizes: $manifest")
+    println(s"CLI_ANALYZE_SURVIVORS identical=${viaFlag == byHand} " +
+      s"scoped=$nAll->$nSurv manifest=$manifest")
+    sparkSv2.stop()
+
     // CLI overlap smoke: a tiny jsonl corpus with one mirrored source —
     // the exact matrix must show the b⊂a containment asymmetry, the
     // sketch arm must report the identical pair at j_est = 1.0

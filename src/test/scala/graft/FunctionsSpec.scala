@@ -322,15 +322,14 @@ class DedupSpec extends SparkSpec {
     // releaseCaches — and, unlike localCheckpoint blocks, visible to
     // a session-level cache clear.
     def persistedRdds: Int = spark.sparkContext.getPersistentRDDs.size
-    // Hermetic baseline: clear the WHOLE SQL cache, not just the
-    // registry. jaccard's and containment's capped posting tables now
-    // share one canonical plan (r13 — same corpus, same cap, same
-    // BoundedIds agg), and Spark's CacheManager dedupes equal plans
-    // across keys: registration k reuses key j's InMemoryRelation (no
-    // new RDD), and j's next eviction orphans it, so the RDD count
-    // oscillates by one across passes depending on which suite cached
-    // an equal plan first — an accounting artifact of cache dedup, not
-    // registry growth (sharing means FEWER live RDDs, never more).
+    // Hermetic baseline: clear the WHOLE SQL cache so equal plans
+    // cached by other suites don't seed CacheManager's dedup. jaccard's
+    // and containment's capped posting tables share one canonical plan
+    // (r13 — same corpus, same cap, same BoundedIds agg), which is why
+    // DfCache.holdCached must NOT unpersist an evicted frame while
+    // another live entry resolves to the same plan: the shared
+    // InMemoryRelation would be orphaned and re-persisted as a NEW RDD
+    // on the next pass. This test pins that plan-dedup-aware eviction.
     spark.catalog.clearCache()
     Dedup.releaseCaches()
     def runAll(): Unit = {

@@ -64,6 +64,24 @@ class GraphSpec extends SparkSpec {
       "blocked kNN graph must keep every edge within its block")
   }
 
+  test("knnGraphLsh null blocks coalesce into one sentinel block (not dropped)") {
+    // SQL null never matches an equi-join key: without Knn.blockKey's
+    // coalesce, every null-block row would silently vanish from the
+    // graph. Contract: null behaves exactly like any other distinct
+    // block value — the null rows pair among themselves.
+    def blk(v: org.apache.spark.sql.Column) =
+      when($"vec_id" % 2 === 0, lit("a")).otherwise(v)
+    val gotNull = Graph.knnGraphLsh(emb.withColumn("b2", blk(lit(null))),
+      "vec_id", "embedding", k = 3, dims = 64, bits = 4, tables = 4,
+      blockCol = Some("b2")).collect().toSet
+    val want = Graph.knnGraphLsh(emb.withColumn("b2", blk(lit("zz"))),
+      "vec_id", "embedding", k = 3, dims = 64, bits = 4, tables = 4,
+      blockCol = Some("b2")).collect().toSet
+    assert(gotNull == want)
+    assert(gotNull.exists(_.getLong(0) % 2 == 1),
+      "null-block rows must stay in the graph")
+  }
+
   test("knnGraphLsh recall vs exact at the default knobs") {
     val exact = Graph.knnGraph(emb, "vec_id", "embedding", k = 3)
       .select("id", "nb").as[(Long, Long)].collect().toSet

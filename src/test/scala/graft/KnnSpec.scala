@@ -209,4 +209,23 @@ class KnnSpec extends SparkSpec {
     info(f"centroid-blocked hard-negative recall = $recall%.2f")
     assert(recall >= 0.2)
   }
+
+  test("hardNegatives null blocks coalesce into one sentinel block (not dropped)") {
+    // Parity: a null block value must behave exactly like any other
+    // distinct block value (Knn.blockKey's sentinel coalesce), not
+    // silently drop its rows from the equi-joins.
+    val anchors = emb.filter($"vec_id" % 20 === 0)
+    // anchors are multiples of 20, so split blocks on % 40: anchors at
+    // 20, 60, 100, ... land in the NULL block and must not vanish
+    def blk(v: org.apache.spark.sql.Column) =
+      when($"vec_id" % 40 === 0, lit("a")).otherwise(v)
+    def run(v: org.apache.spark.sql.Column) = Knn.hardNegatives(
+        anchors.withColumn("b2", blk(v)), emb.withColumn("b2", blk(v)),
+        "vec_id", "embedding", "label", k = 5, blockCol = Some("b2"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val gotNull = run(lit(null))
+    assert(gotNull == run(lit("zz")))
+    assert(gotNull.exists(_._1 % 40 != 0),
+      "null-block anchors must keep their negatives")
+  }
 }
