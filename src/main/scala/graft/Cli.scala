@@ -148,7 +148,7 @@ object Cli {
     val pos = Seq.newBuilder[String]
     var flags = Map.empty[String, String]
     var i = 0
-    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch", "--weighted", "--warm")
+    val boolFlags = Set("--hybrid", "--force", "--no-auto-hybrid", "--no-expand", "--wet", "--lsh", "--sketch", "--weighted", "--warm", "--relaxed")
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
@@ -1301,14 +1301,25 @@ object Cli {
         // training run pins for reproducible re-tokenization.
         val docsDir = flags.getOrElse("docs", fail(
           "usage: tokenize --docs <dir|corpus.jsonl|parquet> --out <dir> " +
-          "[--merges 200] [--min-freq 2]"))
+          "[--merges 200] [--min-freq 2] [--relaxed] [--batch-cap 64]"))
         val out = flags.getOrElse("out", fail("--out <dir> required"))
         val spark = session()
         val docs = ingestText(spark, docsDir)
-        val merges = graft.operators.Bpe.trainMerges(
+        // --relaxed switches to the vocab-scale batched trainer
+        // (trainMergesRelaxed: top batchCap disjoint pairs per round —
+        // the 32k-merge mode, where 32k one-merge exact rounds are the
+        // bottleneck); merge ORDER may diverge from classic sequential
+        // BPE (see the operator's scaladoc), encoding stays
+        // deterministic and round-trip safe. --batch-cap widens the
+        // per-round batch for either mode.
+        val bpeTrain =
+          if (flags.contains("relaxed")) graft.operators.Bpe.trainMergesRelaxed _
+          else graft.operators.Bpe.trainMerges _
+        val merges = bpeTrain(
           graft.operators.Bpe.wordFreqs(docs, "text"),
-          numMerges = flags.get("merges").map(_.toInt).getOrElse(200),
-          minFreq = flags.get("min-freq").map(_.toLong).getOrElse(2L))
+          flags.get("merges").map(_.toInt).getOrElse(200),
+          flags.get("min-freq").map(_.toLong).getOrElse(2L),
+          flags.get("batch-cap").map(_.toInt).getOrElse(64))
         graft.operators.Bpe.encodeDocs(docs, "source", "text", merges)
           .write.mode("overwrite").parquet(out)
         java.nio.file.Files.write(
