@@ -877,16 +877,22 @@ object SparkEntry {
     // blockCol, so the plan the 100 TB path actually runs — class
     // collapse keyed on (block, label, vector), candidates scoped to
     // the anchor's block — must be oracle-checked, not only
-    // drive-measured (HardNegDrive) and spec-pinned. The block here is
-    // a deterministic vec_id % 7 so DuckDB replays the identical
-    // partition; the plan shape is byte-for-byte the centroid-blocked
-    // one (blockKey stringifies either).
+    // drive-measured (HardNegDrive) and spec-pinned. The block is
+    // vec_id modulo a CORPUS-SIZED block count (ceil(n/250) — the
+    // auto-bits discipline: a FIXED count means block size grows with
+    // the corpus and within-block pair mass grows n²; measured 186x at
+    // the 100x sweep before this). Integer-exact, so DuckDB replays the
+    // identical partition from count(*); the plan shape is
+    // byte-for-byte the centroid-blocked one (blockKey stringifies
+    // either), and production's analog is scaling the cluster count
+    // with the corpus.
     "knn_hard_negatives_blocked" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-        .withColumn("blk7", pmod(col("vec_id"), lit(7)))
+      val nb = math.max((emb.count() + 249) / 250, 1L)
+      val withBlk = emb.withColumn("blkn", pmod(col("vec_id"), lit(nb)))
       graft.operators.Knn.hardNegatives(
-          emb.filter(col("vec_id") % 20 === 0), emb,
-          "vec_id", "embedding", "label", k = 5, blockCol = Some("blk7"))
+          withBlk.filter(col("vec_id") % 20 === 0), withBlk,
+          "vec_id", "embedding", "label", k = 5, blockCol = Some("blkn"))
         .orderBy("id", "rank")
     }),
 
@@ -3277,17 +3283,20 @@ private object OracleSql {
         |ORDER BY id, rank""".stripMargin,
 
     // The blocked tier: identical to knn_hard_negatives plus the block
-    // equality (vec_id % 7) in the candidate join — DuckDB replays the
-    // same deterministic partition the Spark side passes as blockCol.
+    // equality in the candidate join. The block count replays the Spark
+    // side's integer-exact ceil(count/250) — bounded block SIZE at any
+    // corpus scale, so the row's cost is linear where a fixed count
+    // would be quadratic.
     "knn_hard_negatives_blocked" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |nb AS (SELECT greatest((count(*) + 249) // 250, 1) AS b FROM e),
         |s AS (
         |  SELECT a.vec_id AS id, c.vec_id AS neg_id,
         |         round(list_inner_product(a.v, c.v) /
         |               (sqrt(list_inner_product(a.v, a.v)) *
         |                sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
         |  FROM e a JOIN e c ON a.label <> c.label
-        |                   AND a.vec_id % 7 = c.vec_id % 7
+        |                   AND a.vec_id % (SELECT b FROM nb) = c.vec_id % (SELECT b FROM nb)
         |  WHERE a.vec_id % 20 = 0),
         |r AS (
         |  SELECT id, neg_id, cosine,
