@@ -170,6 +170,24 @@ object E2eDrive {
     println(s"CLI_OVERLAP exact=$exact sketch=$sk")
     sparkOv.stop()
 
+    // tokenize --relaxed smoke through Cli.main: the vocab-scale
+    // batched trainer must learn merges and encode the corpus (merge
+    // ORDER may diverge from the exact tier; encoding is deterministic
+    // either way), writing the _merges.json artifact.
+    Cli.main(Array("tokenize", "--docs", ovJsonl, "--out", s"$ovDir/bpe",
+      "--relaxed", "--batch-cap", "32", "--merges", "50"))
+    val sparkTk = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val enc = sparkTk.read.parquet(s"$ovDir/bpe")
+    val encN = enc.count()
+    val mergesJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ovDir/bpe/_merges.json")), "UTF-8")
+    assert(encN == 3, s"tokenize --relaxed must encode all 3 docs, got $encN")
+    assert(mergesJson.startsWith("[") && mergesJson.contains("\""),
+      s"merge table artifact missing/empty: ${mergesJson.take(80)}")
+    println(s"CLI_TOKENIZE_RELAXED docs=$encN merges_artifact=${mergesJson.length}B")
+    sparkTk.stop()
+
     // warm start over the same persisted edges, seeded from the cold
     // watched run's own output; plus the ppr and capped-triangle arms
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/pr_warm",

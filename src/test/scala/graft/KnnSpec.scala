@@ -94,6 +94,32 @@ class KnnSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"expected map-side partial agg in:\n$plan")
   }
 
+  test("batchIvfTopK == per-query ivfTopK; probes broadcast, partial agg in plan") {
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val batchDf = Knn.batchIvfTopK(emb, queries, "label", nprobe = 3, k = 5)
+    val batch = batchDf.orderBy("qid", "rank")
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)]
+      .collect().toSeq
+    // the per-query oracle formulation, one qid at a time
+    val single = (0L until 4L).flatMap { q =>
+      Knn.ivfTopK(emb, Knn.queryVector(emb, q), "label", nprobe = 3, k = 5)
+        .as[(Long, Double)].collect().toSeq
+        .map { case (id, s) => (q, id, s) }
+    }
+    assert(batch == single,
+      s"batched IVF diverged from the per-query formulation")
+    // the scale contract: the Q x nprobe probe list broadcasts (the
+    // corpus side never shuffles for the probe join) and the final
+    // per-query top-k is a two-phase aggregate (map-side partials)
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"expected broadcast probe join in:\n$plan")
+    assert(plan.contains("partial_"),
+      s"expected map-side partial agg in:\n$plan")
+  }
+
   test("SignLsh64 expression matches the Column formulation bit-for-bit") {
     // Every stored embedding, two plane configs (incl. a bit count past
     // what a sane Column tree would allow at real dims) — keys must be
