@@ -121,7 +121,7 @@ object Graph {
     * past that the recall cost of ever-finer buckets outruns the pair
     * savings — above ~4M vectors, raise `tables` or pre-block by IVF
     * cluster instead (both knobs exist). */
-  private[graft] def autoLshBits(n: Long, target: Long = 64L): Int =
+  def autoLshBits(n: Long, target: Long = 64L): Int =
     (4 to 16).find(b => (1L << b) * target >= n).getOrElse(16)
 
   /** `blockCol` (optional) scopes the whole graph to within-block
@@ -133,7 +133,20 @@ object Graph {
     * one extra narrow key column through the exchanges. Rows whose
     * block value is NULL coalesce into one shared sentinel block
     * ([[Knn.blockKey]]) — they stay in the graph and pair among
-    * themselves instead of silently vanishing from the equi-joins. */
+    * themselves instead of silently vanishing from the equi-joins.
+    *
+    * Auto bits (bits <= 0) size from the GLOBAL corpus count even when
+    * blockCol is set, so the per-(block, signature) cell occupancy runs
+    * ~64/B for B same-sized blocks — FINER than the unblocked 64
+    * target: cheaper (fewer candidate pairs per cell) but lower recall
+    * than the unblocked auto key. That is the deliberate default — a
+    * pre-clustering already concentrates true neighbors, so the key's
+    * job shrinks (GraphBlockDrive: 5.5 s blocked vs 9.7 s unblocked at
+    * sf1p, same k). Callers who instead want the SAME per-cell
+    * occupancy point inside each block — recall over cost, e.g. blocks
+    * that are coarse or unbalanced — should pass
+    * `bits = autoLshBits(maxBlockSize)` explicitly; both selections are
+    * integer-exact and oracle-replayable. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 0, tables: Int = 4,
                   blockCol: Option[String] = None): DataFrame = {

@@ -47,6 +47,33 @@ object GraphBlockDrive {
     println(f"GRAPHBLOCK clusters=$clusters auto=${tAuto}%.2fs " +
       f"blocked=${tBlocked}%.2fs edges_auto=${auto.size} " +
       f"edges_blocked=${blocked.size} recall_vs_auto=${recall}%.3f")
+
+    // The documented recall-over-cost point: bits sized from the MAX
+    // block so each (block, signature) cell holds the unblocked 64
+    // occupancy target (default auto sizes from the global count —
+    // ~64/B per cell, cheaper but blinder). Quantifies the trade the
+    // knnGraphLsh scaladoc describes.
+    val maxBlock = assigned.groupBy("centroid_id").count()
+      .agg(max("count")).head().getLong(0)
+    val wideBits = Graph.autoLshBits(maxBlock)
+    val (wide, tWide) = time(edges(Graph.knnGraphLsh(
+      assigned, "vec_id", "embedding", k = 3, dims = 64, bits = wideBits,
+      tables = 8, blockCol = Some("centroid_id"))))
+    val recallWide = (auto intersect wide).size.toDouble / auto.size
+    println(f"GRAPHBLOCK_WIDE max_block=$maxBlock bits=$wideBits " +
+      f"wall=${tWide}%.2fs edges=${wide.size} recall_vs_auto=${recallWide}%.3f")
+
+    // Ground truth: the exact n^2 graph (feasible at drive scales) —
+    // recall vs the LSH auto graph conflates two approximations, so
+    // the record keeps each tier's recall against the TRUE kNN edges.
+    if (sys.env.get("SPARK_GRAFT_GRAPH_EXACT").forall(_ != "0")) {
+      val (ex, tEx) = time(edges(Graph.knnGraph(
+        emb, "vec_id", "embedding", k = 3)))
+      def r(s0: Set[(Long, Long)]) = (ex intersect s0).size.toDouble / ex.size
+      println(f"GRAPHBLOCK_EXACT wall=${tEx}%.2fs edges=${ex.size} " +
+        f"recall auto=${r(auto)}%.3f blocked=${r(blocked)}%.3f " +
+        f"wide=${r(wide)}%.3f")
+    }
     spark.stop()
   }
 }
