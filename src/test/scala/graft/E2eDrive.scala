@@ -144,6 +144,42 @@ object E2eDrive {
       s"scoped=$nAll->$nSurv manifest=$manifest")
     sparkSv2.stop()
 
+    // --survivors-of over a persisted EDGE table: both endpoints must
+    // be scoped (an edge to a dropped duplicate is itself dropped), so
+    // pagerank over (scoped edges) == pagerank over (edges of the
+    // scoped embeddings) — the two compositions must agree.
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out",
+      s"$prOut/pr_edges_surv", "--op", "pagerank",
+      "--survivors-of", survDir))
+    Cli.main(Array("analyze", "--embeddings", s"$prOut/emb_slim",
+      "--out", s"$prOut/knn_slim", "--op", "knn", "--k", "3"))
+    // NOTE: these two are NOT expected to be identical — scoping a
+    // k=3 edge table is not rebuilding the k=3 graph on survivors (a
+    // survivor whose 3 nearest were all dropped keeps fewer edges).
+    // The contract pinned here is the SCOPING itself: no edge touches
+    // a dropped id, and the node set is a subset of the survivors.
+    val sparkSv3 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val survSet = sparkSv3.read.parquet(survDir).collect()
+      .map(_.getLong(0)).toSet
+    val prNodes = sparkSv3.read.parquet(s"$prOut/pr_edges_surv").collect()
+      .map(_.getLong(0)).toSet
+    assert(prNodes.nonEmpty && prNodes.subsetOf(survSet),
+      s"scoped-edge pagerank leaked dropped ids: ${(prNodes -- survSet).take(5)}")
+    println(s"CLI_ANALYZE_EDGES_SURVIVORS nodes=${prNodes.size} of ${survSet.size} survivors")
+    sparkSv3.stop()
+
+    // --lsh --bits auto smoke: the usage string advertises the literal
+    // "auto"; it must select the corpus-sized path, not crash in .toInt
+    Cli.main(Array("analyze", "--embeddings", emb, "--out", s"$prOut/knn_lsh_auto",
+      "--op", "knn", "--k", "3", "--lsh", "--bits", "auto"))
+    val sparkSv4 = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val lshAutoN = sparkSv4.read.parquet(s"$prOut/knn_lsh_auto").count()
+    assert(lshAutoN > 0, "--bits auto produced an empty graph")
+    println(s"CLI_ANALYZE_LSH_AUTO rows=$lshAutoN")
+    sparkSv4.stop()
+
     // CLI overlap smoke: a tiny jsonl corpus with one mirrored source —
     // the exact matrix must show the b⊂a containment asymmetry, the
     // sketch arm must report the identical pair at j_est = 1.0
