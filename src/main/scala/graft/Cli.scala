@@ -1004,6 +1004,15 @@ object Cli {
                   col(c) === col("survivor_id"), "left_semi")
               }
               val n1 = res.count()
+              // fail-fast, not a silent empty result: a type-mismatched
+              // or wrong-table survivor list (every cast id NULL, or no
+              // overlap at all) would otherwise write an empty analytics
+              // parquet and exit 0 — the repo's "a typo is an error"
+              // stance applies to scoping too.
+              if (n0 > 0 && n1 == 0) fail(
+                s"--survivors-of $p matched NO rows of the $n0-row input: " +
+                  "survivor ids don't overlap the input's id column " +
+                  "(wrong table, wrong --id-col, or incompatible id type)")
               scopeNote = Some((n0, n1, p))
               println(s"analyze: --survivors-of $p scoped input $n0 -> $n1 rows")
               res
@@ -1285,10 +1294,24 @@ object Cli {
         }
         result.write.mode("overwrite").parquet(out)
         scopeNote.foreach { case (n0, n1, p) =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$out/_scope.json"),
-            s"""{"survivors_of": "$p", "input_rows": $n0, "survivor_rows": $n1}""")
-          ()
+          // Json.write escapes the path (quotes/backslashes would make
+          // hand-rolled JSON unparseable); a non-local --out (hdfs://,
+          // s3a://) can't take a java.nio write after Spark wrote the
+          // parquet remotely — degrade to a loud stderr note rather
+          // than crashing a completed analytics run over its sidecar.
+          try {
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$out/_scope.json"),
+              graft.util.Json.write(Map(
+                "survivors_of" -> p,
+                "input_rows" -> n0,
+                "survivor_rows" -> n1)))
+            ()
+          } catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"analyze: could not write $out/_scope.json (${e.getMessage}); " +
+                s"scope was $n0 -> $n1 rows from $p")
+          }
         }
         println(s"analyze: $op -> $out (${spark.read.parquet(out).count()} rows$roundsNote)")
         spark.stop()

@@ -3385,10 +3385,12 @@ private object OracleSql {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_semantic" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, label,
+        |                  coalesce(label::VARCHAR, chr(0) || 'null') AS blk,
+        |                  embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id, a.label AS cluster,
         |       EXISTS (SELECT 1 FROM e b
-        |               WHERE b.label = a.label AND b.vec_id < a.vec_id
+        |               WHERE b.blk = a.blk AND b.vec_id < a.vec_id
         |                 AND round(list_inner_product(a.v, b.v) /
         |                       (sqrt(list_inner_product(a.v, a.v)) *
         |                        sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3) AS is_dup

@@ -940,13 +940,18 @@ object Dedup {
                     clusterCol: String, tau: Double): DataFrame = {
     // norms hoisted per ROW before the pair join (one dot per pair
     // instead of three — bit-identical: same sequential self-dot, same
-    // division shape the oracle replays)
+    // division shape the oracle replays). The join key is the
+    // null-sentinel block form (Knn.blockKey): a NULL cluster must
+    // dedup against its fellow null-cluster rows, not silently exempt
+    // itself from the equi-join; the OUTPUT cluster column keeps the
+    // original value.
     val base = emb.select(col(clusterCol).as("cluster"),
+      Knn.blockKey(Some(clusterCol)).as("blk"),
       col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorFunctions.l2Norm(col("v")))
-    val earlier = base.select(col("cluster"), col("id").as("id_b"),
+    val earlier = base.select(col("blk"), col("id").as("id_b"),
       col("v").as("v_b"), col("n").as("n_b"))
-    val dupIds = base.join(earlier, "cluster")
+    val dupIds = base.join(earlier, "blk")
       .filter(col("id_b") < col("id"))
       .filter(round(VectorFunctions.dot(col("v"), col("v_b")) /
         (col("n") * col("n_b")), 6) >= tau)
@@ -967,12 +972,14 @@ object Dedup {
     * smallest-id (the CLI `dedup --method semantic` path). */
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, tau: Double): DataFrame = {
-    val base = emb.select(col(clusterCol).as("cluster"),
+    // null-sentinel block key, like semanticDedup: null-cluster rows
+    // pair among themselves instead of vanishing from the equi-join
+    val base = emb.select(Knn.blockKey(Some(clusterCol)).as("blk"),
       col(idCol).as("id"), VectorFunctions.asDouble(col(vecCol)).as("v"))
       .withColumn("n", VectorFunctions.l2Norm(col("v")))
-    val other = base.select(col("cluster"), col("id").as("id_b"),
+    val other = base.select(col("blk"), col("id").as("id_b"),
       col("v").as("v_b"), col("n").as("n_b"))
-    base.join(other, "cluster")
+    base.join(other, "blk")
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         round(VectorFunctions.dot(col("v"), col("v_b")) /

@@ -41,7 +41,11 @@ object Knn {
     * block keeps them analyzed — they pair among themselves — which
     * beats a fail-fast require() that would cost a full validation
     * pass per call. The key is internal-only (never projected into
-    * results), so the string cast can't leak into schemas. */
+    * results), so the string cast can't leak into schemas. One caveat
+    * the cast introduces: float/double block columns stringify -0.0
+    * and 0.0 APART (numeric join keys normalized them together) —
+    * normalize signed zeros upstream if a float projection is the
+    * block. */
   private[operators] def blockKey(blockCol: Option[String]): Column =
     blockCol.map(c => coalesce(col(c).cast("string"), lit("\u0000null")))
       .getOrElse(lit("0"))
@@ -84,11 +88,7 @@ object Knn {
     */
   def ivfTopK(emb: DataFrame, query: DataFrame, clusterCol: String,
               nprobe: Int, k: Int): DataFrame = {
-    val byPos = emb
-      .select(col(clusterCol).as("cluster"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
-    val centroidScores = byPos
+    val centroidScores = centroidsByPos(emb, clusterCol)
       .join(broadcast(query), expr("true"))
       .groupBy(col("cluster"))
       .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6).as("cscore"))
@@ -100,6 +100,37 @@ object Knn {
     // nprobe values prunes to nprobe partitions before any vector math.
     val pruned = emb.join(broadcast(probed), col(clusterCol) === col("cluster"), "left_semi")
     exactTopK(pruned, query, k)
+  }
+
+  /** avg embedding value per (cluster, position) — the
+    * oracle-replayable centroid derivation both IVF formulations
+    * ([[ivfTopK]], [[batchIvfTopK]]) share; changing its arithmetic in
+    * one place keeps the tiers and their DuckDB replays in lockstep. */
+  private def centroidsByPos(emb: DataFrame, clusterCol: String): DataFrame =
+    emb.select(col(clusterCol).as("cluster"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+
+  /** Bounded per-query top-k over (qid, id, score) rows — the shared
+    * tail of [[batchTopKAgg]] and [[batchIvfTopK]]: map-side partial
+    * [[graft.functions.TopKByScore]] aggregation (at most k rows per
+    * (task, query) into the exchange), (score desc, id asc) order,
+    * 1-based rank. One implementation so the tiers' rounding and
+    * tie-break discipline cannot drift. */
+  private def topKPerQuery(
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int): DataFrame = {
+    import graft.functions.{ScoredId, TopKByScore}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, sc) => ScoredId(id, sc) }
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("t.id").as("vec_id"), col("t.score").as("score"))
   }
 
   /** Batched multi-query search: top-k per query in ONE distributed
@@ -125,23 +156,15 @@ object Knn {
     * survives a 100x scale-up where the window variant shuffles every
     * scored row. Identical output to [[batchTopK]]. */
   def batchTopKAgg(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
-    val scored = emb.join(broadcast(queries))
-      .select(col("qid"),
-        col("vec_id").as("id"),
-        round(dot(col("embedding"), col("qv")), 6).as("score"))
-      .as[(Long, Long, Double)]
-    val agg = new TopKByScore(k).toColumn
-    scored
-      .groupByKey(_._1)
-      .mapValues { case (_, id, s) => ScoredId(id, s) }
-      .agg(agg.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("qid"), (col("pos") + 1).as("rank"),
-        col("t.id").as("vec_id"), col("t.score").as("score"))
+    topKPerQuery(
+      emb.join(broadcast(queries))
+        .select(col("qid"),
+          col("vec_id").as("id"),
+          round(dot(col("embedding"), col("qv")), 6).as("score"))
+        .as[(Long, Long, Double)],
+      k)
   }
 
   /** Batched IVF top-k: the production ANN ladder's probe-then-scan,
@@ -160,16 +183,10 @@ object Knn {
     * directly comparable per query. */
   def batchIvfTopK(emb: DataFrame, queries: DataFrame, clusterCol: String,
                    nprobe: Int, k: Int): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
-    val byPos = emb
-      .select(col(clusterCol).as("cluster"),
-        posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
-    val cscore = byPos.join(broadcast(queries))
+    val cscore = centroidsByPos(emb, clusterCol).join(broadcast(queries))
       .groupBy(col("qid"), col("cluster"))
       .agg(round(sum(col("cv") * element_at(col("qv"), col("pos") + 1)), 6)
         .as("cscore"))
@@ -180,17 +197,12 @@ object Knn {
       .filter(col("pr") <= nprobe)
       .select("qid", "cluster")
       .join(queries, "qid") // (qid, cluster, qv): Q x nprobe, broadcastable
-    emb.join(broadcast(probes), col(clusterCol) === col("cluster"))
-      .select(col("qid"), col("vec_id").as("id"),
-        round(dot(col("embedding"), col("qv")), 6).as("score"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, sc) => ScoredId(id, sc) }
-      .agg(new TopKByScore(k).toColumn.name("top"))
-      .toDF("qid", "top")
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("qid"), (col("pos") + 1).as("rank"),
-        col("t.id").as("vec_id"), col("t.score").as("score"))
+    topKPerQuery(
+      emb.join(broadcast(probes), col(clusterCol) === col("cluster"))
+        .select(col("qid"), col("vec_id").as("id"),
+          round(dot(col("embedding"), col("qv")), 6).as("score"))
+        .as[(Long, Long, Double)],
+      k)
   }
 
   /** Hard-negative mining for contrastive embedding training (the

@@ -20,7 +20,7 @@ object DfCache {
 
   /** Cache `df` under the callsite key, releasing the key's previous
     * occupant. Returns the SAME frame (persist is lazy). */
-  def holdCached(key: String, df: DataFrame): DataFrame = {
+  def holdCached(key: String, df: DataFrame): DataFrame = synchronized {
     val prev = held.put(key, df)
     // blocking: the registry's contract is "bounded live cache", which
     // tests pin by counting persisted RDDs — async removal would make
@@ -40,7 +40,11 @@ object DfCache {
     * containment's capped posting tables since r13). Skip the
     * unpersist while any live entry — including the just-registered
     * frame — resolves to the same canonical plan; the last equal-plan
-    * holder to leave the registry releases the relation. */
+    * holder to leave the registry releases the relation. holdCached /
+    * releaseAll synchronize on this object: without the lock, two
+    * threads concurrently evicting the LAST two equal-plan holders
+    * would each see the other still registered, both skip the
+    * unpersist, and the shared relation would leak until releaseAll. */
   private def planStillHeld(evicted: DataFrame): Boolean = {
     val p = evicted.queryExecution.analyzed
     held.values.stream().anyMatch { h =>
@@ -49,7 +53,7 @@ object DfCache {
   }
 
   /** Release every deferred-release intermediate (idempotent). */
-  def releaseAll(): Unit = {
+  def releaseAll(): Unit = synchronized {
     held.values.forEach(df => { df.unpersist(blocking = true); () })
     held.clear()
   }

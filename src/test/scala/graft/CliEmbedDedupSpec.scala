@@ -90,4 +90,36 @@ class CliEmbedDedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(dupFromPairs == dupFromDedup)
   }
+
+  test("semantic tiers: null clusters dedup among themselves (sentinel block)") {
+    // SQL null never matches an equi-join key: without Knn.blockKey's
+    // sentinel coalesce in semanticDedup/semanticPairs, a null-cluster
+    // row could never be flagged a dup and emitted no pairs — silently
+    // exempt from dedup. Parity: null behaves as one distinct cluster.
+    // family A (ids 1,2) keeps a real cluster; families B (3,4) and
+    // C (5,6) land WHOLE in the null block so it genuinely dedups
+    def cl(v: org.apache.spark.sql.Column) =
+      emb.withColumn("cluster", when($"vec_id" <= 2, lit("a")).otherwise(v))
+    val dedupNull = Dedup.semanticDedup(cl(lit(null)), "vec_id", "embedding",
+        "cluster", tau = 0.99)
+      .select(col("id").cast("long"), col("is_dup")).as[(Long, Boolean)]
+      .collect().toSet
+    val dedupSent = Dedup.semanticDedup(cl(lit("zz")), "vec_id", "embedding",
+        "cluster", tau = 0.99)
+      .select(col("id").cast("long"), col("is_dup")).as[(Long, Boolean)]
+      .collect().toSet
+    assert(dedupNull == dedupSent)
+    val pairsNull = Dedup.semanticPairs(cl(lit(null)), "vec_id", "embedding",
+        "cluster", tau = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    val pairsSent = Dedup.semanticPairs(cl(lit("zz")), "vec_id", "embedding",
+        "cluster", tau = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairsNull == pairsSent)
+    // non-vacuous: the null block holds families B and C whole, so the
+    // sentinel path must surface their pairs and flag their larger ids
+    assert(pairsNull.map(p => (p._1, p._2)).contains((3L, 4L)) &&
+      dedupNull.contains((4L, true)) && dedupNull.contains((6L, true)),
+      s"null-cluster families must dedup: pairs=$pairsNull dedup=$dedupNull")
+  }
 }

@@ -137,8 +137,8 @@ object E2eDrive {
         s"(${viaFlag.size} vs ${byHand.size} nodes)")
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$prOut/pr_surv/_scope.json")), "UTF-8")
-    assert(manifest.contains(s""""input_rows": $nAll""") &&
-      manifest.contains(s""""survivor_rows": $nSurv"""),
+    assert(manifest.contains(s""""input_rows":$nAll""") &&
+      manifest.contains(s""""survivor_rows":$nSurv"""),
       s"scope manifest must record both corpus sizes: $manifest")
     println(s"CLI_ANALYZE_SURVIVORS identical=${viaFlag == byHand} " +
       s"scoped=$nAll->$nSurv manifest=$manifest")
