@@ -1050,6 +1050,35 @@ object SparkEntry {
         .orderBy(desc("rank"), col("id")).limit(50)
     }),
 
+    // The WATCHED personalized PageRank under the hash gate (r14 —
+    // completes the watched family's oracle coverage; it was the one
+    // spec-only member). Same relational supplier<->customer graph as
+    // graph_pagerank_watched (scale-honest: no n² fixture), seeds =
+    // every 50th node id drawn from the edge set itself so seed
+    // membership is guaranteed at any SF. tol = 0 makes the watched
+    // loop oracle-checkable at ANY knobs: it stops only at the exact
+    // grid fixed point (or the even-remainder 2-cycle revisit, which
+    // returns the bit-identical full-run state), where extra replay
+    // rounds change nothing — so the 10-round recursive CTE is the
+    // exact answer whether Spark stopped at round 4 or ran the cap.
+    "graph_ppr_watched" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey").cast("long") + 1000000L).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 50 === 0)
+      Graph.personalizedPageRankWatched(edges, seeds, damping = 0.5,
+          maxIters = 10, tol = 0.0, quantBits = 26)._1
+        .orderBy(desc("rank"), col("id")).limit(50)
+    }),
+
     // Per-node triangle counts + local clustering coefficient over the
     // kNN graph — community-density signal (template farms / near-dup
     // neighborhoods show up as high-clustering regions). All-integer
@@ -3677,6 +3706,45 @@ private object OracleSql {
         |    ON s2.id = c.id
         |)
         |SELECT id, rank FROM st WHERE iter = 5
+        |ORDER BY rank DESC, id
+        |LIMIT 50""".stripMargin,
+
+    // Watched PPR replay over the relational graph: the graph_ppr CTE
+    // shape (sparse state, clamped seed re-injection via full-outer,
+    // 2^-48 term grid) at the watched row's knobs — damping 0.5, 2^-26
+    // rank grid (67108864), 10 rounds == maxIters. Valid at any knobs:
+    // tol = 0 stops only where remaining rounds change nothing.
+    "graph_ppr_watched" ->
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT DISTINCT l.l_suppkey::BIGINT AS src,
+        |         (o.o_custkey::BIGINT + 1000000) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |            SELECT src, dst FROM pairs
+        |            UNION ALL SELECT dst, src FROM pairs)),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1),
+        |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 50 = 0),
+        |ns AS (SELECT count(*)::DOUBLE AS n FROM seeds),
+        |st(iter, id, rank) AS (
+        |  SELECT 0, id,
+        |         floor((1.0::DOUBLE / (SELECT n FROM ns)) * 67108864.0) / 67108864.0
+        |  FROM seeds
+        |  UNION ALL
+        |  SELECT coalesce(c.iter, (SELECT min(iter) FROM st)) + 1,
+        |         coalesce(c.id, s2.id),
+        |         floor((0.5 * coalesce(c.contrib, 0.0) + coalesce(s2.sw, 0.0))
+        |               * 67108864.0) / 67108864.0
+        |  FROM (SELECT p2.iter, e2.dst AS id, sum(floor(p2.rank / d.outdeg * 281474976710656.0) / 281474976710656.0) AS contrib
+        |        FROM st p2 JOIN edges e2 ON e2.src = p2.id JOIN deg d ON d.src = p2.id
+        |        WHERE p2.iter < 10
+        |        GROUP BY p2.iter, e2.dst) c
+        |  FULL OUTER JOIN (SELECT id, (1.0::DOUBLE - 0.5) / (SELECT n FROM ns) AS sw
+        |                   FROM seeds
+        |                   WHERE (SELECT min(iter) FROM st) < 10) s2
+        |    ON s2.id = c.id
+        |)
+        |SELECT id, rank FROM st WHERE iter = 10
         |ORDER BY rank DESC, id
         |LIMIT 50""".stripMargin,
 
