@@ -1066,10 +1066,10 @@ object Cli {
         val tol = flags.get("tol").map(_.toDouble)
         // Warm starts exist only where an incremental re-run is
         // well-defined; everywhere else a passed --init must fail, not
-        // be silently ignored (ppr's loop takes no init — dropping the
-        // flag would look like a warm start that "worked").
-        val initOps = Set("pagerank", "communities", "spread", "kmeans",
-          "components")
+        // be silently ignored (dropping the flag would look like a
+        // warm start that "worked").
+        val initOps = Set("pagerank", "ppr", "communities", "spread",
+          "kmeans", "components")
         if (flags.contains("init") && !initOps(op)) fail(
           s"--init (warm start) is not supported by --op $op " +
             s"(supported: ${initOps.toSeq.sorted.mkString("|")})")
@@ -1125,19 +1125,31 @@ object Cli {
             }
           case "ppr" =>
             // personalized PageRank: retrieval expansion from a seed
-            // id set (--seeds parquet with an `id` column)
-            val seeds = spark.read.parquet(
-              flags.getOrElse("seeds", fail("--seeds <parquet> required for ppr")))
+            // id set (--seeds parquet with an `id` column).
+            // --survivors-of scopes the seeds too: a dropped-duplicate
+            // seed would otherwise re-inject teleport mass for a
+            // non-survivor id every round, so the "scoped" output
+            // could contain ids outside the survivor node set.
+            val seeds = scoped(spark.read.parquet(
+              flags.getOrElse("seeds", fail("--seeds <parquet> required for ppr"))),
+              "id")
             tol match {
               case Some(t) =>
+                // --init <parquet>: warm-start from a prior run's
+                // sparse (id, rank) output — the daily-increment mode
                 val (r, rounds) = G.personalizedPageRankWatched(
                   G.symmetrize(graph()), seeds,
                   maxIters = flags.get("iters").map(_.toInt).getOrElse(50),
-                  tol = t)
+                  tol = t,
+                  init = flags.get("init").map(p => spark.read.parquet(p)))
                 roundsNote = s", converged in $rounds rounds"
                 r
-              case None => G.personalizedPageRank(G.symmetrize(graph()), seeds,
-                iters = flags.get("iters").map(_.toInt).getOrElse(5))
+              case None =>
+                if (flags.contains("init")) fail(
+                  "--init (warm start) requires --tol: the fixed-round " +
+                    "tier always starts cold (it is the oracle tier)")
+                G.personalizedPageRank(G.symmetrize(graph()), seeds,
+                  iters = flags.get("iters").map(_.toInt).getOrElse(5))
             }
           case "triangles" =>
             // --max-degree engages the sampled unbiased estimator —
@@ -1243,8 +1255,11 @@ object Cli {
               G.labelPropagation(G.symmetrize(graph()), iters = cIters)
             }
           case "spread" =>
-            val seeds = spark.read.parquet(
-              flags.getOrElse("seeds", fail("--seeds <parquet> required for spread")))
+            // seeds scoped like ppr's: a non-survivor labeled seed
+            // would re-assert its label into the scoped graph
+            val seeds = scoped(spark.read.parquet(
+              flags.getOrElse("seeds", fail("--seeds <parquet> required for spread"))),
+              "id")
             tol match {
               case Some(t) =>
                 val (r, rounds) = G.labelSpreadWatched(G.symmetrize(graph()),

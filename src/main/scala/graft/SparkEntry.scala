@@ -973,8 +973,10 @@ object SparkEntry {
     // (GraphBlockDrive) and spec-pinned but not oracle-gated. `label`
     // is a deterministic column of the table, so the oracle replays
     // the same block scoping by adding the label equality to the
-    // bucket self-join; bits stay auto-sized from the SAME corpus
-    // count as the unblocked row.
+    // bucket self-join. Since r15 auto bits size from the LARGEST
+    // BLOCK's count (per-block occupancy <= 64 — recall 0.450 vs the
+    // global key's 0.312, GraphBlockDrive r14); the oracle's nb CTE
+    // replays the same GROUP BY lbl + max scan.
     "knn_graph_lsh_blocked" -> ((s, dir) => {
       Graph.knnGraphLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
           k = 3, dims = 64, bits = 0, tables = 8, blockCol = Some("label"))
@@ -3626,16 +3628,19 @@ private object OracleSql {
     // scopes candidates identically. The lbl CTE mirrors
     // Knn.blockKey's null sentinel (chr(0) || 'null') so a null label
     // would form its own block in BOTH engines rather than dropping
-    // from one; bits come from the same filtered count as the
-    // unblocked row (auto-sizing ignores blocks by design).
+    // from one. Auto bits size from the LARGEST block's count (r15
+    // default — per-block occupancy <= 64): the mb CTE is the same
+    // GROUP BY lbl + max the Spark side computes, integer-exact.
     "knn_graph_lsh_blocked" ->
       """WITH e AS (SELECT vec_id, coalesce(label::VARCHAR, chr(0) || 'null') AS lbl,
         |                  embedding::DOUBLE[] AS v FROM embeddings
         |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         |             AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |mb AS (SELECT coalesce(max(cnt), 0) AS mx FROM
+        |         (SELECT count(*) AS cnt FROM e GROUP BY lbl)),
         |nb AS (SELECT coalesce(
         |         (SELECT min(c.b) FROM (SELECT unnest(generate_series(4, 16)) AS b) c
-        |          WHERE (1::BIGINT << c.b) * 64 >= (SELECT count(*) FROM e)), 16) AS bits),
+        |          WHERE (1::BIGINT << c.b) * 64 >= (SELECT mx FROM mb)), 16) AS bits),
         |bt AS (SELECT t.t, b.b, d.d, (1000 + t.t + b.b * 1000003 + d.d)::HUGEINT AS z0
         |       FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
         |            (SELECT unnest(generate_series(0, (SELECT bits - 1 FROM nb))) AS b) b,

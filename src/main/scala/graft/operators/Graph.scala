@@ -135,18 +135,20 @@ object Graph {
     * ([[Knn.blockKey]]) — they stay in the graph and pair among
     * themselves instead of silently vanishing from the equi-joins.
     *
-    * Auto bits (bits <= 0) size from the GLOBAL corpus count even when
-    * blockCol is set, so the per-(block, signature) cell occupancy runs
-    * ~64/B for B same-sized blocks — FINER than the unblocked 64
-    * target: cheaper (fewer candidate pairs per cell) but lower recall
-    * than the unblocked auto key. That is the deliberate default — a
-    * pre-clustering already concentrates true neighbors, so the key's
-    * job shrinks (GraphBlockDrive: 5.5 s blocked vs 9.7 s unblocked at
-    * sf1p, same k). Callers who instead want the SAME per-cell
-    * occupancy point inside each block — recall over cost, e.g. blocks
-    * that are coarse or unbalanced — should pass
-    * `bits = autoLshBits(maxBlockSize)` explicitly; both selections are
-    * integer-exact and oracle-replayable. */
+    * Auto bits (bits <= 0) size from the LARGEST BLOCK's count when
+    * blockCol is set — `autoLshBits(maxBlockSize)` — so every block
+    * sees at most the same ~64 expected cell occupancy the unblocked
+    * auto key targets. Sizing from the GLOBAL count instead (the
+    * pre-r15 default) runs occupancy at ~64/B for B same-sized blocks:
+    * cheaper, but recall vs the exact graph measured 0.312 against the
+    * per-block recipe's 0.450 at +50% cost (GraphBlockDrive,
+    * BASELINE.md r14) — and the blocked tier is the recommended
+    * 100 TB path, so its default buys recall, not the discount.
+    * Callers who want the finer key back pass
+    * `bits = autoLshBits(globalCount)` explicitly; pinned bits > 0
+    * keep their exact layout. Both selections are integer-exact and
+    * oracle-replayable (the max-block count is one GROUP BY + max,
+    * the same scan DuckDB replays). */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 0, tables: Int = 4,
                   blockCol: Option[String] = None): DataFrame = {
@@ -159,9 +161,18 @@ object Graph {
       .where(col("id").isNotNull && col("v").isNotNull &&
         dot(col("v"), col("v")) > 0) // see knnGraph
     // bits <= 0 = auto: size the bucket key from a corpus count (one
-    // cheap action against the n^2/2^bits pair mass it controls).
-    // Callers who pinned bits keep their exact layout.
-    val useBits = if (bits > 0) bits else autoLshBits(base.count())
+    // cheap action against the n^2/2^bits pair mass it controls) —
+    // the max BLOCK count when blocked (per-block occupancy <= 64,
+    // the recall-over-cost recipe; scaladoc above), the global count
+    // otherwise. Callers who pinned bits keep their exact layout.
+    val useBits =
+      if (bits > 0) bits
+      else if (blockCol.isDefined) {
+        // empty corpus: max over zero groups is NULL, not 0
+        val mx = base.groupBy("blk").count().agg(max(col("count"))).head()
+        autoLshBits(if (mx.isNullAt(0)) 0L else mx.getLong(0))
+      }
+      else autoLshBits(base.count())
     // Identical-vector class collapse: ONE map-side-combined groupBy on
     // the (block, vector) value (a hot class absorbs in the combiner),
     // one membership join back. These are the only vector-carrying
@@ -1207,18 +1218,37 @@ object Graph {
     * full-outer L1 delta falls to `tol` or `maxIters`; tol = 0 runs to
     * the exact grid fixed point, with the same parity-preserving
     * period-2 cycle stop, so the watched result is always identical to
-    * the fixed-`maxIters` run. Returns (ranks, roundsRun). */
+    * the fixed-`maxIters` run. Returns (ranks, roundsRun).
+    *
+    * `init` (incremental mode — completes the watched family's
+    * daily-increment coverage; reference analog: the incremental
+    * `update` CLI, `/root/reference/src/cli/update.rs:58-242`): seed
+    * from a prior sparse (id, rank) table instead of the 1/|S| seed
+    * mass, with [[pageRankWatched]]'s renormalized-seed discipline
+    * adapted to sparse state — prior rows are restricted to the
+    * CURRENT node set (a departed node's row would re-inject mass no
+    * edge can drain) and the kept mass renormalizes to total 1 (the
+    * same O(1) driver scalar; refuses an all-zero/disjoint seed
+    * loudly). NEW seeds need no explicit row: the per-round full-outer
+    * seed-term join injects their teleport mass from round one, so a
+    * changed seed set self-corrects — old-seed mass decays
+    * geometrically, new-seed mass builds — in the rounds the CHANGE
+    * needs, not the cold-start count. Warm starts follow a different
+    * trajectory, so they exist only on this watched tier; the
+    * fixed-round oracle tier always starts cold. */
   def personalizedPageRankWatched(edges: DataFrame, seeds: DataFrame,
                                   damping: Double = 0.85,
                                   maxIters: Int = 50, tol: Double = 0.0,
-                                  quantBits: Int = 30): (DataFrame, Int) =
+                                  quantBits: Int = 30,
+                                  init: Option[DataFrame] = None): (DataFrame, Int) =
     pprLoop(edges, seeds, damping, maxIters, watchTol = Some(tol),
-      quantBits)
+      quantBits, init)
 
   private def pprLoop(edges: DataFrame, seeds: DataFrame,
                       damping: Double, iters: Int,
                       watchTol: Option[Double],
-                      quantBits: Int): (DataFrame, Int) = {
+                      quantBits: Int,
+                      init: Option[DataFrame] = None): (DataFrame, Int) = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1240,8 +1270,28 @@ object Graph {
       require(nSeeds > 0, "personalizedPageRank needs at least one seed")
       val seedTerm = sd.select(col("id"),
         lit((1.0 - damping) / nSeeds).as("seed"))
-      var rank = sd.select(col("id"),
-        quant(lit(1.0 / nSeeds), quantBits).as("rank"))
+      var rank = init match {
+        case Some(r0) =>
+          // sparse warm start (scaladoc above): keep only prior rows
+          // whose node still exists, renormalize the kept mass to 1.
+          // New seeds carry no row — the full-outer seed term below
+          // injects their teleport mass every round regardless.
+          val kept = r0.select(col("id").cast("long").as("id"),
+              col("rank").cast("double").as("r0"))
+            .where(col("id").isNotNull && col("r0").isNotNull &&
+              col("r0") >= 0)
+            .join(nodes, Seq("id"), "left_semi")
+          val t = kept.agg(coalesce(sum(col("r0")), lit(0.0)))
+            .head().getDouble(0)
+          require(t > 0,
+            "personalizedPageRank warm start needs positive total mass " +
+              "on the current node set")
+          kept.select(col("id"),
+              quant(col("r0") / lit(t), quantBits).as("rank"))
+            .localCheckpoint()
+        case None => sd.select(col("id"),
+          quant(lit(1.0 / nSeeds), quantBits).as("rank"))
+      }
       var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false

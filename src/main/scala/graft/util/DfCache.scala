@@ -44,12 +44,16 @@ object DfCache {
     * releaseAll synchronize on this object: without the lock, two
     * threads concurrently evicting the LAST two equal-plan holders
     * would each see the other still registered, both skip the
-    * unpersist, and the shared relation would leak until releaseAll. */
+    * unpersist, and the shared relation would leak until releaseAll.
+    * No same-reference exclusion: a frame registered under TWO keys is
+    * still a live holder when one key evicts it (held.put already
+    * removed it from the evicting key, so any remaining same-reference
+    * entry is another key's), and sameResult is trivially true for the
+    * same reference — excluding it would unpersist the other key's
+    * live cache, the exact case this guard exists to prevent. */
   private def planStillHeld(evicted: DataFrame): Boolean = {
     val p = evicted.queryExecution.analyzed
-    held.values.stream().anyMatch { h =>
-      (h ne evicted) && h.queryExecution.analyzed.sameResult(p)
-    }
+    held.values.stream().anyMatch(h => h.queryExecution.analyzed.sameResult(p))
   }
 
   /** Release every deferred-release intermediate (idempotent). */

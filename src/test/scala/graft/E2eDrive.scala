@@ -233,6 +233,13 @@ object E2eDrive {
       "--op", "knn", "--k", "1")) // any (id,...) parquet works as a seed set
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/ppr",
       "--op", "ppr", "--seeds", s"$prOut/seeds"))
+    // watched ppr + warm re-run seeded from its own output (the
+    // daily-increment mode, r15 — the watched family's last member)
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/ppr_tol",
+      "--op", "ppr", "--seeds", s"$prOut/seeds", "--tol", "1e-6", "--iters", "60"))
+    Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/ppr_warm",
+      "--op", "ppr", "--seeds", s"$prOut/seeds", "--tol", "1e-6", "--iters", "60",
+      "--init", s"$prOut/ppr_tol"))
     Cli.main(Array("analyze", "--edges", s"$prOut/knn", "--out", s"$prOut/tri",
       "--op", "triangles", "--max-degree", "4"))
     // LPA communities and warm-start components over the same edges:
@@ -296,6 +303,19 @@ object E2eDrive {
     val triN = spark4b.read.parquet(s"$prOut/tri").count()
     assert(warmN == 500 && pprN > 0 && triN == 500,
       s"warm/ppr/capped-tri CLI arms: $warmN/$pprN/$triN")
+    // warm ppr must land in the watched run's attractor basin: same
+    // frontier-or-better coverage, node-wise agreement within the tol
+    // envelope (the GraphSpec churn-arm contract, here through Cli)
+    val pprTol = spark4b.read.parquet(s"$prOut/ppr_tol").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pprWarm = spark4b.read.parquet(s"$prOut/ppr_warm").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pprTol.nonEmpty && pprWarm.nonEmpty, "watched/warm ppr arms empty")
+    (pprTol.keySet ++ pprWarm.keySet).foreach { id =>
+      val a = pprTol.getOrElse(id, 0.0); val b = pprWarm.getOrElse(id, 0.0)
+      assert(math.abs(a - b) <= 1e-5,
+        s"warm ppr drifted beyond the tol envelope at node $id: $b vs $a")
+    }
     val lpaN = spark4b.read.parquet(s"$prOut/lpa").count()
     val lpaTolN = spark4b.read.parquet(s"$prOut/lpa_tol").count()
     assert(lpaTolN == 500, s"watched communities must assign every node: $lpaTolN")

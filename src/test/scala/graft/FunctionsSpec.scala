@@ -348,12 +348,20 @@ class DedupSpec extends SparkSpec {
     // one pass's dead checkpoint block before the cleaner gets to it
     // (observed as a 9 -> 10 full-suite flake). Settle through GC:
     // REAL registry growth keeps live references and survives any
-    // number of GCs; dead checkpoint blocks do not.
+    // number of GCs; dead checkpoint blocks do not. Stop when either
+    // the count reaches `limit` OR two consecutive post-GC reads agree
+    // (stable = the cleaner has nothing left to reclaim) — the
+    // baseline pass (limit = 0) legitimately holds persisted RDDs, so
+    // a pure floor check would burn all 25 GC rounds every run.
     def settled(limit: Int): Int = {
       var c = persistedRdds
       var tries = 0
-      while (c > limit && tries < 25) {
-        System.gc(); Thread.sleep(200); c = persistedRdds; tries += 1
+      var stable = false
+      while (c > limit && !stable && tries < 25) {
+        System.gc(); Thread.sleep(200)
+        val n = persistedRdds
+        stable = n == c
+        c = n; tries += 1
       }
       c
     }

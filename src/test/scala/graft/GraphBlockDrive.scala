@@ -48,19 +48,20 @@ object GraphBlockDrive {
       f"blocked=${tBlocked}%.2fs edges_auto=${auto.size} " +
       f"edges_blocked=${blocked.size} recall_vs_auto=${recall}%.3f")
 
-    // The documented recall-over-cost point: bits sized from the MAX
-    // block so each (block, signature) cell holds the unblocked 64
-    // occupancy target (default auto sizes from the global count —
-    // ~64/B per cell, cheaper but blinder). Quantifies the trade the
-    // knnGraphLsh scaladoc describes.
-    val maxBlock = assigned.groupBy("centroid_id").count()
-      .agg(max("count")).head().getLong(0)
-    val wideBits = Graph.autoLshBits(maxBlock)
+    // The cost-over-recall point the pre-r15 default sat at: bits
+    // sized from the GLOBAL corpus count, so each (block, signature)
+    // cell runs ~64/B occupancy — cheaper but blinder (measured
+    // recall-vs-exact 0.312 against the per-block default's 0.450 at
+    // r14). Since r15 the blocked DEFAULT is the per-block recipe
+    // (bits = autoLshBits(maxBlock), the `blocked` arm above); this
+    // arm keeps the global-key trade measurable.
+    val globalCount = assigned.count()
+    val narrowBits = Graph.autoLshBits(globalCount)
     val (wide, tWide) = time(edges(Graph.knnGraphLsh(
-      assigned, "vec_id", "embedding", k = 3, dims = 64, bits = wideBits,
+      assigned, "vec_id", "embedding", k = 3, dims = 64, bits = narrowBits,
       tables = 8, blockCol = Some("centroid_id"))))
     val recallWide = (auto intersect wide).size.toDouble / auto.size
-    println(f"GRAPHBLOCK_WIDE max_block=$maxBlock bits=$wideBits " +
+    println(f"GRAPHBLOCK_GLOBALKEY n=$globalCount bits=$narrowBits " +
       f"wall=${tWide}%.2fs edges=${wide.size} recall_vs_auto=${recallWide}%.3f")
 
     // Ground truth: the exact n^2 graph (feasible at drive scales) —
@@ -72,7 +73,7 @@ object GraphBlockDrive {
       def r(s0: Set[(Long, Long)]) = (ex intersect s0).size.toDouble / ex.size
       println(f"GRAPHBLOCK_EXACT wall=${tEx}%.2fs edges=${ex.size} " +
         f"recall auto=${r(auto)}%.3f blocked=${r(blocked)}%.3f " +
-        f"wide=${r(wide)}%.3f")
+        f"globalkey=${r(wide)}%.3f")
     }
     spark.stop()
   }

@@ -64,6 +64,23 @@ class GraphSpec extends SparkSpec {
       "blocked kNN graph must keep every edge within its block")
   }
 
+  test("blocked auto bits == the per-block autoLshBits(maxBlock) recipe") {
+    // r15 default: with blockCol set, bits <= 0 sizes the key from the
+    // LARGEST block's count (per-block occupancy <= 64 — the measured
+    // recall-over-cost point: 0.450 vs the global key's 0.312,
+    // GraphBlockDrive r14), not the global corpus count.
+    val maxBlock = emb.groupBy("label").count()
+      .agg(max("count")).head().getLong(0)
+    val auto = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+        dims = 64, bits = 0, tables = 4, blockCol = Some("label"))
+      .collect().toSet
+    val recipe = Graph.knnGraphLsh(emb, "vec_id", "embedding", k = 3,
+        dims = 64, bits = Graph.autoLshBits(maxBlock), tables = 4,
+        blockCol = Some("label")).collect().toSet
+    assert(auto == recipe,
+      "blocked auto bits must equal autoLshBits(maxBlockSize)")
+  }
+
   test("knnGraphLsh null blocks coalesce into one sentinel block (not dropped)") {
     // SQL null never matches an equi-join key: without Knn.blockKey's
     // coalesce, every null-block row would silently vanish from the
@@ -164,6 +181,70 @@ class GraphSpec extends SparkSpec {
     val fixed = Graph.personalizedPageRank(g, seeds, damping = 0.5, iters = 60)
       .as[(Long, Double)].collect().toMap
     assert(w == fixed)
+  }
+
+  test("personalizedPageRankWatched warm start: fast confirm, seed churn, departed ids") {
+    val pts = (0 until 40).map { i =>
+      val j = i * 0.01
+      val v = if (i % 2 == 0) Seq(1.0, j) else Seq(j, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val g = Graph.symmetrize(Graph.knnGraph(pts, "vec_id", "embedding", 3))
+    val seeds = Seq(0L).toDF("id")
+    val (cold, coldRounds) = Graph.personalizedPageRankWatched(
+      g, seeds, damping = 0.5, maxIters = 60, tol = 0.0)
+    assert(coldRounds > 2)
+    val prior = cold.cache()
+    // warm AT the fixed point: the renormalizing division (kept mass
+    // ~1 - quantization eps) shifts grid cells, and on SPARSE state
+    // the re-settle is a short grid crawl (measured 6 rounds vs cold
+    // 25 on this fixture — the pageRankWeightedWatched warm lesson),
+    // so the contract is warm < cold rounds plus a tight node-wise
+    // drift envelope, not an exact confirm count
+    val (warm, warmRounds) = Graph.personalizedPageRankWatched(
+      g, seeds, damping = 0.5, maxIters = 60, tol = 0.0, init = Some(prior))
+    assert(warmRounds < coldRounds,
+      s"fixed-point warm start took $warmRounds rounds, cold took $coldRounds")
+    val wm = warm.as[(Long, Double)].collect().toMap
+    val cm = prior.as[(Long, Double)].collect().toMap
+    val cell = math.pow(2, -30)
+    assert(wm.keySet == cm.keySet,
+      "warm frontier must reach the same node set as the prior")
+    wm.foreach { case (id, r) =>
+      assert(math.abs(r - cm(id)) <= 8 * cell, s"node $id drifted: $r vs ${cm(id)}")
+    }
+    // SEED CHURN: a new seed needs no init row — the per-round
+    // full-outer seed term injects its teleport mass, so the warm run
+    // lands in the same attractor basin as a cold run on the NEW seeds
+    val tol = 1e-6
+    val seeds2 = Seq(0L, 2L).toDF("id")
+    val (cold2, cold2Rounds) = Graph.personalizedPageRankWatched(
+      g, seeds2, damping = 0.5, maxIters = 60, tol = tol)
+    val (warm2, warm2Rounds) = Graph.personalizedPageRankWatched(
+      g, seeds2, damping = 0.5, maxIters = 60, tol = tol, init = Some(prior))
+    assert(warm2Rounds <= cold2Rounds,
+      s"warm seed-churn run ($warm2Rounds) exceeded cold ($cold2Rounds)")
+    val w2 = warm2.as[(Long, Double)].collect().toMap
+    val c2 = cold2.as[(Long, Double)].collect().toMap
+    (w2.keySet ++ c2.keySet).foreach { id =>
+      val a = w2.getOrElse(id, 0.0); val b = c2.getOrElse(id, 0.0)
+      assert(math.abs(a - b) <= 10 * tol,
+        s"node $id: warm $a vs cold $b — beyond tolerance envelope")
+    }
+    assert(math.abs(w2.values.sum - 1.0) < 1e-3, "walk mass must stay ~1")
+    // DEPARTED IDS: init rows whose node left the graph drop before
+    // renormalization — mass they carried never re-injects, and the
+    // kept rows' result is identical with or without the stale rows
+    val stale = prior.union(Seq((999L, 0.25), (998L, 0.25)).toDF("id", "rank"))
+    val (warm3, _) = Graph.personalizedPageRankWatched(
+      g, seeds, damping = 0.5, maxIters = 60, tol = 0.0, init = Some(stale))
+    assert(warm3.as[(Long, Double)].collect().toMap == wm,
+      "stale departed-id rows must not change the warm result")
+    // a seed with NO surviving mass refuses loudly (wrong-table guard)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankWatched(g, seeds, maxIters = 5, tol = 0.0,
+        init = Some(Seq((999L, 1.0)).toDF("id", "rank")))
+    }
   }
 
   test("personalized PageRank refuses dangling graphs") {
