@@ -87,7 +87,17 @@ object Knn {
     * O(K·dims) regardless of corpus size.
     */
   def ivfTopK(emb: DataFrame, query: DataFrame, clusterCol: String,
-              nprobe: Int, k: Int): DataFrame = {
+              nprobe: Int, k: Int): DataFrame =
+    exactTopK(ivfCandidates(emb, query, clusterCol, nprobe), query, k)
+
+  /** The probed-cluster SUBSET of `emb` — [[ivfTopK]]'s centroid
+    * ranking + nprobe semi-join without the final top-k: the candidate
+    * frame IVF-tier compositions re-rank instead of the full corpus
+    * (e.g. [[mmrRerank]] over the probed partitions, the knn_mmr_ivf
+    * row). Same oracle-formulation caveat as [[ivfTopK]]: production
+    * compositions prune via the persisted-centroid layout. */
+  def ivfCandidates(emb: DataFrame, query: DataFrame, clusterCol: String,
+                    nprobe: Int): DataFrame = {
     val centroidScores = centroidsByPos(emb, clusterCol)
       .join(broadcast(query), expr("true"))
       .groupBy(col("cluster"))
@@ -98,8 +108,7 @@ object Knn {
       .select(col("cluster"))
     // At 100 TB the table is partitioned by cluster id: this semi join on
     // nprobe values prunes to nprobe partitions before any vector math.
-    val pruned = emb.join(broadcast(probed), col(clusterCol) === col("cluster"), "left_semi")
-    exactTopK(pruned, query, k)
+    emb.join(broadcast(probed), col(clusterCol) === col("cluster"), "left_semi")
   }
 
   /** avg embedding value per (cluster, position) — the
