@@ -31,7 +31,7 @@ class HammingRecallSpec extends SparkSpec {
   }
 
   test("phash banding at shipped knobs: precision = recall = 1 vs exact Hamming truth") {
-    val media = SparkEntry.phashFixtureMedia(spark, "/root/testdata/sf0.001")
+    val media = EntryFixtures.phashFixtureMedia(spark, "/root/testdata/sf0.001")
     val sig = media.select(col("id"), Multimodal.phash64(col("content")).as("sig"))
       .filter(col("sig").isNotNull)
     val truth = exactTruth(sig, 3)

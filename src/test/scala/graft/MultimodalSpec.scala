@@ -332,7 +332,7 @@ class MultimodalSpec extends SparkSpec {
     // Pin that to the generator so a future fixture change can't make
     // the oracle silently wrong (it would stay green on Spark's side —
     // hammingClusters converges regardless — while the oracle truncates).
-    val media = SparkEntry.phashFixtureMedia(spark, "/root/testdata/sf0.001")
+    val media = EntryFixtures.phashFixtureMedia(spark, "/root/testdata/sf0.001")
     val pairs = Multimodal.phashPairs(media, "id", "content", maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
