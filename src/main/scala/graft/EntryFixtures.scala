@@ -105,15 +105,28 @@ private[graft] object EntryFixtures {
     * fixture-vs-operator split [[graphEdgesCache]] got in r13: before
     * r15, graph_pagerank_watched and graph_ppr_watched each inlined
     * this build per bench run (together 16% of suite wall). The
-    * graph_build_rel row rebuilds and re-registers it — NAMED to sort
+    * graph_build_rel row rebuilds and re-persists it — NAMED to sort
     * before its consumers, because Bench runs queries in name order —
-    * so the watched rows measure iteration cost only. Production
-    * consumes persisted `--edges` (the CLI contract); oracle outputs
-    * are unchanged (same edges, only persistence moved). */
-  val relEdgesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+    * so the watched rows measure iteration cost only.
+    *
+    * Persisted as PARQUET keyed by (dir, source mtime) — literally the
+    * CLI `--edges` contract — NOT localCheckpoint: at the r15 100x
+    * sweep the ~100M-row checkpoint pinned unified memory while the
+    * distinct's hash aggregation ran and the build died in-suite with
+    * UNABLE_TO_ACQUIRE_MEMORY (isolated it fit, barely — exactly the
+    * cliff a 1000-executor run must not sit next to). A disk fixture
+    * costs one scan per consumer and is memory-free at any scale;
+    * oracle outputs are unchanged (same edges, only persistence
+    * moved). The graph_build_rel row calls [[buildRelEdges]], paying
+    * build + write every bench run; consumers ([[relEdges]]) read the
+    * parquet. */
+  private[graft] def relEdgesPath(dir: String): String = {
+    val mtime = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    s"${System.getProperty("java.io.tmpdir")}/graft_reledges_${math.abs(dir.hashCode)}_$mtime"
+  }
 
   private[graft] def buildRelEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val out = relEdgesPath(dir)
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.load(s, dir, "orders")
@@ -122,15 +135,17 @@ private[graft] object EntryFixtures {
       .select(col("l_suppkey").cast("long").as("src"),
         (col("o_custkey").cast("long") + 1000000L).as("dst"))
       .distinct()
-    val df = pairs.union(
+    pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    relEdgesCache.put(dir, df)
-    df
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
   }
 
-  def relEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    relEdgesCache.computeIfAbsent(dir, d => buildRelEdges(s, d))
+  def relEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val out = relEdgesPath(dir)
+    if (new java.io.File(s"$out/_SUCCESS").exists()) s.read.parquet(out)
+    else buildRelEdges(s, dir)
+  }
 
   /** Committed code fixtures for the chunk_ast oracle row (see the
     * query's comment): python exercises indent-block extraction, the

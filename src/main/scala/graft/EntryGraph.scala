@@ -75,13 +75,14 @@ private[graft] object EntryGraph {
         tol = 0.0, quantBits = 26)._1.orderBy("id")
     }),
 
-    // The relational-graph FIXTURE row (r15): builds + re-registers
-    // the symmetrized supplier<->customer edge set the watched
-    // relational rows consume (the r13 graph_build precedent — split
-    // fixture from operator so each bench row measures its own cost;
-    // together the two watched rows re-paid this join on every run,
-    // 16% of suite wall). Output is the per-node degree table — a
-    // compact full-build witness the oracle replays exactly.
+    // The relational-graph FIXTURE row (r15): builds + re-persists
+    // (as parquet — the `--edges` contract; see EntryFixtures) the
+    // symmetrized supplier<->customer edge set the watched relational
+    // rows consume (the r13 graph_build precedent — split fixture from
+    // operator so each bench row measures its own cost; together the
+    // two watched rows re-paid this join on every run, 16% of suite
+    // wall). Output is the per-node degree table — a compact
+    // full-build witness the oracle replays exactly.
     "graph_build_rel" -> ((s, dir) => {
       buildRelEdges(s, dir)
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
