@@ -227,22 +227,22 @@ private[graft] object EntryDedup {
     // test.
     "dedup_audio" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val wavUdf = udf((sm: Seq[Int]) => Multimodal.pcmWav(sm.toArray))
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-        .orderBy("doc_id").limit(200)
-      val g = (col("doc_id") % 25).cast("string")
-      val variant = floor(col("doc_id") / 25).cast("long")
-      val ppos = conv(substring(md5(concat(lit("aupos:"), g)), 1, 4), 16, 10)
-        .cast("long") % 1296
-      val samples = transform(sequence(lit(0L), lit(1295L)), i => {
-        val base = conv(substring(md5(concat(lit("au:"), g, lit(":"),
-          i.cast("string"))), 1, 4), 16, 10).cast("long") % 4001
-        (when(i === ppos, (base + variant * 1237) % 4001).otherwise(base)
-          - 2000).cast("int")
-      })
-      val media = docs.select(col("doc_id").as("id"), wavUdf(samples).as("content"))
-      Multimodal.audioFpPairs(media, "id", "content", maxDist = 3)
+      Multimodal.audioFpPairs(audioFixtureMedia(s, dir), "id", "content",
+          maxDist = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Audio near-dup OWNERSHIP clusters (r15 — the clusters family's
+    // last spec-only member): audioFpClusters over the same WAV
+    // fixture. The oracle replays the fingerprints + pair graph, then
+    // resolves components by the recursive reachability closure (the
+    // dedup_simhash_clusters discipline) — diameter-free, exact at
+    // any SF without a bounded-rounds assumption.
+    "dedup_audio_clusters" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      Multimodal.audioFpClusters(audioFixtureMedia(s, dir), "id", "content",
+          maxDist = 3)
+        .orderBy("id")
     }),
 
     // Video container metadata: the Mp4Meta ISO BMFF box parser behind
@@ -1026,6 +1026,52 @@ private[graft] object EntryDedup {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.afp, b.afp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // dedup_audio's fingerprint replay + pair graph, components by the
+    // recursive reachability closure (min reachable id — the
+    // dedup_simhash_clusters discipline; diameter-free).
+    "dedup_audio_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+        |smp AS (
+        |  SELECT d.doc_id, t.i,
+        |    CASE WHEN t.i = CAST(('0x' || substr(md5('aupos:' || (d.doc_id % 25)), 1, 4)) AS BIGINT) % 1296
+        |         THEN (CAST(('0x' || substr(md5('au:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 4001
+        |               + (d.doc_id // 25) * 1237) % 4001 - 2000
+        |         ELSE CAST(('0x' || substr(md5('au:' || (d.doc_id % 25) || ':' || t.i), 1, 4)) AS BIGINT) % 4001 - 2000
+        |    END AS s
+        |  FROM docs d CROSS JOIN generate_series(0, 1295) t(i)),
+        |en AS (
+        |  SELECT doc_id, i // 16 AS k, sum(s * s) AS e FROM smp GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT a.doc_id, a.k // 9 AS f, a.k % 9 AS b, a.e - n.e AS d
+        |  FROM en a JOIN en n ON n.doc_id = a.doc_id AND n.k = a.k + 1
+        |  WHERE a.k % 9 < 8),
+        |bits AS (
+        |  SELECT c.doc_id, (c.f - 1) * 8 + c.b AS k,
+        |         CASE WHEN c.d > p.d THEN 1 ELSE 0 END AS bit
+        |  FROM dd c JOIN dd p ON p.doc_id = c.doc_id AND p.f = c.f - 1 AND p.b = c.b
+        |  WHERE c.f >= 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bit = 0 THEN 0
+        |                       WHEN k = 63 THEN -9223372036854775807 - 1
+        |                       ELSE (1::BIGINT << k) END) AS BIGINT) AS afp
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.afp, b.afp)) <= 3),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |walk(id, reach) AS (
+        |  SELECT doc_id, doc_id AS reach FROM fp
+        |  UNION
+        |  SELECT w.id, e.d AS reach FROM walk w JOIN e ON e.s = w.reach)
+        |SELECT id, min(reach) AS component, (min(reach) = id) AS keep
+        |FROM walk
+        |GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // Recomputes multimodal_video's fixture metadata directly: Spark's
     // values went through MP4 box encode + the Mp4Meta parser, so the

@@ -227,6 +227,29 @@ private[graft] object EntryFixtures {
     docs.select(col("doc_id").as("id"), pngUdf(pixels).as("content"))
   }
 
+  /** The audio analog of [[phashFixtureMedia]] (factored out in r15,
+    * shared by dedup_audio and dedup_audio_clusters): 200 PCM WAVs
+    * generated IN the plan from md5 sample arithmetic — 25 groups x 8
+    * one-sample variants; 16-bit PCM round-trips losslessly, so the
+    * DuckDB oracle replays the exact samples. */
+  private[graft] def audioFixtureMedia(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val wavUdf = udf((sm: Seq[Int]) => Multimodal.pcmWav(sm.toArray))
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+      .orderBy("doc_id").limit(200)
+    val g = (col("doc_id") % 25).cast("string")
+    val variant = floor(col("doc_id") / 25).cast("long")
+    val ppos = conv(substring(md5(concat(lit("aupos:"), g)), 1, 4), 16, 10)
+      .cast("long") % 1296
+    val samples = transform(sequence(lit(0L), lit(1295L)), i => {
+      val base = conv(substring(md5(concat(lit("au:"), g, lit(":"),
+        i.cast("string"))), 1, 4), 16, 10).cast("long") % 4001
+      (when(i === ppos, (base + variant * 1237) % 4001).otherwise(base)
+        - 2000).cast("int")
+    })
+    docs.select(col("doc_id").as("id"), wavUdf(samples).as("content"))
+  }
+
 
   /** Fixed merge list shared verbatim by the bpe_encode query and its
     * oracle: the encode semantics (greedy left-to-right per rule, rules

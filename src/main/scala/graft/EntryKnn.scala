@@ -136,6 +136,34 @@ private[graft] object EntryKnn {
         .orderBy("qid")
     }),
 
+    // FIXED-Q retrieval metrics (r15, the r14 BASELINE residual #2):
+    // the eval harness's query count grows with the corpus (every 20th
+    // vector), which is what makes the family declared-Q×n and
+    // sweep-excluded. This arm caps the query set at the 100 LOWEST
+    // qualifying ids — identical to eval_retrieval_ivf at sf0.1 (which
+    // has exactly 100), a fixed-cost probe harness at any larger SF —
+    // so the metrics machinery itself has a sweep-includable row
+    // (cost = 100 probes x probed-cluster scans, linear in corpus).
+    "eval_retrieval_ivf_q100" -> ((s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .orderBy("vec_id").limit(100)
+        .select(col("vec_id").as("qid"),
+          VectorFunctions.asDouble(col("embedding")).as("qv"))
+      val results = Knn.batchIvfTopK(emb, queries, "label",
+        nprobe = 4, k = 10)
+      val qrels = queries.select(col("qid"))
+        .join(emb.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(emb.select(col("vec_id").as("rel_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("qid") =!= col("rel_id"))
+        .select(col("qid"), col("rel_id").as("vec_id"))
+      graft.operators.Eval.retrievalMetrics(results, qrels, k = 10,
+          docCol = "vec_id")
+        .orderBy("qid")
+    }),
+
     // The IVF recall harness over a NATURAL clustering (r15): on the
     // label-blocked arm the IVF recall reads HIGHER than exact because
     // the label IS both the cluster and the relevance definition — a
@@ -702,6 +730,66 @@ private[graft] object EntryKnn {
     "eval_retrieval_ivf" ->
       """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 20 = 0),
+        |cent AS (
+        |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cs AS (SELECT q.qid, cluster, round(sum(cv * qv[pos]), 6) AS cscore
+        |       FROM cent, q GROUP BY 1, 2),
+        |probed AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT qid, cluster,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY cscore DESC, cluster) AS pr
+        |    FROM cs)
+        |  WHERE pr <= 4),
+        |scored AS (
+        |  SELECT q.qid, q.ql, e.vec_id, e.label,
+        |         round(list_inner_product(e.embedding::DOUBLE[], q.qv), 6) AS score
+        |  FROM q JOIN probed p ON p.qid = q.qid
+        |         JOIN embeddings e ON e.label = p.cluster),
+        |res AS (
+        |  SELECT * FROM (
+        |    SELECT qid, ql, vec_id, label,
+        |           row_number() OVER (PARTITION BY qid
+        |                              ORDER BY score DESC, vec_id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 10),
+        |nrel AS (
+        |  SELECT q.qid, count(*) AS n_rel
+        |  FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.qid
+        |  GROUP BY q.qid),
+        |hits AS (
+        |  SELECT qid, count(*) AS n_hits, min(rank) AS fr,
+        |         sum(ln(2.0) / ln(rank + 1.0)) AS dcg
+        |  FROM res WHERE label = ql AND vec_id <> qid
+        |  GROUP BY qid)
+        |SELECT b.qid,
+        |       coalesce(n.n_rel, 0) AS n_rel,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 6) AS precision_k,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN coalesce(h.n_hits, 0)::DOUBLE / n.n_rel
+        |                  ELSE 0.0 END, 6) AS recall_k,
+        |       round(coalesce(1.0 / h.fr, 0.0), 6) AS rr,
+        |       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |                  THEN coalesce(h.dcg, 0.0) /
+        |                       list_sum(list_transform(
+        |                         generate_series(1, greatest(least(n.n_rel, 10), 1)),
+        |                         i -> ln(2.0) / ln(i + 1.0)))
+        |                  ELSE 0.0 END, 6) AS ndcg
+        |FROM (SELECT DISTINCT qid FROM scored UNION SELECT qid FROM nrel) b
+        |LEFT JOIN nrel n USING (qid)
+        |LEFT JOIN hits h USING (qid)
+        |ORDER BY qid""".stripMargin,
+
+    // eval_retrieval_ivf with the query set capped at the 100 lowest
+    // qualifying ids (the fixed-Q sweep-includable arm; identical at
+    // sf0.1, which has exactly 100 qualifying vectors).
+    "eval_retrieval_ivf_q100" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 20 = 0
+        |           ORDER BY vec_id LIMIT 100),
         |cent AS (
         |  SELECT label AS cluster, i AS pos, avg(embedding[i]::DOUBLE) AS cv
         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
