@@ -59,7 +59,7 @@ private[graft] object EntryFixtures {
     * (≈ half the lines). The line-granular queries (quality_c4,
     * dedup_lines) run on this so the C4 rules have real line structure
     * to act on; the oracle rebuilds byte-identical text in SQL
-    * (OracleSql.linifiedCtes). */
+    * (OracleCtes.linifiedCtes). */
   def linified(text: Column): Column = {
     val ws = filter(split(text, "\\s+"), w => length(w) > 0)
     val nLines = ceil(size(ws) / lit(10.0)).cast("int")
@@ -121,12 +121,26 @@ private[graft] object EntryFixtures {
     * build + write every bench run; consumers ([[relEdges]]) read the
     * parquet. */
   private[graft] def relEdgesPath(dir: String): String = {
-    val mtime = new java.io.File(s"$dir/lineitem.parquet").lastModified()
-    s"${System.getProperty("java.io.tmpdir")}/graft_reledges_${math.abs(dir.hashCode)}_$mtime"
+    // keyed on BOTH source tables' mtimes: the fixture is built from
+    // lineitem AND orders, and a regen that touches only orders must
+    // not serve the stale edge set
+    val mt1 = new java.io.File(s"$dir/lineitem.parquet").lastModified()
+    val mt2 = new java.io.File(s"$dir/orders.parquet").lastModified()
+    s"${System.getProperty("java.io.tmpdir")}/graft_reledges_${math.abs(dir.hashCode)}_${mt1}_$mt2"
   }
 
+  /** Generation-dir + atomic CURRENT-pointer publish: each build
+    * writes a FRESH generation subdir and then atomically swaps the
+    * pointer file, so a concurrent reader in another JVM (the
+    * documented bench-plus-verify workflow) never scans a directory
+    * being overwritten — Spark parquet writes use fresh part-file
+    * names, so an in-place overwrite would yield FileNotFound
+    * mid-scan. Older generations beyond the newest two are pruned
+    * best-effort (the previous one may still be mid-scan elsewhere). */
   private[graft] def buildRelEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val out = relEdgesPath(dir)
+    val base = relEdgesPath(dir)
+    val gen = java.util.UUID.randomUUID().toString.take(8)
+    val out = s"$base/g_$gen"
     val l = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.load(s, dir, "orders")
@@ -137,13 +151,29 @@ private[graft] object EntryFixtures {
       .distinct()
     pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .write.mode("overwrite").parquet(out)
+      .write.parquet(out)
+    val ptr = java.nio.file.Paths.get(base, "CURRENT")
+    val tmp = java.nio.file.Paths.get(base, s"CURRENT.$gen")
+    java.nio.file.Files.write(tmp, out.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, ptr,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // prune all but the newest 2 generations (best-effort)
+    val gens = Option(new java.io.File(base)
+        .listFiles((f: java.io.File) => f.isDirectory && f.getName.startsWith("g_")))
+      .getOrElse(Array.empty).sortBy(-_.lastModified())
+    gens.drop(2).foreach { g =>
+      try {
+        g.listFiles().foreach(f => { f.delete(); () }); g.delete(); ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     s.read.parquet(out)
   }
 
   def relEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val out = relEdgesPath(dir)
-    if (new java.io.File(s"$out/_SUCCESS").exists()) s.read.parquet(out)
+    val ptr = java.nio.file.Paths.get(relEdgesPath(dir), "CURRENT")
+    if (java.nio.file.Files.exists(ptr))
+      s.read.parquet(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8"))
     else buildRelEdges(s, dir)
   }
 

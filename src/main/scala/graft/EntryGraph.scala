@@ -99,18 +99,13 @@ private[graft] object EntryGraph {
     // outlived its own cap it would THROW, failing the gate loudly
     // rather than hash-mismatching.
     "graph_kcore" -> ((s, dir) => {
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").cast("long").as("src"),
-          (col("o_custkey").cast("long") + 1000000L).as("dst"))
-        .distinct()
-        .filter((col("src") + col("dst")) % 4 === 0)
-      val edges = pairs.union(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.kCore(edges, k = 3, maxIters = 8)._1
+      // consumes the graph_build_rel fixture (r15): the (src+dst)%4
+      // sparsifier is symmetric, so filtering the symmetrized fixture
+      // equals the old filter-then-symmetrize inline build exactly —
+      // the row now measures the peel, not a third copy of the join
+      graft.operators.Graph.kCore(
+          relEdges(s, dir).filter((col("src") + col("dst")) % 4 === 0),
+          k = 3, maxIters = 8)._1
         .orderBy("id")
     }),
 

@@ -5,10 +5,6 @@ package graft
   * split out in r15). Shares constants (k, rounding, decimal casts,
   * query strings) with the Spark plans. */
 private[graft] object OracleCtes {
-  /** Unrolled synchronous-LPA replay rounds for the communities
-    * oracles: `n` chained (count, struct-min pick) CTE pairs from
-    * `l0` — round i reads l(i-1), exactly the graph_communities text
-    * generalized to any round count. */
   /** [[lpaRounds]] with weighted votes: sum(w) instead of count(*),
     * same (wv DESC, nl) row_number pick — the
     * [[graft.operators.Graph.labelPropagationWeighted]] update. */
@@ -22,6 +18,10 @@ private[graft] object OracleCtes {
          |         FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled synchronous-LPA replay rounds for the communities
+    * oracles: `n` chained (count, struct-min pick) CTE pairs from
+    * `l0` — round i reads l(i-1), exactly the graph_communities text
+    * generalized to any round count. */
   def lpaRounds(n: Int): String =
     (1 to n).map { i =>
       s"""c$i AS (SELECT e.s AS id, n.label AS nl, count(*) AS c

@@ -349,19 +349,23 @@ class DedupSpec extends SparkSpec {
     // (observed as a 9 -> 10 full-suite flake). Settle through GC:
     // REAL registry growth keeps live references and survives any
     // number of GCs; dead checkpoint blocks do not. Stop when either
-    // the count reaches `limit` OR two consecutive post-GC reads agree
-    // (stable = the cleaner has nothing left to reclaim) — the
-    // baseline pass (limit = 0) legitimately holds persisted RDDs, so
-    // a pure floor check would burn all 25 GC rounds every run.
+    // the count reaches `limit` OR two consecutive POST-GC reads agree
+    // (so a slow cleaner gets at least two GC+drain windows before the
+    // count is trusted — comparing against the pre-GC read would
+    // declare "stable" on a host where the cleaner simply hadn't fired
+    // yet) — the baseline pass (limit = 0) legitimately holds
+    // persisted RDDs, so a pure floor check would burn all 25 GC
+    // rounds every run.
     def settled(limit: Int): Int = {
       var c = persistedRdds
+      var lastPostGc = -1
       var tries = 0
       var stable = false
       while (c > limit && !stable && tries < 25) {
         System.gc(); Thread.sleep(200)
         val n = persistedRdds
-        stable = n == c
-        c = n; tries += 1
+        stable = n == lastPostGc
+        lastPostGc = n; c = n; tries += 1
       }
       c
     }
