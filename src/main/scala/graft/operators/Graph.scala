@@ -679,10 +679,25 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 100): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    // SERIALIZED rolling persists, not localCheckpoint: the per-round
+    // edge state is corpus-scale (29M rows at the 100x sweep), and
+    // localCheckpoint materializes each partition as a deserialized
+    // in-heap array (~56 B/row object overhead vs ~16 B serialized) —
+    // two live generations plus shuffle buffers sat exactly at the
+    // 8 GB heap cliff, flaky-OOMing in-suite. MEMORY_AND_DISK_SER is
+    // ~3.5x smaller, spills instead of dying, and the peel's <= 8
+    // bounded rounds keep the un-truncated lineage shallow (truncation
+    // is what localCheckpoint bought the 50-round pagerank loops; this
+    // loop doesn't need it). Repartition by src first — the operator
+    // must not trust caller partition sizing (a coarse parquet scan
+    // hands out tens of millions of rows per split), and round 1's
+    // groupBy("src") reuses the hash partitioning. Each round
+    // unpersists the previous edge state once the next is counted.
     var e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var nEdges = e.count()
     var rounds = 0
     var stable = nEdges == 0L
@@ -696,8 +711,9 @@ object Graph {
       val next = e.join(alive, "src")
         .join(alive.select(col("src").as("dst")), "dst")
         .select("src", "dst")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val n = next.count()
+      e.unpersist(blocking = false)
       rounds += 1
       stable = n == nEdges || n == 0L
       e = next
