@@ -96,8 +96,18 @@ private[graft] object EntryFixtures {
     df
   }
 
-  def graphEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graphEdgesCache.computeIfAbsent(dir, d => buildGraphEdges(s, d))
+  def graphEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // NOT computeIfAbsent: buildGraphEdges re-registers through put()
+    // on the SAME key, and a put inside a computeIfAbsent mapper is a
+    // recursive update of the bin — ConcurrentHashMap throws
+    // IllegalStateException("Recursive update"). The full bench/gate
+    // never hit it (graph_build sorts first and registers eagerly);
+    // any subset run that reaches a consumer row first did. The
+    // get-then-build race is benign: double build, last registration
+    // wins, identical content.
+    val cached = graphEdgesCache.get(dir)
+    if (cached != null) cached else buildGraphEdges(s, dir)
+  }
 
   /** The symmetrized supplier<->customer RELATIONAL graph (distinct
     * lineitem x orders pairs, custkey offset by 1e6 to disjoint the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -238,12 +239,16 @@ object Bpe {
     // (measured at 20 rounds / 2 GB). Checkpointing truncates lineage
     // to the materialized blocks each round; the superseded rounds'
     // blocks (vocab-scale, MBs) are reclaimed by the ContextCleaner
-    // once their Dataset references drop out of scope.
+    // once their Dataset references drop out of scope. SERIALIZED
+    // storage (r15, the Graph.kCore heap-cliff lesson): the word table
+    // is vocab-scale here but distinct-word-scale on a real corpus,
+    // and a deserialized checkpoint of (IndexedSeq[String], Long)
+    // tuples is many times its serialized bytes.
     var words: Dataset[(IndexedSeq[String], Long)] = freqs
       .select(col("word").cast("string"), col("freq").cast("long"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString): IndexedSeq[String], f) }
-      .localCheckpoint()
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var done = false
@@ -277,7 +282,7 @@ object Bpe {
         merges ++= rules
         words = words.map { case (syms, f) =>
           (rules.foldLeft(syms) { case (s, (a, b)) => applyMerge(s, a, b) }, f)
-        }.localCheckpoint()
+        }.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       }
     }
     (merges.toSeq, rounds)

@@ -654,7 +654,14 @@ object Dedup {
       // round (the trainMerges driver-OOM pattern) — plus the old code
       // left every round's persisted table in the cache. Checkpointing
       // truncates the plan; superseded rounds' blocks are reclaimed by
-      // the ContextCleaner when their references drop.
+      // the ContextCleaner when their references drop. SERIALIZED
+      // storage (r15, the kCore heap-cliff lesson): the label state is
+      // node-scale, and the default deserialized checkpoint holds each
+      // partition as an in-heap object array (~3.5x the serialized
+      // bytes) — on a mass-duplicated corpus the node set is the
+      // flooded doc count, exactly where dedup runs. Pointer jumping
+      // NEEDS the truncation (the self-join doubles lineage per
+      // round), so the fix is the storage level, not a persist.
       acc.reset()
       val next = propagated.join(
           propagated.select(col("id").as("component"), col("component").as("jump")),
@@ -662,7 +669,8 @@ object Dedup {
         .select(col("id"),
           coalesce(col("jump"), col("component")).as("component"),
           markChg(coalesce(col("jump"), col("component")) =!= col("_old")).as("_chg"))
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       labels = next.drop("_chg")
       converged = acc.value == 0L
       i += 1

@@ -324,7 +324,12 @@ object Graph {
     * driver: a 1-row aggregate cross-joined back in broadcast, so the
     * loop stays fully declarative. Each round is one shuffle on dst
     * plus the node-table join; `localCheckpoint` truncates the
-    * per-round lineage exactly as in [[Dedup.connectedComponents]].
+    * per-round lineage exactly as in [[Dedup.connectedComponents]] —
+    * at SERIALIZED storage (r15, the [[kCore]] heap-cliff lesson:
+    * the default deserialized checkpoint holds each partition as an
+    * in-heap object array, ~3.5x the serialized bytes; node-scale
+    * state on a billion-node graph hits the same cliff kCore's
+    * edge-scale state hit at the 100x sweep).
     * Fixed `iters` (not convergence-tested) keeps the round count — and
     * thus the oracle's recursion depth — identical across engines; at
     * 100 TB use [[pageRankWatched]], which watches the L1 delta with
@@ -452,7 +457,7 @@ object Graph {
           require(t > 0, "pageRank warm start needs positive total mass")
           seeded.select(col("id"),
               quant(col("r0") / lit(t), quantBits).as("rank"))
-            .localCheckpoint()
+            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         case None => nodes.select(col("id"),
           quant(lit(1.0 / n), quantBits).as("rank"))
       }
@@ -484,7 +489,7 @@ object Graph {
           // edge table (measured fastest of the four checkpoint
           // placements — lazy variants either re-optimize a deep plan
           // or race the finally-block unpersist of their upstream)
-          .localCheckpoint()
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         // the probe only decides whether to CONTINUE — on the final
         // round there is nothing left to decide, so skip its job
         // (mirrored in the labelSpread/ppr loops)
@@ -805,7 +810,7 @@ object Graph {
               "pageRankWeighted warm start needs positive total mass")
             seeded.select(col("id"),
                 quant(col("r0") / lit(t), quantBits).as("rank"))
-              .localCheckpoint()
+              .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
           case None => nodes.select(col("id"),
             quant(lit(1.0 / n), quantBits).as("rank"))
         }
@@ -822,7 +827,7 @@ object Graph {
             .select(col("id"),
               quant(lit(teleport) + lit(damping) *
                 coalesce(col("contrib"), lit(0.0)), quantBits).as("rank"))
-            .localCheckpoint() // eager — see [[pageRank]]
+            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
           // one fused L1+cycle probe aggregate per round, skipped on
           // the final round (the pageRankLoop discipline)
           if (rounds + 1 < iters) watchTol.foreach { t =>
@@ -940,7 +945,7 @@ object Graph {
         val next = votes.groupBy("id")
           .agg(min(struct((-col("wv")).as("nw"), col("nl").as("l"))).as("p"))
           .select(col("id"), col("p.l").as("label"))
-          .localCheckpoint() // eager — see [[pageRank]]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
         // probe only decides whether to CONTINUE — skipped on the
         // final round (the family convention); exact integer-label
         // comparisons over full outer joins, one aggregate job
@@ -1086,7 +1091,7 @@ object Graph {
         val next = counts.groupBy("id")
           .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("p"))
           .select(col("id"), col("p.l").as("label"))
-          .localCheckpoint() // eager — see [[pageRank]]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
         // the probe only decides whether to CONTINUE — skip its job on
         // the final round (the family convention)
         if (watched && rounds + 1 < iters) {
@@ -1304,7 +1309,7 @@ object Graph {
               "on the current node set")
           kept.select(col("id"),
               quant(col("r0") / lit(t), quantBits).as("rank"))
-            .localCheckpoint()
+            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         case None => sd.select(col("id"),
           quant(lit(1.0 / nSeeds), quantBits).as("rank"))
       }
@@ -1321,7 +1326,7 @@ object Graph {
           .select(col("id"),
             quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"))
-          .localCheckpoint() // eager — see [[pageRank]]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
         if (rounds + 1 < iters) watchTol.foreach { t =>
           // sparse state (the walk grows its frontier): full-outer
           // deltas with absent nodes read as 0, both watch probes in
@@ -1442,7 +1447,7 @@ object Graph {
             col("score").cast("double").as("score"))
           .where(col("id").isNotNull && col("label").isNotNull &&
             col("score").isNotNull && col("score") >= 0)
-          .localCheckpoint()
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
         case None =>
           sd.select(col("id"), col("label"), lit(1.0).as("score"))
       }
@@ -1459,7 +1464,7 @@ object Graph {
           .select(col("id"), col("label"),
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
-          .localCheckpoint() // eager — see [[pageRank]]
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
         if (rounds + 1 < iters) watchTol.foreach { t =>
           // sparse state: full-outer deltas, absent cells read as 0 —
           // both watch probes (vs last round, vs two back) in one
