@@ -672,9 +672,15 @@ object Graph {
     *
     * Scale shape per round: one degree aggregation (map-side
     * combinable) + two id-keyed joins filtering the edge set; edge
-    * state localCheckpoints per round (the family convention), and the
-    * input edge list materializes ONCE up front so an expensive
-    * upstream (a kNN build) is never recomputed across rounds.
+    * state is held as SERIALIZED rolling persists (re-anchored by a
+    * serialized localCheckpoint every 8 rounds so deep peels keep
+    * bounded lineage — see the body comments for the heap and
+    * fault-tolerance trades), and the input edge list materializes
+    * ONCE up front so an expensive upstream (a kNN build) is never
+    * recomputed across rounds. The returned core is node-scale and
+    * materialized; the final edge persist is released before return,
+    * so a long-lived session never accumulates cached edge tables
+    * across kCore calls.
     *
     * Expects the symmetrized directed representation ([[symmetrize]]);
     * returns ((id, deg) of the surviving core with deg counted INSIDE
@@ -713,10 +719,23 @@ object Graph {
           "one layer per round — raise maxIters deliberately")
       val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      val next = e.join(alive, "src")
+      val peeled = e.join(alive, "src")
         .join(alive.select(col("src").as("dst")), "dst")
         .select("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // Fault-tolerance trade of the rolling persists: the next round's
+      // plan references THIS round's cached frame, whose own plan reaches
+      // back through every already-unpersisted generation — on cached-
+      // block loss in a cluster the recompute re-executes the whole peel
+      // from source instead of failing fast as localCheckpoint would.
+      // The shallow-peel case (the <= 8 rounds every measured corpus
+      // needs) accepts that for the cheaper persist; a DEEP peel (a long
+      // borderline chain) re-anchors with a serialized localCheckpoint
+      // every 8 rounds so un-truncated lineage depth stays bounded at 8
+      // regardless of how far maxIters was deliberately raised.
+      val next =
+        if ((rounds + 1) % 8 == 0)
+          peeled.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        else peeled.persist(StorageLevel.MEMORY_AND_DISK_SER)
       val n = next.count()
       e.unpersist(blocking = false)
       rounds += 1
@@ -724,8 +743,17 @@ object Graph {
       e = next
       nEdges = n
     }
-    (e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg")), rounds)
+    // Materialize the node-scale result and release the final edge
+    // state before returning: explicit persists are held by the
+    // CacheManager until unpersist/clearCache (unlike localCheckpoint
+    // blocks, reclaimed by the ContextCleaner once references drop), so
+    // a returned frame depending on the last round's cached edges would
+    // pin one corpus-scale table per kCore call in a long-lived session.
+    val core = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    e.unpersist(blocking = false)
+    (core, rounds)
   }
 
   /** Similarity-WEIGHTED PageRank over a (src, dst, w) edge list: the

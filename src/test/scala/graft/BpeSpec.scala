@@ -118,6 +118,55 @@ class BpeSpec extends SparkSpec {
     words.foreach(w => assert(Bpe.segment(w, merges).mkString == w))
   }
 
+  test("relaxed tier contract: deterministic on the fixture corpus (same corpus, same cap → same list)") {
+    // The CLI --relaxed tier's documented contract: the learned sequence
+    // is a pure function of (corpus, cap). The Sennrich arm above pins a
+    // toy corpus; this pins the REAL fixture corpus, where the per-round
+    // ranking flows through a distributed agg + orderBy + limit — the
+    // path where an under-specified sort would first show nondeterminism
+    // (the lex tie-break on (weight, a, b) is what makes it total).
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = Bpe.wordFreqs(real, "text")
+    val first = Bpe.trainMergesRelaxed(freqs, numMerges = 20)
+    assert(first.length == 20)
+    assert(first == Bpe.trainMergesRelaxed(freqs, numMerges = 20))
+    // a different cap may batch differently but must be equally stable
+    val capped = Bpe.trainMergesRelaxed(freqs, numMerges = 20, batchCap = 4)
+    assert(capped == Bpe.trainMergesRelaxed(freqs, numMerges = 20, batchCap = 4))
+  }
+
+  test("relaxed tier contract: fertility within 1% of exact at equal merge count, equal at saturation") {
+    // The compression side of the relaxation's price, MEASURED rather
+    // than assumed: plain supremacy (relaxed ≤ exact) was tested and is
+    // FALSE on this corpus — sequential greedy CHAINS its argmax (after
+    // (e,s) the freshly-minted (es,t) can top the next round), while the
+    // relaxed skip-scan spends the same slots on that round's disjoint
+    // pairs, so at equal merge count it compresses slightly WORSE, not
+    // better (measured exact/relaxed tokens-per-word: 3.6882/3.7554 at
+    // 10 merges, 3.3256/3.3358 at 20, 2.2757/2.2855 at 50, equal at
+    // saturation). The tier's real contract is therefore a BOUNDED
+    // premium — ≤1% beyond the early-vocab point — bought for the ≥5x
+    // round cut the arm above pins; a regression past the bound means
+    // the skip-scan stopped taking top-ranked pairs.
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = Bpe.wordFreqs(real, "text")
+    val wf = freqs.as[(String, Long)].collect()
+    def fertility(merges: Seq[(String, String)]): Double = {
+      val toks = wf.map { case (w, f) => f * Bpe.segment(w, merges).length.toLong }.sum
+      toks.toDouble / wf.map(_._2).sum
+    }
+    for (n <- Seq(20, 50)) {
+      val exact = Bpe.trainMerges(freqs, numMerges = n)
+      val relaxed = Bpe.trainMergesRelaxed(freqs, numMerges = n)
+      assert(exact.length == relaxed.length)
+      val (fr, fe) = (fertility(relaxed), fertility(exact))
+      assert(fr <= fe * 1.01,
+        s"relaxed fertility $fr exceeds exact $fe by >1% at $n merges")
+      // both must still beat the unmerged baseline — slots aren't wasted
+      assert(fr < fertility(Nil) && fe < fertility(Nil))
+    }
+  }
+
   test("encodeDocs: per-doc subwords match driver-side segment, in document order") {
     val d = Seq((1L, "newest lowest low"), (2L, "widest newest"))
       .toDF("doc_id", "text")
