@@ -396,6 +396,27 @@ private[graft] object EntryGraph {
         .orderBy("id")
     }),
 
+    // PRODUCTION-tol watched k-means under the hash gate. tol=0 (above)
+    // proves early-stop == fixed-round replay, but pays the full 25-round
+    // cap wherever the exact fixed point needs more rounds (sf0.1 does);
+    // the production stop is the tol-ball: same surviving clusters and
+    // every centroid's L2 shift < tol. That stop is NOT cold-equivalent,
+    // so the oracle REPLAYS the stop rule itself: the recursive CTE
+    // carries each round's previous centroid + previous cluster count
+    // and stops generating rounds exactly when the keyset held and
+    // max shift < tol — the same decision the driver-side watch takes
+    // (measured stop at rounds 14/17/12 for sf0.001/0.01/0.1, all
+    // inside the cap; the oracle's recursion depth matches all three).
+    // Period-2 cycles need no replay: with the even-remaining rule a
+    // cycle-stop state equals the run-out-the-cap state, which is where
+    // the tol-less oracle recursion lands.
+    "cluster_kmeans_watched_tol" -> ((s, dir) => {
+      graft.operators.Cluster.kmeansAssignWatched(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 4, maxIters = 25, tol = 0.01)._1
+        .orderBy("id")
+    }),
+
     // Distributed PCA: one-pass d x d centered scatter via the
     // map-side-combined GramAgg aggregator, fixed-round power iteration
     // on the driver (bounded d x d scalar), codegen'd projection.
@@ -1088,6 +1109,63 @@ private[graft] object EntryGraph {
         |  GROUP BY iter, cluster
         |),
         |fin AS (SELECT cluster, c FROM cent WHERE iter = 25)
+        |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
+        |FROM (
+        |  SELECT e.vec_id,
+        |         min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                - 2 * list_inner_product(e.v, fin.c)
+        |                + list_inner_product(fin.c, fin.c), 6),
+        |             cl := fin.cluster)) AS m
+        |  FROM e, fin
+        |  GROUP BY e.vec_id)
+        |ORDER BY id""".stripMargin,
+
+    // Tol-stopped replay of the production watched run: the recursion
+    // carries (c, pc = previous round's centroid, prev_n = previous
+    // round's cluster count) and generates round r+1 only while the
+    // watch would not have stopped at round r — keyset held
+    // (min(prev_n) = count(*)) AND max per-cluster L2 shift < 0.01.
+    // Round 0 seeds prev_n = -1 so the first round always runs (the
+    // driver watch checks only AFTER a round). Final centroids = the
+    // deepest generated round.
+    "cluster_kmeans_watched_tol" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster, v
+        |         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+        |cent(iter, cluster, c, pc, prev_n) AS (
+        |  SELECT 0, cluster, v, v, -1 FROM init
+        |  UNION ALL
+        |  SELECT n.iter, n.cluster, n.c, q.c, (SELECT count(*) FROM cent)::INT
+        |  FROM (
+        |    SELECT a.iter + 1 AS iter, a.cluster, list(cm ORDER BY pos) AS c
+        |    FROM (
+        |      SELECT x.iter, x.cluster, p.pos, round(avg(x.v[p.pos]), 6) AS cm
+        |      FROM (
+        |        SELECT c.iter AS iter, e.vec_id, e.v,
+        |               min(struct_pack(d := round(list_inner_product(e.v, e.v)
+        |                      - 2 * list_inner_product(e.v, c.c)
+        |                      + list_inner_product(c.c, c.c), 6),
+        |                   cl := c.cluster)).cl AS cluster
+        |        FROM cent c, e
+        |        WHERE c.iter < 25
+        |          AND NOT (
+        |            (SELECT min(prev_n) FROM cent) = (SELECT count(*) FROM cent)
+        |            AND (SELECT max(sh) FROM (
+        |                  SELECT sqrt(sum((q2.c[p2.pos] - q2.pc[p2.pos])
+        |                              * (q2.c[p2.pos] - q2.pc[p2.pos]))) AS sh
+        |                  FROM cent q2,
+        |                       (SELECT unnest(generate_series(1, 64)) AS pos) p2
+        |                  GROUP BY q2.cluster)) < 0.01)
+        |        GROUP BY c.iter, e.vec_id, e.v
+        |      ) x, (SELECT unnest(generate_series(1, 64)) AS pos) p
+        |      GROUP BY x.iter, x.cluster, p.pos
+        |    ) a
+        |    GROUP BY a.iter, a.cluster
+        |  ) n JOIN cent q ON q.cluster = n.cluster
+        |),
+        |fin AS (SELECT cluster, c FROM cent
+        |        WHERE iter = (SELECT max(iter) FROM cent))
         |SELECT vec_id AS id, m.cl AS cluster, m.d AS dist
         |FROM (
         |  SELECT e.vec_id,

@@ -146,35 +146,56 @@ final class SearchServer(spark: SparkSession, warehouse: String, indexName: Stri
             val alpha = jsonNum(body, "hybrid_alpha")
               .orElse(jsonNum(body, "alpha")).getOrElse(0.7)
             val nprobeReq = jsonNum(body, "nprobe").map(_.toInt)
+            // "ann": true routes to the PQ tier (warm ADC + exact
+            // re-rank in-process when resident; Index.searchAnn
+            // otherwise) — the compressed-index serving mode. ANN has
+            // no hybrid arm on either tier, so the combination is a
+            // request error, not a silent drop of one flag.
+            val ann = jsonBool(body, "ann").getOrElse(false)
+            if (ann && hybrid)
+              respond(ex, 400, """{"error":"ann has no hybrid tier"}""")
+            else {
+            val rerankReq = jsonNum(body, "rerank").map(_.toInt)
+            def rows(rs: Seq[(String, Double, String, String)]): String =
+              rs.map { case (id, score, text, source) =>
+                s"""{"id":${q(id)},"score":$score,""" +
+                  s""""text":${q(text)},"source":${q(source)}}"""
+              }.mkString("[", ",", "]")
+            def sparkRows(df: org.apache.spark.sql.DataFrame): String =
+              df.collect().map { r =>
+                s"""{"id":${q(r.getString(0))},"score":${r.getDouble(1)},""" +
+                  s""""text":${q(r.getString(2))},"source":${q(r.getString(3))}}"""
+              }.mkString("[", ",", "]")
             val (results, tier) = currentWarm() match {
+              case Some(wi) if ann && wi.hasPq =>
+                (rows(wi.searchAnn(query, topK, nprobeReq.getOrElse(4),
+                  rerankReq.getOrElse(50), filterStr)), "warm")
+              case _ if ann =>
+                (sparkRows(Index.searchAnn(spark, indexDir, query, provider,
+                  topK = topK, nprobe = nprobeReq.getOrElse(4),
+                  rerank = rerankReq.getOrElse(50), filterStr = filterStr)),
+                  "spark")
               case Some(wi) if !hybrid || wi.hasBm25 =>
                 val nprobe = nprobeReq.getOrElse(Int.MaxValue)
-                ((if (hybrid)
+                (rows(if (hybrid)
                     wi.searchHybrid(query, topK, alpha, nprobe, filterStr)
-                  else wi.search(query, topK, nprobe, filterStr))
-                  .map { case (id, score, text, source) =>
-                    s"""{"id":${q(id)},"score":$score,""" +
-                      s""""text":${q(text)},"source":${q(source)}}"""
-                  }.mkString("[", ",", "]"), "warm")
+                  else wi.search(query, topK, nprobe, filterStr)), "warm")
               case _ =>
-                (Index.search(spark, indexDir, query, provider,
-                    topK = topK, filterStr = filterStr, hybrid = hybrid,
-                    alpha = alpha)
-                  .collect()
-                  .map { r =>
-                    s"""{"id":${q(r.getString(0))},"score":${r.getDouble(1)},""" +
-                      s""""text":${q(r.getString(2))},"source":${q(r.getString(3))}}"""
-                  }.mkString("[", ",", "]"), "spark")
+                (sparkRows(Index.search(spark, indexDir, query, provider,
+                  topK = topK, filterStr = filterStr, hybrid = hybrid,
+                  alpha = alpha)), "spark")
             }
             val tookMs = (System.nanoTime() - t0) / 1e6
-            // nprobe only prunes on the warm tier; a Spark-path
+            // nprobe only prunes on the warm tier for PLAIN requests
+            // (the ANN path honors it on both tiers); a Spark-path
             // response to a request that asked for it says so instead
             // of silently serving exact results under a pruning knob
             val note =
-              if (tier == "spark" && nprobeReq.isDefined)
+              if (tier == "spark" && nprobeReq.isDefined && !ann)
                 s""","note":"nprobe_ignored"""" else ""
             respond(ex, 200,
               s"""{"results":$results,"took_ms":$tookMs,"tier":${q(tier)}$note}""")
+            }
           } catch {
             case e: Exception => respond(ex, 500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
           }

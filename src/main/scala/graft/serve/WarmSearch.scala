@@ -50,6 +50,18 @@ private[serve] final class WarmBm25(
     val numDocs: Long,
     val avgdl: Double)
 
+/** Driver-resident PQ tier for [[WarmIndex]]'s ANN path: the persisted
+  * codebooks plus each bucket's code rows as one flat int array aligned
+  * row-for-row with the bucket's id/vector arrays — the reference's
+  * compact-storage serving regime (`src/backend/hnsw.rs:30-44` storage +
+  * `src/index/recompute.rs:52-123` exact re-rank) in-process. The ADC
+  * scan touches `m` ints per vector instead of `dims` floats (32x fewer
+  * bytes through the hot loop at m=8 over 64 float dims), and the
+  * resident floats are read only for the `rerank` surviving candidates. */
+private[serve] final class WarmPq(
+    val cb: graft.operators.Pq.Codebooks,
+    val bucketCodes: Array[Array[Int]])
+
 final class WarmIndex private (
     val dims: Int,
     centroids: Array[Array[Double]],
@@ -58,6 +70,7 @@ final class WarmIndex private (
     passages: java.util.HashMap[String, Array[String]],
     metaRows: java.util.HashMap[String, Map[String, Any]],
     bm25: Option[WarmBm25],
+    pq: Option[WarmPq],
     provider: EmbeddingProvider,
     template: String,
     /** Index-directory content fingerprint at load time (see
@@ -67,6 +80,7 @@ final class WarmIndex private (
   def numClusters: Int = bucketIds.length
   def numVectors: Int = bucketIds.iterator.map(_.length).sum
   def hasBm25: Boolean = bm25.isDefined
+  def hasPq: Boolean = pq.isDefined
 
   // Spark Round semantics for DoubleType: BigDecimal.valueOf (the
   // Double.toString form, NOT the DECIMAL128 constructor) + HALF_UP
@@ -196,6 +210,98 @@ final class WarmIndex private (
              nprobe: Int = Int.MaxValue,
              filterStr: Option[String] = None): Seq[(String, Double, String, String)] =
     resolve(topVec(embed(query), topK, nprobe, allowedFor(filterStr)))
+
+  /** In-process ANN over the resident PQ tier — the warm analog of
+    * [[Index.searchAnn]], stage for stage:
+    *
+    *   1. probe: rank centroids by round6(dot) desc, centroid id asc
+    *      (the [[Index.searchIvf]]/[[Index.searchPq]] ranked-centroid
+    *      selection — unlike [[search]]'s raw-dot probe, this one
+    *      rounds, so probe CHOICE matches the Spark plan's);
+    *   2. ADC: one m×k lookup table per request ([[graft.operators.Pq
+    *      .adcLut]] — identical arithmetic), then each probed bucket's
+    *      codes score as m table lookups summed mi-ascending (the
+    *      codegen'd adcScore's left-to-right reduce), round6, top-
+    *      `rerank` on (adc desc, id asc) — m ints per vector through
+    *      the hot loop instead of dims floats;
+    *   3. exact re-rank: true float dots for ONLY the candidates
+    *      (their bucket/row indices rode the heap), round6,
+    *      (score desc, id asc), top-k.
+    *
+    * `filterStr` replays searchAnn's post-filter contract: a 5× over-
+    * fetch of both topK and rerank, filter applied AFTER the exact
+    * re-rank's top-(topK·5) cut (the ANN path can't push predicates;
+    * the exact [[search]] pushes them below scoring instead). The one
+    * permitted divergence is the searchHybrid ulp caveat: Spark's
+    * centroid/ADC sums are aggregation-order-dependent before their
+    * round6, so a mismatch needs a true value within ~1 ulp of a
+    * rounding boundary. */
+  def searchAnn(query: String, topK: Int = 5, nprobe: Int = 4,
+                rerank: Int = 50,
+                filterStr: Option[String] = None): Seq[(String, Double, String, String)] = {
+    val wpq = pq.getOrElse(throw new IllegalStateException(
+      "warm ANN needs the persisted PQ layout (pq_codes + pq_codebooks) " +
+        "— run ann-build, or serve ANN from the Spark path"))
+    val allowed = allowedFor(filterStr)
+    val overFetch = if (filterStr.isDefined) 5 else 1
+    val qv = embed(query)
+    val fetchK = topK * overFetch
+    val fetchRerank = rerank * overFetch
+    val probe: Seq[Int] =
+      if (nprobe >= numClusters || centroids.isEmpty) bucketIds.indices
+      else bucketIds.indices.map { c =>
+          var s = 0.0
+          var i = 0
+          val cv = centroids(c)
+          while (i < dims) { s += cv(i) * qv(i); i += 1 }
+          (c, round6(s))
+        }.sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    val lut = graft.operators.Pq.adcLut(wpq.cb, qv)
+    val m = wpq.cb.m
+    // heap root = worst kept candidate; entries carry (bucket, row) so
+    // the re-rank never needs an id lookup structure
+    val annOrd = new java.util.Comparator[(String, Double, Int, Int)] {
+      def compare(a: (String, Double, Int, Int), b: (String, Double, Int, Int)): Int = {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else b._1.compareTo(a._1)
+      }
+    }
+    val heap = new java.util.PriorityQueue[(String, Double, Int, Int)](
+      fetchRerank max 1, annOrd)
+    probe.foreach { c =>
+      val ids = bucketIds(c)
+      val codes = wpq.bucketCodes(c)
+      var r = 0
+      while (r < ids.length) {
+        var s = 0.0
+        var mi = 0
+        val base = r * m
+        while (mi < m) { s += lut(mi)(codes(base + mi)); mi += 1 }
+        val e = (ids(r), round6(s), c, r)
+        if (heap.size < fetchRerank) heap.add(e)
+        else if (annOrd.compare(e, heap.peek()) > 0) { heap.poll(); heap.add(e) }
+        r += 1
+      }
+    }
+    val cand = new Array[(String, Double)](heap.size)
+    var i = 0
+    val it = heap.iterator()
+    while (it.hasNext) {
+      val (id, _, c, r) = it.next()
+      val vecs = bucketVecs(c)
+      var s = 0.0
+      var j = 0
+      val base = r * dims
+      while (j < dims) { s += vecs(base + j).toDouble * qv(j); j += 1 }
+      cand(i) = (id, round6(s))
+      i += 1
+    }
+    val ranked = cand.sortBy { case (id, s) => (-s, id) }
+      .take(fetchK)
+      .filter { case (id, _) => allowed == null || allowed.contains(id) }
+      .take(topK)
+    resolve(scala.collection.immutable.ArraySeq.unsafeWrapArray(ranked))
+  }
 
   /** Hybrid (vector + BM25 min-max fusion) in-process — the reference's
     * interactive hybrid path (`src/index/searcher.rs:152-165` +
@@ -462,7 +568,51 @@ object WarmIndex {
           Some(new WarmBm25(posts, dl, dfm, g.getLong(0), g.getDouble(1)))
         }
       }
+    // PQ tier for the warm ANN path, when the layout exists and is
+    // complete. Codes align row-for-row with the bucket arrays (same
+    // id sort); an id missing from pq_codes (a build racing this load,
+    // or a tier that died mid-encode) drops the WHOLE warm PQ tier —
+    // ANN requests then route to the Spark path, loud on stderr, never
+    // a silently partial scan.
+    val pq: Option[WarmPq] =
+      if (!new java.io.File(s"$dir/pq_codes").exists() ||
+          !new java.io.File(s"$dir/pq_codebooks").exists()) None
+      else try {
+        val cb = Index.loadPqCodebooks(spark, dir)
+        val codeMap = new java.util.HashMap[String, Array[Int]](n.toInt * 2)
+        spark.read.parquet(s"$dir/pq_codes")
+          .select(col("id").cast("string"), col("codes"))
+          .collect()
+          .foreach(r => codeMap.put(r.getString(0),
+            r.getSeq[Int](1).toArray))
+        val bucketCodes = new Array[Array[Int]](bucketIds.length)
+        var complete = true
+        var pos = 0
+        while (pos < bucketIds.length && complete) {
+          val ids = bucketIds(pos)
+          val flat = new Array[Int](ids.length * cb.m)
+          var r = 0
+          while (r < ids.length && complete) {
+            val codes = codeMap.get(ids(r))
+            if (codes == null || codes.length != cb.m) complete = false
+            else System.arraycopy(codes, 0, flat, r * cb.m, cb.m)
+            r += 1
+          }
+          bucketCodes(pos) = flat
+          pos += 1
+        }
+        if (!complete) {
+          System.err.println(s"[warm] pq_codes under $dir is missing rows " +
+            "for resident ids — ANN requests will use the Spark path")
+          None
+        } else Some(new WarmPq(cb, bucketCodes))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[warm] PQ tier load failed, ANN stays on the Spark path: ${e.getMessage}")
+          None
+      }
     new WarmIndex(dims, centroids, bucketIds, bucketVecs, passages,
-      metaRows, bm25, provider, meta.queryPromptTemplate, fp)
+      metaRows, bm25, pq, provider, meta.queryPromptTemplate, fp)
   }
 }

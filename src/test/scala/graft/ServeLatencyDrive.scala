@@ -58,6 +58,7 @@ object ServeLatencyDrive {
       Index.build(docs, s"$wh/main", provider, strategy = "simple")
       val indexDir = Index.locate(wh, "main").get
       Index.buildIvf(spark, indexDir, numClusters = 16)
+      Index.buildPq(spark, indexDir, m = 8, k = 16)
 
       val queries = Array(
         "governance throughput latency", "partition shuffle mechanics",
@@ -84,7 +85,10 @@ object ServeLatencyDrive {
 
       val cold = new SearchServer(spark, wh, "main", provider)
       cold.start()
-      try drive(cold, "spark-path", "") finally cold.stop()
+      try {
+        drive(cold, "spark-path", "")
+        drive(cold, "spark-ann-pq", ""","ann":true""")
+      } finally cold.stop()
 
       val hot = new SearchServer(spark, wh, "main", provider, warm = true)
       hot.start()
@@ -100,6 +104,10 @@ object ServeLatencyDrive {
           f"p95=${pct(hlat, 0.95)}%8.2f ms  p99=${pct(hlat, 0.99)}%8.2f ms")
         drive(hot, "warm-exact", "")
         drive(hot, "warm-nprobe4", ""","nprobe":4""")
+        // the warm ANN (PQ/ADC) tier: resident codes scanned via the
+        // per-request LUT, exact re-rank over the rerank survivors —
+        // parity with the Spark searchPq pinned by ServerSpec
+        drive(hot, "warm-ann-pq", ""","ann":true""")
         // filtered requests are warm-served too (r13): the filter DSL
         // evaluates in-process over the resident metadata — same parse,
         // Column-free interpreter (MetadataFilterDsl.eval), parity
@@ -123,6 +131,18 @@ object ServeLatencyDrive {
       }
       probe("warm-inproc-exact", Int.MaxValue)
       probe("warm-inproc-nprobe4", 4)
+      // in-process ANN: ADC over resident codes + exact re-rank of the
+      // 50 survivors — the compressed-index serving cost
+      if (wi.hasPq) {
+        (0 until 20).foreach(i => wi.searchAnn(queries(i % queries.length), 5))
+        val lat = (0 until n).map { i =>
+          val t0 = System.nanoTime()
+          wi.searchAnn(queries(i % queries.length), 5)
+          (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        println(f"[serve-latency] warm-inproc-ann-pq     n=$n p50=${pct(lat, 0.5)}%8.2f ms  " +
+          f"p95=${pct(lat, 0.95)}%8.2f ms  p99=${pct(lat, 0.99)}%8.2f ms")
+      }
       // filtered: pays one pass over the resident metadata rows per
       // request (the allowed-id set) + the restricted scan
       locally {

@@ -186,6 +186,68 @@ class ServerSpec extends SparkSpec {
     } finally { cold.stop(); hot.stop() }
   }
 
+  test("warm ANN tier: ADC + exact re-rank in-process == Spark searchPq through HTTP") {
+    val wh = Files.createTempDirectory("graft-serve-warmpq").toString
+    val provider = new HashEmbedder(16)
+    Index.build((1 to 60).map(i =>
+      (s"passage $i concerning area ${i % 9} and theme ${i % 4}",
+        s"p$i.md")).toDF("text", "source"),
+      s"$wh/main", provider, strategy = "simple")
+    val indexDir = Index.locate(wh, "main").get
+    Index.buildIvf(spark, indexDir, numClusters = 4)
+    Index.buildPq(spark, indexDir, m = 4, k = 4)
+
+    val cold = new SearchServer(spark, wh, "main", provider)
+    val hot = new SearchServer(spark, wh, "main", provider, warm = true)
+    cold.start(); hot.start()
+    try {
+      def results(port: Int, body: String): String = {
+        val (code, resp) = http("POST", s"http://127.0.0.1:$port/search", Some(body))
+        assert(code == 200, resp)
+        resp.substring(resp.indexOf("\"results\""), resp.indexOf(",\"took_ms\""))
+      }
+      // the full ANN grid: probe counts from 1 to all-buckets, a rerank
+      // cut small enough to bind, and the post-filter path — every cell
+      // must match the Spark Index.searchAnn (searchPq + resolve) row
+      // for row: ids, 6-rounded exact scores, text, source, order
+      for (q <- Seq("area 3 theme", "passage 17", "concerning");
+           np <- Seq(1, 2, 4);
+           rk <- Seq(50, 5);
+           filt <- Seq("", ""","filter":"source^p1"""")) {
+        val body = s"""{"query":"$q","top_k":5,"ann":true,"nprobe":$np,"rerank":$rk$filt}"""
+        val w = results(hot.boundPort, body)
+        val s = results(cold.boundPort, body)
+        assert(w == s, s"warm-pq != spark for '$body':\n$w\n$s")
+      }
+      // tier tags: the hot server serves ANN in-process, the cold one
+      // from the Spark path — same results either way (asserted above)
+      val (_, wresp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"area","top_k":2,"ann":true}"""))
+      assert(wresp.contains("\"tier\":\"warm\""), wresp)
+      val (_, cresp) = http("POST", s"http://127.0.0.1:${cold.boundPort}/search",
+        Some("""{"query":"area","top_k":2,"ann":true}"""))
+      assert(cresp.contains("\"tier\":\"spark\"") &&
+        !cresp.contains("nprobe_ignored"), cresp)
+      // ann+hybrid is a request error on both tiers, never a silent drop
+      assert(http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"area","ann":true,"hybrid":true}"""))._1 == 400)
+    } finally { cold.stop(); hot.stop() }
+  }
+
+  test("warm ANN tier: no PQ layout routes to the Spark path, which refuses loudly") {
+    val wh = Files.createTempDirectory("graft-serve-nopq").toString
+    val provider = new HashEmbedder(16)
+    Index.build(Seq(("no layout here", "a.md")).toDF("text", "source"),
+      s"$wh/main", provider, strategy = "simple")
+    val hot = new SearchServer(spark, wh, "main", provider, warm = true)
+    hot.start()
+    try {
+      val (code, resp) = http("POST", s"http://127.0.0.1:${hot.boundPort}/search",
+        Some("""{"query":"layout","ann":true}"""))
+      assert(code == 500 && resp.contains("ann-build"), resp)
+    } finally hot.stop()
+  }
+
   test("warm tier: serves updated index content after an on-disk update (staleness probe)") {
     val wh = Files.createTempDirectory("graft-serve-stale").toString
     val provider = new HashEmbedder(16)

@@ -220,6 +220,158 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streaming↔batch parity: dedupNearStream == Dedup.simhash-keyed batch dedup on a replay") {
+    // The streaming near-dedup tier's semantics gated TRANSITIVELY
+    // through the oracle-checked batch arm: on a watermark-complete
+    // replay (every row inside one horizon — nothing evicted mid-stream)
+    // fed in timestamp order (one file per micro-batch, so the stream's
+    // first-arrival-wins is the earliest ts), the survivor set must
+    // equal the batch dedup keyed exactly as the stream keys —
+    // Dedup.simhash signature with the exact-fingerprint fallback for
+    // token-less docs — keeping the min-(ts, id) row per key.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    val root = Files.createTempDirectory("graft-parity-text").toString
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def reorder(t: String) = t.split("\\s+").reverse.mkString(" ")
+    // wave 0: the 30 real docs + one token-less doc
+    val wave0 = real.zipWithIndex.map { case ((id, t), i) => (ts(i), id, t) } :+
+      ((ts(30), 900L, ""))
+    // wave 1: 10 token-REORDERED copies (same token multiset → same
+    // simhash; the exact tier would pass them), 5 exact copies, a second
+    // token-less doc (dedups via the x: fallback), 3 fresh docs
+    val wave1 =
+      real.take(10).zipWithIndex.map { case ((id, t), i) =>
+        (ts(31 + i), 1000L + id, reorder(t)) } ++
+      real.slice(10, 15).zipWithIndex.map { case ((id, t), i) =>
+        (ts(41 + i), 1100L + id, t) } :+
+      ((ts(46), 901L, "")) :+
+      ((ts(47), 1200L, "a genuinely fresh streaming document about parity")) :+
+      ((ts(48), 1201L, "another fresh one concerning watermark replay")) :+
+      ((ts(49), 1202L, "and a third novel text entirely unlike the corpus"))
+    // wave 2: one more copy of doc 0 (state from wave 0 must still hold
+    // it) + one fresh doc
+    val wave2 = Seq(
+      (ts(50), 2000L, reorder(real.head._2)),
+      (ts(51), 2100L, "final unique late arrival closing the replay"))
+    // premise: the reorder really is simhash-invariant on this corpus
+    val sigs = Dedup.simhash(
+        Seq((1L, real.head._2), (2L, reorder(real.head._2))).toDF("id", "text"),
+        "id", "text")
+      .select("simhash").as[Long].collect()
+    assert(sigs.length == 2 && sigs(0) == sigs(1),
+      "premise: token reorder must preserve the simhash signature")
+    // one wave per file, distinct mtimes → deterministic batch order
+    Seq(wave0.toSeq, wave1.toSeq, wave2).zipWithIndex.foreach { case (w, i) =>
+      w.toDF("ts", "id", "text").coalesce(1).write.parquet(s"$root/in/w$i")
+      Thread.sleep(1000)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/w0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/*")
+    val q = Streaming.dedupNearStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("nparity")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamIds = spark.table("nparity").select("id").as[Long].collect().toSet
+
+    val docs = spark.read.parquet(s"$root/in/*")
+    val keyed = docs.join(Dedup.simhash(docs, "id", "text"), Seq("id"), "left")
+      .withColumn("key", coalesce(
+        concat(lit("s:"), col("simhash").cast("string")),
+        concat(lit("x:"), TextFunctions.fingerprint(col("text")))))
+    val w = Window.partitionBy("key").orderBy("ts", "id")
+    val batchIds = keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select("id").as[Long].collect().toSet
+    assert(streamIds == batchIds,
+      s"stream-only: ${streamIds -- batchIds}; batch-only: ${batchIds -- streamIds}")
+    // structure checks: every duplicate class collapsed to its original
+    assert(streamIds.intersect(Set(1000L, 1110L, 901L, 2000L)).isEmpty)
+    assert(Set(900L, 1200L, 1201L, 1202L, 2100L).subsetOf(streamIds))
+  }
+
+  test("streaming↔batch parity: dedupMediaStream == Multimodal.phashPairs-keyed batch dedup") {
+    // The media tier's analog of the text parity arm above: survivors of
+    // the perceptual-hash stream dedup must equal the batch dedup whose
+    // duplicate classes come from Multimodal.phashPairs at Hamming
+    // distance 0 (the stream's equality-keyed contract), with the md5
+    // fallback tier for undecodable rows — min-(ts, id) per class.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("graft-parity-media").toString
+    def px(seed: Int): Array[Int] =
+      Array.tabulate(72)(i => math.abs((seed * 2654435761L + i * 40503L).toInt) % 256)
+    // one-pixel brightness nudge preserving the dHash (the existing
+    // media-dedup fixture's construction), asserted per seed below
+    def nudge(p: Array[Int]): Array[Int] = {
+      val q = p.clone(); q(40) = math.min(255, q(40) + 1); q
+    }
+    for (s <- Seq(1, 2, 3, 4))
+      assert(graft.functions.expressions.PHash64.hash(Multimodal.grayPng(px(s), 9, 8)) ==
+        graft.functions.expressions.PHash64.hash(Multimodal.grayPng(nudge(px(s)), 9, 8)),
+        s"premise: seed $s nudge must be hash-identical")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val wave0 = (1 to 8).map(s => (ts(s - 1), s.toLong, Multimodal.grayPng(px(s), 9, 8))) :+
+      ((ts(8), 50L, "not an image".getBytes("UTF-8")))
+    val wave1 = Seq(
+      (ts(10), 101L, Multimodal.grayPng(nudge(px(1)), 9, 8)),   // near-dup of 1
+      (ts(11), 102L, Multimodal.grayPng(nudge(px(2)), 9, 8)),   // near-dup of 2
+      (ts(12), 103L, Multimodal.grayPng(nudge(px(3)), 9, 8)),   // near-dup of 3
+      (ts(13), 150L, "not an image".getBytes("UTF-8")),         // exact dup of 50
+      (ts(14), 151L, "other garbage".getBytes("UTF-8")),        // fresh undecodable
+      (ts(15), 104L, Multimodal.grayPng(px(9), 9, 8)))          // fresh image
+    val wave2 = Seq(
+      (ts(20), 201L, Multimodal.grayPng(nudge(px(4)), 9, 8)),   // near-dup of 4
+      (ts(21), 202L, Multimodal.grayPng(px(10), 9, 8)))         // fresh image
+    Seq(wave0.toSeq, wave1, wave2).zipWithIndex.foreach { case (w, i) =>
+      w.toDF("ts", "id", "content").coalesce(1).write.parquet(s"$root/in/w$i")
+      Thread.sleep(1000)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/in/w0").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in/*")
+    val q = Streaming.dedupMediaStream(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("mparity")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamIds = spark.table("mparity").select("id").as[Long].collect().toSet
+
+    val media = spark.read.parquet(s"$root/in/*")
+    val pairs = Multimodal.phashPairs(media, "id", "content", maxDist = 0)
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val times = media.select(col("id"), col("ts"))
+    val dropped = nbrs.join(times, "id")
+      .join(times.select(col("id").as("nb"), col("ts").as("nb_ts")), "nb")
+      .filter(col("nb_ts") < col("ts") ||
+        (col("nb_ts") === col("ts") && col("nb") < col("id")))
+      .select("id").distinct()
+    val sig = media.select(col("id"), col("ts"),
+      Multimodal.phash64(col("content")).as("ph"), md5(col("content")).as("m"))
+    val hashedSurvivors = sig.filter(col("ph").isNotNull)
+      .join(dropped, Seq("id"), "left_anti").select("id")
+    val w = Window.partitionBy("m").orderBy("ts", "id")
+    val fallbackSurvivors = sig.filter(col("ph").isNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select("id")
+    val batchIds = hashedSurvivors.union(fallbackSurvivors)
+      .as[Long].collect().toSet
+    assert(streamIds == batchIds,
+      s"stream-only: ${streamIds -- batchIds}; batch-only: ${batchIds -- streamIds}")
+    assert(streamIds == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 50L, 151L, 104L, 202L))
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState)") {
     val root = Files.createTempDirectory("graft-sess").toString
     def ev(ts: String, user: String, id: Long) = (ts, user, id)
