@@ -602,6 +602,14 @@ private[graft] object EntryKnn {
     // from one. Auto bits size from the LARGEST block's count (r15
     // default — per-block occupancy <= 64): the mb CTE is the same
     // GROUP BY lbl + max the Spark side computes, integer-exact.
+    // r16 escape valve replay: keys compute at the FULL 16 bits (bit b
+    // depends only on (seed, b), so a b-bit key is the 16-bit key's low
+    // b bits — key % 2^b); the occ CTE measures each block's largest
+    // table-0 cell at the base width over DISTINCT vectors (the Spark
+    // side's identical-vector class collapse), the bb CTE escalates a
+    // hot block's width integer-exactly (smallest base+e <= 16 with
+    // occ <= 256 << e), and the candidate join masks each side's key
+    // by ITS block's width.
     "knn_graph_lsh_blocked" ->
       """WITH e AS (SELECT vec_id, coalesce(label::VARCHAR, chr(0) || 'null') AS lbl,
         |                  embedding::DOUBLE[] AS v FROM embeddings
@@ -614,7 +622,7 @@ private[graft] object EntryKnn {
         |          WHERE (1::BIGINT << c.b) * 64 >= (SELECT mx FROM mb)), 16) AS bits),
         |bt AS (SELECT t.t, b.b, d.d, (1000 + t.t + b.b * 1000003 + d.d)::HUGEINT AS z0
         |       FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
-        |            (SELECT unnest(generate_series(0, (SELECT bits - 1 FROM nb))) AS b) b,
+        |            (SELECT unnest(generate_series(0, 15)) AS b) b,
         |            (SELECT unnest(generate_series(0, 63)) AS d) d),
         |p0 AS (SELECT t, b, d, (z0 + 11400714819323198485) % 18446744073709551616 AS z FROM bt),
         |p1 AS (SELECT t, b, d, xor(z, z // 1073741824) AS z FROM p0),
@@ -632,9 +640,22 @@ private[graft] object EntryKnn {
         |ky AS (SELECT pj.vec_id, e2.lbl, pj.t,
         |        sum(CASE WHEN proj > 0 THEN (1::BIGINT << b) ELSE 0 END) AS key
         |       FROM pj JOIN e e2 ON e2.vec_id = pj.vec_id GROUP BY 1, 2, 3),
+        |occ AS (SELECT lbl, max(cnt) AS mx FROM (
+        |          SELECT k.lbl, k.key % (1::BIGINT << (SELECT bits FROM nb)) AS mk,
+        |                 count(DISTINCT e2.v) AS cnt
+        |          FROM ky k JOIN e e2 ON e2.vec_id = k.vec_id
+        |          WHERE k.t = 0 GROUP BY 1, 2) GROUP BY lbl),
+        |bb AS (SELECT o.lbl, coalesce(
+        |         (SELECT min((SELECT bits FROM nb) + c.e)
+        |          FROM (SELECT unnest(generate_series(0, 12)) AS e) c
+        |          WHERE (SELECT bits FROM nb) + c.e <= 16
+        |            AND o.mx <= 256 * (1::BIGINT << c.e)), 16) AS bb
+        |       FROM occ o),
         |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
-        |         FROM ky a JOIN ky b ON a.t = b.t AND a.key = b.key
-        |                            AND a.lbl = b.lbl AND a.vec_id <> b.vec_id),
+        |         FROM ky a JOIN ky b ON a.t = b.t AND a.lbl = b.lbl
+        |                            AND a.vec_id <> b.vec_id
+        |         JOIN bb ON bb.lbl = a.lbl
+        |         WHERE a.key % (1::BIGINT << bb.bb) = b.key % (1::BIGINT << bb.bb)),
         |sc AS (SELECT c.id, c.nb,
         |        round(list_inner_product(ea.v, eb.v) /
         |              (sqrt(list_inner_product(ea.v, ea.v)) *

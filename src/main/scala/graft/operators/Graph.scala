@@ -149,9 +149,29 @@ object Graph {
     * keep their exact layout. Both selections are integer-exact and
     * oracle-replayable (the max-block count is one GROUP BY + max,
     * the same scan DuckDB replays). */
+  /** ==Occupancy escape valve (r16)== — blocked-auto only. The
+    * per-block recipe keeps EXPECTED occupancy <= 64, but expectation
+    * assumes signature-uniform vectors: a clustered block (the very
+    * case blocking serves) can pour hundreds of near-identical-sign
+    * classes into one cell, and at a pair-output corpus that single
+    * hot cell dominates the whole sweep (the r15 watch item: 142.1 s
+    * vs the global key's 109.4 s at 100x). So the blocked auto path
+    * MEASURES before it buckets: one aggregation over class reps
+    * counts each block's largest cell at the base key (table-0 seed),
+    * and any block whose max cell exceeds `blockBucketCap` escalates
+    * its OWN bit width — the smallest `b0 + e <= 16` with
+    * `maxCell <= cap << e` (each extra bit halves expected cell mass;
+    * integer-exact, no log2 floats, the [[autoLshBits]] stance) —
+    * while quiet blocks keep the recall-friendly base key. Per-block
+    * keys cost nothing extra at scoring time: LSH bit i depends only
+    * on (seed, i), so a b-bit key IS the low b bits of the 16-bit key
+    * (GraphSpec pins the prefix property) and escalated rows just mask
+    * a wider key. The selection is replayed verbatim by the oracle's
+    * occupancy/bits CTEs, so the hash gate pins the valve itself. */
   def knnGraphLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                   dims: Int, bits: Int = 0, tables: Int = 4,
-                  blockCol: Option[String] = None): DataFrame = {
+                  blockCol: Option[String] = None,
+                  blockBucketCap: Long = 256L): DataFrame = {
     import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
@@ -203,11 +223,54 @@ object Graph {
     // candidate per table. Same candidate set, same scores.
     val crep = classes.select(col("rep").as("id"), col("v"), col("n"),
       col("blk"))
+    // Occupancy escape valve (scaladoc above): per-block bit widths from
+    // the measured largest cell at the base key. ONE job — two map-side-
+    // combined aggregations over class-rep rows, escalated blocks
+    // collected to the driver (<= numBlocks rows, the nprobe/centroid-
+    // matrix bounded-scalar tier; hot blocks are by nature few) — then
+    // the escalated widths ride into every table's key expression as a
+    // literal blk -> bitmask map, so the valve adds zero joins and zero
+    // re-executions to the candidate plan. Blocks at or under the cap
+    // keep exactly the base key: a signature-uniform corpus is
+    // bit-for-bit the pre-valve plan.
+    val escalatedMasks: Map[String, Long] =
+      if (bits <= 0 && blockCol.isDefined) {
+        crep
+          .select(col("blk"),
+            Knn.signLshKey(col("v"), dims, useBits, seed = 1000L).as("bkt"))
+          .groupBy("blk", "bkt").agg(count(lit(1)).as("cnt"))
+          .groupBy("blk").agg(max("cnt").as("occ"))
+          .filter(col("occ") > blockBucketCap)
+          .collect()
+          .map { r =>
+            val occ = r.getLong(1)
+            // smallest escalation e with occ <= cap * 2^e, capped at 16
+            // bits — integer-exact (each extra bit halves expected mass)
+            val b = (0 to (16 - useBits))
+              .find(e => occ <= blockBucketCap * (1L << e))
+              .map(useBits + _).getOrElse(16)
+            r.getString(0) -> ((1L << b) - 1L)
+          }.toMap
+      } else Map.empty
     val candidates = (0 until tables).map { t =>
       // bucket key scoped by block: a block bounds its buckets no
       // matter how large the corpus grows
-      val keyed = crep.select(col("id"), col("blk"),
-        Knn.signLshKey(col("v"), dims, useBits, seed = 1000L + t).as("bkt"))
+      val keyed =
+        if (escalatedMasks.isEmpty)
+          crep.select(col("id"), col("blk"),
+            Knn.signLshKey(col("v"), dims, useBits, seed = 1000L + t).as("bkt"))
+        else {
+          // escalated blocks mask the low bits of the 16-bit key (= the
+          // escalated-width key, by the plane-prefix property); cap-
+          // abiding blocks evaluate only the base-width expression
+          val mask = element_at(typedLit(escalatedMasks), col("blk"))
+          crep.select(col("id"), col("blk"),
+            when(mask.isNull,
+              Knn.signLshKey(col("v"), dims, useBits, seed = 1000L + t))
+            .otherwise(Knn.signLshKey(col("v"), dims, 16, seed = 1000L + t)
+              .bitwiseAND(mask))
+            .as("bkt"))
+        }
       keyed.join(keyed.select(col("id").as("nb"), col("blk"), col("bkt")),
           Seq("blk", "bkt"))
         .filter(col("id") =!= col("nb"))

@@ -81,6 +81,63 @@ class GraphSpec extends SparkSpec {
       "blocked auto bits must equal autoLshBits(maxBlockSize)")
   }
 
+  test("LSH plane-prefix property: a b-bit key is the low b bits of the 16-bit key") {
+    // the escape valve's masking rests on this: plane b's coefficients
+    // depend only on (seed, b), so widening the key appends bits
+    // without disturbing the low ones
+    val keys = emb.limit(100).select(
+        graft.operators.Knn.signLshKey(col("embedding"), 64, 6, 1000L).as("k6"),
+        graft.operators.Knn.signLshKey(col("embedding"), 64, 16, 1000L).as("k16"))
+      .as[(Long, Long)].collect()
+    assert(keys.length == 100)
+    assert(keys.forall { case (k6, k16) => k6 == (k16 & 63L) })
+  }
+
+  test("occupancy escape valve: a hot block escalates to exactly the replayed width, cold blocks keep the base key") {
+    // One "hot" block of random vectors plus a small "cold" block; a
+    // LOWERED cap forces the valve at spec scale (the default 256 needs
+    // a 100x pair-output corpus — GraphBlockDrive's job). The spec
+    // replays the selection rule driver-side (base width from the max
+    // block count, occupancy = largest table-0 cell, smallest
+    // base+e <= 16 with occ <= cap·2^e) and pins the valve run against
+    // per-block PINNED runs at those widths — block independence means
+    // the union of single-block graphs IS the blocked graph.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val hot = (0 until 48).map(i => (i.toLong, vec(), "h"))
+    val cold = (100 until 106).map(i => (i.toLong, vec(), "c"))
+    val df = (hot ++ cold).toDF("vec_id", "embedding", "b")
+    val b0 = Graph.autoLshBits(48) // max block count
+    def maxCell(rows: org.apache.spark.sql.DataFrame): Long =
+      rows.select(graft.operators.Knn.signLshKey(col("embedding"), 64, b0, 1000L).as("k"))
+        .groupBy("k").count().agg(max("count")).head().getLong(0)
+    val cap = 2L
+    val occHot = maxCell(df.filter($"b" === "h"))
+    val occCold = maxCell(df.filter($"b" === "c"))
+    assert(occHot > cap, s"fixture premise: hot occupancy $occHot must exceed the cap")
+    assert(occCold <= cap, s"fixture premise: cold occupancy $occCold must not")
+    val expectedHot = (0 to (16 - b0))
+      .find(e => occHot <= cap * (1L << e)).map(b0 + _).getOrElse(16)
+    assert(expectedHot > b0)
+    val valve = Graph.knnGraphLsh(df, "vec_id", "embedding", k = 3, dims = 64,
+        bits = 0, tables = 4, blockCol = Some("b"), blockBucketCap = cap)
+      .collect().toSet
+    val hotPinned = Graph.knnGraphLsh(df.filter($"b" === "h"), "vec_id",
+        "embedding", k = 3, dims = 64, bits = expectedHot, tables = 4,
+        blockCol = Some("b")).collect().toSet
+    val coldPinned = Graph.knnGraphLsh(df.filter($"b" === "c"), "vec_id",
+        "embedding", k = 3, dims = 64, bits = b0, tables = 4,
+        blockCol = Some("b")).collect().toSet
+    assert(valve == (hotPinned ++ coldPinned),
+      "the valve must escalate the hot block's width and leave the cold block at the base key")
+    // at the DEFAULT cap nothing here escalates: auto == base recipe
+    val calm = Graph.knnGraphLsh(df, "vec_id", "embedding", k = 3, dims = 64,
+      bits = 0, tables = 4, blockCol = Some("b")).collect().toSet
+    val base = Graph.knnGraphLsh(df, "vec_id", "embedding", k = 3, dims = 64,
+      bits = b0, tables = 4, blockCol = Some("b")).collect().toSet
+    assert(calm == base)
+  }
+
   test("knnGraphLsh null blocks coalesce into one sentinel block (not dropped)") {
     // SQL null never matches an equi-join key: without Knn.blockKey's
     // coalesce, every null-block row would silently vanish from the

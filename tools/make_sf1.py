@@ -70,6 +70,11 @@ PERTURBED = {
 for table, offs in OFFSETS.items():
     src = f"{SRC}/{table}.parquet"
     dst = f"{DST}/{table}.parquet"
+    if not os.path.exists(src):
+        # trimmed sources are legitimate: a 1000x spot check of the
+        # document/embedding tiers has no use for a 600M-row lineitem
+        print(f"{table}: absent in {SRC}, skipped")
+        continue
     cols = [c[0] for c in con.execute(
         f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
     if offs is None:
