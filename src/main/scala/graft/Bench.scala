@@ -75,25 +75,25 @@ object Bench {
     // never sets this — full-suite totals stay comparable.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Default suite = the PRODUCTION rows. The declared-quadratic oracle
-    // tiers (BASELINE.md's canonical sweep-exclusion table) stay in the
-    // CORRECTNESS gate every round, but they measure truth generators —
-    // exact n² kNN fixtures, all-pairs Jaccard truth, Q×n metrics
-    // harnesses — not production plans, and at r15 they were ~25 s of a
-    // ~145 s quiet-host suite. SPARK_GRAFT_BENCH_FULL=1 (or an explicit
-    // BENCH_ONLY subset) restores them so the full record stays
-    // reachable; the default per-round bench tracks production cost.
+    // Default suite = EVERY declared query: the per-round bench record
+    // must keep all existing entries (the round contract forbids removing
+    // or renaming rows, and cross-round totals are only comparable on the
+    // same set). The declared-quadratic oracle tiers below (BASELINE.md's
+    // canonical sweep-exclusion table) measure truth generators — exact
+    // n² kNN fixtures, all-pairs Jaccard truth, Q×n metrics harnesses —
+    // not production plans; SPARK_GRAFT_BENCH_PRODUCTION=1 opts in to a
+    // production-only subset for local iteration on production cost.
     val oracleTiers = Set(
       "graph_build", "knn_graph", "graph_pagerank", "graph_ppr",
       "graph_triangles", "graph_triangles_capped", "graph_degree_profile",
       "graph_label_spread", "eval_retrieval", "eval_retrieval_ivf",
       "eval_retrieval_ivf_kmeans", "knn_hard_negatives",
       "dedup_embed", "dedup_semantic", "dedup_eval")
-    val fullSuite =
-      sys.env.get("SPARK_GRAFT_BENCH_FULL").exists(_.nonEmpty) || only.isDefined
+    val productionOnly =
+      sys.env.get("SPARK_GRAFT_BENCH_PRODUCTION").exists(_.nonEmpty) && only.isEmpty
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .filter { case (n, _) => fullSuite || !oracleTiers.contains(n) }
+      .filter { case (n, _) => !productionOnly || !oracleTiers.contains(n) }
     // a typo'd/empty filter must not print total 0.0 — a gate comparing
     // totals would read that as a massive speedup
     require(selected.nonEmpty,
@@ -177,7 +177,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => () } // sidecars are best-effort
     writeFile("bench_runs.json", sidecar)
     System.err.println(s"[bench] raw runs: $sidecar")
-    val suiteTag = if (fullSuite) "full" else "production"
+    val suiteTag = if (productionOnly) "production" else "full"
     val resultLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_quietest3","suite":"$suiteTag","queries":${qJson(medians)},"failed":$failed,"sf":"$sfDir"}"""
     // The stdout line travels through a tail-capture harvester that
