@@ -46,12 +46,20 @@ object Cluster {
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): Map[Int, Array[Double]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
+    // Persisted for the loop's lifetime (r16, guide §5): every Lloyd
+    // round is one pass over (id, v) — unpersisted, each round re-reads
+    // the source and re-casts the vectors; at corpus scale that is
+    // `iters` redundant scans. Disk-backed so a corpus-scale base
+    // degrades gracefully instead of evicting execution memory.
     val base = baseOf(emb, idCol, vecCol)
-    val init: Map[Int, Array[Double]] =
-      base.orderBy("id").limit(k).collect()
-        .map(_.getSeq[Double](1).toArray).zipWithIndex
-        .map { case (v, i) => i -> v }.toMap
-    lloyd(base, init, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init: Map[Int, Array[Double]] =
+        base.orderBy("id").limit(k).collect()
+          .map(_.getSeq[Double](1).toArray).zipWithIndex
+          .map { case (v, i) => i -> v }.toMap
+      lloyd(base, init, iters)
+    } finally { base.unpersist(); () }
   }
 
   // null vectors carry no signal and would diverge engines at the
@@ -122,29 +130,35 @@ object Cluster {
                           init: Option[DataFrame] = None): (Map[Int, Array[Double]], Int) = {
     require(k >= 1 && maxIters >= 0 && tol >= 0.0,
       s"need k >= 1, maxIters >= 0, tol >= 0; got $k, $maxIters, $tol")
+    // Persisted for the loop's lifetime (r16, the [[fitCentroids]]
+    // rationale): the watched fit pays up to `maxIters` passes over
+    // (id, v); one cache fills on round 1 and every later round reads it.
     val base = baseOf(emb, idCol, vecCol)
-    var cur: Map[Int, Array[Double]] = init match {
-      case Some(assign) => centroidsOf(emb, idCol, vecCol, assign)
-      case None =>
-        base.orderBy("id").limit(k).collect()
-          .map(_.getSeq[Double](1).toArray).zipWithIndex
-          .map { case (v, i) => i -> v }.toMap
-    }
-    var prevPrev: Option[Map[Int, Array[Double]]] = None
-    var rounds = 0
-    var stop = false
-    while (rounds < maxIters && !stop) {
-      val next = lloydUpdate(base, cur)
-      rounds += 1
-      val remaining = maxIters - rounds
-      if (sameCentroids(cur, next)) stop = true
-      else if (tol > 0.0 && shiftBelow(cur, next, tol)) stop = true
-      else if (remaining % 2 == 0 && prevPrev.exists(sameCentroids(_, next)))
-        stop = true
-      prevPrev = Some(cur)
-      cur = next
-    }
-    (cur, rounds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur: Map[Int, Array[Double]] = init match {
+        case Some(assign) => centroidsOf(emb, idCol, vecCol, assign)
+        case None =>
+          base.orderBy("id").limit(k).collect()
+            .map(_.getSeq[Double](1).toArray).zipWithIndex
+            .map { case (v, i) => i -> v }.toMap
+      }
+      var prevPrev: Option[Map[Int, Array[Double]]] = None
+      var rounds = 0
+      var stop = false
+      while (rounds < maxIters && !stop) {
+        val next = lloydUpdate(base, cur)
+        rounds += 1
+        val remaining = maxIters - rounds
+        if (sameCentroids(cur, next)) stop = true
+        else if (tol > 0.0 && shiftBelow(cur, next, tol)) stop = true
+        else if (remaining % 2 == 0 && prevPrev.exists(sameCentroids(_, next)))
+          stop = true
+        prevPrev = Some(cur)
+        cur = next
+      }
+      (cur, rounds)
+    } finally { base.unpersist(); () }
   }
 
   /** Watched assignment: [[fitCentroidsWatched]] then one zero-shuffle

@@ -320,6 +320,13 @@ object CorpusClean {
     * has no bigram (len < 2) are absent, as in the oracle.
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NOT persisted (r16 tested-and-reverted): docGram feeds both the
+    // model aggregation and the scoring join, so caching it looks like
+    // the BM25-tf win — but measured at sf0.1 the columnar cache build
+    // over the multi-million-row (doc_id, bg, n) table costs MORE than
+    // the codegen'd normalize+explode+count pass it saves
+    // (quality_lm 2.29 s -> 3.00 s, quality_ppl_buckets 2.96 -> 3.10).
+    // The double pass is the cheaper shape at this row geometry.
     val docGram = bigramCounts(docs, idCol, textCol)
     docGram.join(broadcast(lmLogProbs(docGram)), Seq("bg"))
       .groupBy("doc_id")
@@ -415,6 +422,8 @@ object CorpusClean {
     * broadcast. */
   def lmModel(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
+    // NOT persisted — see [[lmScore]]'s tested-and-reverted note: the
+    // gram-table cache build costs more than the pass it saves.
     val docGram = bigramCounts(docs, idCol, textCol)
     val logp = lmLogProbs(docGram)
     val ctx = docGram.groupBy(substring(col("bg"), 1, 1).as("c0"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
+import graft.operators.Ckpt.CkptOps
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (content fingerprint), n-gram Jaccard, MinHash+LSH banding,
@@ -669,8 +670,13 @@ object Dedup {
         .select(col("id"),
           coalesce(col("jump"), col("component")).as("component"),
           markChg(coalesce(col("jump"), col("component")) =!= col("_old")).as("_chg"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // ckptSer (r16): serialized eager checkpoint + stats re-anchor —
+        // this round plan references the previous checkpoint FOUR times
+        // (neighbor-min, propagate, both pointer-jump sides), so the
+        // inherited size estimate compounds 4x per round; deep peels
+        // (maxIter raised for long chains) would hit the BigInteger
+        // overflow the 60-cap PPR arm measured. See operators.Ckpt.
+        .ckptSer()
       labels = next.drop("_chg")
       converged = acc.value == 0L
       i += 1
@@ -784,10 +790,17 @@ object Dedup {
     * AQE-splittable there, and callers wanting linear output under
     * mass duplication should collapse exact dups first — [[exactGroups]]
     * — exactly as the reference pipelines do). */
-  private[graft] def hammingBandedPairs(sig: DataFrame, sigCol: String,
+  private[graft] def hammingBandedPairs(sig0: DataFrame, sigCol: String,
       segBits: Int, nBands: Int, maxDist: Int): DataFrame = {
     require(maxDist <= nBands - 1,
       s"banding with $nBands segments is only complete for dist <= ${nBands - 1}, got maxDist=$maxDist")
+    // Persisted (r16): the signature frame feeds THREE consumers below
+    // (the distinct class set and both expansion sides) — unpersisted,
+    // an upstream fingerprint EXPRESSION (SimHash tokenize, PHash/
+    // AudioFp media decode) re-evaluates per consumer. The cache is two
+    // narrow columns (id + 8-byte signature), never the media bytes.
+    val sig = sig0.select(col("id"), col(sigCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs = sig.sparkSession.range(nBands).select(col("id").cast("int").as("seg"))
     val mask = (1L << segBits) - 1
     val distinctSigs = sig.select(col(sigCol)).distinct()
@@ -844,7 +857,11 @@ object Dedup {
     * (id, component, keep) with component = min id of the cluster. */
   private[graft] def hammingClusters(sig: DataFrame, sigCol: String,
       segBits: Int, nBands: Int, maxDist: Int, maxIter: Int = 10): DataFrame = {
+    // Persisted (r16, the [[hammingBandedPairs]] rationale): `s` feeds
+    // the class-rep aggregation AND the membership join-back; the
+    // upstream fingerprint expression must not re-decode per consumer.
     val s = sig.select(col("id"), col(sigCol).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = s.groupBy("__sig").agg(min(col("id")).as("rep"))
     val classPairs = hammingBandedPairs(
       reps.select(col("rep").as("id"), col("__sig").as(sigCol)),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions.{asDouble, cosine, dot}
+import graft.operators.Ckpt.CkptOps
 
 /** Similarity-graph operators for corpus curation.
   *
@@ -204,14 +205,12 @@ object Graph {
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val members = base.join(classes.select("blk", "v", "rep"), Seq("blk", "v"))
       .select("id", "rep")
-    // k+1 smallest member ids per class (window 2 above). ScoredId with
-    // a constant score makes TopKByScore's (score desc, id asc) order
-    // collapse to id asc — an exact bounded smallest-ids aggregator.
-    val smallIds = members.as[(Long, Long)]
-      .groupByKey(_._2)
-      .mapValues { case (id, _) => ScoredId(id, 0.0) }
-      .agg(new TopKByScore(k + 1).toColumn.name("top"))
-      .toDF("rep", "top")
+    // k+1 smallest member ids per class (window 2 above). A constant
+    // score makes the (score desc, id asc) order collapse to id asc —
+    // an exact bounded smallest-ids aggregator (native TopKScored, r16).
+    val smallIds = members.groupBy(col("rep"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(lit(0.0), col("id"), k + 1).as("top"))
       .select(col("rep"), col("top.id").as("ids"))
     // Candidate generation shuffles REP PAIRS ONLY: each bucket join
     // projects (rep, bkt) per side, so the bucket exchanges and the
@@ -293,15 +292,13 @@ object Graph {
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
         round(dot(col("v"), col("v")) / (col("n") * col("n")), 6)
           .as("score"))
-    // window 1: top-(k+1) neighbor classes per class. ScoredId's id is
+    // window 1: top-(k+1) neighbor classes per class. The kept id is
     // the neighbor's rep = its min member id, exactly the tie-break the
-    // member order needs.
+    // member order needs (native TopKScored, r16).
     val topClasses = scoredClasses.union(intra)
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, rb, s) => ScoredId(rb, s) }
-      .agg(new TopKByScore(k + 1).toColumn.name("top"))
-      .toDF("rep_a", "top")
+      .groupBy(col("rep_a"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(col("score"), col("rep_b"), k + 1).as("top"))
       .select(col("rep_a"), explode(col("top")).as("t"))
       .select(col("rep_a"), col("t.id").as("rep_b"),
         col("t.score").as("score"))
@@ -318,19 +315,18 @@ object Graph {
 
   /** Bounded per-node top-k over a scored (id, nb, score) pair table:
     * (score desc, nb asc) order, rnk 1..k, map-side partial. */
-  private def topKPerNode(scored: DataFrame, k: Int): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, nb, s) => ScoredId(nb, s) }
-      .agg(new TopKByScore(k).toColumn.name("top"))
-      .toDF("id", "top")
+  private def topKPerNode(scored: DataFrame, k: Int): DataFrame =
+    // native bounded top-k (r16): the typed Aggregator's groupByKey/
+    // mapValues inserted two AppendColumns (full object-encoder passes
+    // over every scored pair, breaking codegen before the partial
+    // aggregate); TopKScored evaluates straight off the InternalRow.
+    // Same (score desc, id asc) order, same map-side k-row bound.
+    scored.groupBy("id")
+      .agg(graft.functions.expressions.TopKScored
+        .topk(col("score"), col("nb"), k).as("top"))
       .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("id"), col("t.id").as("nb"),
         (col("pos") + 1).as("rnk"), col("t.score").as("score"))
-  }
 
   /** Quantize a score column onto the 2^-bits binary grid (floor).
     *
@@ -497,6 +493,34 @@ object Graph {
       // warm start is a different trajectory, so it belongs to the
       // watched tier only — the fixed-round oracle tier always starts
       // cold.
+      //
+      // State schema (r16): (id, rank, p1, p2) — the previous and
+      // two-rounds-back ranks ride INSIDE the checkpointed state, so
+      // the per-round watch probe is one aggregate scan of the frame
+      // the round just materialized instead of a 3-way join of three
+      // checkpoints (guide §2.4: the probe's two id-keyed exchanges
+      // per round are gone; the rank arithmetic is untouched and the
+      // final select drops the watch columns).
+      val noPrev = lit(null).cast("double")
+      // tol = 0 fast path (r16, the connectedComponents accumulator
+      // discipline): the ONLY question the probe answers at tol = 0 is
+      // "is the L1 delta (or the two-rounds-back delta) EXACTLY zero?",
+      // and a sum of non-negative |differences| bumped by an
+      // accumulator DURING the checkpoint materialization answers that
+      // with zero extra jobs per round — task retry/speculation can
+      // only over-count a non-zero sum, never fabricate a zero, so the
+      // ==0 decision is re-execution-safe (the same monotone argument
+      // markChg makes). tol > 0 keeps the separate aggregate probe: an
+      // inflated sum could wrongly miss `delta <= tol` and change the
+      // stopping round.
+      val accTol0 = watchTol.contains(0.0)
+      val acc1 = edges.sparkSession.sparkContext.doubleAccumulator("pr_d1")
+      val acc2 = edges.sparkSession.sparkContext.doubleAccumulator("pr_d2")
+      val markDelta = udf { (r: Double, p1: java.lang.Double, p2: java.lang.Double) =>
+        if (p1 != null) acc1.add(math.abs(r - p1))
+        if (p2 != null) acc2.add(math.abs(r - p2))
+        true
+      }.asNondeterministic()
       var rank = init match {
         case Some(r0) =>
           val seeded = nodes.join(
@@ -519,64 +543,74 @@ object Graph {
           val t = seeded.agg(sum(col("r0"))).head().getDouble(0)
           require(t > 0, "pageRank warm start needs positive total mass")
           seeded.select(col("id"),
-              quant(col("r0") / lit(t), quantBits).as("rank"))
-            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+              quant(col("r0") / lit(t), quantBits).as("rank"),
+              noPrev.as("p1"), noPrev.as("p2"))
+            .ckptSer()
         case None => nodes.select(col("id"),
-          quant(lit(1.0 / n), quantBits).as("rank"))
+          quant(lit(1.0 / n), quantBits).as("rank"),
+          noPrev.as("p1"), noPrev.as("p2"))
       }
-      var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
         val contrib = eout
-          .join(rank.withColumnRenamed("id", "src"), "src")
+          .join(rank.select(col("id").as("src"), col("rank")), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
+        // the state frame covers exactly the node set every round, so it
+        // replaces `nodes` as the join base — same single id-keyed join,
+        // now also carrying the watch columns forward (old rank -> p1,
+        // old p1 -> p2)
+        val carried = rank.select(col("id"), col("rank").as("pr1"),
+          col("p1").as("pr2"))
         val withDm =
           if (hasDangling) {
-            val dangling = rank
+            val dangling = rank.select(col("id"), col("rank"))
               .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
               .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-            nodes.join(contrib, Seq("id"), "left")
+            carried.join(contrib, Seq("id"), "left")
               .crossJoin(broadcast(dangling))
           } else {
-            nodes.join(contrib, Seq("id"), "left")
+            carried.join(contrib, Seq("id"), "left")
               .withColumn("dm", lit(0.0))
           }
-        val next = withDm
+        val updated = withDm
           .select(col("id"),
             quant(lit(teleport) + lit(damping) *
               (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)),
-              quantBits).as("rank"))
+              quantBits).as("rank"),
+            col("pr1").as("p1"), col("pr2").as("p2"))
+        acc1.reset(); acc2.reset()
+        val next = (if (accTol0)
+            // tol = 0: both watch sums ride the materialization job as
+            // accumulator bumps (scaladoc above) — zero probe jobs
+            updated.withColumn("_chg",
+              markDelta(col("rank"), col("p1"), col("p2")))
+          else updated)
           // eager, not lazy: each round materializes against the cached
           // edge table (measured fastest of the four checkpoint
           // placements — lazy variants either re-optimize a deep plan
           // or race the finally-block unpersist of their upstream)
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          .ckptSer()
         // the probe only decides whether to CONTINUE — on the final
-        // round there is nothing left to decide, so skip its job
+        // round there is nothing left to decide, so skip it
         // (mirrored in the labelSpread/ppr loops)
         if (rounds + 1 < iters) watchTol.foreach { t =>
-          // Both watch probes in ONE aggregate job per round: L1 delta
-          // vs last round and (once available) vs two rounds back —
-          // all three frames are checkpointed and cover the full node
-          // set, so the inner joins are exact and the .head() is the
-          // documented O(1) driver scalar per round.
           val (delta, delta2) =
-            if (prev != null) {
+            if (accTol0)
+              // acc2 carries signal only once a two-rounds-back state
+              // exists (p2 is null through round 1)
+              (acc1.value.doubleValue,
+                if (rounds >= 1) acc2.value.doubleValue else -1.0)
+            else {
+              // tol > 0: one aggregate scan of the just-checkpointed
+              // frame — no joins, p1/p2 are columns of the state.
+              // sum() skips null p2 rows; read null as "no signal".
               val r = next
-                .join(rank.select(col("id"), col("rank").as("p1")), "id")
-                .join(prev.select(col("id"), col("rank").as("p2")), "id")
                 .agg(sum(abs(col("rank") - col("p1"))).as("d1"),
                   sum(abs(col("rank") - col("p2"))).as("d2"))
                 .head()
-              (r.getDouble(0), r.getDouble(1))
-            } else {
-              val r = next
-                .join(rank.select(col("id"), col("rank").as("p1")), "id")
-                .agg(sum(abs(col("rank") - col("p1"))).as("d1"))
-                .head()
-              (r.getDouble(0), -1.0)
+              (r.getDouble(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))
             }
           if (delta <= t) converged = true
           // period-2 cycle watch: exact revisit of the state two
@@ -585,12 +619,11 @@ object Graph {
           else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
             converged = true
         }
-        prev = rank
         rank = next
         rounds += 1
       }
       nodes.unpersist()
-      (rank, rounds)
+      (rank.select(col("id"), col("rank")), rounds)
     } finally { eout.unpersist(); e.unpersist(); () }
   }
 
@@ -797,7 +830,7 @@ object Graph {
       // regardless of how far maxIters was deliberately raised.
       val next =
         if ((rounds + 1) % 8 == 0)
-          peeled.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          peeled.ckptSer()
         else peeled.persist(StorageLevel.MEMORY_AND_DISK_SER)
       val n = next.count()
       e.unpersist(blocking = false)
@@ -814,7 +847,7 @@ object Graph {
     // pin one corpus-scale table per kCore call in a long-lived session.
     val core = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      .ckptSer()
     e.unpersist(blocking = false)
     (core, rounds)
   }
@@ -885,6 +918,20 @@ object Graph {
             "(a symmetrizeWeighted graph); dangling nodes would leak walk " +
             "mass — use pageRank's dangling redistribution instead")
         val teleport = (1.0 - damping) / n
+        // watch columns ride inside the state (the r16 pageRankLoop
+        // restructure): (id, rank, p1, p2), probe = accumulator bumps
+        // fused into the materialization job at tol = 0 (re-execution-
+        // safe for ==0 decisions, see pageRankLoop), one aggregate scan
+        // otherwise — no joins either way
+        val noPrev = lit(null).cast("double")
+        val accTol0 = watchTol.contains(0.0)
+        val acc1 = edges.sparkSession.sparkContext.doubleAccumulator("prw_d1")
+        val acc2 = edges.sparkSession.sparkContext.doubleAccumulator("prw_d2")
+        val markDelta = udf { (r: Double, p1: java.lang.Double, p2: java.lang.Double) =>
+          if (p1 != null) acc1.add(math.abs(r - p1))
+          if (p2 != null) acc2.add(math.abs(r - p2))
+          true
+        }.asNondeterministic()
         var rank = init match {
           case Some(prior) =>
             // warm start: prior ranks where known, uniform mass for new
@@ -900,53 +947,58 @@ object Graph {
             require(t > 0,
               "pageRankWeighted warm start needs positive total mass")
             seeded.select(col("id"),
-                quant(col("r0") / lit(t), quantBits).as("rank"))
-              .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+                quant(col("r0") / lit(t), quantBits).as("rank"),
+                noPrev.as("p1"), noPrev.as("p2"))
+              .ckptSer()
           case None => nodes.select(col("id"),
-            quant(lit(1.0 / n), quantBits).as("rank"))
+            quant(lit(1.0 / n), quantBits).as("rank"),
+            noPrev.as("p1"), noPrev.as("p2"))
         }
-        var prev: DataFrame = null
         var rounds = 0
         var converged = false
         while (rounds < iters && !converged) {
           val contrib = eout
-            .join(rank.withColumnRenamed("id", "src"), "src")
+            .join(rank.select(col("id").as("src"), col("rank")), "src")
             .groupBy(col("dst").as("id"))
             .agg(sum(termQuant(col("rank") * col("w") / col("outw")))
               .as("contrib"))
-          val next = nodes.join(contrib, Seq("id"), "left")
+          // the state covers the node set — it replaces `nodes` as the
+          // join base and carries the watch columns forward
+          val updated = rank
+            .select(col("id"), col("rank").as("pr1"), col("p1").as("pr2"))
+            .join(contrib, Seq("id"), "left")
             .select(col("id"),
               quant(lit(teleport) + lit(damping) *
-                coalesce(col("contrib"), lit(0.0)), quantBits).as("rank"))
-            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
-          // one fused L1+cycle probe aggregate per round, skipped on
-          // the final round (the pageRankLoop discipline)
+                coalesce(col("contrib"), lit(0.0)), quantBits).as("rank"),
+              col("pr1").as("p1"), col("pr2").as("p2"))
+          acc1.reset(); acc2.reset()
+          val next = (if (accTol0)
+              updated.withColumn("_chg",
+                markDelta(col("rank"), col("p1"), col("p2")))
+            else updated)
+            .ckptSer() // eager — see [[pageRank]]
+          // one fused L1+cycle probe per round, skipped on the final
+          // round (the pageRankLoop discipline)
           if (rounds + 1 < iters) watchTol.foreach { t =>
             val (delta, delta2) =
-              if (prev != null) {
+              if (accTol0)
+                (acc1.value.doubleValue,
+                  if (rounds >= 1) acc2.value.doubleValue else -1.0)
+              else {
                 val r = next
-                  .join(rank.select(col("id"), col("rank").as("p1")), "id")
-                  .join(prev.select(col("id"), col("rank").as("p2")), "id")
                   .agg(sum(abs(col("rank") - col("p1"))).as("d1"),
                     sum(abs(col("rank") - col("p2"))).as("d2"))
                   .head()
-                (r.getDouble(0), r.getDouble(1))
-              } else {
-                val r = next
-                  .join(rank.select(col("id"), col("rank").as("p1")), "id")
-                  .agg(sum(abs(col("rank") - col("p1"))).as("d1"))
-                  .head()
-                (r.getDouble(0), -1.0)
+                (r.getDouble(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))
               }
             if (delta <= t) converged = true
             else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
               converged = true
           }
-          prev = rank
           rank = next
           rounds += 1
         }
-        (rank, rounds)
+        (rank.select(col("id"), col("rank")), rounds)
       } finally { nodes.unpersist(); () }
     } finally { eout.unpersist(); e.unpersist(); () }
   }
@@ -1036,7 +1088,7 @@ object Graph {
         val next = votes.groupBy("id")
           .agg(min(struct((-col("wv")).as("nw"), col("nl").as("l"))).as("p"))
           .select(col("id"), col("p.l").as("label"))
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
+          .ckptSer() // eager — see [[pageRank]]
         // probe only decides whether to CONTINUE — skipped on the
         // final round (the family convention); exact integer-label
         // comparisons over full outer joins, one aggregate job
@@ -1182,7 +1234,7 @@ object Graph {
         val next = counts.groupBy("id")
           .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("p"))
           .select(col("id"), col("p.l").as("label"))
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
+          .ckptSer() // eager — see [[pageRank]]
         // the probe only decides whether to CONTINUE — skip its job on
         // the final round (the family convention)
         if (watched && rounds + 1 < iters) {
@@ -1382,6 +1434,26 @@ object Graph {
       require(nSeeds > 0, "personalizedPageRank needs at least one seed")
       val seedTerm = sd.select(col("id"),
         lit((1.0 - damping) / nSeeds).as("seed"))
+      // Watch columns ride inside the sparse state (r16, the
+      // pageRankLoop restructure): (id, rank, p1, p2) with p1/p2
+      // attached by a LEFT join of the previous state onto the new
+      // row set. Sound because the reached set GROWS MONOTONICALLY on
+      // the (required) symmetrized dangling-free graph: state_t =
+      // N(state_{t-1}) ∪ seeds ⊇ state_{t-1} by induction, so no row
+      // ever drops and the left join loses no delta mass — newly
+      // reached rows enter with p1/p2 null, which the probe reads as
+      // prior rank 0 (exactly the old full-outer's semantics).
+      // tol = 0 additionally fuses both L1 sums into the checkpoint
+      // job as accumulator bumps (re-execution-safe for ==0, see
+      // pageRankLoop); tol > 0 keeps a no-join aggregate scan.
+      val accTol0 = watchTol.contains(0.0)
+      val acc1 = edges.sparkSession.sparkContext.doubleAccumulator("ppr_d1")
+      val acc2 = edges.sparkSession.sparkContext.doubleAccumulator("ppr_d2")
+      val markDelta = udf { (r: Double, p1: java.lang.Double, p2: java.lang.Double) =>
+        acc1.add(math.abs(r - (if (p1 == null) 0.0 else p1.doubleValue)))
+        acc2.add(math.abs(r - (if (p2 == null) 0.0 else p2.doubleValue)))
+        true
+      }.asNondeterministic()
       var rank = init match {
         case Some(r0) =>
           // sparse warm start (scaladoc above): keep only prior rows
@@ -1399,60 +1471,65 @@ object Graph {
             "personalizedPageRank warm start needs positive total mass " +
               "on the current node set")
           kept.select(col("id"),
-              quant(col("r0") / lit(t), quantBits).as("rank"))
-            .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+              quant(col("r0") / lit(t), quantBits).as("rank"),
+              lit(null).cast("double").as("p1"),
+              lit(null).cast("double").as("p2"))
+            .ckptSer()
         case None => sd.select(col("id"),
-          quant(lit(1.0 / nSeeds), quantBits).as("rank"))
+          quant(lit(1.0 / nSeeds), quantBits).as("rank"),
+          lit(null).cast("double").as("p1"),
+          lit(null).cast("double").as("p2"))
       }
-      var prev: DataFrame = null // two-rounds-back state (cycle watch)
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
         val contrib = eout
-          .join(rank.withColumnRenamed("id", "src"), "src")
+          .join(rank.select(col("id").as("src"), col("rank")), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
-        val next = contrib
+        // the previous state left-joins onto the new row set (a
+        // superset — monotone frontier, scaladoc above) to carry the
+        // watch columns; newly reached rows enter with null p1/p2
+        val carried = rank.select(col("id"), col("rank").as("pc1"),
+          col("p1").as("pc2"))
+        val updated = contrib
           .join(seedTerm, Seq("id"), "full_outer")
+          .join(carried, Seq("id"), "left")
           .select(col("id"),
             quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
-              + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"))
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
+              + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"),
+            col("pc1").as("p1"), col("pc2").as("p2"))
+        acc1.reset(); acc2.reset()
+        val next = (if (accTol0)
+            updated.withColumn("_chg",
+              markDelta(col("rank"), col("p1"), col("p2")))
+          else updated)
+          .ckptSer() // eager — see [[pageRank]]
         if (rounds + 1 < iters) watchTol.foreach { t =>
-          // sparse state (the walk grows its frontier): full-outer
-          // deltas with absent nodes read as 0, both watch probes in
-          // one aggregate job per round (the pageRankWatched stance)
+          // sparse-state deltas: absent-prior rows read as 0 (null
+          // p1/p2 -> 0, the old full-outer's semantics); d2 carries
+          // signal only once a two-rounds-back state exists
           val (delta, delta2) =
-            if (prev != null) {
+            if (accTol0)
+              (acc1.value.doubleValue,
+                if (rounds >= 1) acc2.value.doubleValue else -1.0)
+            else {
               val r = next
-                .join(rank.select(col("id"), col("rank").as("p1")),
-                  Seq("id"), "full_outer")
-                .join(prev.select(col("id"), col("rank").as("p2")),
-                  Seq("id"), "full_outer")
-                .agg(coalesce(sum(abs(coalesce(col("rank"), lit(0.0))
+                .agg(coalesce(sum(abs(col("rank")
                   - coalesce(col("p1"), lit(0.0)))), lit(0.0)).as("d1"),
-                  coalesce(sum(abs(coalesce(col("rank"), lit(0.0))
+                  coalesce(sum(abs(col("rank")
                     - coalesce(col("p2"), lit(0.0)))), lit(0.0)).as("d2"))
                 .head()
-              (r.getDouble(0), r.getDouble(1))
-            } else {
-              val r = next
-                .join(rank.select(col("id"), col("rank").as("p1")),
-                  Seq("id"), "full_outer")
-                .agg(coalesce(sum(abs(coalesce(col("rank"), lit(0.0))
-                  - coalesce(col("p1"), lit(0.0)))), lit(0.0)).as("d1"))
-                .head()
-              (r.getDouble(0), -1.0)
+              (r.getDouble(0), if (rounds >= 1) r.getDouble(1) else -1.0)
             }
           if (delta <= t) converged = true
           else if (delta2 == 0.0 && (iters - (rounds + 1)) % 2 == 0)
             converged = true // period-2 cycle, even remainder
         }
-        prev = rank
         rank = next
         rounds += 1
       }
-      (rank, rounds)
+      (rank.select(col("id"), col("rank")), rounds)
     } finally { eout.unpersist(); sd.unpersist(); e.unpersist(); () }
   }
 
@@ -1538,7 +1615,7 @@ object Graph {
             col("score").cast("double").as("score"))
           .where(col("id").isNotNull && col("label").isNotNull &&
             col("score").isNotNull && col("score") >= 0)
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+          .ckptSer()
         case None =>
           sd.select(col("id"), col("label"), lit(1.0).as("score"))
       }
@@ -1555,7 +1632,7 @@ object Graph {
           .select(col("id"), col("label"),
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))
-          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER) // eager — see [[pageRank]]
+          .ckptSer() // eager — see [[pageRank]]
         if (rounds + 1 < iters) watchTol.foreach { t =>
           // sparse state: full-outer deltas, absent cells read as 0 —
           // both watch probes (vs last round, vs two back) in one

@@ -127,20 +127,15 @@ object Knn {
     * (task, query) into the exchange), (score desc, id asc) order,
     * 1-based rank. One implementation so the tiers' rounding and
     * tie-break discipline cannot drift. */
-  private def topKPerQuery(
-      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
-      k: Int): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored.groupByKey(_._1)
-      .mapValues { case (_, id, sc) => ScoredId(id, sc) }
-      .agg(new TopKByScore(k).toColumn.name("top"))
-      .toDF("qid", "top")
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    // native bounded top-k (r16): see Graph.topKPerNode — no typed
+    // AppendColumns boundary over the scored stream, same order/ties.
+    scored.groupBy("qid")
+      .agg(graft.functions.expressions.TopKScored
+        .topk(col("score"), col("id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("t.id").as("vec_id"), col("t.score").as("score"))
-  }
 
   /** Batched multi-query search: top-k per query in ONE distributed
     * plan (score join -> window rank within query), instead of the
@@ -164,17 +159,13 @@ object Knn {
     * shuffle to k rows per (map task, query) — the formulation that
     * survives a 100x scale-up where the window variant shuffles every
     * scored row. Identical output to [[batchTopK]]. */
-  def batchTopKAgg(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+  def batchTopKAgg(emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topKPerQuery(
       emb.join(broadcast(queries))
         .select(col("qid"),
           col("vec_id").as("id"),
-          round(dot(col("embedding"), col("qv")), 6).as("score"))
-        .as[(Long, Long, Double)],
+          round(dot(col("embedding"), col("qv")), 6).as("score")),
       k)
-  }
 
   /** Batched IVF top-k: the production ANN ladder's probe-then-scan,
     * for a whole query SET in one distributed plan (the shape a
@@ -209,8 +200,7 @@ object Knn {
     topKPerQuery(
       emb.join(broadcast(probes), col(clusterCol) === col("cluster"))
         .select(col("qid"), col("vec_id").as("id"),
-          round(dot(col("embedding"), col("qv")), 6).as("score"))
-        .as[(Long, Long, Double)],
+          round(dot(col("embedding"), col("qv")), 6).as("score")),
       k)
   }
 
@@ -270,16 +260,15 @@ object Knn {
     val cls = cBase.groupBy("blk", "lbl_c", "v_c")
       .agg(min(col("id_c")).as("rep"))
       .withColumn("n_c", l2Norm(col("v_c")))
-    // k smallest member ids per class (constant score -> TopKByScore
-    // orders by id asc: an exact bounded smallest-ids aggregator)
+    // k smallest member ids per class (constant score -> the
+    // (score desc, id asc) order collapses to id asc: an exact bounded
+    // smallest-ids aggregator; native TopKScored, r16)
     val smallIds = cBase
       .join(cls.select("blk", "lbl_c", "v_c", "rep"),
         Seq("blk", "lbl_c", "v_c"))
-      .select("id_c", "rep").as[(Long, Long)]
-      .groupByKey(_._2)
-      .mapValues { case (id, _) => ScoredId(id, 0.0) }
-      .agg(new TopKByScore(k).toColumn.name("top"))
-      .toDF("rep", "top")
+      .groupBy(col("rep"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(lit(0.0), col("id_c"), k).as("top"))
       .select(col("rep"), col("top.id").as("ids"))
     val scored = a.join(cls, "blk")
       .filter(col("lbl_a") =!= col("lbl_c"))
@@ -287,23 +276,20 @@ object Knn {
         round(dot(col("v_a"), col("v_c")) /
           (col("n_a") * col("n_c")),
           6).as("cosine"))
-      .as[(Long, Long, Double)]
     // per-anchor top-k classes, expanded through each class's k
     // smallest ids, then the final bounded member-level top-k
-    val topCls = scored.groupByKey(_._1)
-      .mapValues { case (_, rep, cos) => ScoredId(rep, cos) }
-      .agg(new TopKByScore(k).toColumn.name("top"))
-      .toDF("id_a", "top")
+    // (native TopKScored, r16 — same order/ties, no typed boundary)
+    val topCls = scored.groupBy(col("id_a"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(col("cosine"), col("rep"), k).as("top"))
       .select(col("id_a"), explode(col("top")).as("t"))
       .select(col("id_a"), col("t.id").as("rep"),
         col("t.score").as("cosine"))
     topCls.join(smallIds, Seq("rep"))
       .select(col("id_a"), explode(col("ids")).as("id_c"), col("cosine"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, cos) => ScoredId(id, cos) }
-      .agg(new TopKByScore(k).toColumn.name("top"))
-      .toDF("id", "top")
+      .groupBy(col("id_a").as("id"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(col("cosine"), col("id_c"), k).as("top"))
       .select(col("id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("id"), (col("pos") + 1).as("rank"),
         col("t.id").as("neg_id"), col("t.score").as("cosine"))

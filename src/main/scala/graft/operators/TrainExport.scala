@@ -224,13 +224,12 @@ object TrainExport {
             lit("' is not castable to long (string ids are not supported)"))))
           .otherwise(castId).as("id"),
         conv(uniformHexKey(seed, col(idCol)), 16, 10).cast("double").as("key"))
-      .as[(String, Long, Double)]
+    // native TopKScored (r16; see Graph.topKPerNode): keeps score DESC,
+    // so negate the key — "top n" = n smallest keys
     val winners = keyed
-      .groupByKey(_._1)
-      // TopKByScore keeps score DESC; negate so "top n" = n smallest keys
-      .mapValues { case (_, id, k) => ScoredId(id, -k) }
-      .agg(new TopKByScore(n).toColumn.name("top"))
-      .toDF("lbl", "top")
+      .groupBy(col("lbl"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(-col("key"), col("id"), n).as("top"))
       .select(explode(col("top.id")).as("_sid"))
     docs.join(broadcast(winners),
       col(idCol).cast("long") === col("_sid"), "left_semi")

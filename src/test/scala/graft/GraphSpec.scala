@@ -393,8 +393,14 @@ class GraphSpec extends SparkSpec {
     val plan = g.queryExecution.executedPlan.toString
     // the map-side partial of the bounded aggregator must exist: k rows
     // per (task, node) cross any exchange, never the scored pair table
-    assert(plan.contains("partial_topkbyscore"),
-      s"expected a partial TopKByScore below the exchange:\n$plan")
+    // (r16: the native TopKScored aggregate replaced the typed
+    // TopKByScore — the partial is named after the Catalyst class)
+    assert(plan.contains("partial_topkscored"),
+      s"expected a partial TopKScored below the exchange:\n$plan")
+    // the typed path's AppendColumns (a full object-encoder pass over
+    // every scored pair, outside codegen) must be gone
+    assert(!plan.contains("AppendColumns"),
+      s"expected no typed AppendColumns boundary in the pair stream:\n$plan")
     // k-means assignment: codegen'd dots against literal centroids —
     // the final assignment stage plans with no Exchange at all (no
     // .limit here: a GlobalLimit would add its own SinglePartition
