@@ -49,8 +49,18 @@ object ProfTmp {
         graft.operators.Graph.knnGraph(emb, "vec_id", "embedding", 3)
           .write.format("noop").mode("overwrite").save()
       }
-      time(s"agg groupBy max #$i") {
-        scored.groupBy("id").agg(max(struct(col("score"), -col("nb")))).write.format("noop").mode("overwrite").save()
+      val noround = a.repartition(col("id")).crossJoin(b.repartition(col("nb")))
+        .filter(col("id") =!= col("nb"))
+        .select(col("id"), col("nb"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("score"))
+      time(s"scored NO-round noop #$i") {
+        noround.write.format("noop").mode("overwrite").save()
+      }
+      val justjoin = a.repartition(col("id")).crossJoin(b.repartition(col("nb")))
+        .filter(col("id") =!= col("nb"))
+        .select(col("id"), col("nb"))
+      time(s"join only noop #$i") {
+        justjoin.write.format("noop").mode("overwrite").save()
       }
     }
     spark.stop()

@@ -24,6 +24,17 @@ import graft.functions.TextFunctions
   * reference uses f32; the DuckDB oracle fixes Double as the contract).
   */
 object BM25 {
+  /** File-local shadow of `org.apache.spark.sql.functions.round`: every
+    * per-row score here rounds a DOUBLE column at scale 6, where the
+    * built-in pays BigDecimal per value (~430 ns — 1.7 s of the n²
+    * knn_graph row alone). Routes through the exact-equivalent fast
+    * HALF_UP expression (see [[graft.functions.expressions.RoundHalfUp]]
+    * and RoundHalfUpSpec's brute-forced equivalence). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    require(scale == 6, s"file-local fast round is scale-6 only (got $scale)")
+    graft.functions.VectorFunctions.round6(c)
+  }
+
   val K1 = 1.2
   val B = 0.75
 

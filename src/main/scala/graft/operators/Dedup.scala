@@ -27,6 +27,17 @@ import graft.operators.Ckpt.CkptOps
   * so every operator here is DuckDB-oracle-checkable.
   */
 object Dedup {
+  /** File-local shadow of `org.apache.spark.sql.functions.round`: every
+    * per-row score here rounds a DOUBLE column at scale 6, where the
+    * built-in pays BigDecimal per value (~430 ns — 1.7 s of the n²
+    * knn_graph row alone). Routes through the exact-equivalent fast
+    * HALF_UP expression (see [[graft.functions.expressions.RoundHalfUp]]
+    * and RoundHalfUpSpec's brute-forced equivalence). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    require(scale == 6, s"file-local fast round is scale-6 only (got $scale)")
+    graft.functions.VectorFunctions.round6(c)
+  }
+
 
   /** Deferred-release persist for intermediates that must stay lazy
     * (they back a returned frame, so an in-function try/finally would
@@ -1221,9 +1232,6 @@ object Dedup {
     * identical output to the id-level formulation. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, topN: Int): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
-    val spark = emb.sparkSession
-    import spark.implicits._
     val base = emb.select(Knn.blockKey(Some(blockCol)).as("blk"),
       col(idCol).cast("long").as("id"),
       VectorFunctions.asDouble(col(vecCol)).as("v"))
@@ -1231,14 +1239,13 @@ object Dedup {
     val cls = base.groupBy("blk", "v")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
       .withColumn("n", VectorFunctions.l2Norm(col("v")))
-    // N+1 smallest member ids per class (constant score -> TopKByScore
-    // orders by id asc: an exact bounded smallest-ids aggregator)
+    // N+1 smallest member ids per class (constant score -> the
+    // (score desc, id asc) order collapses to id asc: an exact bounded
+    // smallest-ids aggregator; native TopKScored, r16)
     val smallIds = base.join(cls.select("blk", "v", "rep"), Seq("blk", "v"))
-      .select("id", "rep").as[(Long, Long)]
-      .groupByKey(_._2)
-      .mapValues { case (id, _) => ScoredId(id, 0.0) }
-      .agg(new TopKByScore(topN + 1).toColumn.name("top"))
-      .toDF("rep", "top")
+      .groupBy(col("rep"))
+      .agg(graft.functions.expressions.TopKScored
+        .topk(lit(0.0), col("id"), topN + 1).as("top"))
       .select(col("rep"), col("top.id").as("ids"))
     // per-side norm hoist (see semanticDedup): one dot per pair
     val a = cls.select(col("blk"), col("rep").as("rep_a"),

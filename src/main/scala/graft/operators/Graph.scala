@@ -22,6 +22,17 @@ import graft.operators.Ckpt.CkptOps
   * [[Dedup.connectedComponents]].
   */
 object Graph {
+  /** File-local shadow of `org.apache.spark.sql.functions.round`: every
+    * per-row score here rounds a DOUBLE column at scale 6, where the
+    * built-in pays BigDecimal per value (~430 ns — 1.7 s of the n²
+    * knn_graph row alone). Routes through the exact-equivalent fast
+    * HALF_UP expression (see [[graft.functions.expressions.RoundHalfUp]]
+    * and RoundHalfUpSpec's brute-forced equivalence). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    require(scale == 6, s"file-local fast round is scale-6 only (got $scale)")
+    graft.functions.VectorFunctions.round6(c)
+  }
+
 
   /** Exact k-nearest-neighbor graph over an embedding column: for every
     * vector, the `k` most cosine-similar OTHER vectors, as
@@ -31,7 +42,7 @@ object Graph {
     * This is the all-pairs oracle tier: O(n^2) scored pairs, fine for a
     * fixture or a sampled slice, and the ground truth the blocked
     * variant ([[knnGraphLsh]]) measures recall against. The per-node
-    * top-k goes through the bounded [[graft.functions.TopKByScore]]
+    * top-k goes through the bounded [[graft.functions.expressions.TopKScored]]
     * aggregator, so even here the shuffle carries at most k rows per
     * (map task, node), never the n^2 scored-pair table. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
@@ -173,7 +184,6 @@ object Graph {
                   dims: Int, bits: Int = 0, tables: Int = 4,
                   blockCol: Option[String] = None,
                   blockBucketCap: Long = 256L): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
     val spark = emb.sparkSession
     import spark.implicits._
     val blk = Knn.blockKey(blockCol)

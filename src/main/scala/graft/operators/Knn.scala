@@ -30,6 +30,17 @@ import graft.functions.VectorFunctions._
   * top-k set is deterministic across engines (ties broken by `vec_id`).
   */
 object Knn {
+  /** File-local shadow of `org.apache.spark.sql.functions.round`: every
+    * per-row score here rounds a DOUBLE column at scale 6, where the
+    * built-in pays BigDecimal per value (~430 ns — 1.7 s of the n²
+    * knn_graph row alone). Routes through the exact-equivalent fast
+    * HALF_UP expression (see [[graft.functions.expressions.RoundHalfUp]]
+    * and RoundHalfUpSpec's brute-forced equivalence). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    require(scale == 6, s"file-local fast round is scale-6 only (got $scale)")
+    graft.functions.VectorFunctions.round6(c)
+  }
+
 
   /** Internal block key from an optional user blocking column. Null
     * block values coalesce into ONE shared sentinel block (the column
@@ -123,7 +134,7 @@ object Knn {
 
   /** Bounded per-query top-k over (qid, id, score) rows — the shared
     * tail of [[batchTopKAgg]] and [[batchIvfTopK]]: map-side partial
-    * [[graft.functions.TopKByScore]] aggregation (at most k rows per
+    * [[graft.functions.expressions.TopKScored]] aggregation (at most k rows per
     * (task, query) into the exchange), (score desc, id asc) order,
     * 1-based rank. One implementation so the tiers' rounding and
     * tie-break discipline cannot drift. */
@@ -154,7 +165,7 @@ object Knn {
       .select("qid", "rank", "vec_id", "score")
   }
 
-  /** Batched multi-query search via the bounded [[graft.functions.TopKByScore]]
+  /** Batched multi-query search via the bounded [[graft.functions.expressions.TopKScored]]
     * aggregator instead of a window: map-side partial top-k bounds the
     * shuffle to k rows per (map task, query) — the formulation that
     * survives a 100x scale-up where the window variant shuffles every
@@ -176,7 +187,7 @@ object Knn {
     * driver-free in a tiny Q x K agg, and the corpus is scanned once:
     * every row joins only the queries probing its cluster (broadcast
     * Q x nprobe probe list), scores one dot, and forwards at most k
-    * rows per (map task, query) through the bounded [[graft.functions.TopKByScore]]
+    * rows per (map task, query) through the bounded [[graft.functions.expressions.TopKScored]]
     * aggregator. On a centroid-partitioned layout the probe join is a
     * partition-pruning semi-join; nothing here shuffles vectors.
     * Rounding/tie-breaks match [[batchTopKAgg]] so the two tiers are
@@ -220,13 +231,12 @@ object Knn {
     * search finds them while the join stays co-partitioned on the
     * layout (the semanticDedup stance); recall vs exact is pinned in
     * KnnSpec. Cosines round to 6 before ranking with id tie-breaks,
-    * and the per-anchor top-k goes through the bounded [[TopKByScore]]
+    * and the per-anchor top-k goes through the bounded [[graft.functions.expressions.TopKScored]]
     * aggregator — map tasks forward at most k pairs per anchor into
     * the exchange, never the scored pair table. */
   def hardNegatives(anchors: DataFrame, candidates: DataFrame,
                     idCol: String, vecCol: String, labelCol: String,
                     k: Int, blockCol: Option[String] = None): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
     val spark = anchors.sparkSession
     import spark.implicits._
     // per-side norm hoist (the knnGraph stance): sqrt(v.v) is a

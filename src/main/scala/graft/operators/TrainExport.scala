@@ -201,14 +201,13 @@ object TrainExport {
     * engine-portable.
     *
     * Scale: a `row_number` window would shuffle and sort EVERY row by
-    * class; this goes through the bounded [[graft.functions.TopKByScore]]
+    * class; this goes through the bounded [[graft.functions.expressions.TopKScored]]
     * aggregator instead, so map tasks forward at most n (id, key) pairs
     * per class into the exchange — O(tasks x classes x n), independent
     * of corpus size — and the winners (classes x n ids, KBs) broadcast
     * back as a semi-join to fetch the full rows. */
   def stratifiedSample(docs: DataFrame, idCol: String, labelCol: String,
                        n: Int, seed: String): DataFrame = {
-    import graft.functions.{ScoredId, TopKByScore}
     val spark = docs.sparkSession
     import spark.implicits._
     // 8 hex chars -> integer in [0, 2^32): numeric order == the hex
