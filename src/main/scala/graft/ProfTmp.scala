@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Scratch profiling main (r16 measurement; not part of the engine). */
 object ProfTmp {
@@ -14,55 +15,45 @@ object ProfTmp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.functions.VectorFunctions.{asDouble, dot}
 
-    val emb = Tables.embeddings(spark, sfDir)
-    emb.count()
+    val edges = EntryFixtures.relEdges(spark, sfDir)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    val eout = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    println(s"nodes=$n edges=${e.count()}")
 
-    def time(label: String)(body: => Unit): Unit = {
+    var rank = nodes.select(col("id"),
+      (lit(1.0) / lit(n)).as("rank"),
+      lit(null).cast("double").as("p1"), lit(null).cast("double").as("p2"))
+    def round1(r: org.apache.spark.sql.DataFrame) = {
+      val contrib = eout
+        .join(r.select(col("id").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      r.select(col("id"), col("rank").as("pr1"), col("p1").as("pr2"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.3) + lit(0.5) * coalesce(col("contrib"), lit(0.0))).as("rank"),
+          col("pr1").as("p1"), col("pr2").as("p2"))
+    }
+    // run 3 rounds, timing each, then print the executed plan of a round
+    for (i <- 1 to 6) {
       val t0 = System.nanoTime()
-      body
-      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      rank = org.apache.spark.sql.GraftColumnBridge.dropInheritedStats(
+        round1(rank).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
+      println(f"round $i: ${(System.nanoTime()-t0)/1e9}%.3f s")
     }
-
-    val a = emb.select(col("vec_id").cast("long").as("id"),
-        asDouble(col("embedding")).as("va"))
-      .where(col("id").isNotNull && col("va").isNotNull &&
-        dot(col("va"), col("va")) > 0)
-      .withColumn("na", sqrt(dot(col("va"), col("va"))))
-    val b = emb.select(col("vec_id").cast("long").as("nb"),
-        asDouble(col("embedding")).as("vb"))
-      .where(col("nb").isNotNull && col("vb").isNotNull &&
-        dot(col("vb"), col("vb")) > 0)
-      .withColumn("nb_n", sqrt(dot(col("vb"), col("vb"))))
-    val scored = a.repartition(col("id")).crossJoin(b.repartition(col("nb")))
-      .filter(col("id") =!= col("nb"))
-      .select(col("id"), col("nb"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb_n")), 6)
-          .as("score"))
-
-    for (i <- 1 to 3) {
-      time(s"scored noop #$i") {
-        scored.write.format("noop").mode("overwrite").save()
-      }
-      time(s"knnGraph full #$i") {
-        graft.operators.Graph.knnGraph(emb, "vec_id", "embedding", 3)
-          .write.format("noop").mode("overwrite").save()
-      }
-      val noround = a.repartition(col("id")).crossJoin(b.repartition(col("nb")))
-        .filter(col("id") =!= col("nb"))
-        .select(col("id"), col("nb"),
-          (dot(col("va"), col("vb")) / (col("na") * col("nb_n"))).as("score"))
-      time(s"scored NO-round noop #$i") {
-        noround.write.format("noop").mode("overwrite").save()
-      }
-      val justjoin = a.repartition(col("id")).crossJoin(b.repartition(col("nb")))
-        .filter(col("id") =!= col("nb"))
-        .select(col("id"), col("nb"))
-      time(s"join only noop #$i") {
-        justjoin.write.format("noop").mode("overwrite").save()
-      }
-    }
+    val r7 = round1(rank)
+    println(r7.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }

@@ -460,6 +460,7 @@ object Graph {
     pageRankLoop(edges, damping, maxIters, watchTol = Some(tol), quantBits,
       init)
 
+
   private def pageRankLoop(edges: DataFrame, damping: Double, iters: Int,
                            watchTol: Option[Double], quantBits: Int,
                            init: Option[DataFrame] = None): (DataFrame, Int) = {
@@ -473,6 +474,17 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     // loop-invariant: the edge list already joined to its out-degree —
     // materialized once instead of re-joined every round
+    // NOT pre-partitioned by src (r16 tested-and-reverted): hash-
+    // clustering the cache by the per-round join key removes the
+    // per-round edge exchange from the STATIC plan, but it also removes
+    // the query-stage boundary AQE needs to convert each round's join
+    // into a broadcast hash join of the (much smaller) rank side —
+    // measured +30-45% per watched row at sf0.1 (SMJ sort+merge every
+    // round instead of a broadcast probe of the in-place cache). With
+    // the plain cache AQE picks per round from runtime sizes: broadcast
+    // while ranks fit, sort-merge with the edge exchange when they
+    // don't — the right call at every scale without a hand-rolled
+    // threshold.
     val eout = e.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -911,6 +923,7 @@ object Graph {
       .filter(col("src") =!= col("dst") && col("w").isNotNull && col("w") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    // not pre-partitioned by src — see pageRankLoop's eout note (r16)
     val eout = e.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1430,6 +1443,17 @@ object Graph {
       .where(col("id").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    // NOT pre-partitioned by src (r16 tested-and-reverted): hash-
+    // clustering the cache by the per-round join key removes the
+    // per-round edge exchange from the STATIC plan, but it also removes
+    // the query-stage boundary AQE needs to convert each round's join
+    // into a broadcast hash join of the (much smaller) rank side —
+    // measured +30-45% per watched row at sf0.1 (SMJ sort+merge every
+    // round instead of a broadcast probe of the in-place cache). With
+    // the plain cache AQE picks per round from runtime sizes: broadcast
+    // while ranks fit, sort-merge with the edge exchange when they
+    // don't — the right call at every scale without a hand-rolled
+    // threshold.
     val eout = e.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1497,18 +1521,25 @@ object Graph {
           .join(rank.select(col("id").as("src"), col("rank")), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
-        // the previous state left-joins onto the new row set (a
-        // superset — monotone frontier, scaladoc above) to carry the
-        // watch columns; newly reached rows enter with null p1/p2
-        val carried = rank.select(col("id"), col("rank").as("pc1"),
-          col("p1").as("pc2"))
-        val updated = contrib
-          .join(seedTerm, Seq("id"), "full_outer")
-          .join(carried, Seq("id"), "left")
-          .select(col("id"),
-            quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
-              + coalesce(col("seed"), lit(0.0)), quantBits).as("rank"),
-            col("pc1").as("p1"), col("pc2").as("p2"))
+        val newRank = quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
+          + coalesce(col("seed"), lit(0.0)), quantBits)
+        // WATCHED tier only: the previous state left-joins onto the new
+        // row set (a superset — monotone frontier, scaladoc above) to
+        // carry the watch columns; newly reached rows enter with null
+        // p1/p2. The fixed-round tier has no probe, so it must not pay
+        // the carry join (measured +0.4 s on the 5-round oracle row).
+        val updated =
+          if (watchTol.isDefined) {
+            val carried = rank.select(col("id"), col("rank").as("pc1"),
+              col("p1").as("pc2"))
+            contrib
+              .join(seedTerm, Seq("id"), "full_outer")
+              .join(carried, Seq("id"), "left")
+              .select(col("id"), newRank.as("rank"),
+                col("pc1").as("p1"), col("pc2").as("p2"))
+          } else contrib
+            .join(seedTerm, Seq("id"), "full_outer")
+            .select(col("id"), newRank.as("rank"))
         acc1.reset(); acc2.reset()
         val next = (if (accTol0)
             updated.withColumn("_chg",
@@ -1613,6 +1644,17 @@ object Graph {
       .where(col("id").isNotNull && col("label").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+    // NOT pre-partitioned by src (r16 tested-and-reverted): hash-
+    // clustering the cache by the per-round join key removes the
+    // per-round edge exchange from the STATIC plan, but it also removes
+    // the query-stage boundary AQE needs to convert each round's join
+    // into a broadcast hash join of the (much smaller) rank side —
+    // measured +30-45% per watched row at sf0.1 (SMJ sort+merge every
+    // round instead of a broadcast probe of the in-place cache). With
+    // the plain cache AQE picks per round from runtime sizes: broadcast
+    // while ranks fit, sort-merge with the edge exchange when they
+    // don't — the right call at every scale without a hand-rolled
+    // threshold.
     val eout = e.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)

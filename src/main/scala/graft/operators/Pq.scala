@@ -29,6 +29,14 @@ import graft.functions.VectorFunctions.asDouble
   * reproduces encode + ADC bit-for-bit from the seed codebooks.
   */
 object Pq {
+  /** File-local shadow of `org.apache.spark.sql.functions.round`:
+    * per-row DOUBLE scores at scale 6 route through the fast HALF_UP
+    * expression (exact-equivalent; see RoundHalfUp / RoundHalfUpSpec). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    require(scale == 6, s"file-local fast round is scale-6 only (got $scale)")
+    graft.functions.VectorFunctions.round6(c)
+  }
+
 
   /** Trained PQ model: `cents(sub)(code)` is a `dsub`-dim centroid. */
   case class Codebooks(m: Int, k: Int, dsub: Int,

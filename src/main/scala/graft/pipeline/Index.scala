@@ -38,6 +38,14 @@ import graft.operators.{BM25, SmartChunker}
   * per-query).
   */
 object Index {
+  /** File-local shadow of `org.apache.spark.sql.functions.round`:
+    * per-row DOUBLE scores at scale 6 route through the fast HALF_UP
+    * expression (exact-equivalent; see RoundHalfUp / RoundHalfUpSpec). */
+  private def round(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    require(scale == 6, s"file-local fast round is scale-6 only (got $scale)")
+    graft.functions.VectorFunctions.round6(c)
+  }
+
 
   /** Pool for submitting independent Spark jobs concurrently (writes of
     * unrelated tables). Spark schedules jobs from multiple threads fine;
