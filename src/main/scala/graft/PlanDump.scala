@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: `runMain graft.PlanDump <outDir> [query1,query2,...]`
   * Env: SPARK_GRAFT_SF_DIR (data dir), SPARK_GRAFT_CPUS (local cores).
   *
-  * Plans are captured WITHOUT executing the query (explain is
-  * driver-side planning only), so this is safe to run alongside other
-  * work; fixture-dependent rows that require a prior query's side
-  * effects fall back to an error note rather than aborting the dump.
+  * The explain itself is driver-side planning only, but CONSTRUCTING
+  * some declared queries runs real jobs before explain is reached
+  * (k-means fits collect centroids, the iterative loops materialize
+  * per-round checkpoints, fixture rows write parquet) — so a dump pass
+  * does execute work and should not share a host with a timing run.
+  * Fixture-dependent rows that require a prior query's side effects
+  * fall back to an error note rather than aborting the dump.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -38,20 +41,23 @@ object PlanDump {
     Files.createDirectories(Paths.get(outDir))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    selected.foreach { case (name, fn) =>
-      val body =
-        try {
-          val df = fn(spark, sfDir)
-          df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            s"PLAN UNAVAILABLE (${e.getClass.getSimpleName}): ${e.getMessage}"
-        }
-      Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
-        body.getBytes(StandardCharsets.UTF_8))
-      System.err.println(s"[plandump] $name")
-    }
-    spark.stop()
+    // try/finally: a failed Files.write must still stop the session —
+    // a leaked local[32] JVM would pollute any timing run that follows.
+    try {
+      selected.foreach { case (name, fn) =>
+        val body =
+          try {
+            val df = fn(spark, sfDir)
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              s"PLAN UNAVAILABLE (${e.getClass.getSimpleName}): ${e.getMessage}"
+          }
+        Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
+          body.getBytes(StandardCharsets.UTF_8))
+        System.err.println(s"[plandump] $name")
+      }
+    } finally spark.stop()
   }
 }

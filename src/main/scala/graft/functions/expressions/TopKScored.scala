@@ -50,7 +50,14 @@ case class TopKScored(
   override def update(buf: TopKScored.Buf, input: InternalRow): TopKScored.Buf = {
     val s = left.eval(input)
     val i = right.eval(input)
-    if (s != null && i != null)
+    // NaN scores are skipped like nulls (r17): `worse()` is not a total
+    // order under NaN — every comparison with NaN is false, so a NaN row
+    // reaching the heap root would never be evicted and would block
+    // strictly better rows (the replaced typed aggregator deterministically
+    // ranked NaN via java.lang.Double.compare). NaN is reachable only on
+    // degenerate inputs (cosine of a zero-norm vector); ranking paths
+    // filter those upstream, and a NaN score carries no ranking signal.
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

@@ -403,15 +403,24 @@ object CorpusClean {
   }
 
   /** Laplace-smoothed bigram log-conditionals from per-doc counts
-    * (≤37² rows). */
+    * (≤37² rows).
+    *
+    * ctx(a) = Σ_b cnt(ab) is computed as a WINDOW over gramCnt
+    * (r17, guide §2.4): the former `gramCnt.groupBy(c0)` + self-join
+    * duplicated gramCnt's whole corpus subtree — a third full
+    * normalize+explode+count pass over the text per quality_lm-shaped
+    * query (visible as three `Scan parquet` branches in the r16 plan).
+    * The window runs over the ≤37²-row aggregate instead. Values are
+    * identical: the context sum is over LONG counts (exact, order-
+    * independent), and the per-bigram arithmetic is unchanged. */
   private def lmLogProbs(docGram: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val gramCnt = docGram.groupBy("bg").agg(sum("n").as("cnt"))
-    val ctxCnt = gramCnt
-      .groupBy(substring(col("bg"), 1, 1).as("c0")).agg(sum("cnt").as("ctx"))
+    val ctx = sum(col("cnt"))
+      .over(Window.partitionBy(substring(col("bg"), 1, 1)))
     gramCnt
-      .join(ctxCnt, substring(col("bg"), 1, 1) === col("c0"))
       .select(col("bg"),
-        log((col("cnt") + lit(1.0)) / (col("ctx") + lit(37.0))).as("lp"))
+        log((col("cnt") + lit(1.0)) / (ctx + lit(37.0))).as("lp"))
   }
 
   /** Train the bigram LM once on a reference corpus, for scoring OTHER
@@ -425,9 +434,15 @@ object CorpusClean {
     // NOT persisted — see [[lmScore]]'s tested-and-reverted note: the
     // gram-table cache build costs more than the pass it saves.
     val docGram = bigramCounts(docs, idCol, textCol)
+    val gramCnt = docGram.groupBy("bg").agg(sum("n").as("cnt"))
     val logp = lmLogProbs(docGram)
-    val ctx = docGram.groupBy(substring(col("bg"), 1, 1).as("c0"))
-      .agg(sum("n").as("ctx"))
+    // ctx derives from gramCnt, not docGram (r17): Σ_n per context char
+    // over docGram equals Σ_cnt over the ≤37²-row bg aggregate (exact
+    // long sums) — and both returned frames now share the identical
+    // docGram→gramCnt subtree, which exchange reuse collapses to ONE
+    // corpus pass when a query consumes logp and ctx together.
+    val ctx = gramCnt.groupBy(substring(col("bg"), 1, 1).as("c0"))
+      .agg(sum("cnt").as("ctx"))
     (logp, ctx)
   }
 

@@ -810,8 +810,13 @@ object Dedup {
     // an upstream fingerprint EXPRESSION (SimHash tokenize, PHash/
     // AudioFp media decode) re-evaluates per consumer. The cache is two
     // narrow columns (id + 8-byte signature), never the media bytes.
-    val sig = sig0.select(col("id"), col(sigCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Held through the DfCache registry (r17): a bare persist here
+    // outlived the query and leaked one pinned signature table per
+    // serving request — the registry keys it to this callsite (each
+    // call evicts the previous) and releaseCaches() drains it at
+    // request boundaries.
+    val sig = holdCached("hammingBandedPairs.sig",
+      sig0.select(col("id"), col(sigCol)))
     val segs = sig.sparkSession.range(nBands).select(col("id").cast("int").as("seg"))
     val mask = (1L << segBits) - 1
     val distinctSigs = sig.select(col(sigCol)).distinct()
@@ -871,8 +876,10 @@ object Dedup {
     // Persisted (r16, the [[hammingBandedPairs]] rationale): `s` feeds
     // the class-rep aggregation AND the membership join-back; the
     // upstream fingerprint expression must not re-decode per consumer.
-    val s = sig.select(col("id"), col(sigCol).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registry-held (r17) so releaseCaches() covers it — see the
+    // hammingBandedPairs note.
+    val s = holdCached("hammingClusters.s",
+      sig.select(col("id"), col(sigCol).as("__sig")))
     val reps = s.groupBy("__sig").agg(min(col("id")).as("rep"))
     val classPairs = hammingBandedPairs(
       reps.select(col("rep").as("id"), col("__sig").as(sigCol)),

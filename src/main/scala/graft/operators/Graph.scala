@@ -575,26 +575,37 @@ object Graph {
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
-        val contrib = eout
+        // Union-fused update (r17, guide §2.4 "two operations keyed the
+        // same way can share one exchange"): the contribution aggregate
+        // and the state join are BOTH id-keyed, so the state rows ride
+        // the same groupBy exchange as the per-edge terms instead of
+        // paying a second id-keyed join (broadcast build or shuffle)
+        // per round. Terms keep the 2^-48 grid, so the per-id sum is
+        // EXACT and order-independent — rows moving between partial
+        // aggregates cannot change it; the state columns pass through
+        // as max() over exactly one non-null value per id (the state
+        // has one row per node). Row set: contrib ids ⊆ nodes = state
+        // ids, so the grouped set is exactly the node set — identical
+        // to the old LEFT join from the state.
+        val nullD = lit(null).cast("double")
+        val terms = eout
           .join(rank.select(col("id").as("src"), col("rank")), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
-        // the state frame covers exactly the node set every round, so it
-        // replaces `nodes` as the join base — same single id-keyed join,
-        // now also carrying the watch columns forward (old rank -> p1,
-        // old p1 -> p2)
-        val carried = rank.select(col("id"), col("rank").as("pr1"),
-          col("p1").as("pr2"))
+          .select(col("dst").as("id"),
+            termQuant(col("rank") / col("outdeg")).as("c"),
+            nullD.as("r0"), nullD.as("q1"))
+        val stateRows = rank.select(col("id"), nullD.as("c"),
+          col("rank").as("r0"), col("p1").as("q1"))
+        val agg = terms.union(stateRows).groupBy("id")
+          .agg(sum(col("c")).as("contrib"), max(col("r0")).as("pr1"),
+            max(col("q1")).as("pr2"))
         val withDm =
           if (hasDangling) {
             val dangling = rank.select(col("id"), col("rank"))
               .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
               .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-            carried.join(contrib, Seq("id"), "left")
-              .crossJoin(broadcast(dangling))
+            agg.crossJoin(broadcast(dangling))
           } else {
-            carried.join(contrib, Seq("id"), "left")
-              .withColumn("dm", lit(0.0))
+            agg.withColumn("dm", lit(0.0))
           }
         val updated = withDm
           .select(col("id"),
@@ -980,16 +991,21 @@ object Graph {
         var rounds = 0
         var converged = false
         while (rounds < iters && !converged) {
-          val contrib = eout
+          // Union-fused update (r17): state rows ride the contribution
+          // groupBy's exchange instead of a second id-keyed join per
+          // round — see pageRankLoop; terms stay on the 2^-48 grid so
+          // the shared aggregation is exact and order-independent.
+          val nullD = lit(null).cast("double")
+          val terms = eout
             .join(rank.select(col("id").as("src"), col("rank")), "src")
-            .groupBy(col("dst").as("id"))
-            .agg(sum(termQuant(col("rank") * col("w") / col("outw")))
-              .as("contrib"))
-          // the state covers the node set — it replaces `nodes` as the
-          // join base and carries the watch columns forward
-          val updated = rank
-            .select(col("id"), col("rank").as("pr1"), col("p1").as("pr2"))
-            .join(contrib, Seq("id"), "left")
+            .select(col("dst").as("id"),
+              termQuant(col("rank") * col("w") / col("outw")).as("c"),
+              nullD.as("r0"), nullD.as("q1"))
+          val stateRows = rank.select(col("id"), nullD.as("c"),
+            col("rank").as("r0"), col("p1").as("q1"))
+          val updated = terms.union(stateRows).groupBy("id")
+            .agg(sum(col("c")).as("contrib"), max(col("r0")).as("pr1"),
+              max(col("q1")).as("pr2"))
             .select(col("id"),
               quant(lit(teleport) + lit(damping) *
                 coalesce(col("contrib"), lit(0.0)), quantBits).as("rank"),
@@ -1090,7 +1106,8 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = e.select(col("src").as("id")).distinct()
-      var labels = init match {
+      val nullL = lit(null).cast("long")
+      val base = init match {
         case Some(prior) =>
           // warm start: prior labels where known, own id for new nodes;
           // departed ids drop via the node-set join (the lpaLoop rule)
@@ -1099,7 +1116,16 @@ object Graph {
             .select(col("id"), coalesce(col("pl"), col("id")).as("label"))
         case None => nodes.withColumn("label", col("id"))
       }
-      var prev: DataFrame = null
+      // watched state carries (label, p1, p2) + exact count tracking —
+      // the lpaLoop r17 probe restructure; see the proof there (the
+      // voted set shrinks monotonically for arbitrary inputs, so drops
+      // are exactly the row-count delta)
+      var labels =
+        if (watched) base.select(col("id"), col("label"),
+          nullL.as("p1"), nullL.as("p2"))
+        else base
+      var cntPrev = if (watched && iters > 1) labels.count() else 0L
+      var cntPrev2 = 0L
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
@@ -1108,44 +1134,50 @@ object Graph {
             "dst")
           .groupBy(col("src").as("id"), col("nl"))
           .agg(sum(termQuant(col("w"))).as("wv"))
-        val next = votes.groupBy("id")
-          .agg(min(struct((-col("wv")).as("nw"), col("nl").as("l"))).as("p"))
-          .select(col("id"), col("p.l").as("label"))
+        // watched: state rows ride the same id-keyed exchange as the
+        // struct-min (union fusion, guide §2.4) to carry p1/p2; ids
+        // with no votes aggregate to a null struct-min and are
+        // filtered — the unwatched tier's exact row set
+        val next = (if (watched) {
+            val voteRows = votes.select(col("id"),
+              struct((-col("wv")).as("nw"), col("nl").as("l")).as("p"),
+              nullL.as("l1"), nullL.as("l2"))
+            val stateRows = labels.select(col("id"),
+              lit(null).cast("struct<nw:double,l:bigint>").as("p"),
+              col("label").as("l1"), col("p1").as("l2"))
+            voteRows.union(stateRows).groupBy("id")
+              .agg(min(col("p")).as("p"), max(col("l1")).as("pl1"),
+                max(col("l2")).as("pl2"))
+              .filter(col("p").isNotNull)
+              .select(col("id"), col("p.l").as("label"),
+                col("pl1").as("p1"), col("pl2").as("p2"))
+          } else votes.groupBy("id")
+            .agg(min(struct((-col("wv")).as("nw"), col("nl").as("l"))).as("p"))
+            .select(col("id"), col("p.l").as("label")))
           .ckptSer() // eager — see [[pageRank]]
         // probe only decides whether to CONTINUE — skipped on the
-        // final round (the family convention); exact integer-label
-        // comparisons over full outer joins, one aggregate job
+        // final round (the family convention); one aggregate scan of
+        // the carried columns + dropped-row counting (see lpaLoop)
         if (watched && rounds + 1 < iters) {
-          val chg = (a: Column, b: Column) =>
-            sum(when(a <=> b, 0L).otherwise(1L))
-          val (d1, d2) =
-            if (prev != null) {
-              val r = next
-                .join(labels.select(col("id"), col("label").as("p1")),
-                  Seq("id"), "full")
-                .join(prev.select(col("id"), col("label").as("p2")),
-                  Seq("id"), "full")
-                .agg(chg(col("label"), col("p1")).as("d1"),
-                  chg(col("label"), col("p2")).as("d2"))
-                .head()
-              (r.getLong(0), r.getLong(1))
-            } else {
-              val r = next
-                .join(labels.select(col("id"), col("label").as("p1")),
-                  Seq("id"), "full")
-                .agg(chg(col("label"), col("p1")).as("d1"))
-                .head()
-              (r.getLong(0), -1L)
-            }
+          val r = next.agg(
+            coalesce(sum(when(col("label") <=> col("p1"), 0L)
+              .otherwise(1L)), lit(0L)).as("c1"),
+            coalesce(sum(when(col("label") <=> col("p2"), 0L)
+              .otherwise(1L)), lit(0L)).as("c2"),
+            count(lit(1)).as("n")).head()
+          val cnt = r.getLong(2)
+          val d1 = r.getLong(0) + (cntPrev - cnt)
+          val d2 = if (rounds >= 1) r.getLong(1) + (cntPrev2 - cnt) else -1L
           if (d1 == 0L) converged = true
           else if (d2 == 0L && (iters - (rounds + 1)) % 2 == 0)
             converged = true
+          cntPrev2 = cntPrev
+          cntPrev = cnt
         }
-        prev = labels
         labels = next
         rounds += 1
       }
-      (labels, rounds)
+      (labels.select(col("id"), col("label")), rounds)
     } finally { e.unpersist(); () }
   }
 
@@ -1233,7 +1265,8 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = e.select(col("src").as("id")).distinct()
-      var labels = init match {
+      val nullL = lit(null).cast("long")
+      val base = init match {
         case Some(prior) =>
           // warm start: prior labels where known, own id for new nodes;
           // departed ids drop via the node-set join
@@ -1242,7 +1275,26 @@ object Graph {
             .select(col("id"), coalesce(col("pl"), col("id")).as("label"))
         case None => nodes.withColumn("label", col("id"))
       }
-      var prev: DataFrame = null
+      // Watched state carries (label, p1, p2) — the previous and
+      // two-rounds-back labels ride the checkpoint as columns (r17,
+      // the r16 pageRankLoop discipline): the probe becomes ONE
+      // aggregate scan of the frame the round just materialized
+      // instead of two chained full-outer joins per round. The old
+      // probe's "set drift counts as change" semantics survive via
+      // exact row-count tracking: the voted set only SHRINKS
+      // (votes_r ids = {src with a dst in labels_{r-1}} ⊆ labels_{r-1},
+      // by induction from labels_0 = ALL srcs — true for arbitrary
+      // directed inputs, warm starts included), so rows absent from a
+      // prior state cannot exist, and rows dropped FROM it are exactly
+      // the row-count difference, counted below as changed.
+      var labels =
+        if (watched) base.select(col("id"), col("label"),
+          nullL.as("p1"), nullL.as("p2"))
+        else base
+      // exact prior row counts for the probe (one count job up front
+      // replaces two probe joins per round)
+      var cntPrev = if (watched && iters > 1) labels.count() else 0L
+      var cntPrev2 = 0L
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
@@ -1253,48 +1305,54 @@ object Graph {
           .agg(count(lit(1)).as("c"))
         // (max count, then min label) via one struct-min: -c sorts the
         // count descending, the label ascends on ties — no window, no
-        // second shuffle over the counts
-        val next = counts.groupBy("id")
-          .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("p"))
-          .select(col("id"), col("p.l").as("label"))
+        // second shuffle over the counts. On the watched tier the state
+        // rows ride the same id-keyed exchange (union fusion, guide
+        // §2.4) to carry p1/p2; ids with no votes aggregate to a null
+        // struct-min and are filtered — exactly the voted row set the
+        // unwatched tier produces.
+        val next = (if (watched) {
+            val voteRows = counts.select(col("id"),
+              struct((-col("c")).as("nc"), col("nl").as("l")).as("p"),
+              nullL.as("l1"), nullL.as("l2"))
+            val stateRows = labels.select(col("id"),
+              lit(null).cast("struct<nc:bigint,l:bigint>").as("p"),
+              col("label").as("l1"), col("p1").as("l2"))
+            voteRows.union(stateRows).groupBy("id")
+              .agg(min(col("p")).as("p"), max(col("l1")).as("pl1"),
+                max(col("l2")).as("pl2"))
+              .filter(col("p").isNotNull)
+              .select(col("id"), col("p.l").as("label"),
+                col("pl1").as("p1"), col("pl2").as("p2"))
+          } else counts.groupBy("id")
+            .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("p"))
+            .select(col("id"), col("p.l").as("label")))
           .ckptSer() // eager — see [[pageRank]]
         // the probe only decides whether to CONTINUE — skip its job on
         // the final round (the family convention)
         if (watched && rounds + 1 < iters) {
-          // changed-label counts vs last round and (once available) vs
-          // two rounds back, in ONE aggregate job; full outer + null-
-          // safe equality so set drift counts as change, never as
-          // convergence
-          val chg = (a: Column, b: Column) =>
-            sum(when(a <=> b, 0L).otherwise(1L))
-          val (d1, d2) =
-            if (prev != null) {
-              val r = next
-                .join(labels.select(col("id"), col("label").as("p1")),
-                  Seq("id"), "full")
-                .join(prev.select(col("id"), col("label").as("p2")),
-                  Seq("id"), "full")
-                .agg(chg(col("label"), col("p1")).as("d1"),
-                  chg(col("label"), col("p2")).as("d2"))
-                .head()
-              (r.getLong(0), r.getLong(1))
-            } else {
-              val r = next
-                .join(labels.select(col("id"), col("label").as("p1")),
-                  Seq("id"), "full")
-                .agg(chg(col("label"), col("p1")).as("d1"))
-                .head()
-              (r.getLong(0), -1L)
-            }
+          // one aggregate scan: changed labels vs the carried p1/p2,
+          // plus the exact row count; dropped rows (set shrink) are
+          // cntPrev − cnt, each counting as changed like the old
+          // full-outer did
+          val r = next.agg(
+            coalesce(sum(when(col("label") <=> col("p1"), 0L)
+              .otherwise(1L)), lit(0L)).as("c1"),
+            coalesce(sum(when(col("label") <=> col("p2"), 0L)
+              .otherwise(1L)), lit(0L)).as("c2"),
+            count(lit(1)).as("n")).head()
+          val cnt = r.getLong(2)
+          val d1 = r.getLong(0) + (cntPrev - cnt)
+          val d2 = if (rounds >= 1) r.getLong(1) + (cntPrev2 - cnt) else -1L
           if (d1 == 0L) converged = true
           else if (d2 == 0L && (iters - (rounds + 1)) % 2 == 0)
             converged = true
+          cntPrev2 = cntPrev
+          cntPrev = cnt
         }
-        prev = labels
         labels = next
         rounds += 1
       }
-      (labels, rounds)
+      (labels.select(col("id"), col("label")), rounds)
     } finally { e.unpersist(); () }
   }
 
@@ -1517,28 +1575,40 @@ object Graph {
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
-        val contrib = eout
+        // Union-fused update (r17, see pageRankLoop): the contribution
+        // aggregate, the seed-term re-injection (formerly a full-outer
+        // join) and — on the watched tier — the watch-column carry
+        // (formerly a left join) are ALL id-keyed, so seed and state
+        // rows ride the contribution groupBy's exchange. Row set is
+        // unchanged: grouped ids = contrib ∪ seed ∪ (watched) state
+        // ids, and the filter below drops state-only ids — which the
+        // monotone-frontier argument (scaladoc above) proves cannot
+        // exist on the required dangling-free graph, so the filter is
+        // an unconditional row-set-equality guarantee, not a behavior
+        // change. Newly reached rows enter with null p1/p2 exactly as
+        // the left-join carry produced.
+        val nullD = lit(null).cast("double")
+        val terms = eout
           .join(rank.select(col("id").as("src"), col("rank")), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(sum(termQuant(col("rank") / col("outdeg"))).as("contrib"))
+          .select(col("dst").as("id"),
+            termQuant(col("rank") / col("outdeg")).as("c"),
+            nullD.as("sd0"), nullD.as("r0"), nullD.as("q1"))
+        val seedRows = seedTerm.select(col("id"), nullD.as("c"),
+          col("seed").as("sd0"), nullD.as("r0"), nullD.as("q1"))
         val newRank = quant(lit(damping) * coalesce(col("contrib"), lit(0.0))
           + coalesce(col("seed"), lit(0.0)), quantBits)
-        // WATCHED tier only: the previous state left-joins onto the new
-        // row set (a superset — monotone frontier, scaladoc above) to
-        // carry the watch columns; newly reached rows enter with null
-        // p1/p2. The fixed-round tier has no probe, so it must not pay
-        // the carry join (measured +0.4 s on the 5-round oracle row).
         val updated =
           if (watchTol.isDefined) {
-            val carried = rank.select(col("id"), col("rank").as("pc1"),
-              col("p1").as("pc2"))
-            contrib
-              .join(seedTerm, Seq("id"), "full_outer")
-              .join(carried, Seq("id"), "left")
+            val stateRows = rank.select(col("id"), nullD.as("c"),
+              nullD.as("sd0"), col("rank").as("r0"), col("p1").as("q1"))
+            terms.union(seedRows).union(stateRows).groupBy("id")
+              .agg(sum(col("c")).as("contrib"), max(col("sd0")).as("seed"),
+                max(col("r0")).as("pc1"), max(col("q1")).as("pc2"))
+              .filter(col("contrib").isNotNull || col("seed").isNotNull)
               .select(col("id"), newRank.as("rank"),
                 col("pc1").as("p1"), col("pc2").as("p2"))
-          } else contrib
-            .join(seedTerm, Seq("id"), "full_outer")
+          } else terms.union(seedRows).groupBy("id")
+            .agg(sum(col("c")).as("contrib"), max(col("sd0")).as("seed"))
             .select(col("id"), newRank.as("rank"))
         acc1.reset(); acc2.reset()
         val next = (if (accTol0)
@@ -1659,6 +1729,7 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val nullD = lit(null).cast("double")
       val seedTerm = sd.select(col("id"), col("label"),
         lit(1.0 - alpha).as("seed"))
       var state = init match {
@@ -1675,12 +1746,30 @@ object Graph {
       var rounds = 0
       var converged = false
       while (rounds < iters && !converged) {
-        val contrib = eout
-          .join(state.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id"), col("label"))
-          .agg(sum(termQuant(col("score") / col("outdeg"))).as("contrib"))
-        val next = contrib
-          .join(seedTerm, Seq("id", "label"), "full_outer")
+        // Union-fused update (r17, see pageRankLoop): the contribution
+        // aggregate and the clamped seed re-injection (formerly a
+        // full-outer join) both key on (id, label), so seed rows ride
+        // the contribution groupBy's exchange instead of a separate
+        // join per round. Terms stay on the 2^-48 grid — the shared
+        // sum is exact and order-independent — and the grouped cell
+        // set is contrib ∪ seed, exactly the old full-outer's. The
+        // watch probe keeps its full-outer shape: with a warm `init`
+        // the reached set is NOT monotone (stale cells can shed for
+        // several rounds), and the probe must count each dying cell's
+        // mass — the carry-column shortcut the PageRank loops use
+        // would miss it (their node sets are round-invariant; this
+        // sparse tier's is not under init).
+        val terms = eout
+          .join(state.select(col("id").as("src"), col("label"),
+            col("score")), "src")
+          .select(col("dst").as("id"), col("label"),
+            termQuant(col("score") / col("outdeg")).as("c"),
+            nullD.as("sd0"))
+        val seedRows = seedTerm.select(col("id"), col("label"),
+          nullD.as("c"), col("seed").as("sd0"))
+        val next = terms.union(seedRows)
+          .groupBy("id", "label")
+          .agg(sum(col("c")).as("contrib"), max(col("sd0")).as("seed"))
           .select(col("id"), col("label"),
             quant(lit(alpha) * coalesce(col("contrib"), lit(0.0))
               + coalesce(col("seed"), lit(0.0)), quantBits).as("score"))

@@ -582,17 +582,27 @@ object TrainExport {
     * carries ≤ buckets rows per task); the model join is a broadcast of
     * `buckets` rows; the per-doc rollup is the one doc-keyed shuffle —
     * the same (doc, feature) → model-join → rollup shape as NB scoring.
-    * Raw grams feed both the raw counts and the rollup, so they persist
-    * for the query's duration. */
+    * The raw counts derive from the per-doc rollup (exact long sums),
+    * so both consumers share one corpus pass via exchange reuse — no
+    * corpus-scale cache (r17). */
   def dsirLogWeights(raw: DataFrame, idCol: String, textCol: String,
                      target: DataFrame, targetTextCol: String,
                      buckets: Int = 10000): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    val rawGrams = hashedGramBuckets(raw, idCol, textCol, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The shared raw-side frame is the per-(doc, bucket) ROLLUP, not the
+    // raw occurrence stream (r17): c_r per bucket = Σ_docs n_b exactly
+    // (long sums), so both consumers — the model's raw counts and the
+    // per-doc score join — read the identical groupBy(id, bkt) subtree,
+    // and exchange reuse shares its one corpus pass at runtime. The old
+    // shape persisted the corpus-scale (id, bkt) occurrence table
+    // instead: a cache build over one row PER GRAM OCCURRENCE, the same
+    // geometry the r16 LM bigram-cache test measured as costing more
+    // than the pass it saves (and it stayed pinned until clearCache).
+    val perDoc = hashedGramBuckets(raw, idCol, textCol, buckets)
+      .groupBy("id", "bkt").agg(count(lit(1)).as("n_b"))
     val tCnt = hashedGramBuckets(target, idCol, targetTextCol, buckets)
       .groupBy("bkt").agg(count(lit(1)).as("c_t"))
-    val rCnt = rawGrams.groupBy("bkt").agg(count(lit(1)).as("c_r"))
+    val rCnt = perDoc.groupBy("bkt").agg(sum("n_b").as("c_r"))
     val tTot = tCnt.agg(sum("c_t").as("n_t"))
     val rTot = rCnt.agg(sum("c_r").as("n_r"))
     // Every raw gram's bucket is present in rCnt by construction, so a
@@ -605,7 +615,7 @@ object TrainExport {
              (col("n_t") + lit(buckets.toDouble))) -
          log((col("c_r") + lit(1.0)) /
              (col("n_r") + lit(buckets.toDouble)))).as("lambda"))
-    rawGrams.groupBy("id", "bkt").agg(count(lit(1)).as("n_b"))
+    perDoc
       .join(broadcast(model), "bkt")
       .groupBy("id")
       .agg(sum("n_b").as("n_grams"),
